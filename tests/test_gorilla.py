@@ -1,0 +1,70 @@
+"""Gorilla codec: exact round-trip (FIXTURES invariant 3) + compression sanity."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tsrollup import gorilla
+
+
+def _roundtrip(ts, vals):
+    blk = gorilla.encode(ts, vals)
+    t2, v2 = gorilla.decode(blk)
+    np.testing.assert_array_equal(ts, t2)
+    # bit-exact float compare (NaN-safe)
+    if len(vals):
+        np.testing.assert_array_equal(
+            np.asarray(vals, dtype=np.float64).view(np.uint64), v2.view(np.uint64)
+        )
+    return blk
+
+
+def test_empty_single_constant():
+    _roundtrip(np.array([], dtype=np.int64), np.array([]))
+    _roundtrip(np.array([7], dtype=np.int64), np.array([1.5]))
+    blk = _roundtrip(np.full(100, 5, dtype=np.int64), np.full(100, 2.5))
+    assert len(blk) < 100  # constant series compresses hard
+
+
+def test_regular_series_compresses():
+    ts = np.arange(0, 20000, 60, dtype=np.int64)
+    vals = np.round(np.cumsum(np.random.default_rng(0).standard_normal(len(ts))), 2)
+    blk = _roundtrip(ts, vals)
+    assert len(blk) < 16 * len(ts)  # beats raw (ts,val) pairs
+
+
+def test_nonfinite_values_roundtrip():
+    ts = np.arange(5, dtype=np.int64)
+    vals = np.array([np.nan, np.inf, -np.inf, 0.0, -0.0])
+    _roundtrip(ts, vals)
+
+
+def test_large_jumps():
+    _roundtrip(
+        np.array([0, 2**40, 2**41, 2**41 + 1], dtype=np.int64),
+        np.array([1e-300, -1e300, 5.0, 5.0]),
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=200),
+    seed=st.integers(min_value=0, max_value=2**31),
+    rnd=st.integers(min_value=0, max_value=6),
+)
+def test_roundtrip_property(n, seed, rnd):
+    rng = np.random.default_rng(seed)
+    ts = np.cumsum(rng.integers(0, 5000, n)).astype(np.int64)
+    vals = np.round(rng.standard_normal(n) * 10.0 ** float(rng.integers(-3, 3)), rnd)
+    _roundtrip(ts, vals)
+
+
+def test_encode_blocks_batch():
+    pairs = [
+        (np.arange(3, dtype=np.int64), np.array([1.0, 2.0, 3.0])),
+        (np.array([], dtype=np.int64), np.array([])),
+    ]
+    blocks = gorilla.encode_blocks([p[0] for p in pairs], [p[1] for p in pairs])
+    assert len(blocks) == 2
+    t, v = gorilla.decode(blocks[0])
+    np.testing.assert_array_equal(t, pairs[0][0])

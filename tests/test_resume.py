@@ -1,0 +1,106 @@
+"""Checkpoint/resume + retention semantics (SURVEY §7.7, FIXTURES invariant 2:
+identical output after a kill/resume cycle; committed tiers not recomputed)."""
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from tsrollup import job, lineage, oracle
+from tsrollup.config import RollupConfig
+
+
+def _rolled(out_root, tier):
+    df = job.read_tier(out_root, tier, "rolled").to_pandas()
+    return df[df.source != "__quarantine__"].reset_index(drop=True)[oracle.ROLLED_COLUMNS]
+
+
+def test_partial_run_then_resume_matches_full_run(ray_session, tiny_input_dir, tmp_path):
+    """Simulated kill after the 1m commit: a fresh run resumes, skips 1m, and
+    the final tiers equal a from-scratch full run bit-for-bit."""
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    # "killed" run: only 1m committed
+    job.run(tiny_input_dir, RollupConfig(out_root=out_a, tiers=("1m",)))
+    mtimes = _tree_mtimes(os.path.join(out_a, "1m"))
+    # resumed run with all tiers
+    res = job.run(tiny_input_dir, RollupConfig(out_root=out_a))
+    assert res["1m"]["skipped"] is True
+    assert res["1h"]["skipped"] is False and res["1d"]["skipped"] is False
+    assert _tree_mtimes(os.path.join(out_a, "1m")) == mtimes  # not rewritten
+    # reference full run
+    job.run(tiny_input_dir, RollupConfig(out_root=out_b))
+    for tier in ("1m", "1h", "1d"):
+        pd.testing.assert_frame_equal(_rolled(out_a, tier), _rolled(out_b, tier))
+
+
+def _tree_mtimes(root):
+    out = {}
+    for r, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(r, f)
+            out[p] = os.stat(p).st_mtime_ns
+    return out
+
+
+def test_config_change_forces_recompute(ray_session, tiny_input_dir, tmp_path):
+    out = str(tmp_path / "out")
+    job.run(tiny_input_dir, RollupConfig(out_root=out, tiers=("1m",)))
+    res = job.run(
+        tiny_input_dir, RollupConfig(out_root=out, tiers=("1m",), gapfill_method="ffill")
+    )
+    assert res["1m"]["skipped"] is False
+
+
+def test_input_change_forces_recompute(ray_session, tiny_input_dir, tiny_table, tmp_path):
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "in"
+    shutil.copytree(tiny_input_dir, d)
+    out = str(tmp_path / "out")
+    job.run(str(d), RollupConfig(out_root=out, tiers=("1m",)))
+    pq.write_table(tiny_table.slice(0, 10), str(d / "c.parquet"))  # new fragment
+    res = job.run(str(d), RollupConfig(out_root=out, tiers=("1m",)))
+    assert res["1m"]["skipped"] is False
+
+
+def test_manifest_is_valid_json_with_lineage(ray_session, tiny_input_dir, tmp_path):
+    out = str(tmp_path / "out")
+    cfg = RollupConfig(out_root=out, tiers=("1m",))
+    job.run(tiny_input_dir, cfg)
+    with open(os.path.join(out, lineage.MANIFEST)) as f:
+        m = json.load(f)
+    rec = m["tiers"]["1m"]
+    assert rec["config_hash"] == cfg.config_hash("1m")
+    assert "src00" in rec["lineage"]
+    assert rec["lineage"]["src00"]["row_count"] > 0
+
+
+def test_retention_prunes_old_buckets(ray_session, tiny_input_dir, tmp_path):
+    """1m keeps only the last 60 buckets; 1h/1d keep everything."""
+    cfg = RollupConfig(
+        out_root=str(tmp_path / "out"),
+        retention_buckets={"1m": 60, "1h": None, "1d": None},
+    )
+    job.run(tiny_input_dir, cfg)
+    r1m = _rolled(cfg.out_root, "1m")
+    full = job.read_tier(cfg.out_root, "1m", "rolled_full").to_pandas()
+    full = full[full.source != "__quarantine__"]
+    now_bucket = int(full["bucket"].max())
+    assert r1m["bucket"].min() >= now_bucket - 60
+    assert len(r1m) < len(full)
+    # the cascade saw the FULL 1m data: 1d totals equal full 1m totals
+    r1d = _rolled(cfg.out_root, "1d")
+    assert r1d["n_rows"].sum() == full["n_rows"].sum()
+
+
+def test_rerun_is_idempotent_byte_identical(ray_session, tiny_input_dir, tmp_path):
+    """Two from-scratch runs produce identical committed logical content."""
+    outs = []
+    for name in ("x", "y"):
+        cfg = RollupConfig(out_root=str(tmp_path / name), tiers=("1m",))
+        job.run(tiny_input_dir, cfg)
+        outs.append(_rolled(cfg.out_root, "1m"))
+    pd.testing.assert_frame_equal(outs[0], outs[1])

@@ -1,0 +1,100 @@
+"""Unit tests for the salted partial/final rollup combine and ingest derive."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tsrollup.config import EPOCH0_S, SECONDS_PER_BUCKET
+from tsrollup.hashing import mix64, row_checksum
+from tsrollup.ingest import derive_batch
+from tsrollup.oracle import gapfill_series
+from tsrollup.rollup import partial_recombine, partial_rollup
+
+
+def _derived(n=1000, seed=0):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "source": pa.array(rng.choice(["a", "b", "hot"], n, p=[0.2, 0.2, 0.6])),
+            "bucket": pa.array(rng.integers(100, 110, n)),
+            "n_tok": pa.array(rng.integers(1, 500, n)),
+            "chk": pa.array(rng.integers(-(2**62), 2**62, n)),
+        }
+    )
+
+
+def test_partial_rollup_matches_pandas():
+    t = _derived()
+    got = partial_rollup(t).to_pandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+    # reconstitute the checksum from the exact hi/lo halves
+    got["chk"] = [
+        np.uint64(((hi << 32) + lo) & 0xFFFFFFFFFFFFFFFF).astype(np.int64)
+        for hi, lo in zip(got["chk_hi"], got["chk_lo"])
+    ]
+    df = t.to_pandas()
+    g = df.groupby(["source", "bucket"], sort=True)
+    exp = pd.DataFrame(
+        {
+            "n_rows": g.size(),
+            "sum_tok": g["n_tok"].sum(),
+            "min_tok": g["n_tok"].min().astype(np.int32),
+            "max_tok": g["n_tok"].max().astype(np.int32),
+            "chk": g["chk"].apply(lambda s: np.int64(s.to_numpy().sum())),
+        }
+    ).reset_index()
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+
+
+def test_partial_rollup_split_invariance():
+    """combine(partial(A), partial(B)) == partial(A+B) — the property that makes
+    results independent of block boundaries (SURVEY §7.6)."""
+    t = _derived(2000, seed=1)
+    whole = partial_rollup(t)
+    halves = pa.concat_tables([partial_rollup(t.slice(0, 777)), partial_rollup(t.slice(777))])
+    recombined = partial_recombine(halves)
+    w = whole.to_pandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+    r = recombined.to_pandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(w, r)
+
+
+def test_partial_recombine_cascade_factor():
+    t = _derived(500, seed=2)
+    p = partial_rollup(t)
+    hourly = partial_recombine(p, bucket_factor=60).to_pandas()
+    assert set(hourly["bucket"]) == {1}  # buckets 100..109 // 60
+    assert hourly["n_rows"].sum() == 500
+
+
+def test_derive_batch_fields():
+    t = pa.table(
+        {
+            "doc_id": pa.array(["s1-0000000000", "s1-0000000059", "s1-0000000060"]),
+            "n_tok": pa.array([5, 6, 7], type=pa.int32()),
+            "source": pa.array(["s1", "s1", "s1"]),
+        }
+    )
+    out = derive_batch(t).to_pandas()
+    b0 = EPOCH0_S // SECONDS_PER_BUCKET
+    assert out["bucket"].tolist() == [b0, b0, b0 + 1]
+    exp_chk = row_checksum(np.array([0, 59, 60]), np.array([5, 6, 7])).view(np.int64)
+    np.testing.assert_array_equal(out["chk"].to_numpy(), exp_chk)
+
+
+def test_gapfill_methods():
+    b = np.array([10, 11, 14, 15], dtype=np.int64)
+    v = np.array([1.0, 2.0, 8.0, 9.0])
+    full, lin, filled = gapfill_series(b, v, "linear")
+    np.testing.assert_array_equal(full, [10, 11, 12, 13, 14, 15])
+    np.testing.assert_allclose(lin, [1, 2, 4, 6, 8, 9])
+    np.testing.assert_array_equal(filled, [False, False, True, True, False, False])
+    _, ff, _ = gapfill_series(b, v, "ffill")
+    np.testing.assert_allclose(ff, [1, 2, 2, 2, 8, 9])
+    _, z, _ = gapfill_series(b, v, "zero")
+    np.testing.assert_allclose(z, [1, 2, 0, 0, 8, 9])
+
+
+def test_mix64_avalanche():
+    a = mix64(np.arange(1000, dtype=np.uint64))
+    assert len(np.unique(a)) == 1000
+    bits = np.unpackbits(a.view(np.uint8))
+    assert 0.45 < bits.mean() < 0.55  # roughly balanced

@@ -1,0 +1,71 @@
+"""Engine configuration.
+
+The reference hard-codes its knobs per entry point (reference ``main.py:98-112``);
+the engine exposes the same surface — wavelet family / level / mode, retention
+rate, approx pooling factor (reference ``core/downsampling_algorithm2.py:245-257``)
+— plus the Ray-native knobs (batch sizes, actor-pool concurrency, salt buckets,
+tier retention) as one dataclass, loadable from YAML/CLI for ``ray job submit``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+# Deterministic event-time derivation: doc_id = f"{source}-{seq:010d}" encodes
+# ts = EPOCH0_S + seq * STEP_S (seconds). 2026-01-01T00:00:00Z.
+EPOCH0_S = 1_767_225_600
+STEP_S = 1
+SECONDS_PER_BUCKET = 60          # the 1m tier bucket width
+TIER_FACTORS = {"1m": 1, "1h": 60, "1d": 1440}   # in 1m buckets
+
+
+@dataclass(frozen=True)
+class RollupConfig:
+    # --- wavelet kernel (the reference's constants, reference main.py:98-112) ---
+    wavelet: str = "db4"
+    dwt_level: int = 1
+    mode: str = "symmetric"
+    retention_rate: float = 0.8        # detail top-k keep fraction
+    approx_ds_factor: int = 2          # approx branch avg-pool factor
+    window_len: int = 200              # buckets per downsampling window (ref L=200)
+    min_wavelet_len: int = 16          # shorter windows pass through un-downsampled
+
+    # --- gap-fill ---
+    gapfill_method: str = "linear"     # "linear" | "ffill" | "zero"
+
+    # --- ingest ---
+    validate_tokens: bool = True       # scan tokens and enforce n_tok == len(tokens);
+                                       # False prunes the tokens column at the read
+
+    # --- tiers & retention (max age in 1m buckets; None = keep forever) ---
+    tiers: tuple[str, ...] = ("1m", "1h", "1d")
+    retention_buckets: dict[str, int | None] = field(
+        default_factory=lambda: {"1m": None, "1h": None, "1d": None}
+    )
+
+    # --- Ray execution knobs ---
+    batch_size: int = 65536            # rows per map_batches call (ingest/partial)
+    window_batch_size: int = 512       # window-rows per wavelet-stage batch
+    wavelet_concurrency: int | None = None   # actor pool size; None = task pool
+    salt_buckets: int = 16             # sub-splits for hot (source, window) groups
+
+    # --- paths ---
+    out_root: str = "/tmp/tsrollup_out"
+
+    def config_hash(self, tier: str | None = None) -> str:
+        """Stable hash of the semantic knobs — stamped into lineage records.
+
+        Per-tier when ``tier`` is given: excludes the tier *list* and other
+        tiers' retention, so a run configured for ("1m",) and a later full run
+        agree that the committed 1m tier is reusable (resume granularity).
+        """
+        d = asdict(self)
+        # execution knobs don't change results; exclude them from the hash
+        for k in ("batch_size", "window_batch_size", "wavelet_concurrency", "out_root"):
+            d.pop(k, None)
+        if tier is not None:
+            d.pop("tiers", None)
+            d["retention_buckets"] = {tier: self.retention_buckets.get(tier)}
+        return hashlib.sha256(json.dumps(d, sort_keys=True).encode()).hexdigest()[:16]

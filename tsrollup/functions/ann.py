@@ -1,0 +1,105 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- brute-force cosine top-k: numpy matmul per batch against a driver-broadcast
+  query matrix (``ray.put`` ONCE, ``ray.get`` in each actor's ``__init__`` —
+  never re-shipped per batch). The exact baseline.
+- LSH-bucketed (random signed projections): candidate generation via shared
+  hyperplane buckets, exact re-rank inside the bucket — the scale path: the
+  all-pairs matmul becomes a per-bucket matmul.
+- embedding cosine near-dup: all-pairs above a threshold via the same buckets.
+
+Projections/queries are seeded -> deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def stack_embeddings(t: pa.Table, col: str = "embedding") -> np.ndarray:
+    """(n, d) float32 matrix from a list<float> column — zero-copy flatten."""
+    arr = t.column(col).combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0)
+    flat = np.asarray(arr.flatten(), dtype=np.float32)
+    offs = np.asarray(arr.offsets)
+    widths = np.unique(offs[1:] - offs[:-1])
+    assert len(widths) == 1, f"ragged embedding column: {widths}"
+    return flat.reshape(-1, int(widths[0]))
+
+
+def normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(norms == 0, 1.0, norms)
+
+
+class BruteForceTopK:
+    """Actor-pool stage: cosine top-k of each batch row set against the
+    broadcast query matrix; emits (query_id, vec_id, score, rank-partial).
+
+    A final small ``groupby(query_id).map_groups`` re-ranks the per-batch
+    partial top-k lists — so the full (n x q) score matrix never materializes.
+    """
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = normalize_rows(np.asarray(q, dtype=np.float32))  # (nq, d)
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = normalize_rows(stack_embeddings(t))  # (n, d)
+        vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        scores = m @ self.q.T  # (n, nq)
+        k = min(self.k, scores.shape[0])
+        top = np.argpartition(-scores, k - 1, axis=0)[:k]  # (k, nq)
+        nq = self.q.shape[0]
+        qid = np.repeat(np.arange(nq, dtype=np.int64), k)
+        rows = top.T.reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(qid),
+                "vec_id": pa.array(vec_ids[rows]),
+                "score": pa.array(np.round(scores[rows, qid].astype(np.float64), 6)),
+            }
+        )
+
+
+def rerank_topk(group: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Final per-query exact top-k over the partial candidates; deterministic
+    tie-break on (score desc, vec_id asc)."""
+    g = group.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+    g = g.copy()
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g
+
+
+def random_hyperplanes(d: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, d)).astype(np.float32)
+
+
+def lsh_bucket_ids(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Signed-projection bucket id per row (one table of 2**n_planes buckets)."""
+    bits = (m @ planes.T) > 0  # (n, p)
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+    return bits @ weights
+
+
+def cosine_pairs_above(
+    m: np.ndarray, vec_ids: np.ndarray, threshold: float
+) -> pd.DataFrame:
+    """All pairs (a < b) with cosine >= threshold within one bucket/batch."""
+    mn = normalize_rows(m)
+    s = mn @ mn.T
+    a, b = np.triu_indices(len(m), k=1)
+    keep = s[a, b] >= threshold
+    return pd.DataFrame(
+        {
+            "a": vec_ids[a[keep]],
+            "b": vec_ids[b[keep]],
+            "score": np.round(s[a[keep], b[keep]].astype(np.float64), 6),
+        }
+    )

@@ -1,0 +1,235 @@
+"""End-to-end DAG assembly: the rollup + downsample + retention engine.
+
+``run()`` is the ``ray job submit`` entry point (also callable in-process; it
+never calls ``ray.init`` itself). Per tier:
+
+    read committed finer tier (or the raw input for 1m)
+      -> rollup / cascade                     (tsrollup.rollup)
+      -> stage full rolled parquet            (partitioned by source)
+      -> retention filter                     (tsrollup.oracle.apply_retention semantics)
+      -> windows + gap-fill + wavelet points  (tsrollup.stages)
+      -> stage points parquet
+      -> atomic commit + lineage              (tsrollup.lineage)
+
+Coarser tiers cascade from the *full* (pre-retention) finer tier, so long-
+retention coarse aggregates survive short-retention fine data — then each
+tier's own retention horizon prunes what is published.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import ray.data
+
+from tsrollup import lineage as lin
+from tsrollup.config import TIER_FACTORS, RollupConfig
+from tsrollup.ingest import QUARANTINE_SOURCE, derive_batch, read_input
+from tsrollup.rollup import cascade_tier, rollup_1m
+from tsrollup.stages import add_window, gapfill_group, gorilla_encode_batch, make_wavelet_stage
+
+
+def build_points(rolled: ray.data.Dataset, tier: str, cfg: RollupConfig) -> ray.data.Dataset:
+    """rolled tier rows -> downsampled point rows (+ Gorilla blocks)."""
+    wins = (
+        rolled.map_batches(
+            lambda t: add_window(t.filter(pc.not_equal(t["source"], QUARANTINE_SOURCE)), cfg.window_len),
+            batch_format="pyarrow",
+        )
+        .groupby(["source", "window_id"])
+        .map_groups(lambda t: gapfill_group(t, cfg.gapfill_method), batch_format="pyarrow")
+    )
+    cls, kwargs = make_wavelet_stage(cfg, tier)
+    # autoscaling actor pool with min=1: a fixed pool sized at the cluster CPU
+    # count would reserve every CPU and starve the read/sort/write operators
+    # (deadlock on small clusters; serialization on big ones).
+    import ray as _ray
+
+    max_pool = cfg.wavelet_concurrency or max(2, int(_ray.cluster_resources().get("CPU", 4)) // 2)
+    pts = wins.map_batches(
+        cls,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        batch_size=cfg.window_batch_size,
+        concurrency=(1, max_pool),
+    )
+    return pts.map_batches(gorilla_encode_batch, batch_format="pyarrow")
+
+
+def _read_rolled(path: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(path)
+
+
+def _now_bucket(rolled_dir: str) -> int:
+    ds = pads.dataset(rolled_dir, format="parquet", partitioning="hive")
+    t = ds.to_table(columns=["bucket"])
+    if t.num_rows == 0:
+        return 0
+    return int(pc.max(t["bucket"]).as_py())
+
+
+def _retention_filter(ds: ray.data.Dataset, tier: str, cfg: RollupConfig, now_bucket: int) -> ray.data.Dataset:
+    keep = cfg.retention_buckets.get(tier)
+    if keep is None:
+        return ds
+    cutoff = (now_bucket - keep) // TIER_FACTORS[tier]
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.or_(pc.greater_equal(t["bucket"], cutoff), pc.equal(t["source"], QUARANTINE_SOURCE))
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def run(
+    input_path: str | list[str],
+    cfg: RollupConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """Run all configured tiers; returns {tier: {"rolled": path, "points": path,
+    "skipped": bool}}. Idempotent: committed tiers (same config + input) are
+    skipped when ``resume`` — the checkpoint-resume contract of SURVEY §7.7."""
+    cfg = cfg or RollupConfig()
+    out_root = cfg.out_root
+    paths = input_path if isinstance(input_path, list) else [input_path]
+    fingerprint = lin.input_fingerprint(paths)
+    results: dict = {}
+
+    # ---- 1m tier (from raw input) + full-rolled staging for the cascade ----
+    full_dirs: dict[str, str] = {}
+    prev_tier: str | None = None
+    for tier in cfg.tiers:
+        if lin.tier_committed(out_root, tier, cfg, fingerprint) and resume:
+            results[tier] = {
+                "rolled": lin.tier_path(out_root, tier, "rolled"),
+                "points": lin.tier_path(out_root, tier, "points"),
+                "skipped": True,
+            }
+            # cascade input for the next tier: the committed full rolled dir
+            full_dirs[tier] = os.path.join(out_root, tier, "rolled_full")
+            if not os.path.isdir(full_dirs[tier]):
+                full_dirs[tier] = lin.tier_path(out_root, tier, "rolled")
+            prev_tier = tier
+            continue
+
+        if tier == "1m":
+            from tsrollup.ingest import INPUT_COLUMNS, ROLLUP_COLUMNS
+
+            cols = INPUT_COLUMNS if cfg.validate_tokens else ROLLUP_COLUMNS
+            derived = read_input(input_path, columns=cols).map_batches(
+                derive_batch, batch_format="pyarrow", batch_size=cfg.batch_size
+            )
+            rolled = rollup_1m(derived, cfg.batch_size)
+        else:
+            assert prev_tier is not None, "tier order must be fine -> coarse"
+            factor = TIER_FACTORS[tier] // TIER_FACTORS[prev_tier]
+            rolled = cascade_tier(_read_rolled(full_dirs[prev_tier]), factor)
+
+        stage_full = lin.staging_dir(out_root, tier, "rolled_full")
+        rolled.write_parquet(stage_full, partition_cols=["source"])
+
+        if cfg.retention_buckets.get(tier) is None:
+            # no horizon: published tier == full tier; skip the filtered rewrite
+            stage_rolled = stage_full
+        else:
+            now_bucket = _now_bucket(stage_full)
+            retained = _retention_filter(_read_rolled(stage_full), tier, cfg, now_bucket)
+            stage_rolled = lin.staging_dir(out_root, tier, "rolled")
+            retained.write_parquet(stage_rolled, partition_cols=["source"])
+
+        points = build_points(_read_rolled(stage_rolled), tier, cfg)
+        stage_points = lin.staging_dir(out_root, tier, "points")
+        points.write_parquet(stage_points, partition_cols=["source"])
+
+        staged = {"rolled": stage_rolled, "points": stage_points}
+        if stage_rolled != stage_full:
+            staged["rolled_full"] = stage_full
+        rec = lin.commit_tier(out_root, tier, staged, cfg, fingerprint)
+        results[tier] = {
+            "rolled": lin.tier_path(out_root, tier, "rolled"),
+            "points": lin.tier_path(out_root, tier, "points"),
+            "skipped": False,
+            "lineage": rec["lineage"],
+        }
+        full_dirs[tier] = lin.tier_path(out_root, tier, "rolled_full")
+        if not os.path.isdir(full_dirs[tier]):
+            full_dirs[tier] = lin.tier_path(out_root, tier, "rolled")
+        prev_tier = tier
+    return results
+
+
+def read_tier(out_root: str, tier: str, kind: str = "rolled") -> pa.Table:
+    """Driver-side convenience: load a committed tier as one Arrow table,
+    sorted canonically (tiers are small by construction)."""
+    ds = pads.dataset(os.path.join(out_root, tier, kind), format="parquet", partitioning="hive")
+    t = ds.to_table()
+    sort_keys = (
+        [("source", "ascending"), ("bucket", "ascending")]
+        if "bucket" in t.column_names
+        else [("source", "ascending"), ("window_id", "ascending")]
+    )
+    return t.sort_by(sort_keys)
+
+
+def clean(out_root: str) -> None:
+    if os.path.isdir(out_root):
+        shutil.rmtree(out_root)
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI for ``ray job submit -- python -m tsrollup.job ...`` (engine S8
+    config surface; the reference's YAML/CLI equivalent, kafka_config.yaml)."""
+    import argparse
+    import json as _json
+
+    import ray
+
+    p = argparse.ArgumentParser(description="tsrollup: rollup+downsample+retention engine")
+    p.add_argument("--input", required=True, help="input parquet file/dir (F1 schema)")
+    p.add_argument("--out", required=True, help="output root (tiers + manifest)")
+    p.add_argument("--tiers", default="1m,1h,1d")
+    p.add_argument("--gapfill", default="linear", choices=["linear", "ffill", "zero"])
+    p.add_argument("--window-len", type=int, default=200)
+    p.add_argument("--retention", default="", help="tier=buckets[,tier=buckets] horizon")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=None, help="only when starting Ray here")
+    args = p.parse_args(argv)
+
+    retention: dict[str, int | None] = {t: None for t in args.tiers.split(",")}
+    for kv in filter(None, args.retention.split(",")):
+        if "=" not in kv:
+            p.error(f"--retention expects tier=buckets pairs, got {kv!r}")
+        k, v = kv.split("=", 1)
+        retention[k] = int(v)
+    cfg = RollupConfig(
+        out_root=args.out,
+        tiers=tuple(args.tiers.split(",")),
+        gapfill_method=args.gapfill,
+        window_len=args.window_len,
+        retention_buckets=retention,
+    )
+    started_here = False
+    if not ray.is_initialized():  # a ray-job driver will already have Ray up
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+        started_here = True
+    try:
+        results = run(args.input, cfg, resume=not args.no_resume)
+        print(_json.dumps(results, indent=1, default=str))
+    finally:
+        if started_here:
+            ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,512 @@
+"""Driver-checkable pipelines over the testdata tables (`__ray_entry__` surface).
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset / DataFrame /
+Arrow table; ``ORACLE_SQL`` holds the DuckDB-equivalent SQL keyed the same.
+Column names and value semantics are aligned on both sides; float outputs are
+derived from exact integer partials (or rounded to 6dp on BOTH sides) so the
+driver's value-hash comparison is stable.
+
+The time-series queries run the *real engine code path* (tsrollup.rollup /
+stages / oracle kernels) over the ``events`` table mapped to the engine's
+data model: source := event_type, bucket := epoch-minutes(ts),
+value := cents(value) — integers end-to-end (SURVEY §7.6: prefer int partials).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from tsrollup.oracle import gapfill_series
+from tsrollup.rollup import cascade_tier, final_rollup, partial_rollup
+
+# ---------------------------------------------------------------------------
+# events -> engine data model
+# ---------------------------------------------------------------------------
+
+def _events(sf_dir: str, columns=("ts", "event_type", "value")) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=list(columns))
+
+
+def _derive_events(t: pa.Table) -> pa.Table:
+    """events rows -> (source, bucket, n_tok=cents, chk=0) for the rollup path."""
+    ts_us = t["ts"].cast(pa.int64())
+    bucket = pc.divide(ts_us, 60_000_000)
+    cents = pc.cast(pc.floor(pc.multiply(t["value"], 100.0)), pa.int64())
+    return pa.table(
+        {
+            "source": t["event_type"],
+            "bucket": bucket,
+            "n_tok": cents,
+            "chk": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+        }
+    )
+
+
+def _rolled_events(sf_dir: str) -> ray.data.Dataset:
+    derived = _events(sf_dir).map_batches(_derive_events, batch_format="pyarrow")
+    return final_rollup(derived.map_batches(partial_rollup, batch_format="pyarrow"))
+
+
+def _rename_cents(t: pa.Table) -> pa.Table:
+    return t.select(["source", "bucket", "n_rows", "sum_tok", "min_tok", "max_tok"]).rename_columns(
+        ["source", "bucket", "n_rows", "sum_cents", "min_cents", "max_cents"]
+    )
+
+
+_ROLLUP_SQL_BODY = """
+    SELECT event_type AS source,
+           epoch_ms(ts) // 60000 AS bucket,
+           COUNT(*) AS n_rows,
+           SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_cents,
+           MIN(CAST(FLOOR(value * 100) AS INTEGER)) AS min_cents,
+           MAX(CAST(FLOOR(value * 100) AS INTEGER)) AS max_cents
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_rollup_1m(sf_dir: str):
+    """1m tier rollup over events (engine partial+final combine)."""
+    return _rolled_events(sf_dir).map_batches(_rename_cents, batch_format="pyarrow")
+
+
+def q_rollup_1h(sf_dir: str):
+    """1h continuous aggregate cascaded from the 1m tier (engine cascade)."""
+    return cascade_tier(_rolled_events(sf_dir), 60).map_batches(
+        _rename_cents, batch_format="pyarrow"
+    )
+
+
+def q_rollup_1d(sf_dir: str):
+    return cascade_tier(cascade_tier(_rolled_events(sf_dir), 60), 24).map_batches(
+        _rename_cents, batch_format="pyarrow"
+    )
+
+
+def q_gapfill_1m_ffill(sf_dir: str):
+    """Forward-fill gap-fill of each source's full 1m bucket span (engine
+    gap-fill kernel via groupby(source).map_groups)."""
+
+    def _fill(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t["bucket"])
+        buckets = t["bucket"].take(order).to_numpy(zero_copy_only=False)
+        vals = t["sum_tok"].take(order).to_numpy(zero_copy_only=False)
+        full, filled_vals, filled = gapfill_series(buckets, vals, "ffill")
+        n = len(full)
+        return pa.table(
+            {
+                "source": pa.array([t["source"][0].as_py()] * n),
+                "bucket": pa.array(full),
+                "filled": pa.array(filled),
+                "sum_cents": pa.array(filled_vals.astype(np.int64)),
+            }
+        )
+
+    return _rolled_events(sf_dir).groupby("source").map_groups(_fill, batch_format="pyarrow")
+
+
+def q_downsample_uniform(sf_dir: str, target: int = 50):
+    """Strided pick of each source's 1m series (B1 semantics,
+    ref new_evaluation.py:66-72: step = n // target, first `target` strides)."""
+
+    def _pick(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t["bucket"])
+        t = t.take(order)
+        n = t.num_rows
+        step = max(1, n // target)
+        idx = np.arange(0, n, step)[:target]
+        out = t.take(pa.array(idx))
+        return pa.table(
+            {"source": out["source"], "bucket": out["bucket"], "sum_cents": out["sum_tok"]}
+        )
+
+    return _rolled_events(sf_dir).groupby("source").map_groups(_pick, batch_format="pyarrow")
+
+
+def q_downsample_minmax(sf_dir: str, window: int = 10):
+    """Per-window min & max points of each source's 1m series (B6 semantics,
+    ref new_evaluation.py:117-137), window = rank // 10, ties -> lowest bucket;
+    a row that is both min and max appears once."""
+
+    def _mm(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t["bucket"])
+        buckets = t["bucket"].take(order).to_numpy(zero_copy_only=False)
+        vals = t["sum_tok"].take(order).to_numpy(zero_copy_only=False)
+        keep = set()
+        for w0 in range(0, len(buckets), window):
+            win = vals[w0 : w0 + window]
+            keep.add(w0 + int(np.argmin(win)))
+            keep.add(w0 + int(np.argmax(win)))
+        idx = np.array(sorted(keep), dtype=np.int64)
+        return pa.table(
+            {
+                "source": pa.array([t["source"][0].as_py()] * len(idx)),
+                "bucket": pa.array(buckets[idx]),
+                "sum_cents": pa.array(vals[idx]),
+            }
+        )
+
+    return _rolled_events(sf_dir).groupby("source").map_groups(_mm, batch_format="pyarrow")
+
+
+def q_downsample_avgpool(sf_dir: str, window: int = 10):
+    """Window-mean rollup of the 1m series into 10m pools (B2 semantics as a
+    grouped aggregate); avg derived from exact integer sums on both sides."""
+    pooled = cascade_tier(_rolled_events(sf_dir), window)
+
+    def _avg(t: pa.Table) -> pa.Table:
+        avg = pc.divide(
+            pc.cast(t["sum_tok"], pa.float64()), pc.cast(t["n_rows"], pa.float64())
+        )
+        return pa.table(
+            {
+                "source": t["source"],
+                "bucket10": t["bucket"],
+                "n_buckets": t["n_rows"],
+                "sum_cents": t["sum_tok"],
+                "avg_cents": pc.round(avg, ndigits=6),
+            }
+        )
+
+    return pooled.map_batches(_avg, batch_format="pyarrow")
+
+
+def q_topk_buckets(sf_dir: str, k: int = 5):
+    """Top-k 1m buckets per source by sum_cents (per-group top-k, SURVEY §2.8;
+    ties -> lower bucket)."""
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sum_tok", "bucket"], ascending=[False, True]).head(k)
+        out = df[["source", "bucket", "sum_tok"]].rename(columns={"sum_tok": "sum_cents"})
+        out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return _rolled_events(sf_dir).groupby("source").map_groups(_topk, batch_format="pandas")
+
+
+def q_znorm_1m(sf_dir: str):
+    """Per-source z-score of the 1m sum_cents series (M2 semantics,
+    ref main.py:63-68 incl. the sigma==0 -> 1 guard), stats from exact integer
+    sums, output rounded to 6dp on both sides."""
+
+    def _z(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["sum_tok"].to_numpy().astype(np.float64)
+        n = len(x)
+        s = int(df["sum_tok"].sum())
+        ss = int((df["sum_tok"].astype(object) ** 2).sum())
+        mean = s / n
+        var = (ss - s * s / n) / n
+        std = np.sqrt(var) if var > 0 else 1.0
+        if std == 0:
+            std = 1.0
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "bucket": df["bucket"],
+                "znorm": np.round((x - mean) / std, 6),
+            }
+        )
+
+    return _rolled_events(sf_dir).groupby("source").map_groups(_z, batch_format="pandas")
+
+
+def q_scrub_nonfinite(sf_dir: str):
+    """M3 semantics (ref core/streaming_pipeline.py:139-144): non-finite -> 0,
+    scrub counts reported per source instead of silent drops."""
+
+    def _scrub(t: pa.Table) -> pa.Table:
+        finite = pc.is_finite(t["value"])
+        clean = pc.if_else(finite, t["value"], 0.0)
+        cents = pc.cast(pc.floor(pc.multiply(clean, 100.0)), pa.int64())
+        return pa.table(
+            {
+                "source": t["event_type"],
+                "scrubbed": pc.cast(pc.invert(finite), pa.int64()),
+                "cents": cents,
+            }
+        )
+
+    ds = _events(sf_dir).map_batches(_scrub, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    out = ds.groupby("source").aggregate(
+        Count(alias_name="n_rows"),
+        Sum("scrubbed", alias_name="n_scrubbed"),
+        Sum("cents", alias_name="sum_clean_cents"),
+    )
+    return out
+
+
+def q_distinct_users(sf_dir: str):
+    """Count-distinct via two-level groupby (engine §2.9 dedup shape)."""
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="n"))
+    out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    return out.map_batches(
+        lambda t: t.select(["event_type", "n_users"]).rename_columns(["source", "n_users"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_topk_events_global(sf_dir: str, k: int = 10):
+    """Global sort + limit (engine §2.8; ties -> lower event_id)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    top = ds.sort(["value", "event_id"], descending=[True, False]).limit(k)
+    return top
+
+
+def q_join_broadcast(sf_dir: str):
+    """Broadcast join: orders x customer (small side shipped once via ray.put,
+    looked up per batch — no shuffle; SURVEY §2.6)."""
+    import ray
+
+    cust = (
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+    )
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class JoinStage:
+        def __init__(self, ref):
+            import ray as _r
+
+            self.lookup = _r.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["c_mktsegment"] = df["o_custkey"].map(self.lookup)
+            df["total_cents"] = np.floor(df["o_totalprice"] * 100).astype(np.int64)
+            return df[["c_mktsegment", "total_cents"]]
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        JoinStage, fn_constructor_kwargs={"ref": lookup_ref}, batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    from ray.data.aggregate import Count, Sum
+
+    return ds.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("total_cents", alias_name="sum_total_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# non-SQL engine queries (rows-only driver check + pytest golden)
+# ---------------------------------------------------------------------------
+
+def q_wavelet_points(sf_dir: str):
+    """Full engine downsampling path over the events 1m series: windows ->
+    gap-fill -> wavelet points (summary columns; list payloads exercised in
+    pytest golden tests)."""
+    from tsrollup.config import RollupConfig
+    from tsrollup.job import build_points
+
+    cfg = RollupConfig()
+    pts = build_points(_rolled_events(sf_dir), "1m", cfg)
+
+    def _summary(t: pa.Table) -> pa.Table:
+        kept = t.column("kept_idx").combine_chunks()
+        if isinstance(kept, pa.ChunkedArray):
+            kept = kept.chunk(0) if kept.num_chunks else pa.array([], pa.list_(pa.int32()))
+        n_kept = pc.list_value_length(kept)
+        return pa.table(
+            {
+                "source": t["source"],
+                "window_id": t["window_id"],
+                "start_bucket": t["start_bucket"],
+                "n_in": t["n_in"],
+                "n_filled": t["n_filled"],
+                "n_kept": pc.cast(n_kept, pa.int64()),
+            }
+        )
+
+    return pts.map_batches(_summary, batch_format="pyarrow")
+
+
+def q_gorilla_compression(sf_dir: str):
+    """Gorilla blocks per source: block count, encoded vs raw bytes, and a
+    round-trip verification counter (must equal n_blocks)."""
+    from tsrollup import gorilla
+    from tsrollup.config import RollupConfig
+    from tsrollup.job import build_points
+
+    pts = build_points(_rolled_events(sf_dir), "1m", RollupConfig())
+
+    def _stats(t: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(t.num_rows):
+            blk = t["gorilla"][i].as_py()
+            ts, vals = gorilla.decode(blk)
+            exp_vals = np.asarray(t["values"][i].as_py(), dtype=np.float64)
+            ok = int(
+                np.array_equal(vals, exp_vals)
+                and np.array_equal(
+                    ts,
+                    t["start_bucket"][i].as_py()
+                    + np.asarray(t["kept_idx"][i].as_py(), dtype=np.int64),
+                )
+            )
+            rows.append(
+                (t["source"][i].as_py(), 1, len(blk), 16 * len(vals), ok)
+            )
+        df = pd.DataFrame(rows, columns=["source", "n_blocks", "encoded_bytes", "raw_bytes", "roundtrip_ok"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        pts.map_batches(_stats, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_blocks", alias_name="n_blocks"),
+            Sum("encoded_bytes", alias_name="encoded_bytes"),
+            Sum("raw_bytes", alias_name="raw_bytes"),
+            Sum("roundtrip_ok", alias_name="roundtrip_ok"),
+        )
+    )
+
+
+def q_downsample_lttb(sf_dir: str, target: int = 50):
+    """LTTB per source over the 1m series (B5; no SQL equivalent)."""
+    from tsrollup.wavelet import lttb_downsample
+
+    def _lttb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket")
+        idx, vals = lttb_downsample(df["sum_tok"].to_numpy().astype(np.float64), target)
+        return pd.DataFrame(
+            {
+                "source": df["source"].iloc[0],
+                "bucket": df["bucket"].to_numpy()[idx],
+                "sum_cents": vals.astype(np.int64),
+            }
+        )
+
+    return _rolled_events(sf_dir).groupby("source").map_groups(_lttb, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# ORACLE SQL (DuckDB) — keyed identically to QUERIES
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "rollup_1m": f"SELECT * FROM ({_ROLLUP_SQL_BODY}) ORDER BY source, bucket",
+    "rollup_1h": f"""
+        SELECT source, bucket // 60 AS bucket, SUM(n_rows) AS n_rows,
+               SUM(sum_cents) AS sum_cents, MIN(min_cents) AS min_cents,
+               MAX(max_cents) AS max_cents
+        FROM ({_ROLLUP_SQL_BODY}) GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "rollup_1d": f"""
+        SELECT source, bucket // 1440 AS bucket, SUM(n_rows) AS n_rows,
+               SUM(sum_cents) AS sum_cents, MIN(min_cents) AS min_cents,
+               MAX(max_cents) AS max_cents
+        FROM ({_ROLLUP_SQL_BODY}) GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "gapfill_1m_ffill": f"""
+        WITH r AS ({_ROLLUP_SQL_BODY}),
+        spans AS (SELECT source, MIN(bucket) lo, MAX(bucket) hi FROM r GROUP BY source),
+        grid AS (SELECT source, UNNEST(generate_series(lo, hi)) AS bucket FROM spans)
+        SELECT g.source, g.bucket, r.bucket IS NULL AS filled,
+               LAST_VALUE(r.sum_cents IGNORE NULLS) OVER (
+                   PARTITION BY g.source ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_cents
+        FROM grid g LEFT JOIN r ON r.source = g.source AND r.bucket = g.bucket
+        ORDER BY 1, 2
+    """,
+    "downsample_uniform": f"""
+        WITH r AS ({_ROLLUP_SQL_BODY}),
+        o AS (SELECT source, bucket, sum_cents,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY bucket) - 1 AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM r)
+        SELECT source, bucket, sum_cents FROM o
+        WHERE rn % GREATEST(n // 50, 1) = 0 AND rn // GREATEST(n // 50, 1) < 50
+        ORDER BY source, bucket
+    """,
+    "downsample_minmax": f"""
+        WITH r AS ({_ROLLUP_SQL_BODY}),
+        o AS (SELECT source, bucket, sum_cents,
+                     (ROW_NUMBER() OVER (PARTITION BY source ORDER BY bucket) - 1) // 10 AS win
+              FROM r),
+        mn AS (SELECT source, bucket, sum_cents FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY source, win
+                        ORDER BY sum_cents ASC, bucket ASC) AS rk FROM o) WHERE rk = 1),
+        mx AS (SELECT source, bucket, sum_cents FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY source, win
+                        ORDER BY sum_cents DESC, bucket ASC) AS rk FROM o) WHERE rk = 1)
+        SELECT * FROM mn UNION SELECT * FROM mx ORDER BY source, bucket
+    """,
+    "downsample_avgpool": f"""
+        WITH r AS ({_ROLLUP_SQL_BODY})
+        SELECT source, bucket // 10 AS bucket10, COUNT(*) AS n_buckets,
+               SUM(sum_cents) AS sum_cents,
+               ROUND(CAST(SUM(sum_cents) AS DOUBLE) / COUNT(*), 6) AS avg_cents
+        FROM r GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "topk_buckets": f"""
+        WITH r AS ({_ROLLUP_SQL_BODY})
+        SELECT source, bucket, sum_cents, rnk FROM (
+            SELECT source, bucket, sum_cents,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY sum_cents DESC, bucket ASC) AS rnk FROM r)
+        WHERE rnk <= 5 ORDER BY source, rnk
+    """,
+    "znorm_1m": f"""
+        WITH r AS ({_ROLLUP_SQL_BODY}),
+        s AS (SELECT source, COUNT(*) AS n, SUM(sum_cents) AS s1,
+                     SUM(sum_cents * sum_cents) AS s2
+              FROM r GROUP BY source)
+        SELECT r.source, r.bucket,
+               ROUND((r.sum_cents - CAST(s.s1 AS DOUBLE) / s.n) /
+                     (CASE WHEN (CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * s.s1 / s.n) / s.n > 0
+                           THEN SQRT((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * s.s1 / s.n) / s.n)
+                           ELSE 1.0 END), 6) AS znorm
+        FROM r JOIN s USING (source) ORDER BY 1, 2
+    """,
+    "scrub_nonfinite": """
+        SELECT event_type AS source, COUNT(*) AS n_rows,
+               SUM(CASE WHEN isnan(value) OR isinf(value) THEN 1 ELSE 0 END) AS n_scrubbed,
+               SUM(CAST(FLOOR((CASE WHEN isnan(value) OR isinf(value) THEN 0 ELSE value END) * 100)
+                   AS BIGINT)) AS sum_clean_cents
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "distinct_users": """
+        SELECT event_type AS source, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "topk_events_global": """
+        SELECT event_id, value FROM events ORDER BY value DESC, event_id ASC LIMIT 10
+    """,
+    "join_broadcast": """
+        SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+               SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS sum_total_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1 ORDER BY 1
+    """,
+}
+
+QUERIES = {
+    "rollup_1m": q_rollup_1m,
+    "rollup_1h": q_rollup_1h,
+    "rollup_1d": q_rollup_1d,
+    "gapfill_1m_ffill": q_gapfill_1m_ffill,
+    "downsample_uniform": q_downsample_uniform,
+    "downsample_minmax": q_downsample_minmax,
+    "downsample_avgpool": q_downsample_avgpool,
+    "topk_buckets": q_topk_buckets,
+    "znorm_1m": q_znorm_1m,
+    "scrub_nonfinite": q_scrub_nonfinite,
+    "distinct_users": q_distinct_users,
+    "topk_events_global": q_topk_events_global,
+    "join_broadcast": q_join_broadcast,
+    # rows-only (no SQL equivalent)
+    "wavelet_points": q_wavelet_points,
+    "gorilla_compression": q_gorilla_compression,
+    "downsample_lttb": q_downsample_lttb,
+}

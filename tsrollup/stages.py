@@ -1,0 +1,173 @@
+"""Windowing, gap-fill, wavelet-downsample and Gorilla-encode stages.
+
+Topology (per tier, over the tier's *rolled* rows — already 1/60th+ of input):
+
+    rolled -> map_batches(add_window)                      [stateless]
+           -> groupby(source, window).map_groups(gapfill)  [bounded groups: <= window_len buckets]
+           -> map_batches(WaveletStage, concurrency=N)     [ACTOR POOL: per-worker state
+                                                            loaded once, ref core/streaming_pipeline.py:229-257 ST1]
+           -> map_batches(gorilla_encode_batch)            [stateless]
+
+Grouping on (source, window) guarantees a window lands wholly in one task
+(SURVEY §7.9.2) and bounds group size regardless of source skew — a hot source
+gets more windows, not bigger ones.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tsrollup import gorilla, wavelet
+from tsrollup.config import RollupConfig
+from tsrollup.oracle import gapfill_series
+
+WINDOW_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("window_id", pa.int64()),
+        ("start_bucket", pa.int64()),
+        ("n_in", pa.int64()),
+        ("n_filled", pa.int64()),
+        ("series", pa.list_(pa.float64())),
+    ]
+)
+
+POINTS_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("tier", pa.string()),
+        ("window_id", pa.int64()),
+        ("start_bucket", pa.int64()),
+        ("n_in", pa.int64()),
+        ("n_filled", pa.int64()),
+        ("kept_idx", pa.list_(pa.int32())),
+        ("values", pa.list_(pa.float64())),
+    ]
+)
+
+
+def add_window(t: pa.Table, window_len: int) -> pa.Table:
+    return t.append_column(
+        "window_id", pc.divide(t["bucket"], pa.scalar(window_len, pa.int64()))
+    )
+
+
+def gapfill_group(t: pa.Table, method: str) -> pa.Table:
+    """One (source, window) group -> one window row with the gap-filled series.
+
+    Restores bucket order inside the group (cheap in-memory sort, SURVEY §2.8)
+    and fills interior holes per the configured method — the reference's
+    linear-interp reconstruction semantics (new_evaluation.py:185-198).
+    """
+    order = pc.sort_indices(t["bucket"])
+    buckets = t["bucket"].take(order).to_numpy(zero_copy_only=False)
+    vals = t["sum_tok"].take(order).to_numpy(zero_copy_only=False)
+    full, series, filled = gapfill_series(buckets, vals, method)
+    la = pa.ListArray.from_arrays(pa.array([0, len(series)], type=pa.int32()), pa.array(series))
+    return pa.table(
+        {
+            "source": t["source"].slice(0, 1),
+            "window_id": pa.array([int(t["window_id"][0].as_py())], type=pa.int64()),
+            "start_bucket": pa.array([int(full[0])], type=pa.int64()),
+            "n_in": pa.array([len(full)], type=pa.int64()),
+            "n_filled": pa.array([int(filled.sum())], type=pa.int64()),
+            "series": la,
+        }
+    )
+
+
+class WaveletStage:
+    """Actor-pool stage: wavelet-downsample a batch of window rows.
+
+    State (filter bank, config, counters) is built ONCE per actor in
+    ``__init__`` — the Ray-native version of the reference's lazy per-process
+    model singleton (ref core/streaming_pipeline.py:229-257). ``__call__``
+    vectorizes the DWT across all same-length windows in the batch
+    (``dwt1`` is (B, n) batched), instead of the reference's record-at-a-time
+    ``tf.py_function`` row loop (ref core/downsampling_algorithm2.py:348-365).
+    """
+
+    def __init__(self, cfg: dict | RollupConfig, tier: str):
+        self.cfg = cfg if isinstance(cfg, RollupConfig) else RollupConfig(**cfg)
+        self.tier = tier
+        # precompute the filter bank once per actor
+        self.filters = wavelet.filter_bank(self.cfg.wavelet)
+        self.windows_processed = 0
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n_rows = t.num_rows
+        if n_rows == 0:
+            return POINTS_SCHEMA.empty_table()
+        series_col = t.column("series").combine_chunks()
+        if isinstance(series_col, pa.ChunkedArray):
+            series_col = series_col.chunk(0)
+        flat = np.asarray(series_col.flatten())
+        offs = np.asarray(series_col.offsets)
+        lens = offs[1:] - offs[:-1]
+
+        kept_out: list[np.ndarray] = [None] * n_rows  # type: ignore[list-item]
+        vals_out: list[np.ndarray] = [None] * n_rows  # type: ignore[list-item]
+        # batch rows by identical length -> one vectorized kernel call each
+        for n in np.unique(lens):
+            rows = np.flatnonzero(lens == n)
+            if n < cfg.min_wavelet_len:
+                for r in rows:
+                    x = flat[offs[r] : offs[r + 1]]
+                    kept_out[r] = np.arange(n, dtype=np.int32)
+                    vals_out[r] = x.astype(np.float64)
+                continue
+            mat = np.stack([flat[offs[r] : offs[r] + n] for r in rows])
+            results = wavelet.downsample_points(
+                mat, cfg.wavelet, cfg.mode, cfg.retention_rate, cfg.approx_ds_factor
+            )
+            for r, (kept, vals) in zip(rows, results):
+                kept_out[r] = kept
+                vals_out[r] = vals
+        self.windows_processed += n_rows
+
+        k_offsets = np.zeros(n_rows + 1, dtype=np.int32)
+        np.cumsum([len(k) for k in kept_out], out=k_offsets[1:])
+        kept_arr = pa.ListArray.from_arrays(
+            pa.array(k_offsets), pa.array(np.concatenate(kept_out).astype(np.int32))
+        )
+        vals_arr = pa.ListArray.from_arrays(
+            pa.array(k_offsets), pa.array(np.concatenate(vals_out))
+        )
+        return pa.table(
+            {
+                "source": t["source"],
+                "tier": pa.array([self.tier] * n_rows),
+                "window_id": t["window_id"],
+                "start_bucket": t["start_bucket"],
+                "n_in": t["n_in"],
+                "n_filled": t["n_filled"],
+                "kept_idx": kept_arr,
+                "values": vals_arr,
+            }
+        )
+
+
+def make_wavelet_stage(cfg: RollupConfig, tier: str):
+    """Bind config as a plain dict so the callable pickles cheaply to workers."""
+    d = asdict(cfg)
+    return WaveletStage, {"cfg": d, "tier": tier}
+
+
+def gorilla_encode_batch(t: pa.Table) -> pa.Table:
+    """Append the Gorilla block per point row: ts = start_bucket + kept_idx."""
+    if t.num_rows == 0:
+        return t.append_column("gorilla", pa.array([], type=pa.large_binary()))
+    kept = t.column("kept_idx").combine_chunks()
+    vals = t.column("values").combine_chunks()
+    start = t["start_bucket"].to_numpy(zero_copy_only=False)
+    blocks = []
+    for i in range(t.num_rows):
+        k = np.asarray(kept[i].values) if len(kept[i]) else np.array([], dtype=np.int32)
+        v = np.asarray(vals[i].values) if len(vals[i]) else np.array([], dtype=np.float64)
+        blocks.append(gorilla.encode(start[i] + k.astype(np.int64), v))
+    return t.append_column("gorilla", pa.array(blocks, type=pa.large_binary()))
