@@ -61,7 +61,7 @@ _ROLLUP_SQL_BODY = """
     SELECT event_type AS source,
            epoch_ms(ts) // 60000 AS bucket,
            COUNT(*) AS n_rows,
-           SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_cents,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
            MIN(CAST(FLOOR(value * 100) AS INTEGER)) AS min_cents,
            MAX(CAST(FLOOR(value * 100) AS INTEGER)) AS max_cents
     FROM events GROUP BY 1, 2
@@ -153,23 +153,32 @@ def q_downsample_minmax(sf_dir: str, window: int = 10):
 
 
 def q_downsample_avgpool(sf_dir: str, window: int = 10):
-    """Window-mean rollup of the 1m series into 10m pools (B2 semantics as a
-    grouped aggregate); avg derived from exact integer sums on both sides."""
-    pooled = cascade_tier(_rolled_events(sf_dir), window)
+    """Window-mean of the 1m sum_cents SERIES pooled into 10-bucket windows
+    (B2 semantics as a grouped aggregate): the mean is over *buckets present*,
+    not underlying events — partial (count, sum) per batch, tiny final groupby,
+    avg derived from the exact integer sums on both sides."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(bucket10=df["bucket"] // window)
+        g = df.groupby(["source", "bucket10"], sort=False)
+        return pd.DataFrame(
+            {"n_buckets": g.size().astype(np.int64), "sum_cents": g["sum_tok"].sum()}
+        ).reset_index()
+
+    from ray.data.aggregate import Sum
+
+    pooled = (
+        _rolled_events(sf_dir)
+        .map_batches(_partial, batch_format="pandas")
+        .groupby(["source", "bucket10"])
+        .aggregate(Sum("n_buckets", alias_name="n_buckets"), Sum("sum_cents", alias_name="sum_cents"))
+    )
 
     def _avg(t: pa.Table) -> pa.Table:
         avg = pc.divide(
-            pc.cast(t["sum_tok"], pa.float64()), pc.cast(t["n_rows"], pa.float64())
+            pc.cast(t["sum_cents"], pa.float64()), pc.cast(t["n_buckets"], pa.float64())
         )
-        return pa.table(
-            {
-                "source": t["source"],
-                "bucket10": t["bucket"],
-                "n_buckets": t["n_rows"],
-                "sum_cents": t["sum_tok"],
-                "avg_cents": pc.round(avg, ndigits=6),
-            }
-        )
+        return t.append_column("avg_cents", pc.round(avg, ndigits=6))
 
     return pooled.map_batches(_avg, batch_format="pyarrow")
 
@@ -397,14 +406,14 @@ def q_downsample_lttb(sf_dir: str, target: int = 50):
 ORACLE_SQL: dict[str, str] = {
     "rollup_1m": f"SELECT * FROM ({_ROLLUP_SQL_BODY}) ORDER BY source, bucket",
     "rollup_1h": f"""
-        SELECT source, bucket // 60 AS bucket, SUM(n_rows) AS n_rows,
-               SUM(sum_cents) AS sum_cents, MIN(min_cents) AS min_cents,
+        SELECT source, bucket // 60 AS bucket, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               CAST(SUM(sum_cents) AS BIGINT) AS sum_cents, MIN(min_cents) AS min_cents,
                MAX(max_cents) AS max_cents
         FROM ({_ROLLUP_SQL_BODY}) GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "rollup_1d": f"""
-        SELECT source, bucket // 1440 AS bucket, SUM(n_rows) AS n_rows,
-               SUM(sum_cents) AS sum_cents, MIN(min_cents) AS min_cents,
+        SELECT source, bucket // 1440 AS bucket, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               CAST(SUM(sum_cents) AS BIGINT) AS sum_cents, MIN(min_cents) AS min_cents,
                MAX(max_cents) AS max_cents
         FROM ({_ROLLUP_SQL_BODY}) GROUP BY 1, 2 ORDER BY 1, 2
     """,
@@ -445,7 +454,7 @@ ORACLE_SQL: dict[str, str] = {
     "downsample_avgpool": f"""
         WITH r AS ({_ROLLUP_SQL_BODY})
         SELECT source, bucket // 10 AS bucket10, COUNT(*) AS n_buckets,
-               SUM(sum_cents) AS sum_cents,
+               CAST(SUM(sum_cents) AS BIGINT) AS sum_cents,
                ROUND(CAST(SUM(sum_cents) AS DOUBLE) / COUNT(*), 6) AS avg_cents
         FROM r GROUP BY 1, 2 ORDER BY 1, 2
     """,
@@ -471,9 +480,9 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "scrub_nonfinite": """
         SELECT event_type AS source, COUNT(*) AS n_rows,
-               SUM(CASE WHEN isnan(value) OR isinf(value) THEN 1 ELSE 0 END) AS n_scrubbed,
-               SUM(CAST(FLOOR((CASE WHEN isnan(value) OR isinf(value) THEN 0 ELSE value END) * 100)
-                   AS BIGINT)) AS sum_clean_cents
+               CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed,
+               CAST(SUM(CAST(FLOOR((CASE WHEN isnan(value) OR isinf(value) THEN 0 ELSE value END) * 100)
+                   AS BIGINT)) AS BIGINT) AS sum_clean_cents
         FROM events GROUP BY 1 ORDER BY 1
     """,
     "distinct_users": """
@@ -485,7 +494,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "join_broadcast": """
         SELECT c.c_mktsegment, COUNT(*) AS n_orders,
-               SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS sum_total_cents
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1 ORDER BY 1
     """,
