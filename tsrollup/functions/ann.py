@@ -43,12 +43,15 @@ class BruteForceTopK:
     partial top-k lists — so the full (n x q) score matrix never materializes.
     """
 
-    def __init__(self, queries_ref, k: int):
+    def __init__(self, queries_ref, k: int, round_dp: int = 4):
         import ray
 
         q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
         self.q = normalize_rows(np.asarray(q, dtype=np.float32))  # (nq, d)
         self.k = k
+        # scores round to `round_dp` decimals: coarse enough that float32
+        # accumulation-order differences (vs a SQL oracle) cannot flip a digit
+        self.round_dp = round_dp
 
     def __call__(self, t: pa.Table) -> pa.Table:
         m = normalize_rows(stack_embeddings(t))  # (n, d)
@@ -63,7 +66,7 @@ class BruteForceTopK:
             {
                 "query_id": pa.array(qid),
                 "vec_id": pa.array(vec_ids[rows]),
-                "score": pa.array(np.round(scores[rows, qid].astype(np.float64), 6)),
+                "score": pa.array(np.round(scores[rows, qid].astype(np.float64), self.round_dp)),
             }
         )
 

@@ -1,0 +1,420 @@
+"""Training-data operator pipelines over ``documents`` and ``embeddings``
+(dedup, similarity search, text analysis) — the 100 TB-pipeline operator set.
+
+SQL-expressible ones carry a DuckDB oracle; hash/heuristic ones (MinHash,
+SimHash, language-ID, fingerprints, LSH ANN) are rows-only here and
+golden-tested in tests/test_functions.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from tsrollup.functions import ann, dedup, text
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir: str, columns=("doc_id", "text", "lang", "source", "n_chars")) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def q_token_count(sf_dir: str):
+    """Whitespace token count per document (vectorized pandas str kernel)."""
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"], "n_tok": text.count_tokens_batch(df)})
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(_f, batch_format="pandas")
+
+
+def q_token_count_by_source(sf_dir: str):
+    """Total docs/tokens per source — partial combine + tiny groupby."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n_tok=text.count_tokens_batch(df))
+        g = df.groupby("source", sort=False)
+        return pd.DataFrame(
+            {"n_docs": g.size().astype(np.int64), "n_tok": g["n_tok"].sum()}
+        ).reset_index()
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _docs(sf_dir, ("source", "text"))
+        .map_batches(_partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_tok", alias_name="n_tok"))
+    )
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality signals per doc (length/punct/stopword/case counts; B-quality
+    scoring for a pretraining corpus), all SQL-reproducible integers + one
+    6dp-rounded ratio."""
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        q = text.quality_batch(df)
+        q.insert(0, "doc_id", df["doc_id"])
+        return q
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(_f, batch_format="pandas")
+
+
+def q_tokenize(sf_dir: str):
+    """Deterministic tokenization (whitespace + FNV hash into [0, 50257)):
+    per-doc n_tok and an order-sensitive token checksum. Rows-only (token ids
+    aren't SQL-expressible); determinism asserted in tests."""
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").map(text.tokenize_ids)
+        # order-sensitive checksum: sum of (position+1) * (token_id+1) mod 2^64
+        chk = toks.map(
+            lambda a: int(
+                (np.arange(1, len(a) + 1, dtype=np.uint64) * (a.astype(np.uint64) + 1)).sum(
+                    dtype=np.uint64
+                ).astype(np.int64)
+            )
+            if len(a)
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tok": toks.map(len).astype("int64"),
+                "tok_chk": chk.astype("int64"),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(_f, batch_format="pandas")
+
+
+def q_langid(sf_dir: str):
+    """Heuristic language ID vs the table's lang label (actor-pool stage:
+    regex/sets compiled once per actor). Rows-only."""
+    ds = _docs(sf_dir, ("doc_id", "text", "lang")).map_batches(
+        text.LangIdStage, batch_format="pandas", concurrency=(1, 4)
+    )
+
+    def _acc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(correct=(df["lang_pred"] == df["lang"]).astype(np.int64))
+        g = df.groupby("lang", sort=False)
+        out = g.agg(n_docs=("correct", "size"), n_correct=("correct", "sum")).reset_index()
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return out
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(_acc, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_correct", alias_name="n_correct"))
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    """Winnowing-style document fingerprints (rows-only; deterministic)."""
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "fingerprint": text.fingerprint_batch(df).to_numpy().view(np.int64),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(_f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: content-hash -> groupby -> keep min doc_id (SURVEY §2.9 /
+    the canonical Ray Data dedup shape)."""
+    ds = _docs(sf_dir, ("doc_id", "text")).map_batches(dedup.add_text_hash, batch_format="pandas")
+
+    def _keep(g: pd.DataFrame) -> pd.DataFrame:
+        # guard against hash collisions: group by actual text within the bucket
+        out = g.groupby("text", sort=False)["doc_id"].min().reset_index(drop=True)
+        return pd.DataFrame({"doc_id": out})
+
+    return ds.groupby("text_hash").map_groups(_keep, batch_format="pandas")
+
+
+def q_dedup_minhash(sf_dir: str, threshold: float = 0.5):
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified (rows-only).
+
+    shingle->minhash->band rows (map_batches) -> groupby(band) -> candidate
+    pairs -> verify with a driver-broadcast text lookup (small corpus here; at
+    scale the verify re-shards pairs by doc_id)."""
+    import ray
+
+    texts = _docs(sf_dir, ("doc_id", "text")).to_pandas()
+    lookup_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
+
+    band_rows = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        lambda df: dedup.minhash_band_rows(df), batch_format="pandas"
+    )
+    cands = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        dedup.candidate_pairs_from_bucket, batch_format="pandas"
+    )
+
+    class Verify:
+        def __init__(self, ref):
+            import ray as _r
+
+            self.texts = _r.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+            df = df.drop_duplicates(["a", "b"])
+            j = [
+                round(dedup.jaccard(self.texts[a], self.texts[b]), 6)
+                for a, b in zip(df["a"], df["b"])
+            ]
+            out = df.assign(jaccard=j)
+            return out[out["jaccard"] >= threshold][["a", "b", "jaccard"]]
+
+    verified = cands.map_batches(
+        Verify, fn_constructor_kwargs={"ref": lookup_ref}, batch_format="pandas",
+        concurrency=(1, 4),
+    ).to_pandas()
+    # candidates can surface in multiple bands -> final exact dedup of pairs
+    verified = verified.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    return verified.astype({"a": np.int64, "b": np.int64})
+
+
+def q_dedup_simhash(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-dup pairs via 16-bit block bucketing (pigeonhole recall
+    for hamming < 4), hamming-verified (rows-only)."""
+    docs = _docs(sf_dir, ("doc_id", "text"))
+
+    def _sim(df: pd.DataFrame) -> pd.DataFrame:
+        sh = dedup.simhash_batch(df)
+        rows = []
+        for d, s in zip(df["doc_id"], sh):
+            for key in dedup.simhash_block_keys(s):
+                rows.append((d, key, np.uint64(s).astype(np.int64)))
+        return pd.DataFrame(rows, columns=["doc_id", "block_key", "simhash"])
+
+    cands = docs.map_batches(_sim, batch_format="pandas").groupby("block_key").map_groups(
+        lambda g: _simhash_pairs(g, max_hamming), batch_format="pandas"
+    )
+    out = cands.to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    return out
+
+
+def _simhash_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    ids = g["doc_id"].to_numpy()
+    sh = g["simhash"].to_numpy().view(np.uint64)
+    order = np.argsort(ids)
+    ids, sh = ids[order], sh[order]
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+    a, b = np.triu_indices(len(ids), k=1)
+    h = dedup.hamming(sh[a], sh[b])
+    keep = h <= max_hamming
+    return pd.DataFrame(
+        {"a": ids[a[keep]], "b": ids[b[keep]], "hamming": h[keep].astype(np.int64)}
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
+    """Brute-force cosine top-k: query matrix broadcast via ray.put, per-batch
+    matmul partials, final per-query re-rank (never materializes the full
+    score matrix)."""
+    import ray
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # small, deterministic query set: the first n_queries vec_ids
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pa.compute.less(qt["vec_id"], n_queries)).sort_by("vec_id")
+    qmat = ann.stack_embeddings(qt)
+    qref = ray.put(qmat)
+
+    partials = emb.map_batches(
+        ann.BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: ann.rerank_topk(g, k), batch_format="pandas"
+    )
+
+
+def q_embed_dedup(sf_dir: str, threshold: float = 0.40):
+    """Embedding cosine near-dup pairs >= threshold. Exact: every batch scores
+    against the full broadcast matrix (small side), keeping a < b."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mat = ann.normalize_rows(ann.stack_embeddings(full)).astype(np.float64)
+    ids = full["vec_id"].to_numpy(zero_copy_only=False)
+    ref = ray.put((ids, mat))
+
+    class Pairs:
+        def __init__(self, ref):
+            import ray as _r
+
+            self.ids, self.mat = _r.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = ann.normalize_rows(ann.stack_embeddings(t)).astype(np.float64)
+            vid = t["vec_id"].to_numpy(zero_copy_only=False)
+            s = m @ self.mat.T
+            r, c = np.nonzero(s >= threshold)
+            keep = vid[r] < self.ids[c]
+            return pa.table(
+                {
+                    "a": pa.array(vid[r[keep]]),
+                    "b": pa.array(self.ids[c[keep]]),
+                    "score": pa.array(np.round(s[r[keep], c[keep]], 4)),
+                }
+            )
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+        Pairs, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def q_ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 10, n_planes: int = 8):
+    """LSH-bucketed ANN (the scale path): signed random projections bucket the
+    corpus; each query searches only its bucket (+ exact re-rank). Rows-only —
+    approximate recall vs q_ann_topk is measured in tests."""
+    import pyarrow.parquet as pq
+    import ray
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt_sel = qt.filter(pa.compute.less(qt["vec_id"], n_queries)).sort_by("vec_id")
+    qmat = ann.stack_embeddings(qt_sel)
+    dim = qmat.shape[1]
+    planes = ann.random_hyperplanes(dim, n_planes)
+    qbuckets = ann.lsh_bucket_ids(ann.normalize_rows(qmat), planes)
+    qref = ray.put((qmat, qbuckets))
+
+    class BucketScore:
+        def __init__(self, ref, planes):
+            import ray as _r
+
+            self.qmat, self.qbuckets = _r.get(ref)
+            self.qnorm = ann.normalize_rows(self.qmat)
+            self.planes = planes
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = ann.normalize_rows(ann.stack_embeddings(t))
+            vid = t["vec_id"].to_numpy(zero_copy_only=False)
+            buckets = ann.lsh_bucket_ids(m, self.planes)
+            out_q, out_v, out_s = [], [], []
+            for qi, qb in enumerate(self.qbuckets):
+                mask = buckets == qb
+                if not mask.any():
+                    continue
+                scores = m[mask] @ self.qnorm[qi]
+                out_q.extend([qi] * int(mask.sum()))
+                out_v.extend(vid[mask].tolist())
+                out_s.extend(np.round(scores.astype(np.float64), 6).tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "vec_id": pa.array(out_v, type=pa.int64()),
+                    "score": pa.array(out_s, type=pa.float64()),
+                }
+            )
+
+    partials = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+        BucketScore,
+        fn_constructor_kwargs={"ref": qref, "planes": planes},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: ann.rerank_topk(g, k), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(text.STOPWORDS)) + "]"
+
+DOC_ORACLE_SQL: dict[str, str] = {
+    "token_count": r"""
+        SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        FROM documents ORDER BY doc_id
+    """,
+    "token_count_by_source": r"""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tok
+        FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "doc_quality": rf"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+               CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+               CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+               CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+                                    t -> list_contains({_STOPWORDS_SQL}, lower(t)))) AS BIGINT) AS n_stop,
+               ROUND(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+                     THEN CAST(length(text) - (length(text) - length(regexp_replace(text, '\s', '', 'g'))) AS DOUBLE)
+                          / len(regexp_extract_all(text, '\S+'))
+                     ELSE 0.0 END, 6) AS mean_tok_len
+        FROM documents ORDER BY doc_id
+    """,
+    "dedup_exact": """
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1
+    """,
+    "ann_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   ROUND(CAST(list_cosine_similarity(q.embedding, e.embedding) AS DOUBLE), 4) AS score
+            FROM q CROSS JOIN embeddings e),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, vec_id ASC) AS rnk FROM scored)
+        SELECT query_id, vec_id, score, rnk AS rank FROM ranked WHERE rnk <= 10
+        ORDER BY query_id, rank
+    """,
+    "embed_dedup": """
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS score
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.40
+        ORDER BY 1, 2
+    """,
+}
+
+DOC_QUERIES = {
+    "token_count": q_token_count,
+    "token_count_by_source": q_token_count_by_source,
+    "doc_quality": q_doc_quality,
+    "tokenize": q_tokenize,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "embed_dedup": q_embed_dedup,
+}

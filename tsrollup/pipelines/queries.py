@@ -519,3 +519,9 @@ QUERIES = {
     "gorilla_compression": q_gorilla_compression,
     "downsample_lttb": q_downsample_lttb,
 }
+
+# training-data operator pipelines (documents / embeddings)
+from tsrollup.pipelines.docqueries import DOC_ORACLE_SQL, DOC_QUERIES  # noqa: E402
+
+QUERIES.update(DOC_QUERIES)
+ORACLE_SQL.update(DOC_ORACLE_SQL)
