@@ -1,0 +1,197 @@
+"""Benchmark: headline engine pipeline + per-query timings.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...extras}
+
+Headline = the full tsrollup engine (read -> validate -> salted rollup ->
+1m/1h/1d cascade -> gap-fill -> wavelet downsample -> Gorilla -> committed
+partitioned parquet + lineage) over a deterministic synthetic F1 corpus
+(generated once into /tmp, cached, page-cache warmed by an untimed scan).
+
+`--scaling` runs the headline at num_cpus=8 and num_cpus=32 in FRESH processes
+on the SAME input and reports both throughputs + scaling efficiency
+(the sandbox evidence protocol for the N->4N cluster criterion, BASELINE.md).
+
+Env: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     BENCH_ONLY=engine to skip the per-query section.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_SEED = 42
+BENCH_SOURCES = 8
+BENCH_BASE_SPAN = 2_400_000    # ~32M rows total, hot source ~50%
+BENCH_MAX_TOK = 64             # ~1.16B tokens scanned
+SYNTH_DIR = f"/tmp/tsrollup_bench/in-s{BENCH_SEED}-n{BENCH_SOURCES}-b{BENCH_BASE_SPAN}-t{BENCH_MAX_TOK}"
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    return ray
+
+
+def ensure_synth() -> str:
+    from tsrollup.synth import write_synth_parquet
+
+    return write_synth_parquet(
+        SYNTH_DIR,
+        seed=BENCH_SEED,
+        n_sources=BENCH_SOURCES,
+        base_span=BENCH_BASE_SPAN,
+        rows_per_chunk=250_000,
+        max_tok=BENCH_MAX_TOK,
+        use_ray=True,
+    )
+
+
+def warm_page_cache(path: str) -> None:
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(path, format="parquet")
+    for frag in ds.get_fragments():
+        with open(frag.path, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+
+def run_engine(in_dir: str) -> dict:
+    from tsrollup.config import RollupConfig
+    from tsrollup import job
+
+    out_root = f"/tmp/tsrollup_bench/out-{os.getpid()}"
+    shutil.rmtree(out_root, ignore_errors=True)
+    cfg = RollupConfig(out_root=out_root)
+    t0 = time.time()
+    results = job.run(in_dir, cfg, resume=False)
+    wall = time.time() - t0
+
+    # throughput accounting from lineage (excludes this timing section)
+    lineage = results["1m"]["lineage"]
+    rows = sum(v.get("row_count", 0) for v in lineage.values())
+    tokens = sum(v.get("token_sum", 0) for v in lineage.values())
+    rolled_points = 0
+    import pyarrow.dataset as pads
+
+    for tier in cfg.tiers:
+        d = pads.dataset(results[tier]["rolled"], format="parquet", partitioning="hive")
+        rolled_points += sum(f.count_rows() for f in d.get_fragments())
+    shutil.rmtree(out_root, ignore_errors=True)
+    return {
+        "engine_sec": round(wall, 2),
+        "input_rows": rows,
+        "tokens_scanned": tokens,
+        "rolled_points": rolled_points,
+        "rows_per_sec": round(rows / wall),
+        "tokens_per_sec": round(tokens / wall),
+        "rolled_points_per_sec": round(rolled_points / wall),
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as e
+
+    timings = {}
+    for name, fn in e.queries().items():
+        t0 = time.time()
+        res = fn(sf_dir)
+        # consume lazily-built datasets so we time execution, not plan building
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            n = res.count()
+        else:
+            n = len(res)
+        timings[name] = round(time.time() - t0, 2)
+        assert n >= 0
+    return timings
+
+
+def main() -> int:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    if "--scaling" in sys.argv:
+        return scaling(sf_dir)
+
+    ray = _init_ray(num_cpus)
+    in_dir = ensure_synth()
+    warm_page_cache(in_dir)
+    engine = run_engine(in_dir)
+    queries = {} if os.environ.get("BENCH_ONLY") == "engine" else run_queries(sf_dir)
+    out = {
+        "metric": "tsrollup engine wall-clock (synthetic F1 corpus, 1m/1h/1d tiers)",
+        "value": engine["engine_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": num_cpus,
+        **engine,
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
+def scaling(sf_dir: str) -> int:
+    """Same engine job, same input, fresh processes at 8 and 32 CPUs."""
+    # generate + warm once (untimed) so both runs see a hot page cache
+    ray = _init_ray(8)
+    in_dir = ensure_synth()
+    ray.shutdown()
+    warm_page_cache(in_dir)
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_ONLY="engine", GRAFT_SF_DIR=sf_dir
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency, num_cpus 8 -> 32 (N -> 4N evidence)",
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "tokens_per_sec_8": lo["tokens_per_sec"],
+                "tokens_per_sec_32": hi["tokens_per_sec"],
+                "rolled_points_per_sec_8": lo["rolled_points_per_sec"],
+                "rolled_points_per_sec_32": hi["rolled_points_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

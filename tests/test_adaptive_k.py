@@ -1,0 +1,77 @@
+"""K7 adaptive-k detail selection (ref core/downsampling_algorithm3.py:146-171)
+and the registered-scorer hook."""
+
+import numpy as np
+import pytest
+
+from tsrollup import oracle, wavelet as wv
+from tsrollup.config import RollupConfig
+from tsrollup.synth import synth_table
+
+
+def test_adaptive_k_cumulative_cut():
+    # one dominant coefficient -> adaptive keeps far fewer than topk would
+    cD = np.zeros((1, 100))
+    cD[0, 7] = 100.0
+    cD[0, 20] = 0.5
+    out = wv.detail_adaptive_k(cD, target_cumulative_importance=0.99, min_retention_rate=0.05)
+    vals, idx = out[0]
+    assert 7 in idx and len(idx) <= 6  # floor = 5, dominant coeff caught
+    np.testing.assert_array_equal(vals, cD[0, idx])
+
+
+def test_adaptive_k_ragged_and_sorted():
+    rng = np.random.default_rng(0)
+    cD = rng.standard_normal((5, 103)) * (rng.random((5, 103)) < 0.3)
+    out = wv.detail_adaptive_k(cD)
+    ks = {len(idx) for _, idx in out}
+    for _, idx in out:
+        assert (np.diff(idx) > 0).all()
+        assert idx.min() >= 0 and idx.max() < 103
+    assert len(ks) > 1  # genuinely ragged across rows
+
+
+def test_adaptive_k_floor_on_flat_importance():
+    cD = np.ones((1, 40))
+    out = wv.detail_adaptive_k(cD, target_cumulative_importance=0.99, min_retention_rate=0.25)
+    _, idx = out[0]
+    assert len(idx) >= 10  # floor(40 * 0.25)
+
+
+def test_adaptive_k_zero_signal():
+    cD = np.zeros((2, 50))
+    for _, idx in wv.detail_adaptive_k(cD, min_retention_rate=0.1):
+        assert len(idx) == 5
+
+
+def test_scorer_registry():
+    cD = np.array([[3.0, -4.0, 1.0]])
+    _, i_abs = wv.detail_topk(cD, 0.34, scorer="abs")
+    _, i_en = wv.detail_topk(cD, 0.34, scorer="energy")
+    np.testing.assert_array_equal(i_abs, i_en)  # monotone transforms agree
+    wv.register_scorer("inverse", lambda c: -np.abs(c))
+    _, i_inv = wv.detail_topk(cD, 0.34, scorer="inverse")
+    np.testing.assert_array_equal(i_inv, [[2]])  # smallest |cD| first
+    with pytest.raises(KeyError):
+        wv.detail_topk(cD, 0.5, scorer="missing")
+
+
+def test_downsample_points_adaptive_selector():
+    x = np.random.default_rng(1).standard_normal((2, 200))
+    pts_ad = wv.downsample_points(x, detail_selector="adaptive")
+    for b, (kept, vals) in enumerate(pts_ad):
+        assert (np.diff(kept) > 0).all()
+        np.testing.assert_array_equal(vals, x[b, kept])
+
+
+def test_oracle_pipeline_with_adaptive_config():
+    """The oracle composes the adaptive variant end-to-end (engine parity for
+    this config is covered by the same shared-kernel path as topk golden)."""
+    t = synth_table(seed=42, n_sources=2, base_span=2048)
+    cfg = RollupConfig(detail_selector="adaptive", tiers=("1m",))
+    out = oracle.pipeline(t, cfg)
+    pts = out["points_1m"]
+    assert len(pts) > 0
+    for r in pts.itertuples(index=False):
+        kept = np.asarray(r.kept_idx)
+        assert (np.diff(kept) > 0).all() if len(kept) > 1 else True

@@ -104,3 +104,24 @@ def test_rerun_is_idempotent_byte_identical(ray_session, tiny_input_dir, tmp_pat
         job.run(tiny_input_dir, cfg)
         outs.append(_rolled(cfg.out_root, "1m"))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_stale_staging_cleanup(ray_session, tiny_input_dir, tmp_path):
+    out = str(tmp_path / "out")
+    os.makedirs(os.path.join(out, ".stage-1m-rolled-deadbeef"))
+    job.run(tiny_input_dir, RollupConfig(out_root=out, tiers=("1m",)))
+    assert not [d for d in os.listdir(out) if d.startswith(".stage-")]
+
+
+def test_config_from_yaml(tmp_path):
+    from tsrollup.config import RollupConfig
+
+    y = tmp_path / "cfg.yaml"
+    y.write_text("wavelet: haar\ntiers: ['1m', '1h']\ngapfill_method: ffill\n")
+    cfg = RollupConfig.from_yaml(str(y))
+    assert cfg.wavelet == "haar" and cfg.tiers == ("1m", "1h")
+    y.write_text("nope: 1\n")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        RollupConfig.from_yaml(str(y))

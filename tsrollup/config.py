@@ -31,6 +31,10 @@ class RollupConfig:
     approx_ds_factor: int = 2          # approx branch avg-pool factor
     window_len: int = 200              # buckets per downsampling window (ref L=200)
     min_wavelet_len: int = 16          # shorter windows pass through un-downsampled
+    detail_selector: str = "topk"      # "topk" | "adaptive" (ref K7 variant)
+    scorer: str = "abs"                # registered importance scorer (wavelet.SCORERS)
+    target_cumulative_importance: float = 0.99   # adaptive-k cut (ref algo3:146-171)
+    min_retention_rate: float = 0.1              # adaptive-k floor
 
     # --- gap-fill ---
     gapfill_method: str = "linear"     # "linear" | "ffill" | "zero"
@@ -69,3 +73,20 @@ class RollupConfig:
             d.pop("tiers", None)
             d["retention_buckets"] = {tier: self.retention_buckets.get(tier)}
         return hashlib.sha256(json.dumps(d, sort_keys=True).encode()).hexdigest()[:16]
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "RollupConfig":
+        """Load from a YAML file (the engine's S8 config surface — the
+        reference's ``kafka_config.yaml`` equivalent). Unknown keys error;
+        ``tiers`` may be a list; ``retention_buckets`` a mapping."""
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        known = set(cls.__dataclass_fields__)
+        unknown = set(raw) - known
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        if "tiers" in raw:
+            raw["tiers"] = tuple(raw["tiers"])
+        return cls(**raw)

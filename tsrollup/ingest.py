@@ -44,16 +44,27 @@ def derive_batch(t: pa.Table) -> pa.Table:
     if n == 0:
         return _derived_empty()
     seq_str = pc.utf8_slice_codeunits(t["doc_id"], start=-10)
-    seq_valid = pc.match_substring_regex(seq_str, r"^[0-9]{10}$")
-    valid = seq_valid
+    # fast path: the whole batch parses as digits (overwhelmingly common) —
+    # avoids a per-row regex over the hot ingest path
+    seq_all = None
+    try:
+        seq_all = pc.cast(seq_str, pa.int64())
+    except pa.ArrowInvalid:
+        pass
+    if seq_all is not None:
+        valid = pa.array(np.ones(n, dtype=bool))
+    else:
+        valid = pc.fill_null(pc.match_substring_regex(seq_str, r"^[0-9]{10}$"), False)
     if "tokens" in t.column_names:
-        len_ok = pc.equal(pc.list_value_length(t["tokens"]), t["n_tok"])
-        valid = pc.and_kleene(valid, len_ok)
-    valid = pc.fill_null(valid, False)
+        len_ok = pc.fill_null(pc.equal(pc.list_value_length(t["tokens"]), t["n_tok"]), False)
+        valid = pc.and_(valid, len_ok)
     n_bad = n - pc.sum(pc.cast(valid, pa.int64())).as_py()
 
-    good = t.filter(valid)
-    seq = pc.cast(pc.utf8_slice_codeunits(good["doc_id"], start=-10), pa.int64())
+    if n_bad == 0 and seq_all is not None:
+        good, seq = t, seq_all
+    else:
+        good = t.filter(valid)
+        seq = pc.cast(pc.utf8_slice_codeunits(good["doc_id"], start=-10), pa.int64())
     seq_np = seq.to_numpy(zero_copy_only=False)
     n_tok_np = good["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
     bucket = (EPOCH0_S + seq_np * STEP_S) // SECONDS_PER_BUCKET

@@ -96,12 +96,18 @@ def run(
     skipped when ``resume`` — the checkpoint-resume contract of SURVEY §7.7."""
     cfg = cfg or RollupConfig()
     out_root = cfg.out_root
+    lin.clean_stale_staging(out_root)
     paths = input_path if isinstance(input_path, list) else [input_path]
     fingerprint = lin.input_fingerprint(paths)
     results: dict = {}
 
-    # ---- 1m tier (from raw input) + full-rolled staging for the cascade ----
-    full_dirs: dict[str, str] = {}
+    # Per tier: the rolled output is >=60x smaller than its input and is
+    # consumed up to three times (published write, next cascade, points), so
+    # it is MATERIALIZED once — without this, each consumer would re-execute
+    # the full input scan or force a disk round-trip + re-read per consumer.
+    # Everything upstream of the materialize streams with backpressure;
+    # everything downstream operates on rolled-tier volumes.
+    full_src: dict = {}
     prev_tier: str | None = None
     for tier in cfg.tiers:
         if lin.tier_committed(out_root, tier, cfg, fingerprint) and resume:
@@ -110,10 +116,7 @@ def run(
                 "points": lin.tier_path(out_root, tier, "points"),
                 "skipped": True,
             }
-            # cascade input for the next tier: the committed full rolled dir
-            full_dirs[tier] = os.path.join(out_root, tier, "rolled_full")
-            if not os.path.isdir(full_dirs[tier]):
-                full_dirs[tier] = lin.tier_path(out_root, tier, "rolled")
+            full_src[tier] = None  # lazily read from its commit if needed
             prev_tier = tier
             continue
 
@@ -124,11 +127,17 @@ def run(
             derived = read_input(input_path, columns=cols).map_batches(
                 derive_batch, batch_format="pyarrow", batch_size=cfg.batch_size
             )
-            rolled = rollup_1m(derived, cfg.batch_size)
+            rolled = rollup_1m(derived, cfg.batch_size).materialize()
         else:
             assert prev_tier is not None, "tier order must be fine -> coarse"
             factor = TIER_FACTORS[tier] // TIER_FACTORS[prev_tier]
-            rolled = cascade_tier(_read_rolled(full_dirs[prev_tier]), factor)
+            src = full_src.get(prev_tier)
+            if src is None:  # previous tier was resumed from its commit
+                path = os.path.join(out_root, prev_tier, "rolled_full")
+                if not os.path.isdir(path):
+                    path = lin.tier_path(out_root, prev_tier, "rolled")
+                src = _read_rolled(path)
+            rolled = cascade_tier(src, factor).materialize()
 
         stage_full = lin.staging_dir(out_root, tier, "rolled_full")
         rolled.write_parquet(stage_full, partition_cols=["source"])
@@ -136,13 +145,14 @@ def run(
         if cfg.retention_buckets.get(tier) is None:
             # no horizon: published tier == full tier; skip the filtered rewrite
             stage_rolled = stage_full
+            retained = rolled
         else:
             now_bucket = _now_bucket(stage_full)
-            retained = _retention_filter(_read_rolled(stage_full), tier, cfg, now_bucket)
+            retained = _retention_filter(rolled, tier, cfg, now_bucket).materialize()
             stage_rolled = lin.staging_dir(out_root, tier, "rolled")
             retained.write_parquet(stage_rolled, partition_cols=["source"])
 
-        points = build_points(_read_rolled(stage_rolled), tier, cfg)
+        points = build_points(retained, tier, cfg)
         stage_points = lin.staging_dir(out_root, tier, "points")
         points.write_parquet(stage_points, partition_cols=["source"])
 
@@ -156,9 +166,7 @@ def run(
             "skipped": False,
             "lineage": rec["lineage"],
         }
-        full_dirs[tier] = lin.tier_path(out_root, tier, "rolled_full")
-        if not os.path.isdir(full_dirs[tier]):
-            full_dirs[tier] = lin.tier_path(out_root, tier, "rolled")
+        full_src[tier] = rolled
         prev_tier = tier
     return results
 
@@ -198,21 +206,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--retention", default="", help="tier=buckets[,tier=buckets] horizon")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--num-cpus", type=int, default=None, help="only when starting Ray here")
+    p.add_argument("--config", default=None, help="YAML RollupConfig (overrides other knobs)")
     args = p.parse_args(argv)
 
-    retention: dict[str, int | None] = {t: None for t in args.tiers.split(",")}
-    for kv in filter(None, args.retention.split(",")):
-        if "=" not in kv:
-            p.error(f"--retention expects tier=buckets pairs, got {kv!r}")
-        k, v = kv.split("=", 1)
-        retention[k] = int(v)
-    cfg = RollupConfig(
-        out_root=args.out,
-        tiers=tuple(args.tiers.split(",")),
-        gapfill_method=args.gapfill,
-        window_len=args.window_len,
-        retention_buckets=retention,
-    )
+    if args.config:
+        from dataclasses import replace
+
+        cfg = replace(RollupConfig.from_yaml(args.config), out_root=args.out)
+    else:
+        retention: dict[str, int | None] = {t: None for t in args.tiers.split(",")}
+        for kv in filter(None, args.retention.split(",")):
+            if "=" not in kv:
+                p.error(f"--retention expects tier=buckets pairs, got {kv!r}")
+            k, v = kv.split("=", 1)
+            retention[k] = int(v)
+        cfg = RollupConfig(
+            out_root=args.out,
+            tiers=tuple(args.tiers.split(",")),
+            gapfill_method=args.gapfill,
+            window_len=args.window_len,
+            retention_buckets=retention,
+        )
     started_here = False
     if not ray.is_initialized():  # a ray-job driver will already have Ray up
         ray.init(

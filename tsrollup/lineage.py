@@ -146,3 +146,16 @@ def staging_dir(out_root: str, tier: str, kind: str) -> str:
     p = os.path.join(out_root, f".stage-{tier}-{kind}-{uuid.uuid4().hex[:8]}")
     os.makedirs(p, exist_ok=True)
     return p
+
+
+def clean_stale_staging(out_root: str) -> int:
+    """Remove .stage-*/.tmp-* leftovers from killed runs (commits are atomic
+    renames, so anything still prefixed is garbage). Returns count removed."""
+    n = 0
+    if not os.path.isdir(out_root):
+        return 0
+    for name in os.listdir(out_root):
+        if name.startswith((".stage-", ".tmp-")):
+            shutil.rmtree(os.path.join(out_root, name), ignore_errors=True)
+            n += 1
+    return n

@@ -135,7 +135,9 @@ def downsample_windows(windows: pd.DataFrame, tier: str, cfg: RollupConfig) -> p
             vals = x
         else:
             [(kept, vals)] = wavelet.downsample_points(
-                x[None, :], cfg.wavelet, cfg.mode, cfg.retention_rate, cfg.approx_ds_factor
+                x[None, :], cfg.wavelet, cfg.mode, cfg.retention_rate, cfg.approx_ds_factor,
+                cfg.detail_selector, cfg.scorer,
+                cfg.target_cumulative_importance, cfg.min_retention_rate,
             )
         ts = r.start_bucket + kept.astype(np.int64)
         rows.append(

@@ -123,7 +123,9 @@ class WaveletStage:
                 continue
             mat = np.stack([flat[offs[r] : offs[r] + n] for r in rows])
             results = wavelet.downsample_points(
-                mat, cfg.wavelet, cfg.mode, cfg.retention_rate, cfg.approx_ds_factor
+                mat, cfg.wavelet, cfg.mode, cfg.retention_rate, cfg.approx_ds_factor,
+                cfg.detail_selector, cfg.scorer,
+                cfg.target_cumulative_importance, cfg.min_retention_rate,
             )
             for r, (kept, vals) in zip(rows, results):
                 kept_out[r] = kept

@@ -167,7 +167,53 @@ def approx_pool(cA: np.ndarray, factor: int) -> tuple[np.ndarray, np.ndarray]:
     return vals, idx
 
 
-def detail_topk(cD: np.ndarray, retention_rate: float) -> tuple[np.ndarray, np.ndarray]:
+# Registered importance scorers — the engine's analog of the reference's
+# swappable detail-selection head (ref core/downsampling_algorithm.py:50,90-100
+# learned Dense scorer vs downsampling_algorithm2.py attention scorer): a
+# deterministic function |cD| -> importance, selected by name in RollupConfig.
+SCORERS: dict = {
+    "abs": lambda cD: np.abs(cD),
+    "energy": lambda cD: cD * cD,
+}
+
+
+def register_scorer(name: str, fn) -> None:
+    SCORERS[name] = fn
+
+
+def detail_adaptive_k(
+    cD: np.ndarray,
+    target_cumulative_importance: float = 0.99,
+    min_retention_rate: float = 0.1,
+    scorer: str = "abs",
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """K7 adaptive-k variant (ref core/downsampling_algorithm3.py:146-171):
+    normalize importances to sum 1, keep the largest coefficients whose
+    cumulative importance stays <= target, floored at min_retention_rate.
+    Output is RAGGED -> list of (values, indices) per row (Arrow list columns
+    downstream). Vectorized scoring; per-row cut is a searchsorted."""
+    B, L = cD.shape
+    imp = SCORERS[scorer](cD).astype(np.float64)
+    out = []
+    min_k = max(1, int(np.floor(L * min_retention_rate)))
+    order = np.argsort(-imp, axis=1, kind="stable")
+    sorted_imp = np.take_along_axis(imp, order, axis=1)
+    totals = sorted_imp.sum(axis=1)
+    for b in range(B):
+        if totals[b] <= 0:
+            k = min_k
+        else:
+            cum = np.cumsum(sorted_imp[b] / totals[b])
+            k = int(np.searchsorted(cum, target_cumulative_importance, side="right")) + 1
+            k = max(min_k, min(k, L))
+        sel = np.sort(order[b, :k]).astype(np.int32)
+        out.append((cD[b, sel], sel))
+    return out
+
+
+def detail_topk(
+    cD: np.ndarray, retention_rate: float, scorer: str = "abs"
+) -> tuple[np.ndarray, np.ndarray]:
     """Detail branch: keep the k = floor(len_cD * retention) largest-|cD|
     coefficients per row, ties broken toward the lower index, kept indices
     sorted ascending (ref core/downsampling_algorithm2.py:114-121 semantics via
@@ -180,7 +226,7 @@ def detail_topk(cD: np.ndarray, retention_rate: float) -> tuple[np.ndarray, np.n
     k = max(0, min(k, L))
     if k == 0:
         return np.zeros((B, 0)), np.zeros((B, 0), dtype=np.int32)
-    order = np.argsort(-np.abs(cD), axis=1, kind="stable")  # stable => lowest index wins ties
+    order = np.argsort(-SCORERS[scorer](cD), axis=1, kind="stable")  # stable => lowest index wins ties
     sel = np.sort(order[:, :k], axis=1).astype(np.int32)
     vals = np.take_along_axis(cD, sel, axis=1)
     return vals, sel
@@ -219,26 +265,43 @@ def downsample_points(
     mode: str = "symmetric",
     retention_rate: float = 0.8,
     approx_ds_factor: int = 2,
+    detail_selector: str = "topk",
+    scorer: str = "abs",
+    target_cumulative_importance: float = 0.99,
+    min_retention_rate: float = 0.1,
 ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Point-space downsampling (the engine's primary tier output).
 
     Exactly the reference's deterministic ``wavelet_thresholding`` recipe
     (new_evaluation.py:139-152) generalized to its model's knobs: kept original
-    positions = unique(strided-approx positions ∪ top-k-detail positions mapped
-    back by ``idx * n / len_c``), values gathered from the ORIGINAL signal.
+    positions = unique(strided-approx positions ∪ selected-detail positions
+    mapped back by ``idx * n / len_c``), values gathered from the ORIGINAL
+    signal. ``detail_selector``: "topk" (fixed k = floor(len*retention)) or
+    "adaptive" (K7 cumulative-importance cut, ragged k per row).
     Output per row is ragged -> list of (kept_idx int32 ascending, values f64).
     """
     x = np.atleast_2d(np.asarray(x, dtype=np.float64))
     B, n = x.shape
     cA, cD = dwt1(x, wavelet, mode)
     _, a_idx = approx_pool(cA, approx_ds_factor)
-    _, d_idx = detail_topk(cD, retention_rate)
+    if detail_selector == "adaptive":
+        d_idx_list = [
+            idx
+            for _, idx in detail_adaptive_k(
+                cD, target_cumulative_importance, min_retention_rate, scorer
+            )
+        ]
+    else:
+        _, d_idx = detail_topk(cD, retention_rate, scorer)
+        d_idx_list = [d_idx[b] for b in range(B)]
     len_cA, len_cD = cA.shape[1], cD.shape[1]
     a_pos = np.clip((a_idx.astype(np.float64) * (n / len_cA)).astype(np.int64), 0, n - 1)
-    d_pos = np.clip((d_idx.astype(np.float64) * (n / len_cD)).astype(np.int64), 0, n - 1)
     out = []
     for b in range(B):
-        kept = np.unique(np.concatenate([a_pos, d_pos[b]])).astype(np.int32)
+        d_pos = np.clip(
+            (d_idx_list[b].astype(np.float64) * (n / len_cD)).astype(np.int64), 0, n - 1
+        )
+        kept = np.unique(np.concatenate([a_pos, d_pos])).astype(np.int32)
         out.append((kept, x[b, kept]))
     return out
 
