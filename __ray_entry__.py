@@ -22,13 +22,17 @@ def entry() -> Any:
     """Flagship: tiered engine over sf0.001 events, returns the 1m points
     summary (stable schema, >= 1 row)."""
     from tsrollup.pipelines.queries import q_wavelet_points
+    from tsrollup.util import tune_ray_data
 
+    tune_ray_data(quiet=False)
     return q_wavelet_points("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from tsrollup.pipelines.queries import QUERIES
+    from tsrollup.util import tune_ray_data
 
+    tune_ray_data(quiet=False)
     return dict(QUERIES)
 
 

@@ -29,8 +29,8 @@ import time
 
 BENCH_SEED = 42
 BENCH_SOURCES = 8
-BENCH_BASE_SPAN = 2_400_000    # ~32M rows total, hot source ~50%
-BENCH_MAX_TOK = 64             # ~1.16B tokens scanned
+BENCH_BASE_SPAN = 24_000_000   # ~322M rows total, hot source ~50%
+BENCH_MAX_TOK = 64             # ~11.6B tokens scanned (~25 GB parquet)
 SYNTH_DIR = f"/tmp/tsrollup_bench/in-s{BENCH_SEED}-n{BENCH_SOURCES}-b{BENCH_BASE_SPAN}-t{BENCH_MAX_TOK}"
 
 
@@ -45,11 +45,9 @@ def _init_ray(num_cpus: int):
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
-    from ray.data import DataContext
+    from tsrollup.util import tune_ray_data
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    tune_ray_data()
     return ray
 
 
@@ -61,7 +59,7 @@ def ensure_synth() -> str:
         seed=BENCH_SEED,
         n_sources=BENCH_SOURCES,
         base_span=BENCH_BASE_SPAN,
-        rows_per_chunk=250_000,
+        rows_per_chunk=2_000_000,
         max_tok=BENCH_MAX_TOK,
         use_ray=True,
     )

@@ -63,12 +63,9 @@ def main():
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
-    from ray.data import DataContext
+    from tsrollup.util import tune_ray_data
 
-    DataContext.get_current().enable_progress_bars = False
-    import logging
-
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    tune_ray_data()
 
     import __ray_entry__ as e
 

@@ -19,11 +19,9 @@ def ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
-    from ray.data import DataContext
+    from tsrollup.util import tune_ray_data
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    tune_ray_data()
     yield ray
     ray.shutdown()
 

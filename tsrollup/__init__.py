@@ -8,7 +8,7 @@ streaming downsampler) as an idiomatic Ray Data batch-streaming DAG:
       -> map_batches  (validate, derive event time, scrub)        [stateless]
       -> map_batches  (salted partial rollup combine)             [stateless]
       -> groupby(source, bucket).aggregate(...)                   [the one wide step]
-      -> groupby(source, window).map_groups(gap-fill + window)    [rolled data, small]
+      -> shuffle.map_key_groups((tier, source, window), gap-fill) [rolled data, small]
       -> map_batches(WaveletStage, concurrency=...)               [actor pool]
       -> map_batches(GorillaStage)                                [encode]
       -> write_parquet(partitioned) + lineage manifest            [resumable commit]

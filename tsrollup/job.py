@@ -33,17 +33,26 @@ from tsrollup.rollup import cascade_tier, rollup_1m
 from tsrollup.stages import add_window, gapfill_group, gorilla_encode_batch, make_wavelet_stage
 
 
-def build_points(rolled: ray.data.Dataset, tier: str, cfg: RollupConfig) -> ray.data.Dataset:
-    """rolled tier rows -> downsampled point rows (+ Gorilla blocks)."""
-    wins = (
-        rolled.map_batches(
-            lambda t: add_window(t.filter(pc.not_equal(t["source"], QUARANTINE_SOURCE)), cfg.window_len),
-            batch_format="pyarrow",
-        )
-        .groupby(["source", "window_id"])
-        .map_groups(lambda t: gapfill_group(t, cfg.gapfill_method), batch_format="pyarrow")
+def build_windows(rolled: ray.data.Dataset, tier: str, cfg: RollupConfig) -> ray.data.Dataset:
+    """rolled tier rows -> gap-filled window rows carrying a tier column."""
+    from tsrollup.shuffle import map_key_groups
+
+    def _prep(t: pa.Table) -> pa.Table:
+        t = add_window(t.filter(pc.not_equal(t["source"], QUARANTINE_SOURCE)), cfg.window_len)
+        return t.append_column("tier", pa.array([tier] * t.num_rows, type=pa.string()))
+
+    windowed = rolled.map_batches(_prep, batch_format="pyarrow")
+    return map_key_groups(
+        windowed,
+        ["tier", "source", "window_id"],
+        lambda t: gapfill_group(t, cfg.gapfill_method),
     )
-    cls, kwargs = make_wavelet_stage(cfg, tier)
+
+
+def downsample_windows(wins: ray.data.Dataset, cfg: RollupConfig) -> ray.data.Dataset:
+    """window rows -> downsampled points + Gorilla blocks (ONE actor pool for
+    however many tiers are unioned into ``wins``)."""
+    cls, kwargs = make_wavelet_stage(cfg, tier=None)
     # autoscaling actor pool with min=1: a fixed pool sized at the cluster CPU
     # count would reserve every CPU and starve the read/sort/write operators
     # (deadlock on small clusters; serialization on big ones).
@@ -58,6 +67,11 @@ def build_points(rolled: ray.data.Dataset, tier: str, cfg: RollupConfig) -> ray.
         concurrency=(1, max_pool),
     )
     return pts.map_batches(gorilla_encode_batch, batch_format="pyarrow")
+
+
+def build_points(rolled: ray.data.Dataset, tier: str, cfg: RollupConfig) -> ray.data.Dataset:
+    """rolled tier rows -> downsampled point rows (+ Gorilla blocks)."""
+    return downsample_windows(build_windows(rolled, tier, cfg), cfg)
 
 
 def _read_rolled(path: str) -> ray.data.Dataset:
@@ -108,6 +122,8 @@ def run(
     # Everything upstream of the materialize streams with backpressure;
     # everything downstream operates on rolled-tier volumes.
     full_src: dict = {}
+    staged: dict[str, dict] = {}
+    retained_ds: dict = {}
     prev_tier: str | None = None
     for tier in cfg.tiers:
         if lin.tier_committed(out_root, tier, cfg, fingerprint) and resume:
@@ -152,22 +168,37 @@ def run(
             stage_rolled = lin.staging_dir(out_root, tier, "rolled")
             retained.write_parquet(stage_rolled, partition_cols=["source"])
 
-        points = build_points(retained, tier, cfg)
-        stage_points = lin.staging_dir(out_root, tier, "points")
-        points.write_parquet(stage_points, partition_cols=["source"])
-
-        staged = {"rolled": stage_rolled, "points": stage_points}
+        staged[tier] = {"rolled": stage_rolled}
         if stage_rolled != stage_full:
-            staged["rolled_full"] = stage_full
-        rec = lin.commit_tier(out_root, tier, staged, cfg, fingerprint)
-        results[tier] = {
-            "rolled": lin.tier_path(out_root, tier, "rolled"),
-            "points": lin.tier_path(out_root, tier, "points"),
-            "skipped": False,
-            "lineage": rec["lineage"],
-        }
+            staged[tier]["rolled_full"] = stage_full
+        retained_ds[tier] = retained
         full_src[tier] = rolled
         prev_tier = tier
+
+    if retained_ds:
+        # ONE points execution for all computed tiers: one exchange, one
+        # wavelet actor pool, one write — fixed cost amortized across tiers.
+        tiers_todo = list(retained_ds)
+        wins = build_windows(retained_ds[tiers_todo[0]], tiers_todo[0], cfg)
+        for t_ in tiers_todo[1:]:
+            wins = wins.union(build_windows(retained_ds[t_], t_, cfg))
+        points = downsample_windows(wins, cfg)
+        stage_points_all = lin.staging_dir(out_root, "all", "points")
+        points.write_parquet(stage_points_all, partition_cols=["tier", "source"])
+
+        for tier in tiers_todo:
+            tier_points_dir = os.path.join(stage_points_all, f"tier={tier}")
+            if not os.path.isdir(tier_points_dir):
+                os.makedirs(tier_points_dir, exist_ok=True)  # tier produced no windows
+            staged[tier]["points"] = tier_points_dir
+            rec = lin.commit_tier(out_root, tier, staged[tier], cfg, fingerprint)
+            results[tier] = {
+                "rolled": lin.tier_path(out_root, tier, "rolled"),
+                "points": lin.tier_path(out_root, tier, "points"),
+                "skipped": False,
+                "lineage": rec["lineage"],
+            }
+        shutil.rmtree(stage_points_all, ignore_errors=True)
     return results
 
 
@@ -176,6 +207,9 @@ def read_tier(out_root: str, tier: str, kind: str = "rolled") -> pa.Table:
     sorted canonically (tiers are small by construction)."""
     ds = pads.dataset(os.path.join(out_root, tier, kind), format="parquet", partitioning="hive")
     t = ds.to_table()
+    if kind == "points" and "tier" not in t.column_names:
+        # tier was a partition directory above the committed points dir
+        t = t.append_column("tier", pa.array([tier] * t.num_rows, type=pa.string()))
     sort_keys = (
         [("source", "ascending"), ("bucket", "ascending")]
         if "bucket" in t.column_names
@@ -236,6 +270,9 @@ def main(argv: list[str] | None = None) -> int:
             logging_level="ERROR",
         )
         started_here = True
+    from tsrollup.util import tune_ray_data
+
+    tune_ray_data()
     try:
         results = run(args.input, cfg, resume=not args.no_resume)
         print(_json.dumps(results, indent=1, default=str))

@@ -14,6 +14,7 @@ import pyarrow as pa
 import ray.data
 
 from tsrollup.functions import ann, dedup, text
+from tsrollup.shuffle import map_key_groups
 
 # ---------------------------------------------------------------------------
 # text analysis
@@ -144,7 +145,7 @@ def q_dedup_exact(sf_dir: str):
         out = g.groupby("text", sort=False)["doc_id"].min().reset_index(drop=True)
         return pd.DataFrame({"doc_id": out})
 
-    return ds.groupby("text_hash").map_groups(_keep, batch_format="pandas")
+    return map_key_groups(ds, ["text_hash"], _keep, batch_format="pandas")
 
 
 def q_dedup_minhash(sf_dir: str, threshold: float = 0.5):
@@ -161,8 +162,9 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.5):
     band_rows = _docs(sf_dir, ("doc_id", "text")).map_batches(
         lambda df: dedup.minhash_band_rows(df), batch_format="pandas"
     )
-    cands = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        dedup.candidate_pairs_from_bucket, batch_format="pandas"
+    cands = map_key_groups(
+        band_rows, ["band_id", "band_hash"], dedup.candidate_pairs_from_bucket,
+        batch_format="pandas",
     )
 
     class Verify:
@@ -204,8 +206,9 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3):
                 rows.append((d, key, np.uint64(s).astype(np.int64)))
         return pd.DataFrame(rows, columns=["doc_id", "block_key", "simhash"])
 
-    cands = docs.map_batches(_sim, batch_format="pandas").groupby("block_key").map_groups(
-        lambda g: _simhash_pairs(g, max_hamming), batch_format="pandas"
+    cands = map_key_groups(
+        docs.map_batches(_sim, batch_format="pandas"), ["block_key"],
+        lambda g: _simhash_pairs(g, max_hamming), batch_format="pandas",
     )
     out = cands.to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
     return out
@@ -251,8 +254,8 @@ def q_ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    return partials.groupby("query_id").map_groups(
-        lambda g: ann.rerank_topk(g, k), batch_format="pandas"
+    return map_key_groups(
+        partials, ["query_id"], lambda g: ann.rerank_topk(g, k), batch_format="pandas"
     )
 
 
@@ -343,8 +346,8 @@ def q_ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 10, n_planes: int = 8):
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    return partials.groupby("query_id").map_groups(
-        lambda g: ann.rerank_topk(g, k), batch_format="pandas"
+    return map_key_groups(
+        partials, ["query_id"], lambda g: ann.rerank_topk(g, k), batch_format="pandas"
     )
 
 

@@ -22,6 +22,7 @@ import ray.data
 
 from tsrollup.oracle import gapfill_series
 from tsrollup.rollup import cascade_tier, final_rollup, partial_rollup
+from tsrollup.shuffle import map_key_groups
 
 # ---------------------------------------------------------------------------
 # events -> engine data model
@@ -91,6 +92,11 @@ def q_gapfill_1m_ffill(sf_dir: str):
     gap-fill kernel via groupby(source).map_groups)."""
 
     def _fill(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()), "bucket": pa.array([], pa.int64()),
+                 "filled": pa.array([], pa.bool_()), "sum_cents": pa.array([], pa.int64())}
+            )
         order = pc.sort_indices(t["bucket"])
         buckets = t["bucket"].take(order).to_numpy(zero_copy_only=False)
         vals = t["sum_tok"].take(order).to_numpy(zero_copy_only=False)
@@ -105,7 +111,7 @@ def q_gapfill_1m_ffill(sf_dir: str):
             }
         )
 
-    return _rolled_events(sf_dir).groupby("source").map_groups(_fill, batch_format="pyarrow")
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _fill)
 
 
 def q_downsample_uniform(sf_dir: str, target: int = 50):
@@ -123,7 +129,7 @@ def q_downsample_uniform(sf_dir: str, target: int = 50):
             {"source": out["source"], "bucket": out["bucket"], "sum_cents": out["sum_tok"]}
         )
 
-    return _rolled_events(sf_dir).groupby("source").map_groups(_pick, batch_format="pyarrow")
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _pick)
 
 
 def q_downsample_minmax(sf_dir: str, window: int = 10):
@@ -132,6 +138,11 @@ def q_downsample_minmax(sf_dir: str, window: int = 10):
     a row that is both min and max appears once."""
 
     def _mm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()), "bucket": pa.array([], pa.int64()),
+                 "sum_cents": pa.array([], pa.int64())}
+            )
         order = pc.sort_indices(t["bucket"])
         buckets = t["bucket"].take(order).to_numpy(zero_copy_only=False)
         vals = t["sum_tok"].take(order).to_numpy(zero_copy_only=False)
@@ -149,7 +160,7 @@ def q_downsample_minmax(sf_dir: str, window: int = 10):
             }
         )
 
-    return _rolled_events(sf_dir).groupby("source").map_groups(_mm, batch_format="pyarrow")
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _mm)
 
 
 def q_downsample_avgpool(sf_dir: str, window: int = 10):
@@ -193,7 +204,7 @@ def q_topk_buckets(sf_dir: str, k: int = 5):
         out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
         return out
 
-    return _rolled_events(sf_dir).groupby("source").map_groups(_topk, batch_format="pandas")
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _topk, batch_format="pandas")
 
 
 def q_znorm_1m(sf_dir: str):
@@ -202,6 +213,10 @@ def q_znorm_1m(sf_dir: str):
     sums, output rounded to 6dp on both sides."""
 
     def _z(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"source": pd.Series(dtype=object),
+                                 "bucket": pd.Series(dtype=np.int64),
+                                 "znorm": pd.Series(dtype=np.float64)})
         x = df["sum_tok"].to_numpy().astype(np.float64)
         n = len(x)
         s = int(df["sum_tok"].sum())
@@ -219,7 +234,7 @@ def q_znorm_1m(sf_dir: str):
             }
         )
 
-    return _rolled_events(sf_dir).groupby("source").map_groups(_z, batch_format="pandas")
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _z, batch_format="pandas")
 
 
 def q_scrub_nonfinite(sf_dir: str):
@@ -381,11 +396,75 @@ def q_gorilla_compression(sf_dir: str):
     )
 
 
+def q_reconstruct_error(sf_dir: str):
+    """B9+B10 composition (ref new_evaluation.py:185-209): per (source, window)
+    gap-fill -> wavelet downsample -> linear-interp reconstruction -> error
+    metrics, aggregated per source from integer/float partials. Rows-only."""
+    from tsrollup.config import RollupConfig
+    from tsrollup.stages import add_window
+    from tsrollup.wavelet import compute_metrics, downsample_points, reconstruct_signal
+
+    cfg = RollupConfig()
+
+    def _win_err(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()), "n_windows": pa.array([], pa.int64()),
+                 "sum_mse": pa.array([], pa.float64()), "sum_spectral_mse": pa.array([], pa.float64())}
+            )
+        order = pc.sort_indices(t["bucket"])
+        buckets = t["bucket"].take(order).to_numpy(zero_copy_only=False)
+        vals = t["sum_tok"].take(order).to_numpy(zero_copy_only=False)
+        full, series, _ = gapfill_series(buckets, vals, cfg.gapfill_method)
+        if len(series) < cfg.min_wavelet_len:
+            mse = spec = 0.0
+        else:
+            [(kept, kvals)] = downsample_points(series[None, :])
+            rec = reconstruct_signal(kept, kvals, series)
+            m = compute_metrics(series, rec)
+            mse, spec = m["mse"], m["spectral_mse"]
+        return pa.table(
+            {
+                "source": pa.array([t["source"][0].as_py()]),
+                "n_windows": pa.array([1], type=pa.int64()),
+                "sum_mse": pa.array([mse]),
+                "sum_spectral_mse": pa.array([spec]),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    per_window = map_key_groups(
+        _rolled_events(sf_dir).map_batches(
+            lambda t: add_window(t, cfg.window_len), batch_format="pyarrow"
+        ),
+        ["source", "window_id"],
+        _win_err,
+    )
+    agg = per_window.groupby("source").aggregate(
+        Sum("n_windows", alias_name="n_windows"),
+        Sum("sum_mse", alias_name="sum_mse"),
+        Sum("sum_spectral_mse", alias_name="sum_spectral_mse"),
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        mean_mse = pc.round(pc.divide(t["sum_mse"], pc.cast(t["n_windows"], pa.float64())), ndigits=4)
+        return pa.table(
+            {"source": t["source"], "n_windows": t["n_windows"], "mean_mse": mean_mse}
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
 def q_downsample_lttb(sf_dir: str, target: int = 50):
     """LTTB per source over the 1m series (B5; no SQL equivalent)."""
     from tsrollup.wavelet import lttb_downsample
 
     def _lttb(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"source": pd.Series(dtype=object),
+                                 "bucket": pd.Series(dtype=np.int64),
+                                 "sum_cents": pd.Series(dtype=np.int64)})
         df = df.sort_values("bucket")
         idx, vals = lttb_downsample(df["sum_tok"].to_numpy().astype(np.float64), target)
         return pd.DataFrame(
@@ -396,7 +475,7 @@ def q_downsample_lttb(sf_dir: str, target: int = 50):
             }
         )
 
-    return _rolled_events(sf_dir).groupby("source").map_groups(_lttb, batch_format="pandas")
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _lttb, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -518,6 +597,7 @@ QUERIES = {
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
     "downsample_lttb": q_downsample_lttb,
+    "reconstruct_error": q_reconstruct_error,
 }
 
 # training-data operator pipelines (documents / embeddings)

@@ -18,7 +18,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Max, Min, Sum
 
 ROLLED_SCHEMA = pa.schema(
     [
@@ -143,14 +142,14 @@ def partial_recombine(t: pa.Table, bucket_factor: int = 1) -> pa.Table:
 
 def _finalize(t: pa.Table) -> pa.Table:
     """Reconstitute the wrapping-int64 checksum from the exact hi/lo sums and
-    normalize aggregate output dtypes (Arrow may widen min/max to int64)."""
+    normalize output dtypes. int64 wrap == mod 2^64, so even wrapped hi-sums
+    reconstitute exactly."""
     if t.num_rows == 0:
         return ROLLED_SCHEMA.empty_table()
-    chk = np.asarray(
-        [((hi << 32) + lo) & 0xFFFFFFFFFFFFFFFF
-         for hi, lo in zip(t["chk_hi"].to_pylist(), t["chk_lo"].to_pylist())],
-        dtype=np.uint64,
-    )
+    with np.errstate(over="ignore"):
+        hi = t["chk_hi"].to_numpy(zero_copy_only=False).view(np.uint64)
+        lo = t["chk_lo"].to_numpy(zero_copy_only=False).view(np.uint64)
+        chk = (hi << np.uint64(32)) + lo
     return pa.table(
         {
             "source": t["source"],
@@ -164,22 +163,45 @@ def _finalize(t: pa.Table) -> pa.Table:
     )
 
 
-def final_rollup(partials: ray.data.Dataset) -> ray.data.Dataset:
-    """The wide step: combine partial rows by (source, bucket)."""
-    agg = partials.groupby(["source", "bucket"]).aggregate(
-        Sum("n_rows", alias_name="n_rows"),
-        Sum("sum_tok", alias_name="sum_tok"),
-        Min("min_tok", alias_name="min_tok"),
-        Max("max_tok", alias_name="max_tok"),
-        Sum("chk_hi", alias_name="chk_hi"),
-        Sum("chk_lo", alias_name="chk_lo"),
+def final_rollup(partials: ray.data.Dataset, num_partitions: int | None = None) -> ray.data.Dataset:
+    """The wide step: combine partial rows by (source, bucket).
+
+    A naive ``groupby(key).aggregate(...)`` pays per-GROUP Python overhead —
+    catastrophic with millions of (source, bucket) keys (measured ~40s for a
+    537k-key combine that is ~2s of actual work). Instead: COARSE hash
+    partitioning into ``num_partitions`` blocks + ONE vectorized
+    ``np.reduceat`` combine per block (tsrollup.rollup._group_reduce). Python
+    cost is O(num_partitions); data cost is one pass. Hash partitioning also
+    decouples reduce fan-in from key skew (a hot source spreads across its
+    buckets).
+
+    The exchange is :func:`tsrollup.shuffle.map_key_partitions`; the combine is
+    fully vectorized per partition block — no per-group Python.
+    """
+    from tsrollup.shuffle import map_key_partitions
+
+    combined = map_key_partitions(
+        partials, ["source", "bucket"], partial_recombine, num_partitions
     )
-    return agg.map_batches(_finalize, batch_format="pyarrow")
+    return combined.map_batches(
+        _finalize, batch_format="pyarrow", batch_size=FINAL_COALESCE_ROWS
+    )
+
+
+# The partial-combine stages COALESCE many small upstream blocks into large
+# batches (batch_size in rows). Block count is the dominant cost of the
+# downstream sort-shuffle (orchestration is O(map_blocks x reduce_blocks),
+# actual data volume here is tiny) — measured 29.5s -> ~2s on a 537k-key
+# combine by collapsing 274 blocks to ~8.
+PARTIAL_COALESCE_ROWS = 1 << 20
+FINAL_COALESCE_ROWS = 1 << 22
 
 
 def rollup_1m(derived: ray.data.Dataset, batch_size: int = 65536) -> ray.data.Dataset:
     """derived rows -> rolled 1m tier."""
-    partials = derived.map_batches(partial_rollup, batch_format="pyarrow", batch_size=batch_size)
+    partials = derived.map_batches(
+        partial_rollup, batch_format="pyarrow", batch_size=PARTIAL_COALESCE_ROWS
+    )
     return final_rollup(partials)
 
 
@@ -187,6 +209,8 @@ def cascade_tier(rolled_finer: ray.data.Dataset, bucket_factor: int) -> ray.data
     """Coarser continuous aggregate from a committed finer tier (1m->1h: 60,
     1h->1d: 24). Input is already rolled (tiny), so the shuffle is trivial."""
     partials = rolled_finer.map_batches(
-        lambda t: partial_recombine(t, bucket_factor), batch_format="pyarrow"
+        lambda t: partial_recombine(t, bucket_factor),
+        batch_format="pyarrow",
+        batch_size=PARTIAL_COALESCE_ROWS,
     )
     return final_rollup(partials)

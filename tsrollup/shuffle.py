@@ -1,0 +1,130 @@
+"""The engine's one shuffle primitive: co-locate rows by key into a bounded
+number of partitions, then run a vectorized function per partition block.
+
+Why not ``groupby(keys).aggregate(...)`` / ``map_groups``: Ray's aggregate
+pays per-GROUP Python overhead in the reduce (measured ~40s for a 537k-key
+combine that is ~2s of actual work), and the reduce fan-in is per-key. Here
+the key space is folded into ``num_partitions`` partitions and each partition
+is processed with ONE vectorized pass (np.reduceat-style) — Python cost is
+O(num_partitions), data cost is one pass, and skew is decoupled from key
+distribution (a hot source spreads across its buckets/windows).
+
+Two interchangeable exchange implementations (same semantics, selected by the
+session's shuffle strategy — see tsrollup.util.tune_ray_data):
+
+- SORT (default): a ``part = hash(keys) % P`` column + ``groupby("part")
+  .map_groups`` — P groups only, so the sort is over a P-valued key.
+- HASH: key-based ``repartition(num_partitions, keys=...)`` (requires
+  DataContext.shuffle_strategy=HASH_SHUFFLE set BEFORE datasets are built;
+  note ``groupby().map_groups`` deadlocks under HASH in Ray 2.49, which is
+  why the sort path is the default and the engine's own primitive never uses
+  per-key map_groups).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from tsrollup.hashing import hash_strings, mix2
+
+
+def hash_shuffle_enabled() -> bool:
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    return DataContext.get_current().shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
+
+
+def default_partitions() -> int:
+    """~2 partitions per CPU, capped (each costs a task / aggregator)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(4, min(64, cpus * 2))
+
+
+def _part_column(t: pa.Table, keys: Sequence[str], num_partitions: int) -> pa.Table:
+    """Deterministic partition id from the key columns."""
+    acc = np.zeros(t.num_rows, dtype=np.uint64)
+    for k in keys:
+        col = t[k]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            codes, uniques = pd.factorize(col.to_numpy(zero_copy_only=False), sort=False)
+            h = hash_strings(uniques)[codes]  # hash each distinct string once
+        else:
+            h = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        acc = mix2(acc, h)
+    return t.append_column(
+        "__part", pa.array((acc % np.uint64(num_partitions)).astype(np.int64))
+    )
+
+
+def map_key_partitions(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    block_fn: Callable[[pa.Table], pa.Table],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Run ``block_fn`` over hash partitions; every row of a given key lands in
+    exactly one invocation. ``block_fn``: pa.Table -> pa.Table, must accept an
+    empty table (schema probe for empty partitions)."""
+    keys = list(keys)
+    P = num_partitions or default_partitions()
+    if hash_shuffle_enabled():
+        return ds.repartition(P, keys=keys).map_batches(
+            block_fn, batch_format="pyarrow", batch_size=None
+        )
+    keyed = ds.map_batches(lambda t: _part_column(t, keys, P), batch_format="pyarrow")
+    return keyed.groupby("__part").map_groups(
+        lambda t: block_fn(t.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+
+
+def group_slices(t: pa.Table, keys: Sequence[str]):
+    """Sort a block by ``keys`` and yield one zero-copy slice per key-group."""
+    if t.num_rows == 0:
+        return
+    t = t.sort_by([(k, "ascending") for k in keys])
+    change = np.zeros(max(t.num_rows - 1, 0), dtype=bool)
+    for k in keys:
+        col = t[k].to_numpy(zero_copy_only=False)
+        change |= col[1:] != col[:-1]
+    bounds = np.concatenate(([0], np.flatnonzero(change) + 1, [t.num_rows]))
+    for i in range(len(bounds) - 1):
+        yield t.slice(bounds[i], bounds[i + 1] - bounds[i])
+
+
+def map_key_groups(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    fn: Callable,
+    num_partitions: int | None = None,
+    batch_format: str = "pyarrow",
+) -> ray.data.Dataset:
+    """``groupby(keys).map_groups(fn)`` semantics on the partitioned path.
+
+    ``fn`` receives one complete key-group (pa.Table or pd.DataFrame per
+    ``batch_format``) and must also handle an EMPTY input (empty partitions
+    call it once to establish the output schema).
+    """
+    keys = list(keys)
+
+    def _block(t: pa.Table):
+        outs = []
+        for g in group_slices(t, keys):
+            out = fn(g.to_pandas()) if batch_format == "pandas" else fn(g)
+            outs.append(out)
+        if not outs:
+            empty = t.slice(0, 0)
+            out = fn(empty.to_pandas()) if batch_format == "pandas" else fn(empty)
+            outs.append(out)
+        if batch_format == "pandas":
+            return pd.concat(outs, ignore_index=True)
+        return pa.concat_tables(outs, promote_options="default")
+
+    return map_key_partitions(ds, keys, _block, num_partitions)

@@ -1,14 +1,16 @@
 """Windowing, gap-fill, wavelet-downsample and Gorilla-encode stages.
 
-Topology (per tier, over the tier's *rolled* rows — already 1/60th+ of input):
+Topology (over the tiers' *rolled* rows — already 1/60th+ of input; all
+computed tiers union into ONE points execution, job.py):
 
-    rolled -> map_batches(add_window)                      [stateless]
-           -> groupby(source, window).map_groups(gapfill)  [bounded groups: <= window_len buckets]
-           -> map_batches(WaveletStage, concurrency=N)     [ACTOR POOL: per-worker state
-                                                            loaded once, ref core/streaming_pipeline.py:229-257 ST1]
-           -> map_batches(gorilla_encode_batch)            [stateless]
+    rolled -> map_batches(add_window + tier col)                [stateless]
+           -> shuffle.map_key_groups((tier, source, window),
+                                     gapfill)                   [bounded groups: <= window_len buckets]
+           -> map_batches(WaveletStage, concurrency=(1,N))      [ACTOR POOL: per-worker state
+                                                                 loaded once, ref core/streaming_pipeline.py:229-257 ST1]
+           -> map_batches(gorilla_encode_batch)                 [stateless]
 
-Grouping on (source, window) guarantees a window lands wholly in one task
+Keying on (tier, source, window) guarantees a window lands wholly in one task
 (SURVEY §7.9.2) and bounds group size regardless of source skew — a hot source
 gets more windows, not bigger ones.
 """
@@ -63,12 +65,18 @@ def gapfill_group(t: pa.Table, method: str) -> pa.Table:
     and fills interior holes per the configured method — the reference's
     linear-interp reconstruction semantics (new_evaluation.py:185-198).
     """
+    has_tier = "tier" in t.column_names
+    if t.num_rows == 0:
+        empty = WINDOW_SCHEMA.empty_table()
+        if has_tier:
+            empty = empty.add_column(0, "tier", pa.array([], type=pa.string()))
+        return empty
     order = pc.sort_indices(t["bucket"])
     buckets = t["bucket"].take(order).to_numpy(zero_copy_only=False)
     vals = t["sum_tok"].take(order).to_numpy(zero_copy_only=False)
     full, series, filled = gapfill_series(buckets, vals, method)
     la = pa.ListArray.from_arrays(pa.array([0, len(series)], type=pa.int32()), pa.array(series))
-    return pa.table(
+    out = pa.table(
         {
             "source": t["source"].slice(0, 1),
             "window_id": pa.array([int(t["window_id"][0].as_py())], type=pa.int64()),
@@ -78,6 +86,9 @@ def gapfill_group(t: pa.Table, method: str) -> pa.Table:
             "series": la,
         }
     )
+    if has_tier:
+        out = out.add_column(0, "tier", t["tier"].slice(0, 1))
+    return out
 
 
 class WaveletStage:
@@ -91,8 +102,10 @@ class WaveletStage:
     ``tf.py_function`` row loop (ref core/downsampling_algorithm2.py:348-365).
     """
 
-    def __init__(self, cfg: dict | RollupConfig, tier: str):
+    def __init__(self, cfg: dict | RollupConfig, tier: str | None = None):
         self.cfg = cfg if isinstance(cfg, RollupConfig) else RollupConfig(**cfg)
+        # tier: fixed per-stage, or None -> taken from the input's tier column
+        # (the merged multi-tier points pipeline, one pool for all tiers)
         self.tier = tier
         # precompute the filter bank once per actor
         self.filters = wavelet.filter_bank(self.cfg.wavelet)
@@ -103,6 +116,9 @@ class WaveletStage:
         n_rows = t.num_rows
         if n_rows == 0:
             return POINTS_SCHEMA.empty_table()
+        tier_col = (
+            pa.array([self.tier] * n_rows) if self.tier is not None else t["tier"].combine_chunks()
+        )
         series_col = t.column("series").combine_chunks()
         if isinstance(series_col, pa.ChunkedArray):
             series_col = series_col.chunk(0)
@@ -143,7 +159,7 @@ class WaveletStage:
         return pa.table(
             {
                 "source": t["source"],
-                "tier": pa.array([self.tier] * n_rows),
+                "tier": tier_col,
                 "window_id": t["window_id"],
                 "start_bucket": t["start_bucket"],
                 "n_in": t["n_in"],

@@ -187,18 +187,25 @@ def write_synth_parquet(
     specs = chunk_specs(seed, n_sources, base_span, gap_pct, rows_per_chunk, min_tok, max_tok)
 
     def _write(spec: dict) -> str:
+        p = os.path.join(out_dir, f"part-{spec['source_idx']:03d}-{spec['seq_lo']:012d}.parquet")
+        if os.path.exists(p):  # resumable generation: chunks are deterministic
+            return p
         t = synth_chunk(
             spec["seed"], spec["source_idx"], spec["seq_lo"], spec["seq_hi"],
             spec["gap_pct"], spec["min_tok"], spec["max_tok"],
         )
-        p = os.path.join(out_dir, f"part-{spec['source_idx']:03d}-{spec['seq_lo']:012d}.parquet")
-        pq.write_table(t, p)
+        tmp = p + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, p)
         return p
 
     if use_ray:
         import ray
 
-        @ray.remote
+        # num_cpus=2 bounds generator concurrency: each chunk materializes
+        # several transient uint64 arrays (~8B per token), so full-width
+        # parallelism overcommits memory on large chunks
+        @ray.remote(num_cpus=2)
         def _w(spec):
             return _write(spec)
 

@@ -1,0 +1,40 @@
+"""Session tuning helpers (callable by entry points — never on import)."""
+
+from __future__ import annotations
+
+import logging
+
+
+def tune_ray_data(quiet: bool = True, hash_shuffle: bool | None = None) -> None:
+    """Engine session setup. Call before the first dataset of a pipeline is
+    created — Ray datasets snapshot the DataContext at creation.
+
+    ``hash_shuffle`` selects the exchange implementation used by
+    tsrollup.shuffle (None -> env TSROLLUP_HASH_SHUFFLE, default off: the
+    hash-shuffle operator's per-execution aggregator-actor startup costs more
+    than it saves at these scales, and ``groupby().map_groups`` deadlocks
+    under it in Ray 2.49). Safe to call repeatedly.
+    """
+    import os
+
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    if hash_shuffle is None:
+        hash_shuffle = os.environ.get("TSROLLUP_HASH_SHUFFLE", "0") == "1"
+    if hash_shuffle:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        # default 200 partitions spawns 64+ aggregator actors even on a
+        # 4-CPU node (thrash); ~2 per CPU is plenty
+        ctx.default_hash_shuffle_parallelism = max(4, min(64, cpus * 2))
+        ctx.max_hash_shuffle_aggregators = max(4, min(32, cpus))
+    if quiet:
+        ctx.enable_progress_bars = False
+        logging.getLogger("ray.data").setLevel(logging.ERROR)
