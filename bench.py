@@ -163,6 +163,9 @@ def scaling(sf_dir: str) -> int:
     warm_page_cache(in_dir)
 
     def run(ncpu: int) -> dict:
+        warm_page_cache(in_dir)  # re-warm per run: the prior run's object-store
+        # churn can evict the input from the page cache, and a cold disk read
+        # is a shared-resource cost that doesn't scale with CPU count
         env = dict(
             os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_ONLY="engine", GRAFT_SF_DIR=sf_dir
         )

@@ -101,6 +101,56 @@ def _derived_empty() -> pa.Table:
     )
 
 
+def list_parquet_files(path: str | list[str]) -> list[str]:
+    import os
+
+    paths = path if isinstance(path, list) else [path]
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                out.extend(os.path.join(root, f) for f in sorted(files) if f.endswith(".parquet"))
+        else:
+            out.append(p)
+    return sorted(out)
+
+
+def derived_partials_from_files(
+    path: str | list[str], columns: list[str], batch_size: int = 65536
+) -> ray.data.Dataset:
+    """FUSED ingest: one task per parquet fragment does read -> validate/derive
+    -> partial rollup, emitting only the tiny partial rows.
+
+    Rationale (measured): Ray's planned ReadParquet op does not fuse with the
+    derive stage (a SplitBlocks op intervenes), so the raw token columns
+    (~2x the input bytes as Arrow) transit the object store — at 25 GB input
+    that evicts the page cache and spills, turning a CPU job IO-bound. Fusing
+    keeps per-task traffic at ~1/1000th (the partials), which is also the
+    posture that matters on a real cluster: only combiner output crosses nodes.
+    """
+    import pyarrow.parquet as pq
+
+    from tsrollup.rollup import partial_recombine, partial_rollup
+
+    # one task per ROW GROUP (finer than per-file): more waves -> less
+    # straggler quantization when task_count / num_cpus is small
+    work: list[dict] = []
+    for f in list_parquet_files(path):
+        n_rg = pq.ParquetFile(f).num_row_groups
+        for rg in range(n_rg):
+            work.append({"path": f, "rg": rg})
+
+    def _one(batch: pa.Table) -> pa.Table:
+        outs = []
+        for fp, rg in zip(batch["path"].to_pylist(), batch["rg"].to_pylist()):
+            t = pq.ParquetFile(fp).read_row_group(rg, columns=columns)
+            for lo in range(0, t.num_rows, batch_size):
+                outs.append(partial_rollup(derive_batch(t.slice(lo, batch_size))))
+        return partial_recombine(pa.concat_tables(outs))  # per-task combine
+
+    return ray.data.from_items(work).map_batches(_one, batch_format="pyarrow", batch_size=1)
+
+
 def check_tokens_invariant(ds: ray.data.Dataset) -> int:
     """Count rows violating ``n_tok == len(tokens)`` without materializing
     anything (used by tests; streams one tiny count per batch)."""

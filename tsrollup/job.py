@@ -35,17 +35,18 @@ from tsrollup.stages import add_window, gapfill_group, gorilla_encode_batch, mak
 
 def build_windows(rolled: ray.data.Dataset, tier: str, cfg: RollupConfig) -> ray.data.Dataset:
     """rolled tier rows -> gap-filled window rows carrying a tier column."""
-    from tsrollup.shuffle import map_key_groups
+    from tsrollup.shuffle import map_key_partitions
+    from tsrollup.stages import gapfill_block
 
     def _prep(t: pa.Table) -> pa.Table:
         t = add_window(t.filter(pc.not_equal(t["source"], QUARANTINE_SOURCE)), cfg.window_len)
         return t.append_column("tier", pa.array([tier] * t.num_rows, type=pa.string()))
 
     windowed = rolled.map_batches(_prep, batch_format="pyarrow")
-    return map_key_groups(
+    return map_key_partitions(
         windowed,
         ["tier", "source", "window_id"],
-        lambda t: gapfill_group(t, cfg.gapfill_method),
+        lambda t: gapfill_block(t, cfg.gapfill_method),
     )
 
 
@@ -53,20 +54,20 @@ def downsample_windows(wins: ray.data.Dataset, cfg: RollupConfig) -> ray.data.Da
     """window rows -> downsampled points + Gorilla blocks (ONE actor pool for
     however many tiers are unioned into ``wins``)."""
     cls, kwargs = make_wavelet_stage(cfg, tier=None)
-    # autoscaling actor pool with min=1: a fixed pool sized at the cluster CPU
-    # count would reserve every CPU and starve the read/sort/write operators
-    # (deadlock on small clusters; serialization on big ones).
+    # autoscaling actor pool capped at HALF the cluster: a fixed pool sized at
+    # the CPU count would reserve every CPU and starve the read/sort/write
+    # operators (deadlock on small clusters); min = half the cap so a short
+    # stage doesn't spend its whole life ramping up from one actor.
     import ray as _ray
 
     max_pool = cfg.wavelet_concurrency or max(2, int(_ray.cluster_resources().get("CPU", 4)) // 2)
-    pts = wins.map_batches(
+    return wins.map_batches(
         cls,
         fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=cfg.window_batch_size,
-        concurrency=(1, max_pool),
+        concurrency=(max(1, max_pool // 2), max_pool),
     )
-    return pts.map_batches(gorilla_encode_batch, batch_format="pyarrow")
 
 
 def build_points(rolled: ray.data.Dataset, tier: str, cfg: RollupConfig) -> ray.data.Dataset:
@@ -137,13 +138,12 @@ def run(
             continue
 
         if tier == "1m":
-            from tsrollup.ingest import INPUT_COLUMNS, ROLLUP_COLUMNS
+            from tsrollup.ingest import INPUT_COLUMNS, ROLLUP_COLUMNS, derived_partials_from_files
+            from tsrollup.rollup import final_rollup
 
             cols = INPUT_COLUMNS if cfg.validate_tokens else ROLLUP_COLUMNS
-            derived = read_input(input_path, columns=cols).map_batches(
-                derive_batch, batch_format="pyarrow", batch_size=cfg.batch_size
-            )
-            rolled = rollup_1m(derived, cfg.batch_size).materialize()
+            partials = derived_partials_from_files(input_path, cols, cfg.batch_size)
+            rolled = final_rollup(partials).materialize()
         else:
             assert prev_tier is not None, "tier order must be fine -> coarse"
             factor = TIER_FACTORS[tier] // TIER_FACTORS[prev_tier]

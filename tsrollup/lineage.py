@@ -83,17 +83,19 @@ def lineage_from_rolled(rolled_dir: str) -> dict:
     """Per-source lineage computed from the *committed* parquet (re-read from
     disk, so the record describes what is actually durable). Rolled tiers are
     tiny (>=60x reduction), so this is a metadata-scale scan."""
+    import pandas as pd
+
     ds = pads.dataset(rolled_dir, format="parquet", partitioning="hive")
     t = ds.to_table(columns=["source", "bucket", "n_rows", "sum_tok", "chk"])
-    src = np.asarray(t["source"].to_pandas())
+    codes, uniques = pd.factorize(t["source"].to_numpy(zero_copy_only=False), sort=False)
     lineage: dict[str, dict] = {}
     n_rows = t["n_rows"].to_numpy(zero_copy_only=False)
     sum_tok = t["sum_tok"].to_numpy(zero_copy_only=False)
     chk = t["chk"].to_numpy(zero_copy_only=False)
     bucket = t["bucket"].to_numpy(zero_copy_only=False)
     with np.errstate(over="ignore"):
-        for s in np.unique(src):
-            m = src == s
+        for i, s in enumerate(uniques):
+            m = codes == i
             if s == QUARANTINE_SOURCE:
                 lineage[str(s)] = {"quarantined_rows": int(chk[m].sum())}
                 continue

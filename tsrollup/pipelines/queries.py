@@ -169,27 +169,35 @@ def q_downsample_avgpool(sf_dir: str, window: int = 10):
     not underlying events — partial (count, sum) per batch, tiny final groupby,
     avg derived from the exact integer sums on both sides."""
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(bucket10=df["bucket"] // window)
-        g = df.groupby(["source", "bucket10"], sort=False)
-        return pd.DataFrame(
-            {"n_buckets": g.size().astype(np.int64), "sum_cents": g["sum_tok"].sum()}
-        ).reset_index()
+    # rolled 1m rows re-enter the rollup machinery as the "input": the pooled
+    # n_rows then counts 1m BUCKETS per window (not underlying events)
+    def _rekey(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t["source"],
+                "bucket": pc.divide(t["bucket"], pa.scalar(window, pa.int64())),
+                "n_tok": t["sum_tok"],
+                "chk": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+            }
+        )
 
-    from ray.data.aggregate import Sum
-
-    pooled = (
+    pooled = final_rollup(
         _rolled_events(sf_dir)
-        .map_batches(_partial, batch_format="pandas")
-        .groupby(["source", "bucket10"])
-        .aggregate(Sum("n_buckets", alias_name="n_buckets"), Sum("sum_cents", alias_name="sum_cents"))
+        .map_batches(_rekey, batch_format="pyarrow")
+        .map_batches(partial_rollup, batch_format="pyarrow")
     )
 
     def _avg(t: pa.Table) -> pa.Table:
-        avg = pc.divide(
-            pc.cast(t["sum_cents"], pa.float64()), pc.cast(t["n_buckets"], pa.float64())
+        avg = pc.divide(pc.cast(t["sum_tok"], pa.float64()), pc.cast(t["n_rows"], pa.float64()))
+        return pa.table(
+            {
+                "source": t["source"],
+                "bucket10": t["bucket"],
+                "n_buckets": t["n_rows"],
+                "sum_cents": t["sum_tok"],
+                "avg_cents": pc.round(avg, ndigits=6),
+            }
         )
-        return t.append_column("avg_cents", pc.round(avg, ndigits=6))
 
     return pooled.map_batches(_avg, batch_format="pyarrow")
 

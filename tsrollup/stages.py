@@ -91,6 +91,59 @@ def gapfill_group(t: pa.Table, method: str) -> pa.Table:
     return out
 
 
+def gapfill_block(t: pa.Table, method: str) -> pa.Table:
+    """Vectorized multi-window gap-fill: one pass over a hash-partition block
+    holding complete (tier, source, window) groups. Equivalent to calling
+    :func:`gapfill_group` per group, but builds the output columns once —
+    per-window Python is just the interp kernel, not 15 pyarrow calls.
+    """
+    if t.num_rows == 0:
+        empty = WINDOW_SCHEMA.empty_table()
+        return empty.add_column(0, "tier", pa.array([], type=pa.string()))
+    t = t.sort_by(
+        [("tier", "ascending"), ("source", "ascending"), ("window_id", "ascending"),
+         ("bucket", "ascending")]
+    )
+    tier = t["tier"].to_numpy(zero_copy_only=False)
+    source = t["source"].to_numpy(zero_copy_only=False)
+    window_id = t["window_id"].to_numpy(zero_copy_only=False)
+    bucket = t["bucket"].to_numpy(zero_copy_only=False)
+    vals = t["sum_tok"].to_numpy(zero_copy_only=False)
+    n = len(bucket)
+    change = (window_id[1:] != window_id[:-1]) | (source[1:] != source[:-1]) | (
+        tier[1:] != tier[:-1]
+    )
+    starts = np.concatenate(([0], np.flatnonzero(change) + 1, [n]))
+    series_parts: list[np.ndarray] = []
+    start_buckets = np.empty(len(starts) - 1, dtype=np.int64)
+    n_in = np.empty(len(starts) - 1, dtype=np.int64)
+    n_filled = np.empty(len(starts) - 1, dtype=np.int64)
+    for w in range(len(starts) - 1):
+        lo, hi = starts[w], starts[w + 1]
+        full, filled_vals, filled = gapfill_series(bucket[lo:hi], vals[lo:hi], method)
+        series_parts.append(filled_vals)
+        start_buckets[w] = full[0]
+        n_in[w] = len(full)
+        n_filled[w] = int(filled.sum())
+    offsets = np.zeros(len(series_parts) + 1, dtype=np.int32)
+    offsets[1:] = np.cumsum(n_in)
+    series = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(np.concatenate(series_parts))
+    )
+    heads = starts[:-1]
+    return pa.table(
+        {
+            "tier": pa.array(tier[heads]),
+            "source": pa.array(source[heads]),
+            "window_id": pa.array(window_id[heads]),
+            "start_bucket": pa.array(start_buckets),
+            "n_in": pa.array(n_in),
+            "n_filled": pa.array(n_filled),
+            "series": series,
+        }
+    )
+
+
 class WaveletStage:
     """Actor-pool stage: wavelet-downsample a batch of window rows.
 
@@ -102,11 +155,14 @@ class WaveletStage:
     ``tf.py_function`` row loop (ref core/downsampling_algorithm2.py:348-365).
     """
 
-    def __init__(self, cfg: dict | RollupConfig, tier: str | None = None):
+    def __init__(self, cfg: dict | RollupConfig, tier: str | None = None, encode: bool = True):
         self.cfg = cfg if isinstance(cfg, RollupConfig) else RollupConfig(**cfg)
         # tier: fixed per-stage, or None -> taken from the input's tier column
         # (the merged multi-tier points pipeline, one pool for all tiers)
         self.tier = tier
+        # fuse the Gorilla encode into this actor by default: one stage fewer,
+        # and the point lists never make an extra object-store hop
+        self.encode = encode
         # precompute the filter bank once per actor
         self.filters = wavelet.filter_bank(self.cfg.wavelet)
         self.windows_processed = 0
@@ -156,7 +212,7 @@ class WaveletStage:
         vals_arr = pa.ListArray.from_arrays(
             pa.array(k_offsets), pa.array(np.concatenate(vals_out))
         )
-        return pa.table(
+        out = pa.table(
             {
                 "source": t["source"],
                 "tier": tier_col,
@@ -168,6 +224,9 @@ class WaveletStage:
                 "values": vals_arr,
             }
         )
+        if self.encode:
+            out = gorilla_encode_batch(out)
+        return out
 
 
 def make_wavelet_stage(cfg: RollupConfig, tier: str):
