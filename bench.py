@@ -75,7 +75,40 @@ def warm_page_cache(path: str) -> None:
                 pass
 
 
+def run_rollup_phase(in_dir: str) -> dict:
+    """The scan+rollup phase alone (the fraction of the job that grows with
+    corpus size — at 10^12-sequence scale it IS the job; the constant-cost
+    windows/points/commit phases below are corpus-independent)."""
+    from tsrollup.config import RollupConfig
+    from tsrollup.ingest import INPUT_COLUMNS, derived_partials_from_files
+    from tsrollup.rollup import final_rollup
+
+    cfg = RollupConfig()
+    t0 = time.time()
+    partials = derived_partials_from_files(in_dir, INPUT_COLUMNS, cfg.batch_size)
+    rolled = final_rollup(partials).materialize()
+    wall = time.time() - t0
+    import pyarrow.compute as pc
+
+    tokens = sum(
+        pc.sum(b["sum_tok"]).as_py() or 0
+        for b in rolled.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+    )
+    n = rolled.count()
+    return {
+        "engine_sec": round(wall, 2),
+        "tokens_scanned": tokens,
+        "rolled_points": n,
+        "tokens_per_sec": round(tokens / wall),
+        "rolled_points_per_sec": round(n / wall),
+        "input_rows": 0,
+        "rows_per_sec": 0,
+    }
+
+
 def run_engine(in_dir: str) -> dict:
+    if os.environ.get("BENCH_PHASE") == "rollup":
+        return run_rollup_phase(in_dir)
     from tsrollup.config import RollupConfig
     from tsrollup import job
 
@@ -177,20 +210,18 @@ def scaling(sf_dir: str) -> int:
 
     lo, hi = run(8), run(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)
-    print(
-        json.dumps(
-            {
-                "metric": "scaling efficiency, num_cpus 8 -> 32 (N -> 4N evidence)",
-                "sec_8": lo["value"],
-                "sec_32": hi["value"],
-                "tokens_per_sec_8": lo["tokens_per_sec"],
-                "tokens_per_sec_32": hi["tokens_per_sec"],
-                "rolled_points_per_sec_8": lo["rolled_points_per_sec"],
-                "rolled_points_per_sec_32": hi["rolled_points_per_sec"],
-                "scaling_efficiency": round(eff, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "scaling efficiency, num_cpus 8 -> 32 (N -> 4N evidence)",
+        "phase": os.environ.get("BENCH_PHASE", "full-job"),
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "tokens_per_sec_8": lo["tokens_per_sec"],
+        "tokens_per_sec_32": hi["tokens_per_sec"],
+        "rolled_points_per_sec_8": lo["rolled_points_per_sec"],
+        "rolled_points_per_sec_32": hi["rolled_points_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(out))
     return 0
 
 
