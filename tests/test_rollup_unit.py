@@ -98,3 +98,30 @@ def test_mix64_avalanche():
     assert len(np.unique(a)) == 1000
     bits = np.unpackbits(a.view(np.uint8))
     assert 0.45 < bits.mean() < 0.55  # roughly balanced
+
+
+def test_json_source_roundtrip(ray_session, tiny_table, tmp_path):
+    """JSON-lines source (S6/S7 analog) rolls up identically to parquet."""
+    import json as _json
+
+    from tsrollup.ingest import read_input_json
+    from tsrollup.rollup import final_rollup
+    import ray.data
+
+    t = tiny_table.slice(0, 500)
+    p = tmp_path / "in.jsonl"
+    with open(p, "w") as f:
+        for row in t.to_pylist():
+            f.write(_json.dumps(row) + "\n")
+    ds = read_input_json(str(p))
+    derived = ds.map_batches(derive_batch, batch_format="pyarrow")
+    rolled_json = (
+        final_rollup(derived.map_batches(partial_rollup, batch_format="pyarrow"))
+        .to_pandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+    )
+    derived_pq = ray.data.from_arrow(t).map_batches(derive_batch, batch_format="pyarrow")
+    rolled_pq = (
+        final_rollup(derived_pq.map_batches(partial_rollup, batch_format="pyarrow"))
+        .to_pandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(rolled_json, rolled_pq)

@@ -101,6 +101,29 @@ def _derived_empty() -> pa.Table:
     )
 
 
+def read_input_json(path: str | list[str], **kwargs) -> ray.data.Dataset:
+    """JSON-lines source for the F1 schema (the engine's analog of the
+    reference's Kafka JSON deserialization, ref core/streaming_pipeline.py:33-55):
+    rows with doc_id/tokens/n_tok/source; type normalization to the canonical
+    Arrow schema happens in ``normalize_json_batch``; malformed rows fall into
+    the quarantine channel downstream in ``derive_batch`` instead of the
+    reference's silent [] sentinel."""
+    ds = ray.data.read_json(path, **kwargs)
+    return ds.map_batches(normalize_json_batch, batch_format="pyarrow")
+
+
+def normalize_json_batch(t: pa.Table) -> pa.Table:
+    cols = {}
+    cols["doc_id"] = pc.cast(t["doc_id"], pa.string())
+    tokens = t["tokens"]
+    if not pa.types.is_list(tokens.type) or tokens.type.value_type != pa.int32():
+        tokens = pc.cast(tokens, pa.list_(pa.int32()))
+    cols["tokens"] = tokens
+    cols["n_tok"] = pc.cast(pc.fill_null(t["n_tok"], -1), pa.int32())
+    cols["source"] = pc.cast(t["source"], pa.string())
+    return pa.table(cols)
+
+
 def list_parquet_files(path: str | list[str]) -> list[str]:
     import os
 

@@ -404,6 +404,32 @@ def q_gorilla_compression(sf_dir: str):
     )
 
 
+def q_downsample_random(sf_dir: str, target: int = 50, seed: int = 42):
+    """Seeded random sampling per source series (B4 semantics,
+    ref new_evaluation.py:96-101 — engine seeds explicitly per source so the
+    result is deterministic across runs/partitionings). Rows-only."""
+    from tsrollup.hashing import fnv1a64_bytes
+    from tsrollup.wavelet import random_downsample
+
+    def _pick(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"source": pd.Series(dtype=object),
+                                 "bucket": pd.Series(dtype=np.int64),
+                                 "sum_cents": pd.Series(dtype=np.int64)})
+        df = df.sort_values("bucket")
+        src_seed = (seed ^ fnv1a64_bytes(df["source"].iloc[0].encode())) & 0x7FFFFFFF
+        idx, vals = random_downsample(df["sum_tok"].to_numpy(), target, seed=src_seed)
+        return pd.DataFrame(
+            {
+                "source": df["source"].iloc[0],
+                "bucket": df["bucket"].to_numpy()[idx],
+                "sum_cents": vals.astype(np.int64),
+            }
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _pick, batch_format="pandas")
+
+
 def q_reconstruct_error(sf_dir: str):
     """B9+B10 composition (ref new_evaluation.py:185-209): per (source, window)
     gap-fill -> wavelet downsample -> linear-interp reconstruction -> error
@@ -605,6 +631,7 @@ QUERIES = {
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
     "downsample_lttb": q_downsample_lttb,
+    "downsample_random": q_downsample_random,
     "reconstruct_error": q_reconstruct_error,
 }
 
