@@ -229,6 +229,75 @@ def _simhash_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
     )
 
 
+def q_dedup_ngram(sf_dir: str, threshold: float = 0.4, k: int = 3):
+    """Exact n-gram Jaccard near-dup pairs within each source (brute force per
+    source partition — sources bound the pair count; the LSH variants above are
+    the corpus-wide scale path). Rows-only."""
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+                 "jaccard": pd.Series(dtype=np.float64)}
+            )
+        ids = df["doc_id"].to_numpy()
+        sh = [dedup.shingle_hashes(t, k) for t in df["text"].fillna("")]
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                si, sj = sh[i], sh[j]
+                if len(si) == 0 or len(sj) == 0:
+                    continue
+                inter = len(np.intersect1d(si, sj, assume_unique=True))
+                jac = inter / (len(si) + len(sj) - inter)
+                if jac >= threshold:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    rows.append((a, b, round(jac, 6)))
+        return pd.DataFrame(rows, columns=["a", "b", "jaccard"]).astype(
+            {"a": np.int64, "b": np.int64}
+        )
+
+    return map_key_groups(
+        _docs(sf_dir, ("doc_id", "text", "source")), ["source"], _pairs, batch_format="pandas"
+    )
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Multimodal plumbing demo: deterministic fake media table -> actor-pool
+    decode stage -> per-media feature norm (rows-only; real decoders are
+    stubbed behind NotImplementedError in this environment — see
+    tsrollup/functions/multimodal.py)."""
+    import ray
+
+    from tsrollup.functions import multimodal
+
+    media = multimodal.synth_media_table(128, seed=42)
+    ds = ray.data.from_arrow(media)
+    decoded = ds.map_batches(
+        multimodal.DecodeImageStage,
+        fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow",
+        batch_size=32,   # small batches: binary payload columns stay bounded
+        concurrency=(1, 4),
+    )
+
+    def _norm(t: pa.Table) -> pa.Table:
+        from tsrollup.functions.ann import stack_embeddings
+
+        m = stack_embeddings(t, col="features")
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "feat_dim": pa.array([m.shape[1]] * t.num_rows, type=pa.int64()),
+                "feat_norm": pa.array(
+                    np.round(np.linalg.norm(m.astype(np.float64), axis=1), 4)
+                ),
+            }
+        )
+
+    return decoded.map_batches(_norm, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -417,6 +486,8 @@ DOC_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram": q_dedup_ngram,
+    "multimodal_decode": q_multimodal_decode,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "embed_dedup": q_embed_dedup,
