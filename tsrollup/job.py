@@ -33,8 +33,16 @@ from tsrollup.rollup import cascade_tier, rollup_1m
 from tsrollup.stages import add_window, gapfill_group, gorilla_encode_batch, make_wavelet_stage
 
 
-def build_windows(rolled: ray.data.Dataset, tier: str, cfg: RollupConfig) -> ray.data.Dataset:
-    """rolled tier rows -> gap-filled window rows carrying a tier column."""
+def build_windows(
+    rolled: ray.data.Dataset, tier: str, cfg: RollupConfig, co_partitioned: bool = False
+) -> ray.data.Dataset:
+    """rolled tier rows -> gap-filled window rows carrying a tier column.
+
+    ``co_partitioned``: the rolled dataset's blocks are already complete per
+    (source, window) — the rollup combine partitioned by
+    ``(source, bucket // window_len)`` (rollup.final_rollup) — so gap-fill
+    runs directly per block with NO further exchange.
+    """
     from tsrollup.shuffle import map_key_partitions
     from tsrollup.stages import gapfill_block
 
@@ -42,6 +50,12 @@ def build_windows(rolled: ray.data.Dataset, tier: str, cfg: RollupConfig) -> ray
         t = add_window(t.filter(pc.not_equal(t["source"], QUARANTINE_SOURCE)), cfg.window_len)
         return t.append_column("tier", pa.array([tier] * t.num_rows, type=pa.string()))
 
+    if co_partitioned:
+        return rolled.map_batches(
+            lambda t: gapfill_block(_prep(t), cfg.gapfill_method),
+            batch_format="pyarrow",
+            batch_size=None,  # whole blocks: window completeness is per block
+        )
     windowed = rolled.map_batches(_prep, batch_format="pyarrow")
     return map_key_partitions(
         windowed,
@@ -143,7 +157,9 @@ def run(
 
             cols = INPUT_COLUMNS if cfg.validate_tokens else ROLLUP_COLUMNS
             partials = derived_partials_from_files(input_path, cols, cfg.batch_size)
-            rolled = final_rollup(partials).materialize()
+            rolled = final_rollup(
+                partials, co_partition_window_len=cfg.window_len
+            ).materialize()
         else:
             assert prev_tier is not None, "tier order must be fine -> coarse"
             factor = TIER_FACTORS[tier] // TIER_FACTORS[prev_tier]
@@ -153,7 +169,9 @@ def run(
                 if not os.path.isdir(path):
                     path = lin.tier_path(out_root, prev_tier, "rolled")
                 src = _read_rolled(path)
-            rolled = cascade_tier(src, factor).materialize()
+            rolled = cascade_tier(
+                src, factor, co_partition_window_len=cfg.window_len
+            ).materialize()
 
         stage_full = lin.staging_dir(out_root, tier, "rolled_full")
         rolled.write_parquet(stage_full, partition_cols=["source"])
@@ -179,9 +197,9 @@ def run(
         # ONE points execution for all computed tiers: one exchange, one
         # wavelet actor pool, one write — fixed cost amortized across tiers.
         tiers_todo = list(retained_ds)
-        wins = build_windows(retained_ds[tiers_todo[0]], tiers_todo[0], cfg)
+        wins = build_windows(retained_ds[tiers_todo[0]], tiers_todo[0], cfg, co_partitioned=True)
         for t_ in tiers_todo[1:]:
-            wins = wins.union(build_windows(retained_ds[t_], t_, cfg))
+            wins = wins.union(build_windows(retained_ds[t_], t_, cfg, co_partitioned=True))
         points = downsample_windows(wins, cfg)
         stage_points_all = lin.staging_dir(out_root, "all", "points")
         points.write_parquet(stage_points_all, partition_cols=["tier", "source"])

@@ -163,7 +163,11 @@ def _finalize(t: pa.Table) -> pa.Table:
     )
 
 
-def final_rollup(partials: ray.data.Dataset, num_partitions: int | None = None) -> ray.data.Dataset:
+def final_rollup(
+    partials: ray.data.Dataset,
+    num_partitions: int | None = None,
+    co_partition_window_len: int | None = None,
+) -> ray.data.Dataset:
     """The wide step: combine partial rows by (source, bucket).
 
     A naive ``groupby(key).aggregate(...)`` pays per-GROUP Python overhead —
@@ -177,9 +181,33 @@ def final_rollup(partials: ray.data.Dataset, num_partitions: int | None = None) 
 
     The exchange is :func:`tsrollup.shuffle.map_key_partitions`; the combine is
     fully vectorized per partition block — no per-group Python.
+
+    ``co_partition_window_len``: partition by ``(source, bucket // L)`` instead
+    of ``(source, bucket)`` — same-key co-location still holds (equal buckets
+    share a window), and the output blocks are then COMPLETE per downsampling
+    window, so the windowing stage downstream needs NO further exchange. One
+    partitioning key, reused across stages.
     """
     from tsrollup.shuffle import map_key_partitions
 
+    if co_partition_window_len:
+        L = int(co_partition_window_len)
+
+        def _wkey(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.append_column("__wkey", pc.divide(t["bucket"], pa.scalar(L, pa.int64())))
+
+        combined = map_key_partitions(
+            partials.map_batches(_wkey, batch_format="pyarrow"),
+            ["source", "__wkey"],
+            lambda t: partial_recombine(t.drop_columns(["__wkey"])),
+            num_partitions,
+        )
+        # NOTE: no cross-partition coalesce here — it would merge blocks but
+        # window-completeness survives concatenation, so coalescing is fine
+        # for correctness; we keep blocks as-is to preserve partition count.
+        return combined.map_batches(_finalize, batch_format="pyarrow")
     combined = map_key_partitions(
         partials, ["source", "bucket"], partial_recombine, num_partitions
     )
@@ -205,7 +233,11 @@ def rollup_1m(derived: ray.data.Dataset, batch_size: int = 65536) -> ray.data.Da
     return final_rollup(partials)
 
 
-def cascade_tier(rolled_finer: ray.data.Dataset, bucket_factor: int) -> ray.data.Dataset:
+def cascade_tier(
+    rolled_finer: ray.data.Dataset,
+    bucket_factor: int,
+    co_partition_window_len: int | None = None,
+) -> ray.data.Dataset:
     """Coarser continuous aggregate from a committed finer tier (1m->1h: 60,
     1h->1d: 24). Input is already rolled (tiny), so the shuffle is trivial."""
     partials = rolled_finer.map_batches(
@@ -213,4 +245,4 @@ def cascade_tier(rolled_finer: ray.data.Dataset, bucket_factor: int) -> ray.data
         batch_format="pyarrow",
         batch_size=PARTIAL_COALESCE_ROWS,
     )
-    return final_rollup(partials)
+    return final_rollup(partials, co_partition_window_len=co_partition_window_len)
