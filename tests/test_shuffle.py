@@ -136,3 +136,27 @@ def test_gapfill_block_empty():
         "linear",
     )
     assert t.num_rows == 0 and "tier" in t.column_names
+
+
+def test_map_key_partitions_hash_strategy(ray_session):
+    """The HASH_SHUFFLE exchange path (key-based repartition) — scoped and
+    restored so later tests build under the default sort strategy."""
+    import ray.data
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    old = ctx.shuffle_strategy
+    try:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        t = _toy(2000, seed=4)
+        ds = ray.data.from_arrow(t)
+
+        def _block(b: pa.Table) -> pa.Table:
+            total = int(np.sum(b["v"].to_numpy(zero_copy_only=False))) if b.num_rows else 0
+            return pa.table({"s": pa.array([total], type=pa.int64())})
+
+        got = map_key_partitions(ds, ["k"], _block, num_partitions=4).to_pandas()
+        assert got["s"].sum() == int(t["v"].to_numpy(zero_copy_only=False).sum())
+    finally:
+        ctx.shuffle_strategy = old
