@@ -125,3 +125,20 @@ def test_json_source_roundtrip(ray_session, tiny_table, tmp_path):
         .to_pandas().sort_values(["source", "bucket"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(rolled_json, rolled_pq)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(split=st.integers(min_value=1, max_value=1999), seed=st.integers(0, 100))
+def test_partial_rollup_split_invariance_property(split, seed):
+    """combine(partial(A), partial(B)) == partial(A+B) at ANY split point."""
+    t = _derived(2000, seed=seed)
+    whole = partial_rollup(t).to_pandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+    halves = pa.concat_tables([partial_rollup(t.slice(0, split)), partial_rollup(t.slice(split))])
+    rec = (
+        partial_recombine(halves).to_pandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(whole, rec)
