@@ -226,3 +226,25 @@ def test_frame_sample_stage():
     assert out.column_names == ["media_id", "frame_idx", "features"]
     assert out.num_rows >= 4  # at least frame 0 per video
     assert (np.asarray(out["frame_idx"]) % 25 == 0).all()
+
+
+def test_ivf_recall_vs_brute_force():
+    """IVF with nprobe lists must recall most of the true top-k."""
+    _, m = _emb_table(n=400, d=32, seed=9)
+    cents = ann.ivf_centroids(m, 8, seed=1)
+    assert cents.shape == (8, 32)
+    # deterministic
+    np.testing.assert_array_equal(cents, ann.ivf_centroids(m, 8, seed=1))
+    lists = ann.ivf_assign(m, cents)
+    assert len(np.unique(lists)) > 1
+    mn = ann.normalize_rows(m)
+    hits = total = 0
+    for qi in range(10):
+        true_top = set(np.argsort(-(mn @ mn[qi]))[:5])
+        qsims = mn[qi] @ cents.T
+        probe = set(np.argsort(-qsims)[:3])
+        cand = np.flatnonzero(np.isin(lists, list(probe)))
+        approx = set(cand[np.argsort(-(mn[cand] @ mn[qi]))[:5]])
+        hits += len(true_top & approx)
+        total += 5
+    assert hits / total >= 0.5  # coarse quantizer recall on random data

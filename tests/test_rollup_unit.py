@@ -142,3 +142,25 @@ def test_partial_rollup_split_invariance_property(split, seed):
         partial_recombine(halves).to_pandas().sort_values(["source", "bucket"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(whole, rec)
+
+
+def test_fused_ingest_equals_unfused(ray_session, tiny_input_dir):
+    """derived_partials_from_files (fused read->derive->partial) must produce
+    the same final rollup as the unfused read_input + map_batches path."""
+    import ray.data
+
+    from tsrollup.ingest import INPUT_COLUMNS, derived_partials_from_files, read_input
+    from tsrollup.rollup import final_rollup
+
+    fused = (
+        final_rollup(derived_partials_from_files(tiny_input_dir, INPUT_COLUMNS))
+        .to_pandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+    )
+    derived = read_input(tiny_input_dir, columns=INPUT_COLUMNS).map_batches(
+        derive_batch, batch_format="pyarrow"
+    )
+    unfused = (
+        final_rollup(derived.map_batches(partial_rollup, batch_format="pyarrow"))
+        .to_pandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fused, unfused)

@@ -91,6 +91,30 @@ def lsh_bucket_ids(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return bits @ weights
 
 
+def ivf_centroids(m: np.ndarray, n_centroids: int, seed: int = 42, iters: int = 5) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: seeded init + a few Lloyd
+    iterations over (a sample of) the corpus, on normalized vectors.
+    The centroid table is tiny — train on the driver (or a sampled subset),
+    broadcast with ``ray.put`` like the query matrix."""
+    rng = np.random.default_rng(seed)
+    mn = normalize_rows(np.asarray(m, dtype=np.float32))
+    idx = rng.choice(len(mn), size=min(n_centroids, len(mn)), replace=False)
+    cents = mn[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mn @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = mn[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = normalize_rows(cents)
+    return cents
+
+
+def ivf_assign(m: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest-centroid list id per row (cosine)."""
+    return np.argmax(normalize_rows(m) @ centroids.T, axis=1)
+
+
 def cosine_pairs_above(
     m: np.ndarray, vec_ids: np.ndarray, threshold: float
 ) -> pd.DataFrame:

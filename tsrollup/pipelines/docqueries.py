@@ -328,6 +328,62 @@ def q_ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
     )
 
 
+def q_ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10, n_centroids: int = 16, nprobe: int = 4):
+    """IVF-bucketed ANN (the other scale path beside LSH): a tiny seeded
+    coarse quantizer (trained driver-side, broadcast via ray.put) assigns each
+    corpus vector to its nearest-centroid inverted list; each query scores
+    only its ``nprobe`` nearest lists, exact re-rank per query. Rows-only;
+    recall vs brute force asserted in tests."""
+    import pyarrow.parquet as pq
+    import ray
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mat = ann.stack_embeddings(full)
+    cents = ann.ivf_centroids(mat, n_centroids)
+    qt = full.filter(pa.compute.less(full["vec_id"], n_queries)).sort_by("vec_id")
+    qmat = ann.stack_embeddings(qt)
+    # nprobe nearest lists per query
+    qsims = ann.normalize_rows(qmat) @ cents.T
+    probe = np.argsort(-qsims, axis=1)[:, :nprobe]
+    ref = ray.put((qmat, probe, cents))
+
+    class ListScore:
+        def __init__(self, ref):
+            import ray as _r
+
+            self.qmat, self.probe, self.cents = _r.get(ref)
+            self.qnorm = ann.normalize_rows(self.qmat)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = ann.normalize_rows(ann.stack_embeddings(t))
+            vid = t["vec_id"].to_numpy(zero_copy_only=False)
+            lists = ann.ivf_assign(m, self.cents)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(self.qnorm)):
+                mask = np.isin(lists, self.probe[qi])
+                if not mask.any():
+                    continue
+                scores = m[mask] @ self.qnorm[qi]
+                out_q.extend([qi] * int(mask.sum()))
+                out_v.extend(vid[mask].tolist())
+                out_s.extend(np.round(scores.astype(np.float64), 4).tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "vec_id": pa.array(out_v, type=pa.int64()),
+                    "score": pa.array(out_s, type=pa.float64()),
+                }
+            )
+
+    partials = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+        ListScore, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return map_key_groups(
+        partials, ["query_id"], lambda g: ann.rerank_topk(g, k), batch_format="pandas"
+    )
+
+
 def q_embed_dedup(sf_dir: str, threshold: float = 0.40):
     """Embedding cosine near-dup pairs >= threshold. Exact: every batch scores
     against the full broadcast matrix (small side), keeping a < b."""
@@ -490,5 +546,6 @@ DOC_QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embed_dedup": q_embed_dedup,
 }
