@@ -124,3 +124,28 @@ def test_quarantine_counts(ray_session, tiny_table, tmp_path):
     cfg = RollupConfig(out_root=str(tmp_path / "out"), tiers=("1m",))
     res = job.run(str(d), cfg)
     assert res["1m"]["lineage"]["__quarantine__"]["quarantined_rows"] == 2
+
+
+@pytest.mark.parametrize(
+    "cfg_kwargs",
+    [
+        {"gapfill_method": "ffill"},
+        {"gapfill_method": "zero"},
+        {"wavelet": "haar"},
+        {"detail_selector": "adaptive"},
+    ],
+    ids=["ffill", "zero", "haar", "adaptive"],
+)
+def test_config_variants_match_oracle(ray_session, tiny_input_dir, tiny_table, tmp_path, cfg_kwargs):
+    """Engine == oracle bit-for-bit under alternate configurations (1m only)."""
+    cfg = RollupConfig(out_root=str(tmp_path / "out"), tiers=("1m",), **cfg_kwargs)
+    job.run(tiny_input_dir, cfg)
+    golden = oracle.pipeline(tiny_table, RollupConfig(tiers=("1m",), **cfg_kwargs))
+    got = (
+        job.read_tier(cfg.out_root, "1m", "points")
+        .to_pandas()
+        .sort_values(["source", "window_id"])
+        .reset_index(drop=True)
+    )
+    exp = golden["points_1m"]
+    _assert_points_equal(got[exp.columns.tolist()], exp, f"1m-{cfg_kwargs}")
