@@ -149,3 +149,46 @@ def test_config_variants_match_oracle(ray_session, tiny_input_dir, tiny_table, t
     )
     exp = golden["points_1m"]
     _assert_points_equal(got[exp.columns.tolist()], exp, f"1m-{cfg_kwargs}")
+
+
+def test_empty_input_runs_cleanly(ray_session, tmp_path):
+    """An input with zero valid rows commits empty tiers instead of crashing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.string()),
+            "tokens": pa.array([], pa.list_(pa.int32())),
+            "n_tok": pa.array([], pa.int32()),
+            "source": pa.array([], pa.string()),
+        }
+    )
+    d = tmp_path / "in"
+    d.mkdir()
+    pq.write_table(empty, str(d / "a.parquet"))
+    res = job.run(str(d), RollupConfig(out_root=str(tmp_path / "out"), tiers=("1m",)))
+    assert res["1m"]["lineage"] == {}
+
+
+def test_independent_duckdb_cross_check(ray_session, tiny_input_dir, tmp_path):
+    """Oracle-independent validation: DuckDB recomputes the 1m rollup straight
+    from the input parquet and diffs it against the committed tier."""
+    import duckdb
+
+    cfg = RollupConfig(out_root=str(tmp_path / "out"), tiers=("1m",))
+    job.run(tiny_input_dir, cfg)
+    con = duckdb.connect()
+    n = con.sql(f"""
+        WITH raw AS (SELECT source, (1767225600 + CAST(doc_id[-10:] AS BIGINT)) // 60 AS bucket, n_tok
+                     FROM read_parquet('{tiny_input_dir}/*.parquet'))
+        SELECT count(*) FROM (
+          SELECT source, bucket, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+                 MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
+          FROM raw GROUP BY 1, 2
+          EXCEPT
+          SELECT source, bucket, n_rows, sum_tok, CAST(min_tok AS INTEGER), CAST(max_tok AS INTEGER)
+          FROM read_parquet('{cfg.out_root}/1m/rolled/**/*.parquet', hive_partitioning=true)
+          WHERE source != '__quarantine__')
+    """).fetchone()[0]
+    assert n == 0

@@ -164,13 +164,21 @@ def derived_partials_from_files(
             work.append({"path": f, "rg": rg})
 
     def _one(batch: pa.Table) -> pa.Table:
+        from tsrollup.rollup import PARTIAL_SCHEMA
+
         outs = []
         for fp, rg in zip(batch["path"].to_pylist(), batch["rg"].to_pylist()):
             t = pq.ParquetFile(fp).read_row_group(rg, columns=columns)
             for lo in range(0, t.num_rows, batch_size):
                 outs.append(partial_rollup(derive_batch(t.slice(lo, batch_size))))
+        if not outs:  # empty fragment
+            return PARTIAL_SCHEMA.empty_table()
         return partial_recombine(pa.concat_tables(outs))  # per-task combine
 
+    if not work:  # no fragments at all -> empty, schema-stable dataset
+        from tsrollup.rollup import PARTIAL_SCHEMA
+
+        return ray.data.from_arrow(PARTIAL_SCHEMA.empty_table())
     return ray.data.from_items(work).map_batches(_one, batch_format="pyarrow", batch_size=1)
 
 

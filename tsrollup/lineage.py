@@ -86,6 +86,8 @@ def lineage_from_rolled(rolled_dir: str) -> dict:
     import pandas as pd
 
     ds = pads.dataset(rolled_dir, format="parquet", partitioning="hive")
+    if not ds.files:  # empty tier (e.g. empty input)
+        return {}
     t = ds.to_table(columns=["source", "bucket", "n_rows", "sum_tok", "chk"])
     codes, uniques = pd.factorize(t["source"].to_numpy(zero_copy_only=False), sort=False)
     lineage: dict[str, dict] = {}
