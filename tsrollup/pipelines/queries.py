@@ -490,6 +490,83 @@ def q_reconstruct_error(sf_dir: str):
     return agg.map_batches(_final, batch_format="pyarrow")
 
 
+def q_baseline_comparison(sf_dir: str, target: int = 40):
+    """The reference's evaluation harness recast (ref new_evaluation.py:296-327):
+    every baseline downsampler + the wavelet engine run per (source, window),
+    reconstruction error aggregated per (source, method). Rows-only."""
+    from tsrollup.config import RollupConfig
+    from tsrollup.stages import add_window
+    from tsrollup import wavelet as wv
+
+    cfg = RollupConfig()
+    methods = {
+        "uniform": lambda s: wv.uniform_downsample(s, target),
+        "avgpool": lambda s: wv.average_pool_downsample(s, target),
+        "maxpool": lambda s: wv.max_pool_downsample(s, target),
+        "minmax": lambda s: wv.minmax_downsample(s, target),
+        "lttb": lambda s: wv.lttb_downsample(s, target),
+        "random": lambda s: wv.random_downsample(s, target, seed=42),
+        "wavelet_threshold": lambda s: wv.wavelet_threshold_downsample(s, target),
+        "wavelet_engine": lambda s: wv.downsample_points(s[None, :])[0],
+        # PIP excluded: O(n * target) per window is the reference's known
+        # quadratic-cost outlier (SURVEY B8); covered by unit tests instead
+    }
+
+    def _win(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()), "method": pa.array([], pa.string()),
+                 "n_windows": pa.array([], pa.int64()), "sum_mse": pa.array([], pa.float64()),
+                 "sum_kept": pa.array([], pa.int64())}
+            )
+        order = pc.sort_indices(t["bucket"])
+        buckets = t["bucket"].take(order).to_numpy(zero_copy_only=False)
+        vals = t["sum_tok"].take(order).to_numpy(zero_copy_only=False)
+        full, series, _ = gapfill_series(buckets, vals, cfg.gapfill_method)
+        rows = []
+        src = t["source"][0].as_py()
+        if len(series) >= cfg.min_wavelet_len:
+            for name, fn in methods.items():
+                res = fn(series)
+                idx, kept_vals = (res[0], res[1]) if isinstance(res, tuple) else res
+                rec = wv.reconstruct_signal(np.asarray(idx), np.asarray(kept_vals), series)
+                m = wv.compute_metrics(series, rec)
+                rows.append((src, name, 1, m["mse"], len(idx)))
+        return pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["source", "method", "n_windows", "sum_mse", "sum_kept"]),
+            preserve_index=False,
+        )
+
+    per_window = map_key_groups(
+        _rolled_events(sf_dir).map_batches(
+            lambda t: add_window(t, cfg.window_len), batch_format="pyarrow"
+        ),
+        ["source", "window_id"],
+        _win,
+    )
+    from ray.data.aggregate import Sum
+
+    agg = per_window.groupby(["source", "method"]).aggregate(
+        Sum("n_windows", alias_name="n_windows"),
+        Sum("sum_mse", alias_name="sum_mse"),
+        Sum("sum_kept", alias_name="sum_kept"),
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        nw = pc.cast(t["n_windows"], pa.float64())
+        return pa.table(
+            {
+                "source": t["source"],
+                "method": t["method"],
+                "n_windows": t["n_windows"],
+                "mean_mse": pc.round(pc.divide(t["sum_mse"], nw), ndigits=4),
+                "mean_kept": pc.round(pc.divide(pc.cast(t["sum_kept"], pa.float64()), nw), ndigits=2),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
 def q_downsample_lttb(sf_dir: str, target: int = 50):
     """LTTB per source over the 1m series (B5; no SQL equivalent)."""
     from tsrollup.wavelet import lttb_downsample
@@ -633,6 +710,7 @@ QUERIES = {
     "downsample_lttb": q_downsample_lttb,
     "downsample_random": q_downsample_random,
     "reconstruct_error": q_reconstruct_error,
+    "baseline_comparison": q_baseline_comparison,
 }
 
 # training-data operator pipelines (documents / embeddings)

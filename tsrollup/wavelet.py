@@ -221,6 +221,9 @@ def detail_topk(
 
     Returns (values (B,k), indices (B,k) int32).
     """
+    if not 0.0 < retention_rate <= 1.0:
+        # ref Test/downsampling-UnitTest.py:120-133 invalid-retention contract
+        raise ValueError(f"retention_rate must be in (0, 1], got {retention_rate}")
     B, L = cD.shape
     k = int(np.floor(L * retention_rate))
     k = max(0, min(k, L))
