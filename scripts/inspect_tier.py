@@ -1,0 +1,55 @@
+"""Committed-tier inspector — the engine's answer to the reference's Kafka
+console monitor (ref real_time_monitoring.py:42-79): read a tier's rolled and
+points parquet, print per-source summaries, and decode a Gorilla block to
+prove round-trip on the committed bytes. Pure pyarrow/duckdb (no Ray).
+
+    python scripts/inspect_tier.py <out_root> [tier]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow.dataset as pads
+
+from tsrollup import gorilla
+from tsrollup.lineage import load_manifest
+
+
+def main() -> int:
+    out_root = sys.argv[1]
+    tier = sys.argv[2] if len(sys.argv) > 2 else "1m"
+    man = load_manifest(out_root)
+    rec = man["tiers"].get(tier)
+    if not rec:
+        print(f"tier {tier!r} not committed; manifest has {sorted(man['tiers'])}")
+        return 1
+    print(f"tier {tier}: config={rec['config_hash']} input={rec['input_fingerprint']}")
+    for src, info in sorted(rec["lineage"].items()):
+        print(f"  {src}: {json.dumps(info)}")
+
+    pts_dir = os.path.join(out_root, tier, "points")
+    if os.path.isdir(pts_dir):
+        t = pads.dataset(pts_dir, format="parquet", partitioning="hive").to_table()
+        print(f"points: {t.num_rows} windows")
+        if t.num_rows:
+            i = 0
+            blk = t["gorilla"][i].as_py()
+            ts, vals = gorilla.decode(blk)
+            kept = np.asarray(t["kept_idx"][i].as_py())
+            ok = np.array_equal(vals, np.asarray(t["values"][i].as_py()))
+            print(
+                f"sample window: source={t['source'][i].as_py()} start_bucket="
+                f"{t['start_bucket'][i].as_py()} kept={len(kept)}/{t['n_in'][i].as_py()} "
+                f"gorilla={len(blk)}B (raw {16 * len(vals)}B) roundtrip_ok={ok}"
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
