@@ -490,6 +490,67 @@ def q_reconstruct_error(sf_dir: str):
     return agg.map_batches(_final, batch_format="pyarrow")
 
 
+def q_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Event-stream sessionization (the engine's tumbling/session-window shape:
+    partition by key, order by event time inside the group, detect gaps >
+    ``gap_minutes``). Per user: session count + event count."""
+    gap_us = gap_minutes * 60_000_000
+
+    def _sess(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype=np.int64),
+                 "n_sessions": pd.Series(dtype=np.int64),
+                 "n_events": pd.Series(dtype=np.int64)}
+            )
+        df = df.sort_values(["ts", "event_id"])
+        ts = df["ts"].astype("int64").to_numpy()
+        new_session = np.concatenate(([True], np.diff(ts) > gap_us))
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "n_sessions": [int(new_session.sum())],
+                "n_events": [len(df)],
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    return map_key_groups(ds, ["user_id"], _sess, batch_format="pandas")
+
+
+def q_top_tokens(sf_dir: str, k: int = 20):
+    """Corpus vocabulary stats: top-k whitespace tokens by frequency across
+    documents — per-batch partial counts, tiny final combine, deterministic
+    (count desc, token asc) tie-break."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.findall(r"\S+").explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index, "n": vc.to_numpy().astype(np.int64)})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    counts = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
+    return counts.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def q_dedup_clusters(sf_dir: str, threshold: float = 0.5):
+    """Near-duplicate clusters: MinHash-LSH verified pairs -> union-find ->
+    (doc_id, cluster_root) for every doc in a cluster (rows-only; the
+    candidate graph is tiny relative to the corpus by construction)."""
+    from tsrollup.functions.dedup import connected_components
+    from tsrollup.pipelines.docqueries import q_dedup_minhash
+
+    pairs = q_dedup_minhash(sf_dir, threshold)
+    cc = connected_components(pairs)
+    out = pd.DataFrame(
+        {"doc_id": list(cc), "cluster": [cc[d] for d in cc]}
+    ).sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": np.int64, "cluster": np.int64})
+
+
 def q_baseline_comparison(sf_dir: str, target: int = 40):
     """The reference's evaluation harness recast (ref new_evaluation.py:296-327):
     every baseline downsampler + the wavelet engine run per (source, window),
@@ -688,6 +749,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1 ORDER BY 1
     """,
+    "sessionize": """
+        WITH o AS (
+            SELECT user_id, ts, event_id,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events),
+        m AS (SELECT user_id,
+                     CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM o)
+        SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        FROM m GROUP BY 1 ORDER BY 1
+    """,
+    "top_tokens": r"""
+        WITH toks AS (
+            SELECT UNNEST(regexp_extract_all(text, '\S+')) AS token FROM documents)
+        SELECT token, COUNT(*) AS n FROM toks GROUP BY 1
+        ORDER BY n DESC, token ASC LIMIT 20
+    """,
 }
 
 QUERIES = {
@@ -711,6 +790,9 @@ QUERIES = {
     "downsample_random": q_downsample_random,
     "reconstruct_error": q_reconstruct_error,
     "baseline_comparison": q_baseline_comparison,
+    "sessionize": q_sessionize,
+    "top_tokens": q_top_tokens,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 # training-data operator pipelines (documents / embeddings)
