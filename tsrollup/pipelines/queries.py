@@ -490,6 +490,59 @@ def q_reconstruct_error(sf_dir: str):
     return agg.map_batches(_final, batch_format="pyarrow")
 
 
+def q_quantiles(sf_dir: str):
+    """EXACT distributed percentiles via a mergeable bounded-domain histogram
+    (the engine's 'sketch' aggregate): per batch, (source, cents, count)
+    partials — at most |distinct cents| rows per batch regardless of row
+    count — combined by sum, then quantiles read off the cumulative histogram
+    per source. Exact because the value domain is integral and bounded; the
+    same shape carries any mergeable sketch (HLL/KLL) at 100 TB.
+
+    Quantile convention matches DuckDB's ``quantile_disc``:
+    sorted[ceil(q * n) - 1]."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        d = _derive_events(t)
+        df = pd.DataFrame(
+            {
+                "source": d["source"].to_numpy(zero_copy_only=False),
+                "cents": d["n_tok"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["source", "cents"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        _events(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _q(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object),
+                 **{c: pd.Series(dtype=np.int64) for c in ("n_rows", "p50", "p90", "p99")}}
+            )
+        df = df.sort_values("cents")
+        counts = df["n"].to_numpy()
+        vals = df["cents"].to_numpy()
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        out = {"source": df["source"].iloc[0], "n_rows": n}
+        for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            rank = max(1, int(np.ceil(q * n)))
+            out[name] = int(vals[np.searchsorted(cum, rank)])
+        return pd.DataFrame([out])
+
+    return map_key_groups(hist, ["source"], _q, batch_format="pandas")
+
+
 def q_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Event-stream sessionization (the engine's tumbling/session-window shape:
     partition by key, order by event time inside the group, detect gaps >
@@ -767,6 +820,13 @@ ORACLE_SQL: dict[str, str] = {
         SELECT token, COUNT(*) AS n FROM toks GROUP BY 1
         ORDER BY n DESC, token ASC LIMIT 20
     """,
+    "quantiles": """
+        SELECT event_type AS source, COUNT(*) AS n_rows,
+               CAST(quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.5) AS BIGINT) AS p50,
+               CAST(quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.9) AS BIGINT) AS p90,
+               CAST(quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.99) AS BIGINT) AS p99
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
 }
 
 QUERIES = {
@@ -793,6 +853,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "top_tokens": q_top_tokens,
     "dedup_clusters": q_dedup_clusters,
+    "quantiles": q_quantiles,
 }
 
 # training-data operator pipelines (documents / embeddings)
