@@ -28,9 +28,9 @@ import ray.data
 
 from tsrollup import lineage as lin
 from tsrollup.config import TIER_FACTORS, RollupConfig
-from tsrollup.ingest import QUARANTINE_SOURCE, derive_batch, read_input
-from tsrollup.rollup import cascade_tier, rollup_1m
-from tsrollup.stages import add_window, gapfill_group, gorilla_encode_batch, make_wavelet_stage
+from tsrollup.ingest import QUARANTINE_SOURCE
+from tsrollup.rollup import cascade_tier
+from tsrollup.stages import add_window, make_wavelet_stage
 
 
 def build_windows(
