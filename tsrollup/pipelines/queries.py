@@ -114,6 +114,37 @@ def q_gapfill_1m_ffill(sf_dir: str):
     return map_key_groups(_rolled_events(sf_dir), ["source"], _fill)
 
 
+def q_gapfill_1m_linear(sf_dir: str):
+    """Linear-interpolation gap-fill (the engine DEFAULT, the reference's
+    reconstruction semantics new_evaluation.py:185-198) over each source's
+    full 1m span; values rounded to 6dp on both sides."""
+
+    def _fill(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()), "bucket": pa.array([], pa.int64()),
+                 "filled": pa.array([], pa.bool_()), "sum_cents": pa.array([], pa.float64())}
+            )
+        order = pc.sort_indices(t["bucket"])
+        buckets = t["bucket"].take(order).to_numpy(zero_copy_only=False)
+        vals = t["sum_tok"].take(order).to_numpy(zero_copy_only=False)
+        full, filled_vals, filled = gapfill_series(buckets, vals, "linear")
+        n = len(full)
+        # half-up rounding (DuckDB ROUND semantics): interpolated integer-cent
+        # series land EXACTLY on .5 ties, where numpy's banker's rounding differs
+        rounded = np.floor(filled_vals * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "source": pa.array([t["source"][0].as_py()] * n),
+                "bucket": pa.array(full),
+                "filled": pa.array(filled),
+                "sum_cents": pa.array(rounded),
+            }
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _fill)
+
+
 def q_downsample_uniform(sf_dir: str, target: int = 50):
     """Strided pick of each source's 1m series (B1 semantics,
     ref new_evaluation.py:66-72: step = n // target, first `target` strides)."""
@@ -732,6 +763,29 @@ ORACLE_SQL: dict[str, str] = {
         FROM grid g LEFT JOIN r ON r.source = g.source AND r.bucket = g.bucket
         ORDER BY 1, 2
     """,
+    "gapfill_1m_linear": f"""
+        WITH r AS ({_ROLLUP_SQL_BODY}),
+        spans AS (SELECT source, MIN(bucket) lo, MAX(bucket) hi FROM r GROUP BY source),
+        grid AS (SELECT source, UNNEST(generate_series(lo, hi)) AS bucket FROM spans),
+        j AS (SELECT g.source, g.bucket, CAST(r.sum_cents AS DOUBLE) AS v
+              FROM grid g LEFT JOIN r ON r.source = g.source AND r.bucket = g.bucket),
+        w AS (SELECT source, bucket, v,
+                LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY source ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                LAST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                    OVER (PARTITION BY source ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+                FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY source ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                    OVER (PARTITION BY source ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+              FROM j)
+        SELECT source, bucket, v IS NULL AS filled,
+               ROUND(CASE WHEN v IS NOT NULL THEN v
+                          ELSE pv + (nv - pv) * (bucket - pb) / (nb - pb) END, 6) AS sum_cents
+        FROM w ORDER BY 1, 2
+    """,
     "downsample_uniform": f"""
         WITH r AS ({_ROLLUP_SQL_BODY}),
         o AS (SELECT source, bucket, sum_cents,
@@ -834,6 +888,7 @@ QUERIES = {
     "rollup_1h": q_rollup_1h,
     "rollup_1d": q_rollup_1d,
     "gapfill_1m_ffill": q_gapfill_1m_ffill,
+    "gapfill_1m_linear": q_gapfill_1m_linear,
     "downsample_uniform": q_downsample_uniform,
     "downsample_minmax": q_downsample_minmax,
     "downsample_avgpool": q_downsample_avgpool,
