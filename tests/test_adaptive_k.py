@@ -75,3 +75,63 @@ def test_oracle_pipeline_with_adaptive_config():
     for r in pts.itertuples(index=False):
         kept = np.asarray(r.kept_idx)
         assert (np.diff(kept) > 0).all() if len(kept) > 1 else True
+
+
+def test_adaptive_k_exact_cut_semantics():
+    """Round-2 regression (ADVICE wavelet.py:207): k must equal the count of
+    cumulative importances <= target (ref downsampling_algorithm3
+    ``sum(cumulative_importance <= target)`` — no inclusive +1), floored at
+    round(L * min_retention_rate)."""
+    # importances 4,3,2,1 -> normalized cum = .4, .7, .9, 1.0
+    cD = np.array([[4.0, 3.0, 2.0, 1.0]])
+    for target, exp_k in ((0.39, 1), (0.4, 1), (0.7, 2), (0.95, 3), (1.0, 4)):
+        _, idx = wv.detail_adaptive_k(
+            cD, target_cumulative_importance=target, min_retention_rate=0.25
+        )[0]
+        assert len(idx) == exp_k, (target, len(idx))
+    # floor uses round (banker's), not floor: L=4, rate 0.4 -> round(1.6) = 2
+    _, idx = wv.detail_adaptive_k(
+        cD, target_cumulative_importance=0.01, min_retention_rate=0.4
+    )[0]
+    assert len(idx) == 2
+
+
+def test_mlp_scorer_loads_weights_and_is_deterministic():
+    """K4/K6/M8: the learned-scorer option — fixed weights from the shipped
+    file, batch-invariant scoring, usable by both selectors."""
+    rng = np.random.default_rng(3)
+    cD = rng.standard_normal((6, 64))
+    s = wv.get_scorer("mlp")
+    imp = s(cD)
+    assert imp.shape == cD.shape and (imp > 0).all()
+    # row-independent: scoring rows separately matches the batch
+    for b in range(6):
+        np.testing.assert_allclose(s(cD[b : b + 1])[0], imp[b], rtol=0, atol=0)
+    # selectable end-to-end
+    _, idx = wv.detail_topk(cD, 0.5, scorer="mlp")
+    assert idx.shape == (6, 32)
+    out = wv.detail_adaptive_k(cD, scorer="mlp")
+    assert len(out) == 6
+
+
+def test_multilevel_wavedec():
+    """dwt_level > 1 follows the reference's wavedec semantics: iterate the
+    level-1 DWT on cA; coeff_len composes the per-level rule."""
+    x = np.random.default_rng(5).standard_normal((3, 200))
+    cA1, cD1 = wv.wavedec_cAcD(x, "db4", "symmetric", 1)
+    a, d = wv.dwt1(x, "db4", "symmetric")
+    np.testing.assert_array_equal(cA1, a)
+    np.testing.assert_array_equal(cD1, d)
+    cA2, cD2 = wv.wavedec_cAcD(x, "db4", "symmetric", 2)
+    a2, d2 = wv.dwt1(cA1, "db4", "symmetric")
+    np.testing.assert_array_equal(cA2, a2)
+    np.testing.assert_array_equal(cD2, d2)
+    assert cA2.shape[1] == wv.coeff_len(200, "db4", "symmetric", 2) == 55
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        wv.wavedec_cAcD(x, "db4", "symmetric", 0)
+    from tsrollup.config import RollupConfig
+
+    with _pt.raises(ValueError):
+        RollupConfig(dwt_level=0)

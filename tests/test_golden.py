@@ -133,8 +133,10 @@ def test_quarantine_counts(ray_session, tiny_table, tmp_path):
         {"gapfill_method": "zero"},
         {"wavelet": "haar"},
         {"detail_selector": "adaptive"},
+        {"dwt_level": 2},
+        {"scorer": "mlp"},
     ],
-    ids=["ffill", "zero", "haar", "adaptive"],
+    ids=["ffill", "zero", "haar", "adaptive", "level2", "mlp-scorer"],
 )
 def test_config_variants_match_oracle(ray_session, tiny_input_dir, tiny_table, tmp_path, cfg_kwargs):
     """Engine == oracle bit-for-bit under alternate configurations (1m only)."""

@@ -125,3 +125,38 @@ def test_config_from_yaml(tmp_path):
 
     with _pt.raises(ValueError):
         RollupConfig.from_yaml(str(y))
+
+
+def test_retention_on_cascaded_tiers_matches_oracle(ray_session, tmp_path):
+    """Round-2 regression (ADVICE job.py:108): retention horizons on 1h/1d must
+    compute the cutoff from the 1m-unit 'now', not the tier's own bucket units.
+    The engine must equal oracle.apply_retention on every tier, and the 1h/1d
+    horizons must actually prune (a 3-day span makes that non-vacuous)."""
+    import pyarrow.parquet as pq
+
+    from tsrollup.config import TIER_FACTORS
+    from tsrollup.synth import synth_table
+
+    t = synth_table(seed=7, n_sources=2, base_span=86400 * 2 + 7200)
+    d = tmp_path / "in"
+    d.mkdir()
+    pq.write_table(t, str(d / "a.parquet"))
+    cfg = RollupConfig(
+        out_root=str(tmp_path / "out"),
+        retention_buckets={"1m": 600, "1h": 1500, "1d": 1300},
+    )
+    job.run(str(d), cfg)
+    golden = oracle.pipeline(t, cfg)
+    now_1m = int(golden["rolled_1m"]["bucket"].max())
+    for tier in ("1m", "1h", "1d"):
+        got = _rolled(cfg.out_root, tier)
+        exp = golden[f"rolled_{tier}"].reset_index(drop=True)
+        for c in exp.columns:
+            got[c] = got[c].astype(exp[c].dtype)
+        pd.testing.assert_frame_equal(got, exp, obj=tier)
+        full = job.read_tier(cfg.out_root, tier, "rolled_full").to_pandas()
+        full = full[full.source != "__quarantine__"]
+        if tier in ("1m", "1h", "1d"):
+            assert len(got) < len(full), f"{tier}: horizon pruned nothing"
+        cutoff = (now_1m - cfg.retention_buckets[tier]) // TIER_FACTORS[tier]
+        assert got["bucket"].min() >= cutoff, tier

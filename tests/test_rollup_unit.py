@@ -164,3 +164,60 @@ def test_fused_ingest_equals_unfused(ray_session, tiny_input_dir):
         .to_pandas().sort_values(["source", "bucket"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(fused, unfused)
+
+
+def test_negative_bucket_groups_stay_distinct():
+    """Round-2 regression (ADVICE rollup.py:73): the quarantine sentinel
+    bucket=-1 must not merge distinct sources' groups — the composite key
+    masks the bucket into the low 40 bits instead of OR-ing -1 (all bits)."""
+    t = pa.table(
+        {
+            "source": pa.array(["a", "b", "a", "b"]),
+            "bucket": pa.array([-1, -1, 5, 5], type=pa.int64()),
+            "n_tok": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "chk": pa.array([0, 0, 0, 0], type=pa.int64()),
+        }
+    )
+    got = partial_rollup(t).to_pandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+    assert len(got) == 4  # (a,-1) (a,5) (b,-1) (b,5) — no key collapse
+    assert got.loc[(got.source == "a") & (got.bucket == -1), "sum_tok"].item() == 1
+    assert got.loc[(got.source == "b") & (got.bucket == -1), "sum_tok"].item() == 2
+
+
+def test_out_of_range_bucket_raises():
+    import pytest
+
+    from tsrollup.rollup import _BUCKET_MASK
+
+    for bad in (-2, int(_BUCKET_MASK)):
+        t = pa.table(
+            {
+                "source": pa.array(["a"]),
+                "bucket": pa.array([bad], type=pa.int64()),
+                "n_tok": pa.array([1], type=pa.int64()),
+                "chk": pa.array([0], type=pa.int64()),
+            }
+        )
+        with pytest.raises(ValueError, match="bucket out of range"):
+            partial_rollup(t)
+
+
+def test_window_count_guard_detects_split():
+    """Round-2 regression (ADVICE rollup.py:210): a block cut mid-window must
+    raise, not silently gap-fill two partial windows."""
+    import pytest
+
+    from tsrollup.rollup import check_window_counts, with_window_counts
+
+    t = pa.table(
+        {
+            "source": pa.array(["a"] * 6 + ["b"] * 2),
+            "bucket": pa.array([0, 1, 2, 10, 11, 12, 3, 4], type=pa.int64()),
+        }
+    )
+    stamped = with_window_counts(t, 10)  # windows: a/0 (3 rows), a/1 (3), b/0 (2)
+    wid = stamped["bucket"].to_numpy() // 10
+    check_window_counts(stamped, wid)  # complete block passes
+    cut = stamped.slice(0, 5)  # cuts a/1 mid-window
+    with pytest.raises(RuntimeError, match="split across blocks"):
+        check_window_counts(cut, cut["bucket"].to_numpy() // 10)

@@ -3,8 +3,8 @@
 The reference hard-codes its knobs per entry point (reference ``main.py:98-112``);
 the engine exposes the same surface — wavelet family / level / mode, retention
 rate, approx pooling factor (reference ``core/downsampling_algorithm2.py:245-257``)
-— plus the Ray-native knobs (batch sizes, actor-pool concurrency, salt buckets,
-tier retention) as one dataclass, loadable from YAML/CLI for ``ray job submit``.
+— plus the Ray-native knobs (batch sizes, actor-pool concurrency, tier
+retention) as one dataclass, loadable from YAML/CLI for ``ray job submit``.
 """
 
 from __future__ import annotations
@@ -53,10 +53,19 @@ class RollupConfig:
     batch_size: int = 65536            # rows per map_batches call (ingest/partial)
     window_batch_size: int = 512       # window-rows per wavelet-stage batch
     wavelet_concurrency: int | None = None   # actor pool size; None = task pool
-    salt_buckets: int = 16             # sub-splits for hot (source, window) groups
+    # (a salt_buckets knob existed in round 1 but was never read — the
+    #  partial-combine design makes per-key salting unnecessary; removed.)
 
     # --- paths ---
     out_root: str = "/tmp/tsrollup_out"
+
+    def __post_init__(self) -> None:
+        if self.dwt_level < 1:
+            raise ValueError(f"dwt_level must be >= 1, got {self.dwt_level}")
+        if self.gapfill_method not in ("linear", "ffill", "zero"):
+            raise ValueError(f"unknown gapfill_method {self.gapfill_method!r}")
+        if self.detail_selector not in ("topk", "adaptive"):
+            raise ValueError(f"unknown detail_selector {self.detail_selector!r}")
 
     def config_hash(self, tier: str | None = None) -> str:
         """Stable hash of the semantic knobs — stamped into lineage records.

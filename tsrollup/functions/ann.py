@@ -56,17 +56,22 @@ class BruteForceTopK:
     def __call__(self, t: pa.Table) -> pa.Table:
         m = normalize_rows(stack_embeddings(t))  # (n, d)
         vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        scores = m @ self.q.T  # (n, nq)
+        # round BEFORE the per-batch cut and select with the same
+        # (score desc, vec_id asc) tie-break as rerank_topk / the SQL oracle:
+        # an argpartition on raw float32 scores could drop a candidate tied at
+        # the k-th ROUNDED score that wins the global tie-break.
+        scores = np.round((m @ self.q.T).astype(np.float64), self.round_dp)  # (n, nq)
         k = min(self.k, scores.shape[0])
-        top = np.argpartition(-scores, k - 1, axis=0)[:k]  # (k, nq)
         nq = self.q.shape[0]
         qid = np.repeat(np.arange(nq, dtype=np.int64), k)
-        rows = top.T.reshape(-1)
+        rows = np.concatenate(
+            [np.lexsort((vec_ids, -scores[:, qi]))[:k] for qi in range(nq)]
+        )
         return pa.table(
             {
                 "query_id": pa.array(qid),
                 "vec_id": pa.array(vec_ids[rows]),
-                "score": pa.array(np.round(scores[rows, qid].astype(np.float64), self.round_dp)),
+                "score": pa.array(scores[rows, qid]),
             }
         )
 

@@ -93,26 +93,69 @@ def _read_rolled(path: str) -> ray.data.Dataset:
     return ray.data.read_parquet(path)
 
 
-def _now_bucket(rolled_dir: str) -> int:
+def _drop_wn(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Strip the internal window-count guard column before publishing."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["__wn"]) if "__wn" in t.column_names else t
+
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=None)
+
+
+def _max_bucket(rolled_dir: str) -> int:
     ds = pads.dataset(rolled_dir, format="parquet", partitioning="hive")
+    if "bucket" not in ds.schema.names:  # empty tier from an empty input
+        return 0
     t = ds.to_table(columns=["bucket"])
     if t.num_rows == 0:
         return 0
     return int(pc.max(t["bucket"]).as_py())
 
 
-def _retention_filter(ds: ray.data.Dataset, tier: str, cfg: RollupConfig, now_bucket: int) -> ray.data.Dataset:
+def _committed_now_1m(out_root: str, tier: str) -> int:
+    """now-horizon (in 1m-bucket units) recovered from a committed tier: max
+    bucket of its FULL (pre-retention) rolled data, converted by the tier's
+    factor. Retention prunes only old buckets, so the published tier's max
+    equals the full tier's max."""
+    path = os.path.join(out_root, tier, "rolled_full")
+    if not os.path.isdir(path):
+        path = lin.tier_path(out_root, tier, "rolled")
+    return _max_bucket(path) * TIER_FACTORS[tier]
+
+
+def _retention_filter(
+    ds: ray.data.Dataset, tier: str, cfg: RollupConfig, now_1m: int
+) -> ray.data.Dataset:
+    """Drop buckets older than the tier's horizon. ``now_1m`` is the newest
+    bucket in 1m units (the finest tier's max — the oracle's convention,
+    oracle.apply_retention); the cutoff converts ONCE into tier units.
+    Computing 'now' from the current tier's own (already tier-unit) buckets
+    and dividing again was the round-1 bug: a 1h tier would subtract a
+    1m-unit horizon from an 1h-unit timestamp and keep ~everything."""
     keep = cfg.retention_buckets.get(tier)
     if keep is None:
         return ds
-    cutoff = (now_bucket - keep) // TIER_FACTORS[tier]
+    cutoff = (now_1m - keep) // TIER_FACTORS[tier]
+    L = cfg.window_len
 
     def _f(t: pa.Table) -> pa.Table:
-        return t.filter(
+        has_wn = "__wn" in t.column_names
+        if has_wn:
+            from tsrollup.rollup import check_window_counts, with_window_counts
+
+            check_window_counts(t, t["bucket"].to_numpy(zero_copy_only=False) // L)
+        t = t.filter(
             pc.or_(pc.greater_equal(t["bucket"], cutoff), pc.equal(t["source"], QUARANTINE_SOURCE))
         )
+        if has_wn:
+            # groups shrank at the cutoff boundary: restamp from this block
+            # (valid — the input block was verified to hold whole windows)
+            t = with_window_counts(t, L)
+        return t
 
-    return ds.map_batches(_f, batch_format="pyarrow")
+    # batch_size=None: whole blocks, so the window-completeness check above
+    # sees the same block boundaries the gap-fill stage will
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=None)
 
 
 def run(
@@ -140,6 +183,7 @@ def run(
     staged: dict[str, dict] = {}
     retained_ds: dict = {}
     prev_tier: str | None = None
+    now_1m: int | None = None  # newest bucket in 1m units (finest tier's max)
     for tier in cfg.tiers:
         if lin.tier_committed(out_root, tier, cfg, fingerprint) and resume:
             results[tier] = {
@@ -174,17 +218,20 @@ def run(
             ).materialize()
 
         stage_full = lin.staging_dir(out_root, tier, "rolled_full")
-        rolled.write_parquet(stage_full, partition_cols=["source"])
+        _drop_wn(rolled).write_parquet(stage_full, partition_cols=["source"])
+        if tier == cfg.tiers[0]:
+            now_1m = _max_bucket(stage_full) * TIER_FACTORS[tier]
 
         if cfg.retention_buckets.get(tier) is None:
             # no horizon: published tier == full tier; skip the filtered rewrite
             stage_rolled = stage_full
             retained = rolled
         else:
-            now_bucket = _now_bucket(stage_full)
-            retained = _retention_filter(rolled, tier, cfg, now_bucket).materialize()
+            if now_1m is None:  # finest tier was resumed from its commit
+                now_1m = _committed_now_1m(out_root, cfg.tiers[0])
+            retained = _retention_filter(rolled, tier, cfg, now_1m).materialize()
             stage_rolled = lin.staging_dir(out_root, tier, "rolled")
-            retained.write_parquet(stage_rolled, partition_cols=["source"])
+            _drop_wn(retained).write_parquet(stage_rolled, partition_cols=["source"])
 
         staged[tier] = {"rolled": stage_rolled}
         if stage_rolled != stage_full:

@@ -138,6 +138,7 @@ def downsample_windows(windows: pd.DataFrame, tier: str, cfg: RollupConfig) -> p
                 x[None, :], cfg.wavelet, cfg.mode, cfg.retention_rate, cfg.approx_ds_factor,
                 cfg.detail_selector, cfg.scorer,
                 cfg.target_cumulative_importance, cfg.min_retention_rate,
+                level=cfg.dwt_level,
             )
         ts = r.start_bucket + kept.astype(np.int64)
         rows.append(

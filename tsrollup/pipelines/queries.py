@@ -33,9 +33,13 @@ def _events(sf_dir: str, columns=("ts", "event_type", "value")) -> ray.data.Data
 
 
 def _derive_events(t: pa.Table) -> pa.Table:
-    """events rows -> (source, bucket, n_tok=cents, chk=0) for the rollup path."""
-    ts_us = t["ts"].cast(pa.int64())
-    bucket = pc.divide(ts_us, 60_000_000)
+    """events rows -> (source, bucket, n_tok=cents, chk=0) for the rollup path.
+
+    Bucket uses numpy FLOOR division (pre-1970 timestamps stay well-defined);
+    the rollup's composite key validates bucket range, so an out-of-range
+    event time errors loudly instead of corrupting groups."""
+    ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    bucket = pa.array(ts_us // 60_000_000)
     cents = pc.cast(pc.floor(pc.multiply(t["value"], 100.0)), pa.int64())
     return pa.table(
         {
@@ -203,10 +207,11 @@ def q_downsample_avgpool(sf_dir: str, window: int = 10):
     # rolled 1m rows re-enter the rollup machinery as the "input": the pooled
     # n_rows then counts 1m BUCKETS per window (not underlying events)
     def _rekey(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "source": t["source"],
-                "bucket": pc.divide(t["bucket"], pa.scalar(window, pa.int64())),
+                "bucket": pa.array(b // window),  # floor division (DuckDB //)
                 "n_tok": t["sum_tok"],
                 "chk": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
             }

@@ -44,6 +44,27 @@ PARTIAL_SCHEMA = pa.schema(
     ]
 )
 
+# buckets occupy the low 40 bits of the composite group key; the quarantine
+# sentinel (-1) masks to 2**40 - 1, so real buckets must stay strictly below
+# that to avoid colliding with it.
+_BUCKET_BITS = 40
+_BUCKET_MASK = np.int64((1 << _BUCKET_BITS) - 1)
+
+
+def _check_bucket_range(bucket: np.ndarray) -> None:
+    """Valid buckets are -1 (quarantine sentinel) or [0, 2**40 - 2]: minutes
+    since epoch fit in well under 40 bits for any realistic date. OR-ing an
+    unmasked negative bucket into the composite key would collapse every
+    (source, bucket) group into one row — so reject out-of-range loudly."""
+    if len(bucket) == 0:
+        return
+    lo, hi = int(bucket.min()), int(bucket.max())
+    if lo < -1 or hi >= int(_BUCKET_MASK):
+        raise ValueError(
+            f"bucket out of range [{lo}, {hi}]: must be -1 (quarantine) or in "
+            f"[0, 2**{_BUCKET_BITS} - 2]; check event-time derivation"
+        )
+
 
 def _split_chk(chk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Split wrapping-int64 checksums into non-negative 32-bit halves whose
@@ -68,9 +89,10 @@ def _group_reduce(
     """Vectorized grouped reduce over one in-memory batch: stable sort by
     (source, bucket), then ``np.*.reduceat`` per segment. No Python row loop."""
     src_codes, src_uniques = pd_factorize(source)
-    # composite key: source code in high bits, bucket (minutes since epoch,
-    # < 2^36 for any realistic date) in low bits
-    key = (src_codes.astype(np.int64) << np.int64(40)) | bucket
+    # composite key: source code in high bits, bucket masked into the low 40
+    # bits (range-validated: -1 maps to 2**40-1 without touching other groups)
+    _check_bucket_range(bucket)
+    key = (src_codes.astype(np.int64) << np.int64(_BUCKET_BITS)) | (bucket & _BUCKET_MASK)
     order = np.argsort(key, kind="stable")
     key_s = key[order]
     seg = np.flatnonzero(np.concatenate(([True], key_s[1:] != key_s[:-1])))
@@ -194,26 +216,78 @@ def final_rollup(
         L = int(co_partition_window_len)
 
         def _wkey(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+            # FLOOR division (numpy), not pc.divide: Arrow integer divide
+            # truncates toward zero, so bucket=-1 would land in window 0
+            # instead of window -1 and diverge from every other window-id
+            # derivation (numpy / DuckDB floor semantics).
+            b = t["bucket"].to_numpy(zero_copy_only=False)
+            return t.append_column("__wkey", pa.array(b // L))
 
-            return t.append_column("__wkey", pc.divide(t["bucket"], pa.scalar(L, pa.int64())))
-
-        combined = map_key_partitions(
+        # Finalize INSIDE the reduce (one task sees the whole partition) and
+        # stamp each row with its window's row count (__wn). Downstream
+        # block-local consumers (retention filter, gap-fill) validate group
+        # sizes against __wn — turning a silent mid-window block split (Ray's
+        # output buffer slices blocks > 1.5x target_max_block_size at
+        # arbitrary row offsets) into a loud error instead of wrong gap-fill
+        # spans.
+        return map_key_partitions(
             partials.map_batches(_wkey, batch_format="pyarrow"),
             ["source", "__wkey"],
-            lambda t: partial_recombine(t.drop_columns(["__wkey"])),
+            lambda t: with_window_counts(
+                _finalize(partial_recombine(t.drop_columns(["__wkey"]))), L
+            ),
             num_partitions,
         )
-        # NOTE: no cross-partition coalesce here — it would merge blocks but
-        # window-completeness survives concatenation, so coalescing is fine
-        # for correctness; we keep blocks as-is to preserve partition count.
-        return combined.map_batches(_finalize, batch_format="pyarrow")
     combined = map_key_partitions(
         partials, ["source", "bucket"], partial_recombine, num_partitions
     )
     return combined.map_batches(
         _finalize, batch_format="pyarrow", batch_size=FINAL_COALESCE_ROWS
     )
+
+
+# --- window-completeness guard (co-partitioned fast path) -------------------
+
+def window_group_counts(source: np.ndarray, wid: np.ndarray) -> np.ndarray:
+    """Per-row size of the row's (source, window_id) group within this block."""
+    codes, _ = pd_factorize(source)
+    key = (codes.astype(np.int64) << np.int64(_BUCKET_BITS)) | (
+        np.asarray(wid, dtype=np.int64) & _BUCKET_MASK
+    )
+    _, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+    return counts[inv]
+
+
+def with_window_counts(t: pa.Table, window_len: int) -> pa.Table:
+    """Append (or restamp) __wn = rows in this (source, bucket // L) window
+    group."""
+    if "__wn" in t.column_names:
+        t = t.drop_columns(["__wn"])
+    if t.num_rows == 0:
+        return t.append_column("__wn", pa.array([], pa.int32()))
+    source = t["source"].to_numpy(zero_copy_only=False)
+    wid = t["bucket"].to_numpy(zero_copy_only=False) // window_len
+    wn = window_group_counts(source, wid).astype(np.int32)
+    return t.append_column("__wn", pa.array(wn))
+
+
+def check_window_counts(t: pa.Table, wid: np.ndarray) -> None:
+    """Raise if any (source, window) group in this block is smaller than the
+    __wn stamped when the partition was provably complete — i.e. the block was
+    split mid-window somewhere upstream."""
+    if "__wn" not in t.column_names or t.num_rows == 0:
+        return
+    got = window_group_counts(t["source"].to_numpy(zero_copy_only=False), wid)
+    exp = t["__wn"].to_numpy(zero_copy_only=False)
+    if not np.array_equal(got, exp.astype(got.dtype)):
+        bad = int(np.flatnonzero(got != exp)[0])
+        raise RuntimeError(
+            "window group split across blocks (co-partitioned fast path "
+            f"invariant violated): row {bad} expects {int(exp[bad])} rows in "
+            f"its (source, window) group, block holds {int(got[bad])}. "
+            "Raise DataContext.target_max_block_size or lower the partition "
+            "size (shuffle num_partitions) so one partition fits one block."
+        )
 
 
 # The partial-combine stages COALESCE many small upstream blocks into large

@@ -53,9 +53,10 @@ POINTS_SCHEMA = pa.schema(
 
 
 def add_window(t: pa.Table, window_len: int) -> pa.Table:
-    return t.append_column(
-        "window_id", pc.divide(t["bucket"], pa.scalar(window_len, pa.int64()))
-    )
+    # numpy FLOOR division (Arrow pc.divide truncates toward zero and would
+    # disagree with the rollup's window keying on negative buckets)
+    b = t["bucket"].to_numpy(zero_copy_only=False)
+    return t.append_column("window_id", pa.array(b // window_len))
 
 
 def gapfill_group(t: pa.Table, method: str) -> pa.Table:
@@ -100,6 +101,14 @@ def gapfill_block(t: pa.Table, method: str) -> pa.Table:
     if t.num_rows == 0:
         empty = WINDOW_SCHEMA.empty_table()
         return empty.add_column(0, "tier", pa.array([], type=pa.string()))
+    if "__wn" in t.column_names:
+        # co-partitioned fast path: verify every (source, window) group in
+        # this block is complete (see rollup.check_window_counts), then drop
+        # the guard column.
+        from tsrollup.rollup import check_window_counts
+
+        check_window_counts(t, t["window_id"].to_numpy(zero_copy_only=False))
+        t = t.drop_columns(["__wn"])
     t = t.sort_by(
         [("tier", "ascending"), ("source", "ascending"), ("window_id", "ascending"),
          ("bucket", "ascending")]
@@ -165,6 +174,10 @@ class WaveletStage:
         self.encode = encode
         # precompute the filter bank once per actor
         self.filters = wavelet.filter_bank(self.cfg.wavelet)
+        # resolve the scorer once per actor — class-based scorers (e.g. the
+        # "mlp" learned-importance head) load their weight file HERE, not per
+        # batch (the reference's lazy per-process model singleton, ST1)
+        self.scorer = wavelet.get_scorer(self.cfg.scorer)
         self.windows_processed = 0
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -198,6 +211,7 @@ class WaveletStage:
                 mat, cfg.wavelet, cfg.mode, cfg.retention_rate, cfg.approx_ds_factor,
                 cfg.detail_selector, cfg.scorer,
                 cfg.target_cumulative_importance, cfg.min_retention_rate,
+                level=cfg.dwt_level,
             )
             for r, (kept, vals) in zip(rows, results):
                 kept_out[r] = kept

@@ -65,12 +65,30 @@ def filter_bank(wavelet: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.nd
     return dec_lo, dec_hi, rec_lo, rec_hi
 
 
-def coeff_len(n: int, wavelet: str, mode: str = "symmetric") -> int:
-    """len(cA) == len(cD) for a level-1 DWT (ref core/downsampling_algorithm2.py:8-23)."""
+def coeff_len(n: int, wavelet: str, mode: str = "symmetric", level: int = 1) -> int:
+    """len(cA_level) == len(cD_level) (ref core/downsampling_algorithm2.py:8-23;
+    for level > 1 the reference keeps only coeffs[0]/coeffs[1] of wavedec, so
+    the relevant length is the level-fold composition of the level-1 rule)."""
     F = len(_REC_LO[wavelet])
-    if mode == "periodization":
-        return (n + 1) // 2
-    return (n + F - 1) // 2
+    for _ in range(max(1, level)):
+        n = (n + 1) // 2 if mode == "periodization" else (n + F - 1) // 2
+    return n
+
+
+def wavedec_cAcD(
+    x: np.ndarray, wavelet: str = "db4", mode: str = "symmetric", level: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
+    """Level-``level`` decomposition returning (cA_level, cD_level) — the
+    reference's multi-level semantics keep ONLY ``coeffs[0]`` and ``coeffs[1]``
+    of ``pywt.wavedec`` and discard the finer detail levels
+    (ref core/downsampling_algorithm2.py:357-365); iterating the level-1 DWT
+    on cA reproduces pywt.wavedec's cascade exactly."""
+    if level < 1:
+        raise ValueError(f"dwt level must be >= 1, got {level}")
+    cA, cD = dwt1(x, wavelet, mode)
+    for _ in range(level - 1):
+        cA, cD = dwt1(cA, wavelet, mode)
+    return cA, cD
 
 
 def _symmetric_ext_indices(n: int, pad: int) -> np.ndarray:
@@ -170,15 +188,66 @@ def approx_pool(cA: np.ndarray, factor: int) -> tuple[np.ndarray, np.ndarray]:
 # Registered importance scorers — the engine's analog of the reference's
 # swappable detail-selection head (ref core/downsampling_algorithm.py:50,90-100
 # learned Dense scorer vs downsampling_algorithm2.py attention scorer): a
-# deterministic function |cD| -> importance, selected by name in RollupConfig.
+# function cD -> importance selected by name in RollupConfig, OR a class whose
+# instance is the scorer (constructed once per process — weights load in
+# __init__, the ST1 per-worker-once pattern; WaveletStage.__init__ warms it).
 SCORERS: dict = {
     "abs": lambda cD: np.abs(cD),
     "energy": lambda cD: cD * cD,
 }
 
+_SCORER_INSTANCES: dict = {}
+
+
+def get_scorer(name: str):
+    """Resolve a scorer entry; class entries are instantiated once per process
+    (weight files load exactly once per worker)."""
+    fn = SCORERS[name]
+    if isinstance(fn, type):
+        if name not in _SCORER_INSTANCES:
+            _SCORER_INSTANCES[name] = fn()
+        return _SCORER_INSTANCES[name]
+    return fn
+
 
 def register_scorer(name: str, fn) -> None:
     SCORERS[name] = fn
+
+
+class MLPScorer:
+    """K4/K6/M8: the learned-importance-head option — a tiny fixed-weight MLP
+    over local |cD| context features, the engine's deterministic stand-in for
+    the reference's attention/Dense importance scorer
+    (ref core/downsampling_algorithm2.py:26-151, core/downsampling_algorithm.py:50,90-100).
+
+    Weights ship with the repo (``tsrollup/assets/mlp_scorer.npz``) and load
+    ONCE per process in ``__init__`` (per actor via
+    ``stages.WaveletStage.__init__`` -> :func:`get_scorer`). Rows are scored
+    independently, so results are invariant to batching/parallelism."""
+
+    def __init__(self, weights_path: str | None = None):
+        import os
+
+        path = weights_path or os.path.join(
+            os.path.dirname(__file__), "assets", "mlp_scorer.npz"
+        )
+        w = np.load(path)
+        self.w1 = w["w1"].astype(np.float64)  # (4, H)
+        self.b1 = w["b1"].astype(np.float64)
+        self.w2 = w["w2"].astype(np.float64)  # (H, 1)
+        self.b2 = w["b2"].astype(np.float64)
+
+    def __call__(self, cD: np.ndarray) -> np.ndarray:
+        a = np.abs(np.asarray(cD, dtype=np.float64))
+        pad = np.pad(a, ((0, 0), (2, 2)), mode="edge")
+        win = np.lib.stride_tricks.sliding_window_view(pad, 5, axis=1)
+        feats = np.stack([a, a * a, win.mean(-1), win.max(-1)], axis=-1)  # (B, L, 4)
+        h = np.tanh(feats @ self.w1 + self.b1)
+        z = (h @ self.w2 + self.b2)[..., 0]
+        return np.log1p(np.exp(np.clip(z, -30.0, 30.0)))  # softplus: importance > 0
+
+
+SCORERS["mlp"] = MLPScorer
 
 
 def detail_adaptive_k(
@@ -188,14 +257,17 @@ def detail_adaptive_k(
     scorer: str = "abs",
 ) -> list[tuple[np.ndarray, np.ndarray]]:
     """K7 adaptive-k variant (ref core/downsampling_algorithm3.py:146-171):
-    normalize importances to sum 1, keep the largest coefficients whose
-    cumulative importance stays <= target, floored at min_retention_rate.
-    Output is RAGGED -> list of (values, indices) per row (Arrow list columns
-    downstream). Vectorized scoring; per-row cut is a searchsorted."""
+    normalize importances to sum 1, keep k = #{i : cumulative_importance_i <=
+    target} largest coefficients (exactly the reference's
+    ``sum(cumulative_importance <= target)`` — no inclusive +1), clamped to
+    [round(L * min_retention_rate), L] (the reference uses tf.round, i.e.
+    banker's rounding — np.round matches). Output is RAGGED -> list of
+    (values, indices) per row (Arrow list columns downstream). Vectorized
+    scoring; per-row cut is a searchsorted."""
     B, L = cD.shape
-    imp = SCORERS[scorer](cD).astype(np.float64)
+    imp = get_scorer(scorer)(cD).astype(np.float64)
     out = []
-    min_k = max(1, int(np.floor(L * min_retention_rate)))
+    min_k = max(1, int(np.round(L * min_retention_rate)))
     order = np.argsort(-imp, axis=1, kind="stable")
     sorted_imp = np.take_along_axis(imp, order, axis=1)
     totals = sorted_imp.sum(axis=1)
@@ -204,7 +276,8 @@ def detail_adaptive_k(
             k = min_k
         else:
             cum = np.cumsum(sorted_imp[b] / totals[b])
-            k = int(np.searchsorted(cum, target_cumulative_importance, side="right")) + 1
+            # searchsorted(side='right') == count of cum entries <= target
+            k = int(np.searchsorted(cum, target_cumulative_importance, side="right"))
             k = max(min_k, min(k, L))
         sel = np.sort(order[b, :k]).astype(np.int32)
         out.append((cD[b, sel], sel))
@@ -229,7 +302,7 @@ def detail_topk(
     k = max(0, min(k, L))
     if k == 0:
         return np.zeros((B, 0)), np.zeros((B, 0), dtype=np.int32)
-    order = np.argsort(-SCORERS[scorer](cD), axis=1, kind="stable")  # stable => lowest index wins ties
+    order = np.argsort(-get_scorer(scorer)(cD), axis=1, kind="stable")  # stable => lowest index wins ties
     sel = np.sort(order[:, :k], axis=1).astype(np.int32)
     vals = np.take_along_axis(cD, sel, axis=1)
     return vals, sel
@@ -241,6 +314,8 @@ def downsample_coeffs(
     mode: str = "symmetric",
     retention_rate: float = 0.8,
     approx_ds_factor: int = 2,
+    *,
+    level: int = 1,
 ) -> dict:
     """Reference-model-shaped output: combined [pooled-approx ∥ top-k-detail]
     coefficient vector + per-branch kept coefficient indices.
@@ -250,7 +325,7 @@ def downsample_coeffs(
     retention 0.8/factor 2 the combined length is 51 + 82 = 133.
     """
     x = np.atleast_2d(x)
-    cA, cD = dwt1(x, wavelet, mode)
+    cA, cD = wavedec_cAcD(x, wavelet, mode, level)
     a_vals, a_idx = approx_pool(cA, approx_ds_factor)
     d_vals, d_idx = detail_topk(cD, retention_rate)
     return {
@@ -272,6 +347,8 @@ def downsample_points(
     scorer: str = "abs",
     target_cumulative_importance: float = 0.99,
     min_retention_rate: float = 0.1,
+    *,
+    level: int = 1,
 ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Point-space downsampling (the engine's primary tier output).
 
@@ -285,7 +362,7 @@ def downsample_points(
     """
     x = np.atleast_2d(np.asarray(x, dtype=np.float64))
     B, n = x.shape
-    cA, cD = dwt1(x, wavelet, mode)
+    cA, cD = wavedec_cAcD(x, wavelet, mode, level)
     _, a_idx = approx_pool(cA, approx_ds_factor)
     if detail_selector == "adaptive":
         d_idx_list = [
