@@ -248,3 +248,125 @@ def test_ivf_recall_vs_brute_force():
         hits += len(true_top & approx)
         total += 5
     assert hits / total >= 0.5  # coarse quantizer recall on random data
+
+
+# ---------------------------------------------------------------------------
+# round-2: vectorized kernel parity (tokens.py vs the scalar specification)
+# ---------------------------------------------------------------------------
+
+def _parity_corpus():
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(60)] + ["汉字", "naïve", "x!"]
+    docs = [" ".join(rng.choice(vocab, rng.integers(0, 40))) for _ in range(120)]
+    docs += ["", "   ", "one", "one two three", "tab\tsep\nnl lines", docs[0]]
+    return pd.Series(docs)
+
+
+def test_fnv_batch_matches_scalar():
+    from tsrollup.hashing import fnv1a64_batch, fnv1a64_bytes
+
+    arr = ["", "a", "hello", "汉字x", "a longer string with spaces", "\t\n"]
+    got = fnv1a64_batch(arr)
+    exp = np.array([fnv1a64_bytes(s.encode()) for s in arr], dtype=np.uint64)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_token_batch_kernels_match_scalar_spec():
+    from tsrollup.functions import tokens as tk
+
+    s = _parity_corpus()
+    tb = tk.TokenBatch(s)
+    # fingerprint
+    np.testing.assert_array_equal(
+        tk.fingerprint_batch(tb, 8),
+        np.array([text.fingerprint(t) for t in s], dtype=np.uint64),
+    )
+    # simhash
+    np.testing.assert_array_equal(
+        tk.simhash_batch(tb), np.array([dedup.simhash(t) for t in s], dtype=np.uint64)
+    )
+    # minhash signatures + bands
+    sigs = tk.minhash_signatures(tb, 64, 3)
+    bh = tk.lsh_band_hashes(sigs, 16)
+    for i in (0, 3, 120, 121, 122, 125):
+        ref_sig = dedup.minhash_signature(dedup.shingle_hashes(s[i], 3), 64)
+        np.testing.assert_array_equal(sigs[i], ref_sig, err_msg=str(i))
+        np.testing.assert_array_equal(bh[i], dedup.lsh_bands(ref_sig, 16))
+    # token ids
+    ids = tk.token_ids(tb, text.VOCAB)
+    np.testing.assert_array_equal(
+        ids, np.concatenate([text.tokenize_ids(t) for t in s]).astype(np.int32)
+    )
+    # unique shingle sets
+    vals, lens = tk.unique_window_hashes(tb, 3)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    for i in (0, 1, 120, 124, 125):
+        np.testing.assert_array_equal(
+            vals[offs[i] : offs[i + 1]], dedup.shingle_hashes(s[i], 3), err_msg=str(i)
+        )
+
+
+def test_detect_lang_batch_matches_scalar():
+    texts = pd.Series(
+        [
+            "the cat and the dog went to the park",
+            "der Hund und die Katze sind nicht im Haus",
+            "le chat et le chien dans la maison",
+            "el perro y el gato en la casa",
+            "这是一个中文句子，用来测试语言检测功能",
+            "",
+            "   ",
+            "zzz qqq www",
+            "the el le der und and",
+        ]
+    )
+    got = text.detect_lang_batch(texts)
+    exp = np.array([text.detect_lang(t) for t in texts], dtype=object)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_minhash_band_rows_vectorized_matches_rowwise():
+    df = _corpus()
+    got = dedup.minhash_band_rows(df)
+    # row-wise reference via the scalar composition
+    rows = []
+    for i, t in zip(df["doc_id"], df["text"].fillna("")):
+        bh = dedup.lsh_bands(dedup.minhash_signature(dedup.shingle_hashes(t, 3), 64), 16)
+        for bi, h in enumerate(bh):
+            rows.append((i, bi, np.uint64(h).astype(np.int64)))
+    exp = pd.DataFrame(rows, columns=["doc_id", "band_id", "band_hash"]).astype(
+        {"band_id": np.int32}
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_dedup_minhash_distributed_verify(ray_session, tmp_path):
+    """Round-2 (VERDICT #1): the distributed shingle-join verify produces the
+    IDENTICAL verified-pair set as the scalar bands->buckets->jaccard(texts)
+    reference — with no driver-side corpus materialization."""
+    import pyarrow.parquet as pq
+
+    from tsrollup.pipelines.docqueries import q_dedup_minhash
+
+    df = _corpus()
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": df["doc_id"], "text": df["text"]}), str(d / "documents.parquet"))
+    got = q_dedup_minhash(str(d), threshold=0.5).reset_index(drop=True)
+
+    bands = dedup.minhash_band_rows(df)
+    cand = set()
+    for _, g in bands.groupby(["band_id", "band_hash"]):
+        ids = np.sort(g["doc_id"].to_numpy())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((int(ids[i]), int(ids[j])))
+    texts = dict(zip(df["doc_id"], df["text"]))
+    ref = [
+        (a, b, round(dedup.jaccard(texts[a], texts[b]), 6))
+        for a, b in sorted(cand)
+        if round(dedup.jaccard(texts[a], texts[b]), 6) >= 0.5
+    ]
+    exp = pd.DataFrame(ref, columns=["a", "b", "jaccard"]).astype({"a": np.int64, "b": np.int64})
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp)

@@ -9,17 +9,23 @@
 
 Scale notes: every stage is a vectorized ``map_batches`` emit + one
 ``groupby`` on a short hash key — the canonical Ray Data dedup shape. The
-candidate-pair verify joins doc texts back via a driver-broadcast dict only
-when the candidate set is small; at 100 TB the verify stage would instead
-re-shard pairs by doc_id (documented per-operator).
+batch entry points (``minhash_band_rows``, ``simhash_batch``,
+``fingerprint`` via text.py) run on ``tsrollup.functions.tokens`` — batch
+tokenize, distinct-token FNV hashing, segment reduces — and are bit-identical
+to the per-doc scalar functions kept here as the executable specification.
+The candidate-pair verify RE-SHARDS pair ends by doc_id against the corpus'
+shingle rows (pipelines.docqueries.q_dedup_minhash) — no driver-side corpus
+materialization anywhere.
 """
 
 from __future__ import annotations
 
 import re
+from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from tsrollup.hashing import fnv1a64_bytes, mix2, mix64
 
@@ -86,18 +92,22 @@ def lsh_bands(sig: np.ndarray, bands: int = 16) -> np.ndarray:
 def minhash_band_rows(
     df: pd.DataFrame, text_col="text", id_col="doc_id", num_perm=64, bands=16, k=3
 ) -> pd.DataFrame:
-    """Per doc: explode to (band_id, band_hash, doc_id) rows — the LSH shuffle key."""
-    ids, band_ids, band_hashes = [], [], []
-    for i, text in zip(df[id_col], df[text_col].fillna("")):
-        bh = lsh_bands(minhash_signature(shingle_hashes(text, k), num_perm), bands)
-        ids.extend([i] * bands)
-        band_ids.extend(range(bands))
-        band_hashes.extend(bh.tolist())
+    """Per doc: explode to (band_id, band_hash, doc_id) rows — the LSH shuffle
+    key. Batch-vectorized (tokens.TokenBatch: one tokenize pass, distinct
+    tokens hashed once, signatures via segment-min) — bit-identical to the
+    per-doc ``lsh_bands(minhash_signature(shingle_hashes(...)))`` composition,
+    which remains the tested specification."""
+    from tsrollup.functions import tokens as tk
+
+    tb = tk.TokenBatch(df[text_col])
+    sigs = tk.minhash_signatures(tb, num_perm, k)
+    bh = tk.lsh_band_hashes(sigs, bands)  # (n_docs, bands)
+    n = len(df)
     return pd.DataFrame(
         {
-            id_col: ids,
-            "band_id": np.array(band_ids, dtype=np.int32),
-            "band_hash": np.array(band_hashes, dtype=np.uint64).astype(np.int64),
+            id_col: np.repeat(df[id_col].to_numpy(), bands),
+            "band_id": np.tile(np.arange(bands, dtype=np.int32), n),
+            "band_hash": bh.reshape(-1).astype(np.int64),
         }
     )
 
@@ -105,10 +115,49 @@ def minhash_band_rows(
 def candidate_pairs_from_bucket(group: pd.DataFrame, id_col="doc_id") -> pd.DataFrame:
     """Per (band_id, band_hash) bucket: all id pairs (a < b)."""
     ids = np.sort(group[id_col].to_numpy())
-    if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": []})
+    if len(ids) < 2:  # typed empty: object-dtype empties break Arrow conversion
+        return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
     a, b = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[a], "b": ids[b]})
+    return pd.DataFrame({"a": ids[a].astype(np.int64), "b": ids[b].astype(np.int64)})
+
+
+def candidate_pairs_block(
+    t, key_cols: Sequence[str] = ("band_id", "band_hash"), id_col: str = "doc_id"
+) -> "pa.Table":
+    """All (a < b) id pairs per key-group across one hash-partition BLOCK:
+    one sort + segment detection, Python only over the (rare) multi-doc
+    buckets — replaces a per-bucket ``map_groups`` call (per-GROUP Python over
+    10^4-10^6 buckets is the measured groupby trap, see tsrollup.shuffle).
+    Equivalent to ``candidate_pairs_from_bucket`` per group."""
+    import pyarrow as pa
+
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0:
+        return empty
+    t = t.sort_by([(k, "ascending") for k in key_cols] + [(id_col, "ascending")])
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    change = np.zeros(t.num_rows - 1, dtype=bool)
+    for k in key_cols:
+        col = t[k].to_numpy(zero_copy_only=False)
+        change |= col[1:] != col[:-1]
+    starts = np.concatenate(([0], np.flatnonzero(change) + 1, [t.num_rows]))
+    sizes = np.diff(starts)
+    out_a, out_b = [], []
+    for s in np.flatnonzero(sizes >= 2):
+        seg = ids[starts[s] : starts[s + 1]]
+        i, j = np.triu_indices(len(seg), k=1)
+        out_a.append(seg[i])
+        out_b.append(seg[j])
+    if not out_a:
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "b": pa.array(np.concatenate(out_b).astype(np.int64)),
+        }
+    )
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -138,12 +187,19 @@ def simhash(text: str) -> np.uint64:
 
 
 def simhash_batch(df: pd.DataFrame, text_col="text") -> pd.Series:
-    return df[text_col].fillna("").map(simhash).astype("uint64")
+    """Batch-vectorized (bit votes via one segment-reduce over all tokens) —
+    bit-identical to per-doc :func:`simhash`."""
+    from tsrollup.functions import tokens as tk
+
+    sh = tk.simhash_batch(tk.TokenBatch(df[text_col]))
+    return pd.Series(sh, index=df.index, dtype="uint64")
 
 
 def hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    from tsrollup.functions.tokens import popcount64
+
     x = np.bitwise_xor(np.asarray(a, dtype=np.uint64), np.asarray(b, dtype=np.uint64))
-    return np.array([bin(int(v)).count("1") for v in np.ravel(x)]).reshape(np.shape(x))
+    return popcount64(x)
 
 
 def simhash_block_keys(sh: np.uint64, blocks: int = 4) -> list[int]:

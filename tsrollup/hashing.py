@@ -48,22 +48,83 @@ def row_checksum(seq: np.ndarray, n_tok: np.ndarray) -> np.ndarray:
     return mix2(np.asarray(seq, dtype=np.uint64), np.asarray(n_tok, dtype=np.uint64))
 
 
+_FNV_BASIS = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
 def fnv1a64_bytes(data: bytes) -> int:
-    """FNV-1a for occasional scalar string hashing (manifests, config)."""
+    """FNV-1a for occasional scalar string hashing (manifests, config) — the
+    reference semantics the vectorized batch kernels below must match
+    byte-for-byte (parity-tested in tests/test_functions.py)."""
     h = 0xCBF29CE484222325
     for b in data:
         h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
 
 
-def hash_strings(arr) -> np.ndarray:
-    """Vectorized-ish deterministic hash of a string sequence -> uint64.
+def _utf8_buffer(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(bytes uint8, starts int64, lengths int64) of an Arrow string array.
 
-    Uses Python's stable iteration but C-speed bytes hashing via ``zlib.crc32``
-    pairs folded through mix2 would lose entropy; instead fold FNV over a numpy
-    byte view per string. Only used on small/medium batches (dedup keys).
+    Accepts pa.Array / pa.ChunkedArray / any sequence of str. The flat buffer
+    view is zero-copy; everything downstream indexes into it."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, pa.Array):
+        arr = pa.array(list(arr), type=pa.string())
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        arr = arr.cast(pa.string())
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + len(arr) + 1]
+    offs = offs.astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    return data, offs[:-1], offs[1:] - offs[:-1]
+
+
+def fnv1a64_update(
+    state: np.ndarray, buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray
+) -> np.ndarray:
+    """Feed the bytes of string i (``buf[starts[i]:starts[i]+lengths[i]]``)
+    into ``state[i]`` — FNV-1a continued, vectorized ACROSS strings: one numpy
+    pass per byte *position* (strings sorted by length so the active set is a
+    suffix), not one Python call per string. This is what makes batch-wide
+    token/shingle hashing O(max_len) numpy ops instead of O(n_tokens) Python.
     """
-    out = np.empty(len(arr), dtype=np.uint64)
-    for i, s in enumerate(arr):
-        out[i] = fnv1a64_bytes(s.encode() if isinstance(s, str) else bytes(s))
-    return out
+    h = np.array(state, dtype=np.uint64, copy=True)
+    n = len(h)
+    if n == 0:
+        return h
+    order = np.argsort(lengths, kind="stable")
+    sl = np.asarray(lengths, dtype=np.int64)[order]
+    so = np.asarray(starts, dtype=np.int64)[order]
+    maxlen = int(sl[-1]) if n else 0
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            k = int(np.searchsorted(sl, j, side="right"))
+            idx = order[k:]
+            b = buf[so[k:] + j].astype(np.uint64)
+            h[idx] = (h[idx] ^ b) * _FNV_PRIME
+    return h
+
+
+def fnv1a64_update_byte(state: np.ndarray, byte: int) -> np.ndarray:
+    """Feed one literal byte (e.g. the ``' '`` join separator) into every state."""
+    with np.errstate(over="ignore"):
+        return (np.asarray(state, dtype=np.uint64) ^ np.uint64(byte)) * _FNV_PRIME
+
+
+def fnv1a64_batch(strings) -> np.ndarray:
+    """FNV-1a of each string -> uint64 array (vectorized; equals
+    ``fnv1a64_bytes(s.encode())`` per element)."""
+    buf, starts, lengths = _utf8_buffer(strings)
+    h = np.full(len(starts), _FNV_BASIS, dtype=np.uint64)
+    return fnv1a64_update(h, buf, starts, lengths)
+
+
+def hash_strings(arr) -> np.ndarray:
+    """Deterministic FNV-1a hash of a string sequence -> uint64 (vectorized)."""
+    return fnv1a64_batch(arr)

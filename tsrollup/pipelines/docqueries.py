@@ -72,22 +72,29 @@ def q_tokenize(sf_dir: str):
     aren't SQL-expressible); determinism asserted in tests."""
 
     def _f(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].fillna("").map(text.tokenize_ids)
+        from tsrollup.functions import tokens as tk
+
+        tb = tk.TokenBatch(df["text"])
+        ids = tk.token_ids(tb, text.VOCAB)
         # order-sensitive checksum: sum of (position+1) * (token_id+1) mod 2^64
-        chk = toks.map(
-            lambda a: int(
-                (np.arange(1, len(a) + 1, dtype=np.uint64) * (a.astype(np.uint64) + 1)).sum(
-                    dtype=np.uint64
-                ).astype(np.int64)
-            )
-            if len(a)
-            else 0
+        # — one batch-wide multiply + segment-reduce (wrapping uint64, same as
+        # the per-doc sum(dtype=uint64))
+        pos = (
+            np.arange(tb.n_tokens, dtype=np.uint64)
+            - np.repeat(tb.doc_starts[:-1], tb.doc_lens).astype(np.uint64)
+            + np.uint64(1)
         )
+        with np.errstate(over="ignore"):
+            contrib = pos * (ids.astype(np.uint64) + np.uint64(1))
+        chk = np.zeros(len(df), dtype=np.uint64)
+        nz = np.flatnonzero(tb.doc_lens > 0)
+        if len(nz):
+            chk[nz] = np.add.reduceat(contrib, tb.doc_starts[:-1][nz])
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "n_tok": toks.map(len).astype("int64"),
-                "tok_chk": chk.astype("int64"),
+                "n_tok": tb.doc_lens.astype(np.int64),
+                "tok_chk": chk.astype(np.int64),
             }
         )
 
@@ -148,49 +155,192 @@ def q_dedup_exact(sf_dir: str):
     return map_key_groups(ds, ["text_hash"], _keep, batch_format="pandas")
 
 
+_JOIN_SCHEMA = pa.schema(
+    [
+        ("key", pa.int64()),
+        ("a", pa.int64()),
+        ("b", pa.int64()),
+        ("side", pa.int32()),
+        ("sh", pa.list_(pa.int64())),
+    ]
+)
+
+_END_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("side", pa.int32()), ("sh", pa.list_(pa.int64()))]
+)
+
+
+def _shingle_rows(df: pd.DataFrame, k: int = 3) -> pa.Table:
+    """(key=doc_id, sh=sorted unique shingle hashes) rows, join-schema shaped."""
+    from tsrollup.functions import tokens as tk
+
+    n = len(df)
+    if n == 0:
+        return _JOIN_SCHEMA.empty_table()
+    tb = tk.TokenBatch(df["text"])
+    vals, seg_lens = tk.unique_window_hashes(tb, k)
+    offs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(seg_lens, out=offs[1:])
+    sh = pa.ListArray.from_arrays(pa.array(offs), pa.array(vals.view(np.int64)))
+    return pa.table(
+        {
+            "key": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
+            "a": pa.array(np.full(n, -1, np.int64)),
+            "b": pa.array(np.full(n, -1, np.int64)),
+            "side": pa.array(np.full(n, -1, np.int32)),
+            "sh": sh,
+        }
+    )
+
+
+def _pair_ends(t: pa.Table) -> pa.Table:
+    """Each pair (a, b) -> two keyed end rows (key=a, side=0), (key=b, side=1)."""
+    if t.num_rows == 0:
+        return _JOIN_SCHEMA.empty_table()
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    n = len(a)
+    return pa.table(
+        {
+            "key": pa.array(np.concatenate([a, b])),
+            "a": pa.array(np.concatenate([a, a])),
+            "b": pa.array(np.concatenate([b, b])),
+            "side": pa.array(
+                np.concatenate([np.zeros(n, np.int32), np.ones(n, np.int32)])
+            ),
+            "sh": pa.nulls(2 * n, pa.list_(pa.int64())),
+        }
+    )
+
+
+def _attach_shingles(t: pa.Table) -> pa.Table:
+    """One hash partition of doc rows (side=-1, sh set) + pair-end rows:
+    gather each end's shingle set via searchsorted + ListArray.take."""
+    side = t["side"].to_numpy(zero_copy_only=False) if t.num_rows else np.zeros(0, np.int32)
+    is_doc = side == -1
+    ends = np.flatnonzero(~is_doc)
+    if len(ends) == 0:
+        return _END_SCHEMA.empty_table()
+    key = t["key"].to_numpy(zero_copy_only=False)
+    doc_pos = np.flatnonzero(is_doc)
+    doc_keys = key[doc_pos]
+    order = np.argsort(doc_keys)
+    j = np.searchsorted(doc_keys[order], key[ends])
+    ok = (j < len(order)) & (doc_keys[order[np.minimum(j, len(order) - 1)]] == key[ends])
+    ends = ends[ok]
+    src_rows = doc_pos[order[j[ok]]]
+    sh = t["sh"].combine_chunks().take(pa.array(src_rows, type=pa.int64()))
+    picked = t.take(pa.array(ends, type=pa.int64()))
+    return pa.table(
+        {"a": picked["a"], "b": picked["b"], "side": picked["side"], "sh": sh}
+    )
+
+
+def _verify_pairs(t: pa.Table, threshold: float) -> pa.Table:
+    """One hash partition of (a, b, side, sh) rows — both ends of each pair are
+    co-located; exact Jaccard over the unique shingle sets (same value as
+    ``dedup.jaccard(text_a, text_b)``)."""
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    t = t.sort_by([("a", "ascending"), ("b", "ascending"), ("side", "ascending")])
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    side = t["side"].to_numpy(zero_copy_only=False)
+    sh = t["sh"].combine_chunks()
+    flat = np.asarray(sh.flatten()).view(np.uint64)
+    offs = np.asarray(sh.offsets)
+    # one segment per distinct (a, b); duplicate candidate pairs (a pair can
+    # surface in several LSH bands) co-locate here, so this is ALSO the global
+    # pair dedup — no separate exchange needed
+    change = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.concatenate(([0], np.flatnonzero(change) + 1, [t.num_rows]))
+    out_a, out_b, out_j = [], [], []
+    for s in range(len(starts) - 1):
+        lo, hi = starts[s], starts[s + 1]
+        seg_sides = side[lo:hi]
+        i0 = np.flatnonzero(seg_sides == 0)
+        i1 = np.flatnonzero(seg_sides == 1)
+        if len(i0) == 0 or len(i1) == 0:
+            continue  # unmatched end (shouldn't happen after the join)
+        ra, rb = lo + i0[0], lo + i1[0]
+        sa = flat[offs[ra] : offs[ra + 1]]
+        sb = flat[offs[rb] : offs[rb + 1]]
+        if len(sa) and len(sb):
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            jac = inter / (len(sa) + len(sb) - inter)
+        else:
+            jac = 0.0
+        jac = round(jac, 6)
+        if jac >= threshold:
+            out_a.append(a[lo])
+            out_b.append(b[lo])
+            out_j.append(jac)
+    if not out_a:
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(np.array(out_a, np.int64)),
+            "b": pa.array(np.array(out_b, np.int64)),
+            "jaccard": pa.array(np.array(out_j, np.float64)),
+        }
+    )
+
+
 def q_dedup_minhash(sf_dir: str, threshold: float = 0.5):
     """MinHash+LSH near-dup candidates, exact-Jaccard verified (rows-only).
 
-    shingle->minhash->band rows (map_batches) -> groupby(band) -> candidate
-    pairs -> verify with a driver-broadcast text lookup (small corpus here; at
-    scale the verify re-shards pairs by doc_id)."""
-    import ray
+    Fully distributed (round-2: no driver-side corpus materialization):
+    band rows (vectorized MinHash) -> groupby(band bucket) -> candidate pairs
+    -> global pair dedup -> RE-SHARD pair ends by doc_id against the corpus'
+    unique-shingle rows (one hash-partition join; texts never leave the
+    cluster) -> co-locate both ends per pair -> exact Jaccard >= threshold.
+    Only the final verified pair set (tiny by construction) reaches the
+    driver."""
+    from tsrollup.shuffle import map_key_partitions
 
-    texts = _docs(sf_dir, ("doc_id", "text")).to_pandas()
-    lookup_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
-
-    band_rows = _docs(sf_dir, ("doc_id", "text")).map_batches(
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    band_rows = docs.map_batches(
         lambda df: dedup.minhash_band_rows(df), batch_format="pandas"
     )
-    cands = map_key_groups(
-        band_rows, ["band_id", "band_hash"], dedup.candidate_pairs_from_bucket,
-        batch_format="pandas",
+    # pairs per bucket, vectorized per PARTITION (per-bucket map_groups would
+    # pay per-GROUP Python over every distinct band hash)
+    cands = map_key_partitions(
+        band_rows, ["band_id", "band_hash"], dedup.candidate_pairs_block
     )
+    # duplicate pairs (multi-band hits) are deduped inside the verify
+    # partition (same (a, b) key) — no dedicated dedup exchange; drop
+    # block-local duplicates here to cut join traffic cheaply
+    def _local_dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        keep = np.ones(len(order), dtype=bool)
+        aa, bb = a[order], b[order]
+        keep[1:] = (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])
+        return t.take(pa.array(order[keep]))
 
-    class Verify:
-        def __init__(self, ref):
-            import ray as _r
-
-            self.texts = _r.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if not len(df):
-                return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-            df = df.drop_duplicates(["a", "b"])
-            j = [
-                round(dedup.jaccard(self.texts[a], self.texts[b]), 6)
-                for a, b in zip(df["a"], df["b"])
-            ]
-            out = df.assign(jaccard=j)
-            return out[out["jaccard"] >= threshold][["a", "b", "jaccard"]]
-
-    verified = cands.map_batches(
-        Verify, fn_constructor_kwargs={"ref": lookup_ref}, batch_format="pandas",
-        concurrency=(1, 4),
+    ends = cands.map_batches(_local_dedup, batch_format="pyarrow").map_batches(
+        _pair_ends, batch_format="pyarrow"
+    )
+    shingles = docs.map_batches(_shingle_rows, batch_format="pandas")
+    joined = map_key_partitions(shingles.union(ends), ["key"], _attach_shingles)
+    verified = map_key_partitions(
+        joined, ["a", "b"], lambda t: _verify_pairs(t, threshold)
     ).to_pandas()
-    # candidates can surface in multiple bands -> final exact dedup of pairs
-    verified = verified.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
-    return verified.astype({"a": np.int64, "b": np.int64})
+    return (
+        verified.sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype({"a": np.int64, "b": np.int64})
+    )
 
 
 def q_dedup_simhash(sf_dir: str, max_hamming: int = 3):
@@ -199,33 +349,66 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3):
     docs = _docs(sf_dir, ("doc_id", "text"))
 
     def _sim(df: pd.DataFrame) -> pd.DataFrame:
-        sh = dedup.simhash_batch(df)
-        rows = []
-        for d, s in zip(df["doc_id"], sh):
-            for key in dedup.simhash_block_keys(s):
-                rows.append((d, key, np.uint64(s).astype(np.int64)))
-        return pd.DataFrame(rows, columns=["doc_id", "block_key", "simhash"])
+        # vectorized block-key explode (same values as simhash_block_keys)
+        v = dedup.simhash_batch(df).to_numpy()
+        blocks, width = 4, 16
+        mask = np.uint64((1 << width) - 1)
+        keys = np.empty((len(df), blocks), dtype=np.int64)
+        for i in range(blocks):
+            keys[:, i] = ((v >> np.uint64(i * width)) & mask).astype(np.int64) | (i << 48)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(dtype=np.int64), blocks),
+                "block_key": keys.reshape(-1),
+                "simhash": np.repeat(v.astype(np.int64), blocks),
+            }
+        )
 
-    cands = map_key_groups(
+    from tsrollup.shuffle import map_key_partitions
+
+    cands = map_key_partitions(
         docs.map_batches(_sim, batch_format="pandas"), ["block_key"],
-        lambda g: _simhash_pairs(g, max_hamming), batch_format="pandas",
+        lambda t: _simhash_pairs_block(t, max_hamming),
     )
     out = cands.to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
     return out
 
 
-def _simhash_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
-    ids = g["doc_id"].to_numpy()
-    sh = g["simhash"].to_numpy().view(np.uint64)
-    order = np.argsort(ids)
-    ids, sh = ids[order], sh[order]
-    if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": [], "hamming": []})
-    a, b = np.triu_indices(len(ids), k=1)
-    h = dedup.hamming(sh[a], sh[b])
-    keep = h <= max_hamming
-    return pd.DataFrame(
-        {"a": ids[a[keep]], "b": ids[b[keep]], "hamming": h[keep].astype(np.int64)}
+def _simhash_pairs_block(t: pa.Table, max_hamming: int) -> pa.Table:
+    """Hamming-filtered pairs per block_key bucket across one partition block
+    (vectorized segment scan; Python only over multi-doc buckets — the
+    per-group map_groups trap avoided, same as dedup.candidate_pairs_block)."""
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "hamming": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0:
+        return empty
+    t = t.sort_by([("block_key", "ascending"), ("doc_id", "ascending")])
+    key = t["block_key"].to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    sh = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    starts = np.concatenate(
+        ([0], np.flatnonzero(key[1:] != key[:-1]) + 1, [t.num_rows])
+    )
+    sizes = np.diff(starts)
+    out_a, out_b, out_h = [], [], []
+    for s in np.flatnonzero(sizes >= 2):
+        lo, hi = starts[s], starts[s + 1]
+        i, j = np.triu_indices(hi - lo, k=1)
+        h = dedup.hamming(sh[lo:hi][i], sh[lo:hi][j])
+        keep = h <= max_hamming
+        out_a.append(ids[lo:hi][i[keep]])
+        out_b.append(ids[lo:hi][j[keep]])
+        out_h.append(h[keep])
+    if not out_a:
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "b": pa.array(np.concatenate(out_b).astype(np.int64)),
+            "hamming": pa.array(np.concatenate(out_h).astype(np.int64)),
+        }
     )
 
 

@@ -50,6 +50,8 @@ def default_partitions() -> int:
 
 def _part_column(t: pa.Table, keys: Sequence[str], num_partitions: int) -> pa.Table:
     """Deterministic partition id from the key columns."""
+    if t.schema.metadata:  # pandas-origin metadata is unhashable and trips
+        t = t.replace_schema_metadata(None)  # Ray's block-schema dedup logging
     acc = np.zeros(t.num_rows, dtype=np.uint64)
     for k in keys:
         col = t[k]
@@ -124,7 +126,10 @@ def map_key_groups(
             out = fn(empty.to_pandas()) if batch_format == "pandas" else fn(empty)
             outs.append(out)
         if batch_format == "pandas":
-            return pd.concat(outs, ignore_index=True)
+            df = pd.concat(outs, ignore_index=True)
+            # hand Arrow (metadata-free) back to Ray: pandas schema metadata
+            # is unhashable and trips Ray's block-schema dedup logging
+            return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
         return pa.concat_tables(outs, promote_options="default")
 
     return map_key_partitions(ds, keys, _block, num_partitions)
