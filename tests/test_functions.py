@@ -370,3 +370,62 @@ def test_dedup_minhash_distributed_verify(ray_session, tmp_path):
     exp = pd.DataFrame(ref, columns=["a", "b", "jaccard"]).astype({"a": np.int64, "b": np.int64})
     assert len(exp) > 0
     pd.testing.assert_frame_equal(got, exp)
+
+
+# ---------------------------------------------------------------------------
+# round-2: distributed embed-dedup (tile join + LSH scale path)
+# ---------------------------------------------------------------------------
+
+def test_cosine_pairs_cross_tiles_equal_all_pairs():
+    """The chunk-pair tile decomposition reproduces the full all-pairs set."""
+    rng = np.random.default_rng(8)
+    m = ann.normalize_rows(rng.standard_normal((120, 16)).astype(np.float32))
+    ids = np.arange(120, dtype=np.int64)
+    thr = 0.3
+    full = ann.cosine_pairs_cross(m, ids, m, ids, thr)
+    got = []
+    for lo_i in range(0, 120, 50):
+        for lo_j in range(lo_i, 120, 50):
+            mi, ii = m[lo_i : lo_i + 50], ids[lo_i : lo_i + 50]
+            mj, jj = m[lo_j : lo_j + 50], ids[lo_j : lo_j + 50]
+            got.append(ann.cosine_pairs_cross(mi, ii, mj, jj, thr))
+            if lo_i != lo_j:
+                got.append(ann.cosine_pairs_cross(mj, jj, mi, ii, thr))
+    got = pd.concat(got, ignore_index=True).sort_values(["a", "b"]).reset_index(drop=True)
+    exp = full.sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(exp) > 0
+
+
+def test_embed_dedup_lsh_recalls_planted_dups(ray_session, tmp_path):
+    """Band-OR LSH at a realistic threshold must recall planted near-dups."""
+    import pyarrow.parquet as pq
+
+    from tsrollup.pipelines.docqueries import q_embed_dedup_lsh
+
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((100, 32)).astype(np.float32)
+    dups = base[:20] + 0.05 * rng.standard_normal((20, 32)).astype(np.float32)
+    m = np.vstack([base, dups])
+    ids = np.arange(len(m), dtype=np.int64)
+    offs = pa.array(np.arange(0, (len(m) + 1) * 32, 32, dtype=np.int32))
+    t = pa.table(
+        {"vec_id": pa.array(ids), "embedding": pa.ListArray.from_arrays(offs, pa.array(m.reshape(-1)))}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    thr = 0.9
+    got = q_embed_dedup_lsh(str(d), threshold=thr)
+    mn = ann.normalize_rows(m)
+    s = mn.astype(np.float64) @ mn.astype(np.float64).T
+    a, b = np.triu_indices(len(m), k=1)
+    exact = {(int(x), int(y)) for x, y in zip(a[s[a, b] >= thr], b[s[a, b] >= thr])}
+    assert len(exact) >= 15  # planted pairs exist
+    found = set(zip(got["a"].astype(int), got["b"].astype(int)))
+    recall = len(exact & found) / len(exact)
+    assert recall == 1.0, f"recall {recall}: missed {sorted(exact - found)[:5]}"
+    # soundness: every reported pair truly clears the threshold
+    assert found <= exact | {p for p in found}
+    for _, r in got.iterrows():
+        assert s[int(r["a"]), int(r["b"])] >= thr - 1e-4

@@ -135,3 +135,47 @@ def cosine_pairs_above(
             "score": np.round(s[a[keep], b[keep]].astype(np.float64), 6),
         }
     )
+
+
+def cosine_pairs_cross(
+    mi: np.ndarray,
+    ids_i: np.ndarray,
+    mj: np.ndarray,
+    ids_j: np.ndarray,
+    threshold: float,
+    round_dp: int = 4,
+) -> pd.DataFrame:
+    """Pairs (a < b, cosine >= threshold) between two pre-NORMALIZED chunks —
+    one tile of the distributed all-pairs join (q_embed_dedup). Scores in
+    float64 over float32-normalized rows, rounded to ``round_dp`` (matches the
+    DuckDB oracle's CAST(list_cosine_similarity(...) AS DOUBLE) at 4dp)."""
+    s = mi.astype(np.float64) @ mj.astype(np.float64).T
+    r, c = np.nonzero(s >= threshold)
+    a = ids_i[r]
+    b = ids_j[c]
+    keep = a < b
+    return pd.DataFrame(
+        {
+            "a": a[keep],
+            "b": b[keep],
+            "score": np.round(s[r[keep], c[keep]], round_dp),
+        }
+    )
+
+
+def sample_rows_parquet(path: str, columns: list[str], max_rows: int) -> "pa.Table":
+    """Bounded driver-side read: stream record batches and stop at
+    ``max_rows`` — never materializes the full table (IVF training / query
+    selection at 100 TB reads a sample, not the corpus)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    got, n = [], 0
+    for batch in pf.iter_batches(batch_size=min(max_rows, 65536), columns=columns):
+        got.append(batch)
+        n += batch.num_rows
+        if n >= max_rows:
+            break
+    t = pa.Table.from_batches(got, schema=pf.schema_arrow.empty_table().select(columns).schema)
+    return t.slice(0, max_rows)

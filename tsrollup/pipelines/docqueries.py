@@ -492,11 +492,15 @@ def q_ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
     import ray
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    # small, deterministic query set: the first n_queries vec_ids
+    # small, deterministic query set: the first n_queries vec_ids — predicate
+    # PUSHED DOWN to the parquet read (only matching row groups are scanned)
     import pyarrow.parquet as pq
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qt = qt.filter(pa.compute.less(qt["vec_id"], n_queries)).sort_by("vec_id")
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    ).sort_by("vec_id")
     qmat = ann.stack_embeddings(qt)
     qref = ray.put(qmat)
 
@@ -520,10 +524,18 @@ def q_ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10, n_centroids: int = 1
     import pyarrow.parquet as pq
     import ray
 
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    mat = ann.stack_embeddings(full)
-    cents = ann.ivf_centroids(mat, n_centroids)
-    qt = full.filter(pa.compute.less(full["vec_id"], n_queries)).sort_by("vec_id")
+    # train the tiny coarse quantizer on a BOUNDED sample (streamed, never the
+    # full table — at 100 TB centroid training reads a few thousand rows);
+    # query vectors via parquet predicate pushdown
+    sample = ann.sample_rows_parquet(
+        f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"], max_rows=4096
+    )
+    cents = ann.ivf_centroids(ann.stack_embeddings(sample), n_centroids)
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    ).sort_by("vec_id")
     qmat = ann.stack_embeddings(qt)
     # nprobe nearest lists per query
     qsims = ann.normalize_rows(qmat) @ cents.T
@@ -567,40 +579,167 @@ def q_ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10, n_centroids: int = 1
     )
 
 
-def q_embed_dedup(sf_dir: str, threshold: float = 0.40):
-    """Embedding cosine near-dup pairs >= threshold. Exact: every batch scores
-    against the full broadcast matrix (small side), keeping a < b."""
-    import ray
-
+def _embedding_chunks(path: str, target_chunk_rows: int = 4096) -> list[dict]:
+    """Chunk work-list for the distributed all-pairs join: one chunk per
+    parquet row group (the 100 TB layout — many row groups across many
+    files); single-row-group files are sub-sliced so small inputs still
+    parallelize."""
     import pyarrow.parquet as pq
 
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    mat = ann.normalize_rows(ann.stack_embeddings(full)).astype(np.float64)
-    ids = full["vec_id"].to_numpy(zero_copy_only=False)
-    ref = ray.put((ids, mat))
+    chunks: list[dict] = []
+    pf = pq.ParquetFile(path)
+    for rg in range(pf.num_row_groups):
+        n = pf.metadata.row_group(rg).num_rows
+        n_slices = max(1, -(-n // target_chunk_rows))
+        step = -(-n // n_slices)
+        for lo in range(0, n, step):
+            chunks.append({"path": path, "rg": rg, "lo": lo, "hi": min(lo + step, n)})
+    return chunks
 
-    class Pairs:
-        def __init__(self, ref):
-            import ray as _r
 
-            self.ids, self.mat = _r.get(ref)
+def q_embed_dedup(sf_dir: str, threshold: float = 0.40):
+    """Embedding cosine near-dup pairs >= threshold — EXACT, as a distributed
+    chunk-pair join: the corpus is split into row-group chunks; one Ray task
+    per chunk pair (i <= j) reads its two chunks straight from parquet and
+    emits pairs above threshold (ann.cosine_pairs_above / cosine_pairs_cross).
+    No full-matrix broadcast, no driver-side corpus read; compute is the
+    unavoidable O(N^2) of EXACT all-pairs at this threshold — the testdata's
+    true pairs sit AT 0.40 (min observed 0.4000), where LSH bucketing cannot
+    reach recall 1.0 with useful bucket sizes. The bucketed scale path for
+    realistic (high) thresholds is q_embed_dedup_lsh."""
+    path = f"{sf_dir}/embeddings.parquet"
+    chunks = _embedding_chunks(path)
+    tasks = [
+        {"i": i, "j": j} for i in range(len(chunks)) for j in range(i, len(chunks))
+    ]
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = ann.normalize_rows(ann.stack_embeddings(t)).astype(np.float64)
-            vid = t["vec_id"].to_numpy(zero_copy_only=False)
-            s = m @ self.mat.T
-            r, c = np.nonzero(s >= threshold)
-            keep = vid[r] < self.ids[c]
-            return pa.table(
-                {
-                    "a": pa.array(vid[r[keep]]),
-                    "b": pa.array(self.ids[c[keep]]),
-                    "score": pa.array(np.round(s[r[keep], c[keep]], 4)),
-                }
+    class TileStage:
+        """Actor-pool stage: caches chunk reads (a chunk participates in many
+        tiles; each actor re-reads it once, normalized float32)."""
+
+        def __init__(self, chunks):
+            self.chunks = chunks
+            self.cache: dict = {}
+
+        def _load(self, ci: int):
+            if ci not in self.cache:
+                import pyarrow.parquet as pq
+
+                c = self.chunks[ci]
+                t = (
+                    pq.ParquetFile(c["path"])
+                    .read_row_group(c["rg"], columns=["vec_id", "embedding"])
+                    .slice(c["lo"], c["hi"] - c["lo"])
+                )
+                self.cache[ci] = (
+                    ann.normalize_rows(ann.stack_embeddings(t)),
+                    t["vec_id"].to_numpy(zero_copy_only=False),
+                )
+            return self.cache[ci]
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            outs = []
+            for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+                mi, ids_i = self._load(i)
+                mj, ids_j = self._load(j)
+                outs.append(ann.cosine_pairs_cross(mi, ids_i, mj, ids_j, threshold))
+                if i != j:  # a < b can fall on either side of the tile
+                    outs.append(ann.cosine_pairs_cross(mj, ids_j, mi, ids_i, threshold))
+            out = pd.concat(outs, ignore_index=True) if outs else None
+            if out is None or not len(out):
+                return pd.DataFrame(
+                    {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+                     "score": pd.Series(dtype=np.float64)}
+                )
+            return out.astype({"a": np.int64, "b": np.int64})
+
+    import ray
+
+    return ray.data.from_items(tasks).map_batches(
+        TileStage,
+        fn_constructor_kwargs={"chunks": chunks},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=(1, 8),
+    )
+
+
+def q_embed_dedup_lsh(sf_dir: str, threshold: float = 0.45, bands: int = 16, rows: int = 4):
+    """Bucketed near-dup pairs for the thresholds LSH is built for:
+    band-OR LSH over signed random projections — each vector lands in
+    ``bands`` buckets (one per band of ``rows`` planes); candidate pairs are
+    generated per bucket and exact-cosine verified in place; pair dedup is
+    block-local then global (tiny output). Linear data movement (bands x
+    corpus through ONE exchange) — the 100 TB path. Rows-only; recall vs the
+    exact join is asserted in tests at matching thresholds."""
+    import ray
+
+    from tsrollup.shuffle import map_key_partitions
+
+    path = f"{sf_dir}/embeddings.parquet"
+    emb = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    dim = len(ann.sample_rows_parquet(path, ["embedding"], 1)["embedding"][0].as_py())
+    planes = ann.random_hyperplanes(dim, bands * rows)  # (bands*rows, d)
+
+    def _bucket_rows(t: pa.Table) -> pa.Table:
+        m = ann.normalize_rows(ann.stack_embeddings(t))
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        bits = (m @ planes.T) > 0  # (n, bands*rows)
+        w = (1 << np.arange(rows)).astype(np.int64)
+        keys = bits.reshape(len(m), bands, rows) @ w  # (n, bands)
+        keys = keys + (np.arange(bands, dtype=np.int64) << 32)[None, :]
+        n = len(m)
+        emb_col = t["embedding"].combine_chunks()
+        idx = np.repeat(np.arange(n), bands)
+        return pa.table(
+            {
+                "bucket": pa.array(keys.reshape(-1)),
+                "vec_id": pa.array(np.repeat(vid, bands)),
+                "embedding": emb_col.take(pa.array(idx)),
+            }
+        )
+
+    def _bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("bucket", "ascending"), ("vec_id", "ascending")])
+        key = t["bucket"].to_numpy(zero_copy_only=False)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = ann.normalize_rows(ann.stack_embeddings(t))
+        starts = np.concatenate(([0], np.flatnonzero(key[1:] != key[:-1]) + 1, [t.num_rows]))
+        sizes = np.diff(starts)
+        outs = []
+        for s in np.flatnonzero(sizes >= 2):
+            lo, hi = starts[s], starts[s + 1]
+            df = ann.cosine_pairs_cross(
+                m[lo:hi], ids[lo:hi], m[lo:hi], ids[lo:hi], threshold
             )
+            if len(df):
+                outs.append(df)
+        if not outs:
+            return empty
+        out = pd.concat(outs, ignore_index=True).drop_duplicates(["a", "b"])
+        return pa.Table.from_pandas(
+            out.astype({"a": np.int64, "b": np.int64}), preserve_index=False
+        ).replace_schema_metadata(None)
 
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
-        Pairs, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow", concurrency=(1, 4)
+    pairs = map_key_partitions(
+        emb.map_batches(_bucket_rows, batch_format="pyarrow"), ["bucket"], _bucket_pairs
+    ).to_pandas()
+    if not len(pairs) or "a" not in pairs.columns:  # zero candidates end-to-end
+        pairs = pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+             "score": pd.Series(dtype=np.float64)}
+        )
+    return (
+        pairs.drop_duplicates(["a", "b"])  # across buckets/partitions
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype({"a": np.int64, "b": np.int64})
     )
 
 
@@ -611,8 +750,11 @@ def q_ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 10, n_planes: int = 8):
     import pyarrow.parquet as pq
     import ray
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qt_sel = qt.filter(pa.compute.less(qt["vec_id"], n_queries)).sort_by("vec_id")
+    qt_sel = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    ).sort_by("vec_id")
     qmat = ann.stack_embeddings(qt_sel)
     dim = qmat.shape[1]
     planes = ann.random_hyperplanes(dim, n_planes)
@@ -731,4 +873,5 @@ DOC_QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "embed_dedup": q_embed_dedup,
+    "embed_dedup_lsh": q_embed_dedup_lsh,
 }
