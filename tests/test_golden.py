@@ -135,8 +135,10 @@ def test_quarantine_counts(ray_session, tiny_table, tmp_path):
         {"detail_selector": "adaptive"},
         {"dwt_level": 2},
         {"scorer": "mlp"},
+        {"wavelet": "sym4"},
+        {"wavelet": "coif1"},
     ],
-    ids=["ffill", "zero", "haar", "adaptive", "level2", "mlp-scorer"],
+    ids=["ffill", "zero", "haar", "adaptive", "level2", "mlp-scorer", "sym4", "coif1"],
 )
 def test_config_variants_match_oracle(ray_session, tiny_input_dir, tiny_table, tmp_path, cfg_kwargs):
     """Engine == oracle bit-for-bit under alternate configurations (1m only)."""

@@ -160,3 +160,95 @@ def test_retention_on_cascaded_tiers_matches_oracle(ray_session, tmp_path):
             assert len(got) < len(full), f"{tier}: horizon pruned nothing"
         cutoff = (now_1m - cfg.retention_buckets[tier]) // TIER_FACTORS[tier]
         assert got["bucket"].min() >= cutoff, tier
+
+
+def _pts(out, tier):
+    return (
+        job.read_tier(out, tier, "points").to_pandas()
+        .sort_values(["source", "window_id"]).reset_index(drop=True)
+    )
+
+
+def _assert_tiers_equal(out_a, out_b):
+    import numpy as np
+
+    for tier in ("1m", "1h", "1d"):
+        a = job.read_tier(out_a, tier, "rolled").to_pandas().reset_index(drop=True)
+        b = job.read_tier(out_b, tier, "rolled").to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[b.columns.tolist()], b, obj=f"rolled-{tier}")
+        pa_, pb = _pts(out_a, tier), _pts(out_b, tier)
+        assert len(pa_) == len(pb), tier
+        for i in range(len(pb)):
+            ga, gb = pa_.iloc[i], pb.iloc[i]
+            assert (ga.source, ga.window_id, ga.start_bucket, ga.n_in, ga.n_filled) == (
+                gb.source, gb.window_id, gb.start_bucket, gb.n_in, gb.n_filled
+            ), (tier, i)
+            np.testing.assert_array_equal(np.asarray(ga.kept_idx), np.asarray(gb.kept_idx))
+            np.testing.assert_array_equal(np.asarray(ga["values"]), np.asarray(gb["values"]))
+            assert bytes(ga.gorilla) == bytes(gb.gorilla), (tier, i)
+
+
+def test_incremental_append_matches_from_scratch(ray_session, tmp_path):
+    """Round-2 (VERDICT #4): appending ONE parquet fragment triggers the
+    per-fragment incremental path — only the new fragment is scanned, only
+    delta-touched windows are recomputed — and the final tiers equal a
+    from-scratch run bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from tsrollup.synth import synth_table
+
+    t = synth_table(seed=9, n_sources=3, base_span=43200)
+    d = tmp_path / "in"
+    d.mkdir()
+    half = t.num_rows * 3 // 4
+    pq.write_table(t.slice(0, half), str(d / "a.parquet"))
+    out_i, out_f = str(tmp_path / "incr"), str(tmp_path / "full")
+    r1 = job.run(str(d), RollupConfig(out_root=out_i))
+    assert not r1["1m"].get("incremental")
+    pq.write_table(t.slice(half), str(d / "b.parquet"))  # append one fragment
+    r2 = job.run(str(d), RollupConfig(out_root=out_i))
+    assert r2["1m"]["incremental"] is True
+    # unchanged windows were NOT recomputed (the delta touches the tail only)
+    assert r2["1m"]["points_reused"] > 0
+    assert r2["1m"]["points_recomputed"] < r2["1m"]["points_reused"]
+    job.run(str(d), RollupConfig(out_root=out_f))
+    _assert_tiers_equal(out_i, out_f)
+
+
+def test_incremental_append_with_retention_cutoff_move(ray_session, tmp_path):
+    """The appended data advances 'now', moving every tier's retention
+    cutoff: straddling windows recompute, the rest reuse; output still equals
+    a from-scratch run bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from tsrollup.synth import synth_table
+
+    t = synth_table(seed=13, n_sources=2, base_span=86400)
+    d = tmp_path / "in"
+    d.mkdir()
+    half = t.num_rows * 2 // 3
+    pq.write_table(t.slice(0, half), str(d / "a.parquet"))
+    retention = {"1m": 700, "1h": 1100, "1d": None}
+    out_i, out_f = str(tmp_path / "incr"), str(tmp_path / "full")
+    job.run(str(d), RollupConfig(out_root=out_i, retention_buckets=retention))
+    pq.write_table(t.slice(half), str(d / "b.parquet"))
+    r2 = job.run(str(d), RollupConfig(out_root=out_i, retention_buckets=retention))
+    assert r2["1m"]["incremental"] is True
+    job.run(str(d), RollupConfig(out_root=out_f, retention_buckets=retention))
+    _assert_tiers_equal(out_i, out_f)
+
+
+def test_modified_fragment_falls_back_to_full_recompute(ray_session, tiny_input_dir, tiny_table, tmp_path):
+    """A changed (not appended) fragment is NOT append-only: the engine falls
+    back to the full scan and still produces the right answer."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "in"
+    shutil.copytree(tiny_input_dir, d)
+    out = str(tmp_path / "out")
+    job.run(str(d), RollupConfig(out_root=out, tiers=("1m",)))
+    # REWRITE an existing fragment (size changes)
+    pq.write_table(tiny_table.slice(0, 400), str(d / "a.parquet"))
+    r = job.run(str(d), RollupConfig(out_root=out, tiers=("1m",)))
+    assert r["1m"]["skipped"] is False
+    assert not r["1m"].get("incremental")

@@ -153,3 +153,29 @@ def test_downsample_points_property(n, retention, seed):
     assert (np.diff(kept) > 0).all()
     assert 0 <= kept.min() and kept.max() < n
     np.testing.assert_array_equal(vals, x[0, kept])
+
+
+import pytest as _pt
+
+
+@_pt.mark.parametrize("family", ["haar", "db2", "db3", "db4", "sym2", "sym3", "sym4", "coif1"])
+def test_filter_bank_properties_all_families(family):
+    """Round-2: the extended family table (db3/sym/coif, public coefficients)
+    must satisfy the orthogonal-filter axioms and perfectly reconstruct
+    through the engine's own DWT."""
+    import numpy as np
+
+    from tsrollup import wavelet as wv
+
+    h = wv._REC_LO[family]
+    assert abs(h.sum() - np.sqrt(2)) < 1e-10
+    assert abs((h * h).sum() - 1.0) < 1e-10
+    for m in range(1, len(h) // 2):
+        assert abs(np.dot(h[:-2 * m], h[2 * m:])) < 1e-10, (family, m)
+    x = np.random.default_rng(2).standard_normal((3, 96))
+    cA, cD = wv.dwt1(x, family, "periodization")
+    rec = wv.idwt1_periodization(cA, cD, family, 96)
+    np.testing.assert_allclose(rec, x, atol=1e-9)
+    # symmetric mode shapes
+    cA2, cD2 = wv.dwt1(x, family, "symmetric")
+    assert cA2.shape[1] == wv.coeff_len(96, family, "symmetric")

@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -91,6 +92,38 @@ def build_points(rolled: ray.data.Dataset, tier: str, cfg: RollupConfig) -> ray.
 
 def _read_rolled(path: str) -> ray.data.Dataset:
     return ray.data.read_parquet(path)
+
+
+def _distinct_source_buckets(partials: ray.data.Dataset) -> set:
+    """Driver-side {(source, bucket)} of a (small) partials dataset — bounded
+    by the DELTA's distinct keys (per-fragment combine already reduced it),
+    never by the corpus."""
+    df = (
+        partials.map_batches(
+            lambda t: t.select(["source", "bucket"]), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .drop_duplicates()
+    )
+    return set(zip(df["source"], (int(b) for b in df["bucket"])))
+
+
+def _points_schema_norm(t: pa.Table, tier: str) -> pa.Table:
+    """Committed points rows -> the fresh-points schema/column order (tier
+    column restored, gorilla widened back to large_binary)."""
+    return pa.table(
+        {
+            "source": t["source"].cast(pa.string()),
+            "tier": pa.array([tier] * t.num_rows, type=pa.string()),
+            "window_id": t["window_id"],
+            "start_bucket": t["start_bucket"],
+            "n_in": t["n_in"],
+            "n_filled": t["n_filled"],
+            "kept_idx": t["kept_idx"],
+            "values": t["values"],
+            "gorilla": t["gorilla"].cast(pa.large_binary()),
+        }
+    )
 
 
 def _drop_wn(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -171,7 +204,28 @@ def run(
     lin.clean_stale_staging(out_root)
     paths = input_path if isinstance(input_path, list) else [input_path]
     fingerprint = lin.input_fingerprint(paths)
+    fragments = lin.input_fragments(paths)
+    manifest = lin.load_manifest(out_root)
     results: dict = {}
+
+    # Per-fragment INCREMENTAL APPEND (SURVEY §7.7 input_fragment_ids): if the
+    # finest tier is committed with the same config and the input has only
+    # GAINED parquet fragments, scan just the new fragments, merge their
+    # partials into the committed tier (all combined quantities are
+    # commutative integer partials, so merge == from-scratch bit-for-bit),
+    # and recompute points only for windows the delta touched.
+    delta_files: list[str] | None = None
+    if resume:
+        rec0 = manifest["tiers"].get(cfg.tiers[0])
+        if (
+            rec0
+            and rec0.get("config_hash") == cfg.config_hash(cfg.tiers[0])
+            and rec0.get("fragments")
+        ):
+            d = lin.fragment_delta(rec0["fragments"], fragments)
+            if d:  # non-empty append-only delta
+                delta_files = d
+    touched_1m: set | None = None  # {(source, 1m bucket)} the delta touched
 
     # Per tier: the rolled output is >=60x smaller than its input and is
     # consumed up to three times (published write, next cascade, points), so
@@ -197,10 +251,25 @@ def run(
 
         if tier == "1m":
             from tsrollup.ingest import INPUT_COLUMNS, ROLLUP_COLUMNS, derived_partials_from_files
-            from tsrollup.rollup import final_rollup
+            from tsrollup.rollup import final_rollup, partial_recombine
 
             cols = INPUT_COLUMNS if cfg.validate_tokens else ROLLUP_COLUMNS
-            partials = derived_partials_from_files(input_path, cols, cfg.batch_size)
+            if delta_files is not None:
+                # scan ONLY the appended fragments; committed rows re-enter as
+                # partials (chk splits exactly) and combine with the delta
+                delta_partials = derived_partials_from_files(
+                    delta_files, cols, cfg.batch_size
+                ).materialize()
+                touched_1m = _distinct_source_buckets(delta_partials)
+                full_path = os.path.join(out_root, tier, "rolled_full")
+                if not os.path.isdir(full_path):
+                    full_path = lin.tier_path(out_root, tier, "rolled")
+                committed_partials = _read_rolled(full_path).map_batches(
+                    lambda t: partial_recombine(t), batch_format="pyarrow"
+                )
+                partials = committed_partials.union(delta_partials)
+            else:
+                partials = derived_partials_from_files(input_path, cols, cfg.batch_size)
             rolled = final_rollup(
                 partials, co_partition_window_len=cfg.window_len
             ).materialize()
@@ -241,13 +310,79 @@ def run(
         prev_tier = tier
 
     if retained_ds:
+        import ray as _ray
+
         # ONE points execution for all computed tiers: one exchange, one
         # wavelet actor pool, one write — fixed cost amortized across tiers.
+        # Under an incremental append, each tier's window set is SPLIT:
+        # windows the delta touched (or straddling a moved retention cutoff)
+        # are recomputed from the merged rolled tier; every other committed
+        # point row is reused as-is. The split predicates are complementary,
+        # so reused ∪ recomputed == a from-scratch run bit-for-bit.
         tiers_todo = list(retained_ds)
-        wins = build_windows(retained_ds[tiers_todo[0]], tiers_todo[0], cfg, co_partitioned=True)
-        for t_ in tiers_todo[1:]:
-            wins = wins.union(build_windows(retained_ds[t_], t_, cfg, co_partitioned=True))
+        L = cfg.window_len
+        reused_counts: dict[str, int] = {}
+        wins = None
+        reused_parts: list[ray.data.Dataset] = []
+        for t_ in tiers_todo:
+            retained = retained_ds[t_]
+            factor = TIER_FACTORS[t_]
+            rec_t = manifest["tiers"].get(t_)
+            committed_points = os.path.join(out_root, t_, "points")
+            incr_t = (
+                touched_1m is not None
+                and rec_t is not None
+                and rec_t.get("config_hash") == cfg.config_hash(t_)
+                and os.path.isdir(committed_points)
+            )
+            if incr_t:
+                touched_t = {(s, (b // factor) // L) for s, b in touched_1m}
+                keep = cfg.retention_buckets.get(t_)
+                cutoff = (now_1m - keep) // factor if keep is not None else None
+                touched_ref = _ray.put(touched_t)
+
+                def _is_recompute(src, wid, _ref=touched_ref, _cut=cutoff):
+                    touched = _ray.get(_ref)
+                    hit = np.fromiter(
+                        ((s, int(w)) in touched for s, w in zip(src, wid)),
+                        dtype=bool, count=len(wid),
+                    )
+                    if _cut is not None:
+                        hit |= wid * L < _cut
+                    return hit
+
+                def _filter_recompute(t: pa.Table, _pred=_is_recompute) -> pa.Table:
+                    if t.num_rows == 0:
+                        return t
+                    src = t["source"].to_numpy(zero_copy_only=False)
+                    wid = t["bucket"].to_numpy(zero_copy_only=False) // L
+                    return t.filter(pa.array(_pred(src, wid)))
+
+                def _filter_reuse(t: pa.Table, _pred=_is_recompute, _tier=t_) -> pa.Table:
+                    t = _points_schema_norm(t, _tier)
+                    if t.num_rows == 0:
+                        return t
+                    src = t["source"].to_numpy(zero_copy_only=False)
+                    wid = t["window_id"].to_numpy(zero_copy_only=False)
+                    return t.filter(pa.array(~_pred(src, wid)))
+
+                # whole windows are kept/dropped, so block completeness (and
+                # the __wn stamps) survive this filter
+                retained = retained.map_batches(
+                    _filter_recompute, batch_format="pyarrow", batch_size=None
+                )
+                reused = (
+                    ray.data.read_parquet(committed_points)
+                    .map_batches(_filter_reuse, batch_format="pyarrow")
+                    .materialize()
+                )
+                reused_counts[t_] = reused.count()
+                reused_parts.append(reused)
+            w = build_windows(retained, t_, cfg, co_partitioned=True)
+            wins = w if wins is None else wins.union(w)
         points = downsample_windows(wins, cfg)
+        for r in reused_parts:
+            points = points.union(r)
         stage_points_all = lin.staging_dir(out_root, "all", "points")
         points.write_parquet(stage_points_all, partition_cols=["tier", "source"])
 
@@ -256,13 +391,24 @@ def run(
             if not os.path.isdir(tier_points_dir):
                 os.makedirs(tier_points_dir, exist_ok=True)  # tier produced no windows
             staged[tier]["points"] = tier_points_dir
-            rec = lin.commit_tier(out_root, tier, staged[tier], cfg, fingerprint)
+            rec = lin.commit_tier(
+                out_root, tier, staged[tier], cfg, fingerprint,
+                extra={"fragments": fragments, "now_1m": now_1m},
+            )
             results[tier] = {
                 "rolled": lin.tier_path(out_root, tier, "rolled"),
                 "points": lin.tier_path(out_root, tier, "points"),
                 "skipped": False,
+                "incremental": delta_files is not None,
                 "lineage": rec["lineage"],
             }
+            if tier in reused_counts:
+                total = pads.dataset(
+                    lin.tier_path(out_root, tier, "points"), format="parquet",
+                    partitioning="hive",
+                ).count_rows()
+                results[tier]["points_reused"] = reused_counts[tier]
+                results[tier]["points_recomputed"] = total - reused_counts[tier]
         shutil.rmtree(stage_points_all, ignore_errors=True)
     return results
 

@@ -49,6 +49,39 @@ def input_fingerprint(paths: list[str]) -> str:
     return hashlib.sha256(json.dumps(entries).encode()).hexdigest()[:16]
 
 
+def input_fragments(paths: list[str]) -> list[list]:
+    """Per-fragment identity of the input: sorted [abs_path, size] pairs —
+    recorded in each tier's lineage record (SURVEY §7.7 ``input_fragment_ids``)
+    so a later run can diff WHICH fragments changed instead of invalidating
+    every tier on any input change."""
+    out: list[list] = []
+    for p in sorted(paths):
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                for f in sorted(files):
+                    if f.endswith(".parquet"):
+                        fp = os.path.join(root, f)
+                        out.append([os.path.abspath(fp), os.path.getsize(fp)])
+        else:
+            out.append([os.path.abspath(p), os.path.getsize(p)])
+    return sorted(out)
+
+
+def fragment_delta(committed: list | None, current: list) -> list[str] | None:
+    """APPEND-ONLY diff: the new fragment paths if every committed fragment is
+    still present with the same size, else None (modified/removed inputs fall
+    back to a full recompute)."""
+    if not committed:
+        return None
+    cur = {p: s for p, s in current}
+    for p, s in committed:
+        if cur.get(p) != s:
+            return None
+    com = {p for p, _ in committed}
+    new = [p for p in cur if p not in com]
+    return new
+
+
 def load_manifest(out_root: str) -> dict:
     p = os.path.join(out_root, MANIFEST)
     if os.path.exists(p):

@@ -625,6 +625,54 @@ def q_top_tokens(sf_dir: str, k: int = 20):
     return counts.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
+_JSON_EXPORT = "/tmp/tsrollup_json_ingest/docs.jsonl"
+
+
+def q_json_ingest(sf_dir: str):
+    """S6 (JSON deserialization) with a CORRECTNESS row: a deterministic JSONL
+    projection of the documents table (F1 shape: doc_id/tokens/n_tok/source)
+    is read back through the engine's real JSON source — ``read_input_json``
+    -> ``normalize_json_batch`` -> ``derive_batch`` (quarantine channel) ->
+    rollup — and the rolled aggregate is DuckDB-checked against
+    ``read_json_auto`` over the SAME file (the oracle SQL reads the export,
+    so both sides parse identical text)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tsrollup.functions import text as tx
+    from tsrollup.functions import tokens as tk
+    from tsrollup.ingest import derive_batch, read_input_json
+
+    os.makedirs(os.path.dirname(_JSON_EXPORT), exist_ok=True)
+    t = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+        .sort_by("doc_id")
+    )
+    df = t.to_pandas()
+    tb = tk.TokenBatch(df["text"])
+    ids = tk.token_ids(tb, tx.VOCAB)
+    toks = [
+        ids[tb.doc_starts[i] : tb.doc_starts[i + 1]].tolist() for i in range(len(df))
+    ]
+    export = pd.DataFrame(
+        {
+            "doc_id": [f"{s}-{int(d):010d}" for s, d in zip(df["source"], df["doc_id"])],
+            "tokens": toks,
+            "n_tok": tb.doc_lens.astype(np.int64),
+            "source": df["source"],
+        }
+    )
+    export.to_json(_JSON_EXPORT, orient="records", lines=True)
+
+    derived = read_input_json(_JSON_EXPORT).map_batches(derive_batch, batch_format="pyarrow")
+    rolled = final_rollup(derived.map_batches(partial_rollup, batch_format="pyarrow"))
+    return rolled.map_batches(
+        lambda t: t.select(["source", "bucket", "n_rows", "sum_tok", "min_tok", "max_tok"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_dedup_clusters(sf_dir: str, threshold: float = 0.5):
     """Near-duplicate clusters: MinHash-LSH verified pairs -> union-find ->
     (doc_id, cluster_root) for every doc in a cluster (rows-only; the
@@ -879,6 +927,13 @@ ORACLE_SQL: dict[str, str] = {
         SELECT token, COUNT(*) AS n FROM toks GROUP BY 1
         ORDER BY n DESC, token ASC LIMIT 20
     """,
+    "json_ingest": f"""
+        SELECT source, (1767225600 + CAST(doc_id[-10:] AS BIGINT)) // 60 AS bucket,
+               COUNT(*) AS n_rows, CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+               MIN(CAST(n_tok AS INTEGER)) AS min_tok, MAX(CAST(n_tok AS INTEGER)) AS max_tok
+        FROM read_json_auto('{_JSON_EXPORT}')
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "quantiles": """
         SELECT event_type AS source, COUNT(*) AS n_rows,
                CAST(quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.5) AS BIGINT) AS p50,
@@ -914,6 +969,7 @@ QUERIES = {
     "top_tokens": q_top_tokens,
     "dedup_clusters": q_dedup_clusters,
     "quantiles": q_quantiles,
+    "json_ingest": q_json_ingest,
 }
 
 # training-data operator pipelines (documents / embeddings)

@@ -32,6 +32,16 @@ _REC_LO = {
     "db2": np.array(
         [0.48296291314469025, 0.836516303737469, 0.22414386804185735, -0.12940952255092145]
     ),
+    "db3": np.array(
+        [
+            0.3326705529509569,
+            0.8068915093133388,
+            0.4598775021193313,
+            -0.13501102001039084,
+            -0.08544127388224149,
+            0.035226291882100656,
+        ]
+    ),
     "db4": np.array(
         [
             0.23037781330885523,
@@ -44,7 +54,34 @@ _REC_LO = {
             -0.010597401784997278,
         ]
     ),
+    # Symlets (least-asymmetric Daubechies): sym2/sym3 coincide with db2/db3
+    # by construction; sym4 is the published 8-tap least-asymmetric filter.
+    "sym4": np.array(
+        [
+            0.0322231006040427,
+            -0.012603967262037833,
+            -0.09921954357684722,
+            0.29785779560527736,
+            0.8037387518059161,
+            0.49761866763201545,
+            -0.02963552764599851,
+            -0.07576571478927333,
+        ]
+    ),
+    # Coiflet-1 (published 6-tap filter with vanishing moments on phi too)
+    "coif1": np.array(
+        [
+            -0.01565572813546454,
+            -0.0727326195128539,
+            0.38486484686420286,
+            0.8525720202122554,
+            0.3378976624578092,
+            -0.0727326195128539,
+        ]
+    ),
 }
+_REC_LO["sym2"] = _REC_LO["db2"]
+_REC_LO["sym3"] = _REC_LO["db3"]
 
 
 def filter_bank(wavelet: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
