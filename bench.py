@@ -187,6 +187,36 @@ def main() -> int:
     return 0
 
 
+def _probe_work(_):
+    """Fixed hash+reduce workload (~1 s on an unloaded core) used to measure
+    what the HOST actually delivers at a given parallelism — firecracker
+    guests don't see hypervisor steal in /proc/stat, so an oversubscribed
+    host silently slows wide runs. The probe makes that visible."""
+    import time as _time
+
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    x = rng.integers(0, 2**62, 6_000_000, dtype=_np.uint64)
+    t0 = _time.time()
+    for _ in range(20):
+        x = (x ^ (x >> _np.uint64(30))) * _np.uint64(0xBF58476D1CE4E5B9)
+        x.sum()
+    return _time.time() - t0
+
+
+def host_probe(P: int) -> float:
+    """Median per-process seconds for the fixed workload with P busy procs.
+    Ideal hardware: independent of P. The ratio probe(4N)/probe(N) is the
+    hardware's own scaling loss, separating host oversubscription from
+    engine inefficiency."""
+    import multiprocessing as mp
+
+    with mp.get_context("spawn").Pool(P) as p:
+        times = p.map(_probe_work, range(P))
+    return round(sorted(times)[len(times) // 2], 3)
+
+
 def scaling(sf_dir: str) -> int:
     """Same engine job, same input, fresh processes at 8 and 32 CPUs."""
     # generate + warm once (untimed) so both runs see a hot page cache
@@ -210,10 +240,18 @@ def scaling(sf_dir: str) -> int:
 
     # best-of-2 per level: single-node wall times vary ~10% run-to-run
     # (actor spin-up, page-cache state); the best run is the least-noisy
-    # estimate of each level's capability
+    # estimate of each level's capability. Each level is bracketed by host
+    # probes so the record shows what the (time-shared) host itself delivered.
+    probe_8 = host_probe(8)
     lo = min(run(8), run(8), key=lambda d: d["value"])
+    probe_32 = host_probe(32)
     hi = min(run(32), run(32), key=lambda d: d["value"])
+    probe_32b = host_probe(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)
+    # the hardware's own aggregate-speedup ceiling for 8 -> 32 busy procs:
+    # 4 x probe(8)/probe(32); engine-attributable efficiency divides it out
+    p32 = min(probe_32, probe_32b)
+    ceiling = 4 * probe_8 / p32 if p32 > 0 else 4.0
     out = {
         "metric": "scaling efficiency, num_cpus 8 -> 32 (N -> 4N evidence)",
         "phase": os.environ.get("BENCH_PHASE", "full-job"),
@@ -224,6 +262,12 @@ def scaling(sf_dir: str) -> int:
         "rolled_points_per_sec_8": lo["rolled_points_per_sec"],
         "rolled_points_per_sec_32": hi["rolled_points_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "host_probe_sec_at_8": probe_8,
+        "host_probe_sec_at_32": p32,
+        "host_scaling_ceiling_of_4": round(min(ceiling, 4.0), 2),
+        "engine_efficiency_vs_host_ceiling": round(
+            min((lo["value"] / hi["value"]) / min(ceiling, 4.0), 1.5), 3
+        ),
     }
     print(json.dumps(out))
     return 0

@@ -4,6 +4,15 @@
 SQL-expressible ones carry a DuckDB oracle; hash/heuristic ones (MinHash,
 SimHash, language-ID, fingerprints, LSH ANN) are rows-only here and
 golden-tested in tests/test_functions.py.
+
+Scale posture (round 2): every text kernel is batch-vectorized
+(functions/tokens.py); the MinHash verify re-shards pair ends by doc_id
+against the corpus' shingle rows (no driver-side corpus state); candidate
+pairs generate per partition block (no per-bucket map_groups); exact
+embedding dedup is a chunk-pair tile join; IVF trains on a bounded sample;
+query vectors come via parquet predicate pushdown. The only driver-side
+materializations left are final verified-pair/top-k sets (tiny by
+construction).
 """
 
 from __future__ import annotations
@@ -13,6 +22,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from tsrollup.util import read_parquet_clean
+
 from tsrollup.functions import ann, dedup, text
 from tsrollup.shuffle import map_key_groups
 
@@ -21,7 +32,7 @@ from tsrollup.shuffle import map_key_groups
 # ---------------------------------------------------------------------------
 
 def _docs(sf_dir: str, columns=("doc_id", "text", "lang", "source", "n_chars")) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
 def q_token_count(sf_dir: str):
@@ -491,7 +502,7 @@ def q_ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
     score matrix)."""
     import ray
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     # small, deterministic query set: the first n_queries vec_ids — predicate
     # PUSHED DOWN to the parquet read (only matching row groups are scanned)
     import pyarrow.parquet as pq
@@ -570,7 +581,7 @@ def q_ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10, n_centroids: int = 1
                 }
             )
 
-    partials = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+    partials = read_parquet_clean(f"{sf_dir}/embeddings.parquet").map_batches(
         ListScore, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow",
         concurrency=(1, 4),
     )
@@ -677,7 +688,7 @@ def q_embed_dedup_lsh(sf_dir: str, threshold: float = 0.45, bands: int = 16, row
     from tsrollup.shuffle import map_key_partitions
 
     path = f"{sf_dir}/embeddings.parquet"
-    emb = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    emb = read_parquet_clean(path, columns=["vec_id", "embedding"])
     dim = len(ann.sample_rows_parquet(path, ["embedding"], 1)["embedding"][0].as_py())
     planes = ann.random_hyperplanes(dim, bands * rows)  # (bands*rows, d)
 
@@ -790,7 +801,7 @@ def q_ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 10, n_planes: int = 8):
                 }
             )
 
-    partials = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+    partials = read_parquet_clean(f"{sf_dir}/embeddings.parquet").map_batches(
         BucketScore,
         fn_constructor_kwargs={"ref": qref, "planes": planes},
         batch_format="pyarrow",

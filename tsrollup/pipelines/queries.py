@@ -20,6 +20,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from tsrollup.util import read_parquet_clean
+
 from tsrollup.oracle import gapfill_series
 from tsrollup.rollup import cascade_tier, final_rollup, partial_rollup
 from tsrollup.shuffle import map_key_groups
@@ -29,7 +31,7 @@ from tsrollup.shuffle import map_key_groups
 # ---------------------------------------------------------------------------
 
 def _events(sf_dir: str, columns=("ts", "event_type", "value")) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=list(columns))
+    return read_parquet_clean(f"{sf_dir}/events.parquet", columns=list(columns))
 
 
 def _derive_events(t: pa.Table) -> pa.Table:
@@ -312,7 +314,7 @@ def q_distinct_users(sf_dir: str):
     """Count-distinct via two-level groupby (engine §2.9 dedup shape)."""
     from ray.data.aggregate import Count
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
     pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="n"))
     out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
     return out.map_batches(
@@ -323,7 +325,7 @@ def q_distinct_users(sf_dir: str):
 
 def q_topk_events_global(sf_dir: str, k: int = 10):
     """Global sort + limit (engine §2.8; ties -> lower event_id)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
     top = ds.sort(["value", "event_id"], descending=[True, False]).limit(k)
     return top
 
@@ -334,7 +336,7 @@ def q_join_broadcast(sf_dir: str):
     import ray
 
     cust = (
-        ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+        read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
         .to_pandas()
     )
     lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
@@ -351,7 +353,7 @@ def q_join_broadcast(sf_dir: str):
             df["total_cents"] = np.floor(df["o_totalprice"] * 100).astype(np.int64)
             return df[["c_mktsegment", "total_cents"]]
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).map_batches(
         JoinStage, fn_constructor_kwargs={"ref": lookup_ref}, batch_format="pandas",
@@ -603,7 +605,7 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30):
             }
         )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
     return map_key_groups(ds, ["user_id"], _sess, batch_format="pandas")
 
 
@@ -617,7 +619,7 @@ def q_top_tokens(sf_dir: str, k: int = 20):
         vc = toks.value_counts()
         return pd.DataFrame({"token": vc.index, "n": vc.to_numpy().astype(np.int64)})
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
     partials = ds.map_batches(_partial, batch_format="pandas")
     from ray.data.aggregate import Sum
 

@@ -38,3 +38,19 @@ def tune_ray_data(quiet: bool = True, hash_shuffle: bool | None = None) -> None:
     if quiet:
         ctx.enable_progress_bars = False
         logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def read_parquet_clean(paths, **kwargs):
+    """``ray.data.read_parquet`` with schema METADATA stripped right after the
+    read (fuses into the read tasks). Parquet written by pandas carries a
+    ``pandas`` metadata blob that makes pa.Schema unhashable — every
+    downstream schema-unify then logs 'Failed to hash the schemas' from the
+    workers. Strip once at the source."""
+    import ray.data
+
+    def _strip(t):
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+    return ray.data.read_parquet(paths, **kwargs).map_batches(
+        _strip, batch_format="pyarrow"
+    )
