@@ -252,3 +252,34 @@ def test_modified_fragment_falls_back_to_full_recompute(ray_session, tiny_input_
     r = job.run(str(d), RollupConfig(out_root=out, tiers=("1m",)))
     assert r["1m"]["skipped"] is False
     assert not r["1m"].get("incremental")
+
+
+def test_watch_tails_appended_fragments(ray_session, tmp_path):
+    """Micro-batch streaming mode: the watcher folds a fragment appended
+    mid-watch into the committed tiers via the incremental path."""
+    import pyarrow.parquet as pq
+
+    from tsrollup.synth import synth_table
+
+    t = synth_table(seed=21, n_sources=2, base_span=4096)
+    d = tmp_path / "in"
+    d.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(d / "a.parquet"))
+    cfg = RollupConfig(out_root=str(tmp_path / "out"), tiers=("1m",))
+    ticks = []
+
+    def _cb(res):
+        ticks.append(res["1m"].get("incremental", False))
+        if len(ticks) == 1:
+            pq.write_table(t.slice(half), str(d / "b.parquet"))
+
+    res = job.watch(str(d), cfg, iterations=2, poll_seconds=0.05, on_result=_cb)
+    assert ticks == [False, True]  # first tick full, second incremental
+    assert res["1m"]["incremental"] is True
+    # committed == oracle over the FULL table after the second tick
+    got = _rolled(cfg.out_root, "1m")
+    exp = oracle.rollup_1m(t)
+    for c in exp.columns:
+        got[c] = got[c].astype(exp[c].dtype)
+    pd.testing.assert_frame_equal(got, exp)

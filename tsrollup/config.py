@@ -62,6 +62,9 @@ class RollupConfig:
     def __post_init__(self) -> None:
         if self.dwt_level < 1:
             raise ValueError(f"dwt_level must be >= 1, got {self.dwt_level}")
+        if self.mode not in ("symmetric", "periodization"):
+            # dwt1 would silently fall back to symmetric — reject instead
+            raise ValueError(f"unknown DWT mode {self.mode!r}")
         if self.gapfill_method not in ("linear", "ffill", "zero"):
             raise ValueError(f"unknown gapfill_method {self.gapfill_method!r}")
         if self.detail_selector not in ("topk", "adaptive"):

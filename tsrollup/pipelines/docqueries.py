@@ -17,6 +17,8 @@ construction).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -154,16 +156,25 @@ def q_fingerprint(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(sf_dir: str):
-    """Exact dedup: content-hash -> groupby -> keep min doc_id (SURVEY §2.9 /
-    the canonical Ray Data dedup shape)."""
+    """Exact dedup: content-hash -> hash-partition -> keep min doc_id per
+    distinct text (SURVEY §2.9 / the canonical Ray Data dedup shape).
+
+    The reduce is ONE vectorized pandas groupby per PARTITION block — not a
+    per-group call per distinct text, which at corpus scale (one group per
+    unique document) is the per-group-Python trap (see tsrollup.shuffle)."""
+    from tsrollup.shuffle import map_key_partitions
+
     ds = _docs(sf_dir, ("doc_id", "text")).map_batches(dedup.add_text_hash, batch_format="pandas")
 
-    def _keep(g: pd.DataFrame) -> pd.DataFrame:
-        # guard against hash collisions: group by actual text within the bucket
-        out = g.groupby("text", sort=False)["doc_id"].min().reset_index(drop=True)
-        return pd.DataFrame({"doc_id": out})
+    def _keep_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        df = t.to_pandas()
+        # group by (hash, text): the text comparison guards hash collisions
+        out = df.groupby(["text_hash", "text"], sort=False)["doc_id"].min()
+        return pa.table({"doc_id": pa.array(out.to_numpy(dtype=np.int64))})
 
-    return map_key_groups(ds, ["text_hash"], _keep, batch_format="pandas")
+    return map_key_partitions(ds, ["text_hash"], _keep_block)
 
 
 _JOIN_SCHEMA = pa.schema(
@@ -305,6 +316,13 @@ def _verify_pairs(t: pa.Table, threshold: float) -> pa.Table:
 
 
 def q_dedup_minhash(sf_dir: str, threshold: float = 0.5):
+    """Memoized per (sf_dir, threshold): ``dedup_clusters`` composes on the
+    same verified pair set, so one process computes it once."""
+    return _dedup_minhash_impl(sf_dir, threshold).copy()
+
+
+@lru_cache(maxsize=8)
+def _dedup_minhash_impl(sf_dir: str, threshold: float):
     """MinHash+LSH near-dup candidates, exact-Jaccard verified (rows-only).
 
     Fully distributed (round-2: no driver-side corpus materialization):

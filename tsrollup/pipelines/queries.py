@@ -582,31 +582,45 @@ def q_quantiles(sf_dir: str):
 
 
 def q_sessionize(sf_dir: str, gap_minutes: int = 30):
-    """Event-stream sessionization (the engine's tumbling/session-window shape:
+    """Event-stream sessionization (the engine's session-window shape:
     partition by key, order by event time inside the group, detect gaps >
-    ``gap_minutes``). Per user: session count + event count."""
+    ``gap_minutes``). Per user: session count + event count.
+
+    Vectorized per PARTITION block: one sort + one diff across every user in
+    the partition (a per-user map_groups call would pay per-GROUP Python over
+    millions of users at corpus scale)."""
+    from tsrollup.shuffle import map_key_partitions
+
     gap_us = gap_minutes * 60_000_000
 
-    def _sess(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"user_id": pd.Series(dtype=np.int64),
-                 "n_sessions": pd.Series(dtype=np.int64),
-                 "n_events": pd.Series(dtype=np.int64)}
-            )
-        df = df.sort_values(["ts", "event_id"])
-        ts = df["ts"].astype("int64").to_numpy()
-        new_session = np.concatenate(([True], np.diff(ts) > gap_us))
-        return pd.DataFrame(
+    def _sess_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "n_sessions": pa.array([], pa.int64()),
+             "n_events": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        user_change = np.concatenate(([True], uid[1:] != uid[:-1]))
+        new_session = user_change | np.concatenate(([True], np.diff(ts) > gap_us))
+        starts = np.flatnonzero(user_change)
+        n_events = np.diff(np.concatenate((starts, [len(uid)])))
+        n_sessions = np.add.reduceat(new_session.astype(np.int64), starts)
+        return pa.table(
             {
-                "user_id": [int(df["user_id"].iloc[0])],
-                "n_sessions": [int(new_session.sum())],
-                "n_events": [len(df)],
+                "user_id": pa.array(uid[starts].astype(np.int64)),
+                "n_sessions": pa.array(n_sessions),
+                "n_events": pa.array(n_events.astype(np.int64)),
             }
         )
 
     ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
-    return map_key_groups(ds, ["user_id"], _sess, batch_format="pandas")
+    return map_key_partitions(ds, ["user_id"], _sess_block)
 
 
 def q_top_tokens(sf_dir: str, k: int = 20):
