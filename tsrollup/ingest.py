@@ -179,7 +179,12 @@ def derived_partials_from_files(
         from tsrollup.rollup import PARTIAL_SCHEMA
 
         return ray.data.from_arrow(PARTIAL_SCHEMA.empty_table())
-    return ray.data.from_items(work).map_batches(_one, batch_format="pyarrow", batch_size=1)
+    # one task per fragment EXACTLY: from_items' default blocking packs 1-2
+    # fragments per block (336 fragments -> 200 blocks), baking in 2x task
+    # skew that quantizes into straggler waves at high CPU counts
+    return ray.data.from_items(work, override_num_blocks=len(work)).map_batches(
+        _one, batch_format="pyarrow", batch_size=1
+    )
 
 
 def check_tokens_invariant(ds: ray.data.Dataset) -> int:
