@@ -429,3 +429,41 @@ def test_embed_dedup_lsh_recalls_planted_dups(ray_session, tmp_path):
     assert found <= exact | {p for p in found}
     for _, r in got.iterrows():
         assert s[int(r["a"]), int(r["b"])] >= thr - 1e-4
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_token_kernels_property_parity(docs):
+    """Property: on arbitrary unicode documents, the batch kernels equal the
+    scalar specification bit-for-bit."""
+    from tsrollup.functions import tokens as tk
+
+    s = pd.Series(docs, dtype=object)
+    tb = tk.TokenBatch(s)
+    np.testing.assert_array_equal(
+        tk.fingerprint_batch(tb, 8),
+        np.array([text.fingerprint(t) for t in s], dtype=np.uint64),
+    )
+    np.testing.assert_array_equal(
+        tk.simhash_batch(tb), np.array([dedup.simhash(t) for t in s], dtype=np.uint64)
+    )
+    sigs = tk.minhash_signatures(tb, 32, 3)
+    for i in range(len(s)):
+        np.testing.assert_array_equal(
+            sigs[i], dedup.minhash_signature(dedup.shingle_hashes(s[i], 3), 32)
+        )
+    np.testing.assert_array_equal(
+        text.detect_lang_batch(s), np.array([text.detect_lang(t) for t in s], dtype=object)
+    )
