@@ -467,3 +467,23 @@ def test_token_kernels_property_parity(docs):
     np.testing.assert_array_equal(
         text.detect_lang_batch(s), np.array([text.detect_lang(t) for t in s], dtype=object)
     )
+
+
+def test_resize_and_audio_stages():
+    t = multimodal.synth_media_table(8)
+    with pytest.raises(NotImplementedError):
+        multimodal.ResizeImageStage(fake=False)
+    out = multimodal.ResizeImageStage(th=4, tw=4, fake=True)(t)
+    assert out.column_names == ["media_id", "height", "width", "pixels"]
+    assert len(out["pixels"][0]) == 16
+    # deterministic
+    out2 = multimodal.ResizeImageStage(th=4, tw=4, fake=True)(t)
+    np.testing.assert_array_equal(
+        np.asarray(out["pixels"][3].as_py()), np.asarray(out2["pixels"][3].as_py())
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.DecodeAudioStage(fake=False)
+    a = multimodal.DecodeAudioStage(hop_seconds=2.0, fake=True)(t)
+    assert a.column_names == ["media_id", "window_idx", "features"]
+    assert a.num_rows >= 8  # at least one window per media row
+    assert (np.asarray(a["window_idx"]) >= 0).all()

@@ -160,3 +160,28 @@ def test_map_key_partitions_hash_strategy(ray_session):
         assert got["s"].sum() == int(t["v"].to_numpy(zero_copy_only=False).sum())
     finally:
         ctx.shuffle_strategy = old
+
+
+def test_window_guard_fires_through_real_output_buffer(ray_session, tiny_input_dir, tmp_path):
+    """Integration proof for the co-partitioned fast-path guard: shrink Ray's
+    target block size so the output buffer really slices blocks mid-window,
+    and assert the engine REFUSES (RuntimeError) instead of silently
+    gap-filling partial windows."""
+    import pytest
+    from ray.data import DataContext
+
+    from tsrollup import job
+    from tsrollup.config import RollupConfig
+
+    ctx = DataContext.get_current()
+    saved = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 2048  # ~40 rolled rows -> guaranteed splits
+        with pytest.raises(Exception, match="split across blocks"):
+            job.run(
+                tiny_input_dir,
+                RollupConfig(out_root=str(tmp_path / "out"), tiers=("1m",)),
+                resume=False,
+            )
+    finally:
+        ctx.target_max_block_size = saved

@@ -105,13 +105,101 @@ class FrameSampleStage:
         )
 
 
+class ResizeImageStage:
+    """Image resize stub: emits a deterministic ``th x tw`` thumbnail tensor
+    per payload (flattened list<float32>) plus the new dimensions. A real
+    implementation would decode with PIL/cv2 and interpolate; the environment
+    has neither, so the fake path derives stable pixels from the payload hash
+    — the Ray-side shape (small batches, per-actor setup, fixed-size output
+    tensor column) is the real contract."""
+
+    def __init__(self, th: int = 8, tw: int = 8, fake: bool = False):
+        if not fake:
+            try:
+                import PIL.Image  # noqa: F401 — probe only
+            except ImportError as e:
+                raise NotImplementedError(
+                    "image resize requires PIL/cv2, not present in this "
+                    "environment; construct with fake=True for plumbing tests"
+                ) from e
+        self.th, self.tw = th, tw
+        self.fake = fake
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("real image resize not available here")
+        n_px = self.th * self.tw
+        payloads = t["payload"].to_pylist()
+        px = np.stack([_fake_decode(p or b"", n_px) for p in payloads])
+        offs = pa.array(np.arange(0, (len(payloads) + 1) * n_px, n_px, dtype=np.int32))
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "height": pa.array([self.th] * t.num_rows, type=pa.int32()),
+                "width": pa.array([self.tw] * t.num_rows, type=pa.int32()),
+                "pixels": pa.ListArray.from_arrays(offs, pa.array(px.reshape(-1))),
+            }
+        )
+
+
+class DecodeAudioStage:
+    """Audio decode + windowed-feature stub: one feature row per ``hop``
+    seconds of (meta-declared) duration — the audio analog of frame sampling.
+    Real codecs (soundfile/librosa) are absent; the fake path is
+    deterministic per (payload, window)."""
+
+    def __init__(self, hop_seconds: float = 1.0, fake: bool = False, dim: int = FEATURE_DIM):
+        if not fake:
+            try:
+                import soundfile  # noqa: F401 — probe only
+            except ImportError as e:
+                raise NotImplementedError(
+                    "audio decoding requires soundfile/librosa, not present in "
+                    "this environment; construct with fake=True for plumbing tests"
+                ) from e
+        self.hop = hop_seconds
+        self.dim = dim
+        self.fake = fake
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("real audio decode not available here")
+        import json
+
+        ids, win_idx, feats = [], [], []
+        for i in range(t.num_rows):
+            meta = json.loads(t["meta"][i].as_py() or "{}")
+            dur = float(meta.get("duration_s", 0.0))
+            payload = t["payload"][i].as_py() or b""
+            n_wins = max(1, int(dur // self.hop)) if dur > 0 else 1
+            for w in range(n_wins):
+                ids.append(t["media_id"][i].as_py())
+                win_idx.append(w)
+                feats.append(_fake_decode(payload + w.to_bytes(4, "little"), self.dim))
+        flat = np.concatenate(feats) if feats else np.array([], dtype=np.float32)
+        offs = pa.array(np.arange(0, (len(ids) + 1) * self.dim, self.dim, dtype=np.int32))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "window_idx": pa.array(win_idx, type=pa.int32()),
+                "features": pa.ListArray.from_arrays(offs, pa.array(flat)),
+            }
+        )
+
+
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     """Deterministic fake media table for plumbing tests."""
     import json
 
     rng = np.random.default_rng(seed)
     payloads = [bytes(rng.integers(0, 256, int(rng.integers(100, 2000)), dtype=np.uint8)) for _ in range(n)]
-    metas = [json.dumps({"n_frames": int(rng.integers(10, 120)), "w": 64, "h": 64}) for _ in range(n)]
+    metas = [
+        json.dumps(
+            {"n_frames": int(rng.integers(10, 120)), "w": 64, "h": 64,
+             "duration_s": float(rng.integers(1, 30))}
+        )
+        for _ in range(n)
+    ]
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),

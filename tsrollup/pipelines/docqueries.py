@@ -510,6 +510,47 @@ def q_multimodal_decode(sf_dir: str):
     return decoded.map_batches(_norm, batch_format="pyarrow")
 
 
+def q_multimodal_pipeline(sf_dir: str):
+    """The full multimodal stage set over the deterministic fake media table:
+    image decode+feature-extract, resize, video frame sampling and windowed
+    audio features — each an actor-pool ``map_batches`` with small batches
+    (payload columns stay bounded). Output: one summary row with deterministic
+    per-stage row counts (rows-only)."""
+    import ray
+
+    from tsrollup.functions import multimodal
+
+    media = multimodal.synth_media_table(128, seed=42)
+    ds = ray.data.from_arrow(media)
+    common = dict(batch_format="pyarrow", batch_size=32, concurrency=(1, 4))
+    decoded = ds.map_batches(
+        multimodal.DecodeImageStage, fn_constructor_kwargs={"fake": True}, **common
+    )
+    resized = ds.map_batches(
+        multimodal.ResizeImageStage,
+        fn_constructor_kwargs={"th": 8, "tw": 8, "fake": True}, **common,
+    )
+    frames = ds.map_batches(
+        multimodal.FrameSampleStage,
+        fn_constructor_kwargs={"stride": 25, "fake": True}, **common,
+    )
+    audio = ds.map_batches(
+        multimodal.DecodeAudioStage,
+        fn_constructor_kwargs={"hop_seconds": 2.0, "fake": True}, **common,
+    )
+    return pd.DataFrame(
+        [
+            {
+                "n_media": 128,
+                "n_decoded": decoded.count(),
+                "n_thumbnails": resized.count(),
+                "n_frames": frames.count(),
+                "n_audio_windows": audio.count(),
+            }
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -898,6 +939,7 @@ DOC_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_pipeline": q_multimodal_pipeline,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
