@@ -212,7 +212,8 @@ def host_probe(P: int) -> float:
     engine inefficiency."""
     import multiprocessing as mp
 
-    with mp.get_context("spawn").Pool(P) as p:
+    # fork (not spawn): no __main__ re-import, works however bench is invoked
+    with mp.get_context("fork").Pool(P) as p:
         times = p.map(_probe_work, range(P))
     return round(sorted(times)[len(times) // 2], 3)
 
