@@ -336,17 +336,27 @@ def run(
                 and os.path.isdir(committed_points)
             )
             if incr_t:
-                touched_t = {(s, (b // factor) // L) for s, b in touched_1m}
+                # {source -> sorted wid array}: vectorized membership per
+                # block (np.isin per distinct source, never per row)
+                touched_t: dict = {}
+                for s, b in touched_1m:
+                    touched_t.setdefault(s, set()).add((b // factor) // L)
+                touched_t = {s: np.array(sorted(w), dtype=np.int64) for s, w in touched_t.items()}
                 keep = cfg.retention_buckets.get(t_)
                 cutoff = (now_1m - keep) // factor if keep is not None else None
                 touched_ref = _ray.put(touched_t)
 
                 def _is_recompute(src, wid, _ref=touched_ref, _cut=cutoff):
+                    import pandas as pd
+
                     touched = _ray.get(_ref)
-                    hit = np.fromiter(
-                        ((s, int(w)) in touched for s, w in zip(src, wid)),
-                        dtype=bool, count=len(wid),
-                    )
+                    hit = np.zeros(len(wid), dtype=bool)
+                    codes, uniques = pd.factorize(src, sort=False)
+                    for ci, s in enumerate(uniques):
+                        tw = touched.get(s)
+                        if tw is not None:
+                            m = codes == ci
+                            hit[m] = np.isin(wid[m], tw)
                     if _cut is not None:
                         hit |= wid * L < _cut
                     return hit

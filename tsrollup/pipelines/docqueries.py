@@ -684,27 +684,37 @@ def q_embed_dedup(sf_dir: str, threshold: float = 0.40):
     ]
 
     class TileStage:
-        """Actor-pool stage: caches chunk reads (a chunk participates in many
-        tiles; each actor re-reads it once, normalized float32)."""
+        """Actor-pool stage with a BOUNDED LRU chunk cache: a chunk
+        participates in many tiles and tasks arrive in (i, j) order, so a few
+        slots capture most reuse — an unbounded cache would grow toward the
+        whole corpus per actor at scale."""
+
+        _CACHE_SLOTS = 6
 
         def __init__(self, chunks):
+            from collections import OrderedDict
+
             self.chunks = chunks
-            self.cache: dict = {}
+            self.cache: OrderedDict = OrderedDict()
 
         def _load(self, ci: int):
-            if ci not in self.cache:
-                import pyarrow.parquet as pq
+            if ci in self.cache:
+                self.cache.move_to_end(ci)
+                return self.cache[ci]
+            import pyarrow.parquet as pq
 
-                c = self.chunks[ci]
-                t = (
-                    pq.ParquetFile(c["path"])
-                    .read_row_group(c["rg"], columns=["vec_id", "embedding"])
-                    .slice(c["lo"], c["hi"] - c["lo"])
-                )
-                self.cache[ci] = (
-                    ann.normalize_rows(ann.stack_embeddings(t)),
-                    t["vec_id"].to_numpy(zero_copy_only=False),
-                )
+            c = self.chunks[ci]
+            t = (
+                pq.ParquetFile(c["path"])
+                .read_row_group(c["rg"], columns=["vec_id", "embedding"])
+                .slice(c["lo"], c["hi"] - c["lo"])
+            )
+            self.cache[ci] = (
+                ann.normalize_rows(ann.stack_embeddings(t)),
+                t["vec_id"].to_numpy(zero_copy_only=False),
+            )
+            while len(self.cache) > self._CACHE_SLOTS:
+                self.cache.popitem(last=False)
             return self.cache[ci]
 
         def __call__(self, batch: pa.Table) -> pd.DataFrame:
