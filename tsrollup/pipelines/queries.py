@@ -664,6 +664,7 @@ def q_json_ingest(sf_dir: str):
     t = (
         pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
         .sort_by("doc_id")
+        .slice(0, 100_000)  # bounded interchange demo — never the whole corpus
     )
     df = t.to_pandas()
     tb = tk.TokenBatch(df["text"])
