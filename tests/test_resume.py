@@ -283,3 +283,45 @@ def test_watch_tails_appended_fragments(ray_session, tmp_path):
     for c in exp.columns:
         got[c] = got[c].astype(exp[c].dtype)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_incremental_append_merges_quarantine_counts(ray_session, tmp_path):
+    """Malformed rows in an APPENDED fragment merge into the committed
+    quarantine lineage (counts add, nothing silently dropped)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tsrollup.synth import synth_table
+
+    t = synth_table(seed=31, n_sources=2, base_span=2048)
+    d = tmp_path / "in"
+    d.mkdir()
+    pq.write_table(t, str(d / "a.parquet"))
+    cfg = RollupConfig(out_root=str(tmp_path / "out"), tiers=("1m",))
+    job.run(str(d), cfg)
+    bad = pa.table(
+        {
+            "doc_id": pa.array(["srcXX-oops!", "srcXX-0000000007"]),
+            "tokens": pa.array([[1], [1, 2]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 99], type=pa.int32()),
+            "source": pa.array(["srcXX", "srcXX"]),
+        }
+    )
+    pq.write_table(bad, str(d / "b.parquet"))
+    res = job.run(str(d), cfg)
+    assert res["1m"]["incremental"] is True
+    assert res["1m"]["lineage"]["__quarantine__"]["quarantined_rows"] == 2
+
+
+def test_validate_tokens_false_prunes_token_read(ray_session, tiny_input_dir, tiny_table, tmp_path):
+    """validate_tokens=False reads only the rollup columns (tokens pruned at
+    the scan) and still matches the oracle rollup."""
+    cfg = RollupConfig(
+        out_root=str(tmp_path / "out"), tiers=("1m",), validate_tokens=False
+    )
+    job.run(tiny_input_dir, cfg)
+    got = _rolled(cfg.out_root, "1m")
+    exp = oracle.rollup_1m(tiny_table).reset_index(drop=True)
+    for c in exp.columns:
+        got[c] = got[c].astype(exp[c].dtype)
+    pd.testing.assert_frame_equal(got, exp)
