@@ -805,10 +805,250 @@ def q_downsample_lttb(sf_dir: str, target: int = 50):
 
 
 # ---------------------------------------------------------------------------
+# time-series joins / windowed aggregates (custom operators Ray Data lacks;
+# each documents its partitioning assumption per the scale brief)
+# ---------------------------------------------------------------------------
+
+def _marks_pandas(sf_dir: str) -> pd.DataFrame:
+    """Sparse per-source mark series: every 7th 1m bucket of the rollup.
+
+    The small side of the as-of join. It is a ROLLED tier (>=60x reduced)
+    further thinned 7x, so broadcasting it is the documented partitioning
+    assumption (same posture as `q_join_broadcast`); the alternative at
+    unbounded mark cardinality is a (source)-keyed exchange of the union of
+    both sides through `shuffle.map_key_partitions` + per-group merge."""
+
+    def _pick(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(b % 7 == 0))
+
+    return (
+        _rolled_events(sf_dir)
+        .map_batches(_pick, batch_format="pyarrow")
+        .select_columns(["source", "bucket"])
+        .to_pandas()
+    )
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: each event matches the most recent mark (every 7th rolled
+    1m bucket) at-or-before its bucket, per source; aggregated per
+    (source, mark_bucket). Small side broadcast once via ``ray.put``; probe is
+    a vectorized ``np.searchsorted`` per batch — no shuffle on the big side.
+    Events before a source's first mark drop (inner as-of semantics)."""
+    import ray
+
+    marks = _marks_pandas(sf_dir)
+    lookup = {
+        src: np.sort(g["bucket"].to_numpy())
+        for src, g in marks.groupby("source", sort=False)
+    }
+    lookup_ref = ray.put(lookup)
+
+    class AsofStage:
+        def __init__(self, ref):
+            import ray as _r
+
+            self.marks = _r.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            d = _derive_events(t)
+            src = d["source"].to_numpy(zero_copy_only=False)
+            bucket = d["bucket"].to_numpy(zero_copy_only=False)
+            cents = d["n_tok"].to_numpy(zero_copy_only=False)
+            mark = np.full(len(src), -1, dtype=np.int64)
+            codes, uniques = pd.factorize(src, sort=False)
+            for code, s in enumerate(uniques):
+                mb = self.marks.get(s)
+                if mb is None or not len(mb):
+                    continue
+                sel = codes == code
+                idx = np.searchsorted(mb, bucket[sel], side="right") - 1
+                hit = idx >= 0
+                m = np.full(int(sel.sum()), -1, dtype=np.int64)
+                m[hit] = mb[idx[hit]]
+                mark[sel] = m
+            keep = mark >= 0
+            return pa.table(
+                {
+                    "source": pa.array(src[keep]),
+                    "bucket": pa.array(mark[keep]),
+                    "n_tok": pa.array(cents[keep]),
+                    "chk": pa.array(np.zeros(int(keep.sum()), dtype=np.int64)),
+                }
+            )
+
+    joined = _events(sf_dir).map_batches(
+        AsofStage, fn_constructor_kwargs={"ref": lookup_ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    rolled = final_rollup(joined.map_batches(partial_rollup, batch_format="pyarrow"))
+    return rolled.select_columns(["source", "bucket", "n_rows", "sum_tok"]).rename_columns(
+        ["source", "mark_bucket", "n_events", "sum_cents"]
+    )
+
+
+_RANGE_W_LO, _RANGE_W_HI = 1000, 2000  # interval = [day*1440 - 1000, day*1440 + 2000)
+
+
+def q_range_join(sf_dir: str):
+    """Banded range join: each 1d rollup bucket anchors the interval
+    ``[day*1440 - 1000, day*1440 + 2000)`` (width 3000 > 1440, so consecutive
+    days OVERLAP — genuinely many-to-many); events land in every interval
+    containing their 1m bucket, aggregated per (source, lo). Fixed interval
+    width is the documented assumption that makes the probe two
+    ``searchsorted`` calls per batch (banded join); unbounded widths would
+    need an interval tree or a bucket-keyed exchange."""
+    import ray
+
+    anchors = (
+        cascade_tier(cascade_tier(_rolled_events(sf_dir), 60), 24)
+        .select_columns(["source", "bucket"])
+        .to_pandas()
+    )  # 1d tier: tiny by construction (86400x reduced)
+    lookup = {
+        src: np.sort(g["bucket"].to_numpy() * 1440 - _RANGE_W_LO)
+        for src, g in anchors.groupby("source", sort=False)
+    }
+    lookup_ref = ray.put(lookup)
+    width = _RANGE_W_LO + _RANGE_W_HI
+
+    class RangeStage:
+        def __init__(self, ref):
+            import ray as _r
+
+            self.lows = _r.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            d = _derive_events(t)
+            src = d["source"].to_numpy(zero_copy_only=False)
+            bucket = d["bucket"].to_numpy(zero_copy_only=False)
+            cents = d["n_tok"].to_numpy(zero_copy_only=False)
+            out_src, out_lo, out_cents = [], [], []
+            codes, uniques = pd.factorize(src, sort=False)
+            for code, s in enumerate(uniques):
+                los = self.lows.get(s)
+                if los is None or not len(los):
+                    continue
+                sel = codes == code
+                b = bucket[sel]
+                c = cents[sel]
+                left = np.searchsorted(los, b - width + 1, side="left")
+                right = np.searchsorted(los, b, side="right")
+                counts = right - left
+                total = int(counts.sum())
+                if total == 0:
+                    continue
+                # expand each event into its matched interval range
+                rep = np.repeat(np.arange(len(b)), counts)
+                offs = np.arange(total) - np.repeat(
+                    np.cumsum(counts) - counts, counts
+                )
+                ivl = los[np.repeat(left, counts) + offs]
+                out_src.append(np.repeat(np.array([s], dtype=object), total))
+                out_lo.append(ivl)
+                out_cents.append(c[rep])
+            if not out_src:
+                return pa.table(
+                    {"source": pa.array([], pa.string()),
+                     "bucket": pa.array([], pa.int64()),
+                     "n_tok": pa.array([], pa.int64()),
+                     "chk": pa.array([], pa.int64())}
+                )
+            n = sum(len(a) for a in out_lo)
+            return pa.table(
+                {
+                    "source": pa.array(np.concatenate(out_src)),
+                    "bucket": pa.array(np.concatenate(out_lo)),
+                    "n_tok": pa.array(np.concatenate(out_cents)),
+                    "chk": pa.array(np.zeros(n, dtype=np.int64)),
+                }
+            )
+
+    pairs = _events(sf_dir).map_batches(
+        RangeStage, fn_constructor_kwargs={"ref": lookup_ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    rolled = final_rollup(pairs.map_batches(partial_rollup, batch_format="pyarrow"))
+    return rolled.select_columns(["source", "bucket", "n_rows", "sum_tok"]).rename_columns(
+        ["source", "lo", "n_events", "sum_cents"]
+    )
+
+
+def q_moving_avg(sf_dir: str, window: int = 10):
+    """Rolling-window aggregate over each source's 1m series: count + sum of
+    the last ``window`` rows in bucket order (ROWS BETWEEN 9 PRECEDING AND
+    CURRENT ROW). Exact integers; per-source groups via the keyed exchange,
+    one vectorized prefix-sum pass per group."""
+
+    def _roll(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"source": pd.Series(dtype=object),
+                                 "bucket": pd.Series(dtype=np.int64),
+                                 "win_n": pd.Series(dtype=np.int64),
+                                 "win_cents": pd.Series(dtype=np.int64)})
+        df = df.sort_values("bucket")
+        x = df["sum_tok"].to_numpy().astype(np.int64)
+        prefix = np.concatenate(([0], np.cumsum(x)))
+        i = np.arange(1, len(x) + 1)
+        start = np.maximum(0, i - window)
+        return pd.DataFrame(
+            {
+                "source": df["source"].to_numpy(),
+                "bucket": df["bucket"].to_numpy(),
+                "win_n": (i - start).astype(np.int64),
+                "win_cents": prefix[i] - prefix[start],
+            }
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _roll, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # ORACLE SQL (DuckDB) — keyed identically to QUERIES
 # ---------------------------------------------------------------------------
 
+_EVENTS_CENTS_SQL = """
+    SELECT event_type AS source, epoch_ms(ts) // 60000 AS bucket,
+           CAST(FLOOR(value * 100) AS BIGINT) AS cents
+    FROM events
+"""
+
 ORACLE_SQL: dict[str, str] = {
+    "asof_join": f"""
+        WITH r AS ({_ROLLUP_SQL_BODY}),
+        marks AS (SELECT source, bucket AS mark_bucket FROM r WHERE bucket % 7 = 0),
+        ev AS ({_EVENTS_CENTS_SQL})
+        SELECT e.source, m.mark_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(e.cents) AS BIGINT) AS sum_cents
+        FROM ev e ASOF JOIN marks m
+          ON e.source = m.source AND e.bucket >= m.mark_bucket
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "range_join": f"""
+        WITH r AS ({_ROLLUP_SQL_BODY}),
+        r1d AS (SELECT source, bucket // 1440 AS day FROM r GROUP BY 1, 2),
+        ivl AS (SELECT source, day * 1440 - {_RANGE_W_LO} AS lo,
+                       day * 1440 + {_RANGE_W_HI} AS hi FROM r1d),
+        ev AS ({_EVENTS_CENTS_SQL})
+        SELECT e.source, i.lo,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(e.cents) AS BIGINT) AS sum_cents
+        FROM ev e JOIN ivl i
+          ON e.source = i.source AND e.bucket >= i.lo AND e.bucket < i.hi
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "moving_avg": f"""
+        WITH r AS ({_ROLLUP_SQL_BODY})
+        SELECT source, bucket,
+               CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
+               CAST(SUM(sum_cents) OVER w AS BIGINT) AS win_cents
+        FROM r
+        WINDOW w AS (PARTITION BY source ORDER BY bucket
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        ORDER BY 1, 2
+    """,
     "rollup_1m": f"SELECT * FROM ({_ROLLUP_SQL_BODY}) ORDER BY source, bucket",
     "rollup_1h": f"""
         SELECT source, bucket // 60 AS bucket, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
@@ -975,6 +1215,9 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "topk_events_global": q_topk_events_global,
     "join_broadcast": q_join_broadcast,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "moving_avg": q_moving_avg,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
