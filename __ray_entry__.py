@@ -8,7 +8,7 @@ Ray is initialised by the driver BEFORE this module is imported; nothing here
 - ``queries()``: one callable per implemented operator/pipeline (SURVEY §2 and
   the training-data operator library), each taking ``sf_dir``.
 - ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query;
-  non-SQL ops (wavelet, gorilla, LTTB, MinHash, SimHash, LSH ANN, language-ID,
+  non-SQL ops (wavelet, gorilla, LTTB, MinHash, SimHash, LSH ANN,
   fingerprints) are rows-only checked and golden-tested in tests/.
 """
 

@@ -49,20 +49,29 @@ class _BitWriter:
 
 
 class _BitReader:
-    __slots__ = ("data", "pos")
+    """Byte-wise accumulator (mirror of _BitWriter): refills 8 bits at a
+    time, so a read costs O(bits/8) Python ops instead of O(bits)."""
+
+    __slots__ = ("data", "bytepos", "acc", "nbits")
 
     def __init__(self, data: bytes) -> None:
         self.data = data
-        self.pos = 0
+        self.bytepos = 0
+        self.acc = 0
+        self.nbits = 0
 
     def read(self, bits: int) -> int:
-        out = 0
-        p = self.pos
-        for _ in range(bits):
-            byte = self.data[p >> 3]
-            out = (out << 1) | ((byte >> (7 - (p & 7))) & 1)
+        acc, nbits, p = self.acc, self.nbits, self.bytepos
+        data = self.data
+        while nbits < bits:
+            acc = (acc << 8) | data[p]
             p += 1
-        self.pos = p
+            nbits += 8
+        nbits -= bits
+        out = acc >> nbits
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
+        self.bytepos = p
         return out
 
 

@@ -1,9 +1,10 @@
 """Training-data operator pipelines over ``documents`` and ``embeddings``
 (dedup, similarity search, text analysis) — the 100 TB-pipeline operator set.
 
-SQL-expressible ones carry a DuckDB oracle; hash/heuristic ones (MinHash,
-SimHash, language-ID, fingerprints, LSH ANN) are rows-only here and
-golden-tested in tests/test_functions.py.
+SQL-expressible ones carry a DuckDB oracle — including language-ID and
+n-gram Jaccard, whose oracles replicate the full heuristics in SQL;
+hash-based ones (MinHash, SimHash, fingerprints, LSH ANN) are rows-only
+here and golden-tested in tests/test_functions.py.
 
 Scale posture (round 2): every text kernel is batch-vectorized
 (functions/tokens.py); the MinHash verify re-shards pair ends by doc_id
@@ -116,7 +117,8 @@ def q_tokenize(sf_dir: str):
 
 def q_langid(sf_dir: str):
     """Heuristic language ID vs the table's lang label (actor-pool stage:
-    regex/sets compiled once per actor). Rows-only."""
+    regex/sets compiled once per actor). SQL-verified: the DuckDB oracle
+    replicates the full decision procedure."""
     ds = _docs(sf_dir, ("doc_id", "text", "lang")).map_batches(
         text.LangIdStage, batch_format="pandas", concurrency=(1, 4)
     )
@@ -444,7 +446,7 @@ def _simhash_pairs_block(t: pa.Table, max_hamming: int) -> pa.Table:
 def q_dedup_ngram(sf_dir: str, threshold: float = 0.4, k: int = 3):
     """Exact n-gram Jaccard near-dup pairs within each source (brute force per
     source partition — sources bound the pair count; the LSH variants above are
-    the corpus-wide scale path). Rows-only."""
+    the corpus-wide scale path). SQL-verified (shingle-string Jaccard)."""
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) < 2:
@@ -916,6 +918,83 @@ DOC_ORACLE_SQL: dict[str, str] = {
     "dedup_exact": """
         SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1
     """,
+    # exact SQL replica of q_dedup_ngram: per-source all-pairs Jaccard over
+    # distinct 3-token shingles (docs with <3 tokens use the whole joined
+    # token string as their one shingle, matching dedup.shingle_hashes;
+    # Jaccard over shingle STRINGS == Jaccard over the engine's 64-bit
+    # shingle hashes absent collisions)
+    "dedup_ngram": r"""
+        WITH toks AS (
+            SELECT doc_id, source, regexp_extract_all(text, '\S+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, source, s FROM (
+                SELECT doc_id, source,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+                WHERE len(t) >= 3
+                UNION ALL
+                SELECT doc_id, source, array_to_string(t, ' ')
+                FROM toks WHERE len(t) BETWEEN 1 AND 2
+            )
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+            FROM sh a JOIN sh b
+              ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.a, i.b,
+               ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b
+        WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.4
+        ORDER BY 1, 2
+    """,
+    # exact SQL replica of functions.text.detect_lang: whitespace tokens,
+    # lower+strip punctuation, stopword-hit argmax with sorted-code tie-break,
+    # no-hit -> 'en', empty/whitespace-only -> 'und', CJK-ratio -> 'zh'
+    "langid": r"""
+        WITH d AS (SELECT doc_id, text, lang FROM documents),
+        toks AS (
+            SELECT doc_id, trim(lower(raw), '.,;:!?"''()') AS w
+            FROM d, UNNEST(regexp_split_to_array(text, '\s+')) AS u(raw)
+            WHERE raw <> ''
+        ),
+        markers(mlang, mw) AS (VALUES __MARKER_VALUES__),
+        hits AS (
+            SELECT t.doc_id, mk.mlang, COUNT(*) AS h
+            FROM toks t JOIN markers mk ON mk.mw = t.w GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT doc_id, mlang FROM hits
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY h DESC, mlang ASC) = 1
+        ),
+        nw AS (SELECT doc_id, COUNT(*) AS nwords FROM toks GROUP BY 1),
+        pred AS (
+            SELECT d.lang,
+                   CASE WHEN length(d.text) = 0 THEN 'und'
+                        WHEN length(regexp_replace(d.text, '[^一-鿿]', '', 'g')) * 4
+                             >= GREATEST(1, length(d.text) // 8) THEN 'zh'
+                        WHEN COALESCE(nw.nwords, 0) = 0 THEN 'und'
+                        ELSE COALESCE(b.mlang, 'en') END AS lang_pred
+            FROM d LEFT JOIN nw USING (doc_id) LEFT JOIN best b USING (doc_id)
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM pred GROUP BY 1 ORDER BY 1
+    """.replace(
+        "__MARKER_VALUES__",
+        ", ".join(
+            f"('{lang}', '{w}')"
+            for lang in sorted(text._LANG_MARKERS)
+            for w in sorted(text._LANG_MARKERS[lang])
+        ),
+    ),
     "ann_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
         scored AS (
