@@ -179,3 +179,48 @@ def test_filter_bank_properties_all_families(family):
     # symmetric mode shapes
     cA2, cD2 = wv.dwt1(x, family, "symmetric")
     assert cA2.shape[1] == wv.coeff_len(96, family, "symmetric")
+
+
+@_pt.mark.parametrize("N", [5, 6, 8, 10, 16, 20])
+def test_generated_daubechies_families(N):
+    """dbN beyond the stored tables is computed by spectral factorization;
+    it must satisfy the same orthogonal-filter axioms (length 2N, sum sqrt2,
+    unit energy, even-shift orthogonality) and perfectly reconstruct."""
+    import numpy as np
+
+    from tsrollup import wavelet as wv
+
+    h = wv.filter_bank(f"db{N}")[2]  # rec_lo
+    assert len(h) == 2 * N
+    assert abs(h.sum() - np.sqrt(2)) < 1e-8
+    assert abs((h * h).sum() - 1.0) < 1e-8
+    for m in range(1, N):
+        assert abs(np.dot(h[:-2 * m], h[2 * m:])) < 1e-7, (N, m)
+    x = np.random.default_rng(3).standard_normal((2, 128))
+    cA, cD = wv.dwt1(x, f"db{N}", "periodization")
+    rec = wv.idwt1_periodization(cA, cD, f"db{N}", 128)
+    np.testing.assert_allclose(rec, x, atol=1e-7)
+
+
+def test_generated_daubechies_matches_published_tables():
+    """The spectral-factorization construction reproduces the published
+    db2/db3/db4 coefficient tables (so stored and generated families agree)."""
+    import numpy as np
+
+    from tsrollup import wavelet as wv
+
+    for N in (2, 3, 4):
+        np.testing.assert_allclose(
+            wv._daubechies_rec_lo(N), wv._REC_LO[f"db{N}"], atol=1e-12
+        )
+
+
+def test_unknown_wavelet_rejected_fast():
+    import pytest
+
+    from tsrollup.config import RollupConfig
+
+    with pytest.raises(ValueError, match="unsupported wavelet"):
+        RollupConfig(wavelet="nope2")
+    with pytest.raises(ValueError, match="unsupported wavelet"):
+        RollupConfig(wavelet="db99")

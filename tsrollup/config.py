@@ -69,6 +69,9 @@ class RollupConfig:
             raise ValueError(f"unknown gapfill_method {self.gapfill_method!r}")
         if self.detail_selector not in ("topk", "adaptive"):
             raise ValueError(f"unknown detail_selector {self.detail_selector!r}")
+        from tsrollup.wavelet import filter_bank
+
+        filter_bank(self.wavelet)  # fail fast on unknown families (raises ValueError)
 
     def config_hash(self, tier: str | None = None) -> str:
         """Stable hash of the semantic knobs — stamped into lineage records.

@@ -83,17 +83,58 @@ _REC_LO = {
 _REC_LO["sym2"] = _REC_LO["db2"]
 _REC_LO["sym3"] = _REC_LO["db3"]
 
+_MAX_DB = 20
+
+
+def _daubechies_rec_lo(N: int) -> np.ndarray:
+    """Compute the minimum-phase Daubechies-N scaling filter (length 2N) by
+    spectral factorization of the Daubechies polynomial (Daubechies, "Ten
+    Lectures on Wavelets", ch. 6 — the standard public construction):
+    P(y) = sum_k C(N-1+k, k) y^k; map each y-root through
+    z^2 - (2 - 4y) z + 1 = 0, keep |z| < 1 (minimum phase), and expand
+    h(z) = c (1+z)^N prod(z - z_k) with sum(h) = sqrt(2).
+
+    Reproduces the published db1-db4 tables to ~1e-13 (pinned in
+    tests/test_wavelet.py); lets the engine accept any dbN like the
+    reference's pywt surface (core/downsampling_algorithm2.py:245-257)."""
+    from math import comb
+
+    if N == 1:
+        return np.array([1.0, 1.0]) / np.sqrt(2)
+    P = [comb(N - 1 + k, k) for k in range(N)]
+    yroots = np.roots(P[::-1])
+    poly = np.array([1.0 + 0j])
+    for _ in range(N):
+        poly = np.convolve(poly, [1.0, 1.0])
+    for y in yroots:
+        b = 2 - 4 * y
+        disc = np.sqrt(b * b - 4 + 0j)
+        z1, z2 = (b + disc) / 2, (b - disc) / 2
+        poly = np.convolve(poly, [1.0, -(z1 if abs(z1) < 1 else z2)])
+    h = poly.real
+    return h * (np.sqrt(2) / h.sum())
+
 
 def filter_bank(wavelet: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """(dec_lo, dec_hi, rec_lo, rec_hi) for a named wavelet.
 
     Standard orthogonal QMF relations: rec_lo = h; dec_lo = h reversed;
     rec_hi[k] = (-1)**k * dec_lo[k]; dec_hi = rec_hi reversed.
+
+    db1-db4 / sym2-sym4 / coif1 come from the published tables above; any
+    other ``dbN`` (N <= 20) is computed on first use by spectral
+    factorization and cached.
     """
-    try:
-        h = _REC_LO[wavelet]
-    except KeyError:
-        raise ValueError(f"unsupported wavelet {wavelet!r}; choose from {sorted(_REC_LO)}")
+    h = _REC_LO.get(wavelet)
+    if h is None and wavelet.startswith("db") and wavelet[2:].isdigit():
+        N = int(wavelet[2:])
+        if 1 <= N <= _MAX_DB:
+            h = _REC_LO[wavelet] = _daubechies_rec_lo(N)
+    if h is None:
+        raise ValueError(
+            f"unsupported wavelet {wavelet!r}; choose from "
+            f"{sorted(_REC_LO)} or any db1..db{_MAX_DB}"
+        )
     rec_lo = h
     dec_lo = h[::-1].copy()
     signs = np.where(np.arange(len(h)) % 2 == 0, 1.0, -1.0)
@@ -106,7 +147,7 @@ def coeff_len(n: int, wavelet: str, mode: str = "symmetric", level: int = 1) -> 
     """len(cA_level) == len(cD_level) (ref core/downsampling_algorithm2.py:8-23;
     for level > 1 the reference keeps only coeffs[0]/coeffs[1] of wavedec, so
     the relevant length is the level-fold composition of the level-1 rule)."""
-    F = len(_REC_LO[wavelet])
+    F = len(filter_bank(wavelet)[0])
     for _ in range(max(1, level)):
         n = (n + 1) // 2 if mode == "periodization" else (n + F - 1) // 2
     return n
