@@ -126,7 +126,10 @@ def map_key_groups(
             out = fn(empty.to_pandas()) if batch_format == "pandas" else fn(empty)
             outs.append(out)
         if batch_format == "pandas":
-            df = pd.concat(outs, ignore_index=True)
+            # drop empty frames before concat (pandas deprecates concat with
+            # empty entries), keeping one for the schema when ALL are empty
+            nonempty = [o for o in outs if len(o)]
+            df = pd.concat(nonempty or outs[:1], ignore_index=True)
             # hand Arrow (metadata-free) back to Ray: pandas schema metadata
             # is unhashable and trips Ray's block-schema dedup logging
             return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)

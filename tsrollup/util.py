@@ -41,12 +41,27 @@ def tune_ray_data(quiet: bool = True, hash_shuffle: bool | None = None) -> None:
 
 
 def read_parquet_clean(paths, **kwargs):
-    """``ray.data.read_parquet`` with schema METADATA stripped right after the
-    read (fuses into the read tasks). Parquet written by pandas carries a
-    ``pandas`` metadata blob that makes pa.Schema unhashable — every
-    downstream schema-unify then logs 'Failed to hash the schemas' from the
-    workers. Strip once at the source."""
+    """``ray.data.read_parquet`` with schema METADATA stripped. Parquet written
+    by pandas carries a ``pandas`` metadata blob that makes pa.Schema
+    unhashable — every downstream schema-unify then logs 'Failed to hash the
+    schemas' from the workers. Strip at the source: hand the read a
+    metadata-free schema (footer-only driver peek, so the read operator's own
+    blocks are already clean), plus a fused strip for whatever the fragment
+    scanner re-attaches."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
     import ray.data
+
+    if "schema" not in kwargs:
+        try:
+            frag_schema = pads.dataset(paths, format="parquet").schema
+            if frag_schema.metadata:
+                cols = kwargs.get("columns")
+                if cols:
+                    frag_schema = pa.schema([frag_schema.field(c) for c in cols])
+                kwargs["schema"] = frag_schema.remove_metadata()
+        except Exception:
+            pass  # fall back to the post-read strip alone
 
     def _strip(t):
         return t.replace_schema_metadata(None) if t.schema.metadata else t
