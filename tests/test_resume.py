@@ -169,10 +169,10 @@ def _pts(out, tier):
     )
 
 
-def _assert_tiers_equal(out_a, out_b):
+def _assert_tiers_equal(out_a, out_b, tiers=("1m", "1h", "1d")):
     import numpy as np
 
-    for tier in ("1m", "1h", "1d"):
+    for tier in tiers:
         a = job.read_tier(out_a, tier, "rolled").to_pandas().reset_index(drop=True)
         b = job.read_tier(out_b, tier, "rolled").to_pandas().reset_index(drop=True)
         pd.testing.assert_frame_equal(a[b.columns.tolist()], b, obj=f"rolled-{tier}")
@@ -325,3 +325,76 @@ def test_validate_tokens_false_prunes_token_read(ray_session, tiny_input_dir, ti
     for c in exp.columns:
         got[c] = got[c].astype(exp[c].dtype)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_incremental_coarse_tier_requires_same_input_base(ray_session, tmp_path):
+    """Review fix: a coarser tier whose committed points predate an earlier
+    append must NOT be reused as an incremental base. Run 2 advances only the
+    1m tier (cfg.tiers=('1m',)); run 3 appends again with all tiers — the 1h
+    points were built from the original input, so they must be recomputed,
+    and the final tiers must equal a from-scratch run bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from tsrollup.synth import synth_table
+
+    t = synth_table(seed=21, n_sources=2, base_span=43200)
+    d = tmp_path / "in"
+    d.mkdir()
+    third = t.num_rows // 3
+    pq.write_table(t.slice(0, third), str(d / "a.parquet"))
+    out_i, out_f = str(tmp_path / "incr"), str(tmp_path / "full")
+    job.run(str(d), RollupConfig(out_root=out_i, tiers=("1m", "1h")))
+    # append f1, advance ONLY the finest tier (supported per config_hash)
+    pq.write_table(t.slice(third, third), str(d / "b.parquet"))
+    job.run(str(d), RollupConfig(out_root=out_i, tiers=("1m",)))
+    # append f2, full tier list again: 1h's committed points lack f1
+    pq.write_table(t.slice(2 * third), str(d / "c.parquet"))
+    r3 = job.run(str(d), RollupConfig(out_root=out_i, tiers=("1m", "1h")))
+    assert r3["1m"]["incremental"] is True
+    # 1h must NOT have reused stale points (its base fingerprint differs)
+    assert "points_reused" not in r3["1h"]
+    job.run(str(d), RollupConfig(out_root=out_f, tiers=("1m", "1h")))
+    _assert_tiers_equal(out_i, out_f, tiers=("1m", "1h"))
+
+
+def test_crash_between_commit_and_manifest_does_not_double_count(ray_session, tmp_path):
+    """Review fix: provenance lives INSIDE the committed tier dir (atomic with
+    the data). Simulate a crash after the data rename but before the manifest
+    write by restoring the PRE-append manifest: the next run must not re-merge
+    the already-merged fragment (no double-count) — it sees the dir's own
+    provenance, finds an empty delta, and recomputes/commits consistently."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from tsrollup.synth import synth_table
+
+    t = synth_table(seed=27, n_sources=2, base_span=43200)
+    d = tmp_path / "in"
+    d.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(d / "a.parquet"))
+    out_i, out_f = str(tmp_path / "incr"), str(tmp_path / "full")
+    cfg = RollupConfig(out_root=out_i, tiers=("1m",))
+    job.run(str(d), cfg)
+    manifest_path = os.path.join(out_i, "manifest.json")
+    with open(manifest_path) as f:
+        stale_manifest = f.read()
+    # incremental append commits data + provenance + manifest...
+    pq.write_table(t.slice(half), str(d / "b.parquet"))
+    r2 = job.run(str(d), cfg)
+    assert r2["1m"]["incremental"] is True
+    # ...then "crash before the manifest write": restore the stale manifest
+    with open(manifest_path, "w") as f:
+        f.write(stale_manifest)
+    r3 = job.run(str(d), cfg)  # must NOT re-merge fragment b
+    assert not r3["1m"].get("incremental")  # empty delta -> full path
+    job.run(str(d), RollupConfig(out_root=out_f, tiers=("1m",)))
+    _assert_tiers_equal(out_i, out_f, tiers=("1m",))
+    # and the tier's own lineage token_sum matches the input exactly once
+    with open(manifest_path) as f:
+        rec = json.load(f)["tiers"]["1m"]["lineage"]
+    import pyarrow.compute as pc
+
+    expected = int(pc.sum(t["n_tok"]).as_py())
+    assert sum(v.get("token_sum", 0) for v in rec.values()) == expected

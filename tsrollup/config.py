@@ -69,9 +69,15 @@ class RollupConfig:
             raise ValueError(f"unknown gapfill_method {self.gapfill_method!r}")
         if self.detail_selector not in ("topk", "adaptive"):
             raise ValueError(f"unknown detail_selector {self.detail_selector!r}")
-        from tsrollup.wavelet import filter_bank
+        from tsrollup.wavelet import SCORERS, filter_bank
 
         filter_bank(self.wavelet)  # fail fast on unknown families (raises ValueError)
+        if self.scorer not in SCORERS:
+            # otherwise a typo dies later as a KeyError inside a Ray actor,
+            # after the ingest/rollup work has already been spent
+            raise ValueError(
+                f"unknown scorer {self.scorer!r}; registered: {sorted(SCORERS)}"
+            )
 
     def config_hash(self, tier: str | None = None) -> str:
         """Stable hash of the semantic knobs — stamped into lineage records.

@@ -144,23 +144,34 @@ def cosine_pairs_cross(
     ids_j: np.ndarray,
     threshold: float,
     round_dp: int = 4,
+    both_orientations: bool = False,
 ) -> pd.DataFrame:
     """Pairs (a < b, cosine >= threshold) between two pre-NORMALIZED chunks —
     one tile of the distributed all-pairs join (q_embed_dedup). Scores in
     float64 over float32-normalized rows, rounded to ``round_dp`` (matches the
-    DuckDB oracle's CAST(list_cosine_similarity(...) AS DOUBLE) at 4dp)."""
+    DuckDB oracle's CAST(list_cosine_similarity(...) AS DOUBLE) at 4dp).
+
+    ``both_orientations=False`` (symmetric / same-chunk tiles): keep only
+    ``ids_i < ids_j`` hits (each unordered pair appears once per diagonal
+    tile). ``True`` (disjoint off-diagonal tiles): emit every hit oriented as
+    (min, max) — ONE matmul covers the tile, instead of recomputing the
+    transposed product to recover pairs whose smaller id is on the j side."""
     s = mi.astype(np.float64) @ mj.astype(np.float64).T
     r, c = np.nonzero(s >= threshold)
     a = ids_i[r]
     b = ids_j[c]
-    keep = a < b
-    return pd.DataFrame(
-        {
-            "a": a[keep],
-            "b": b[keep],
-            "score": np.round(s[r[keep], c[keep]], round_dp),
-        }
-    )
+    if both_orientations:
+        keep = a != b
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
+    else:
+        keep = a < b
+        lo, hi = a[keep], b[keep]
+    return pa_to_pairs_frame(lo, hi, np.round(s[r[keep], c[keep]], round_dp))
+
+
+def pa_to_pairs_frame(a: np.ndarray, b: np.ndarray, score: np.ndarray) -> pd.DataFrame:
+    return pd.DataFrame({"a": a, "b": b, "score": score})
 
 
 def sample_rows_parquet(path: str, columns: list[str], max_rows: int) -> "pa.Table":

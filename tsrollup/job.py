@@ -205,7 +205,6 @@ def run(
     paths = input_path if isinstance(input_path, list) else [input_path]
     fingerprint = lin.input_fingerprint(paths)
     fragments = lin.input_fragments(paths)
-    manifest = lin.load_manifest(out_root)
     results: dict = {}
 
     # Per-fragment INCREMENTAL APPEND (SURVEY §7.7 input_fragment_ids): if the
@@ -215,14 +214,19 @@ def run(
     # commutative integer partials, so merge == from-scratch bit-for-bit),
     # and recompute points only for windows the delta touched.
     delta_files: list[str] | None = None
+    prov0: dict | None = None  # finest tier's committed provenance (delta base)
     if resume:
-        rec0 = manifest["tiers"].get(cfg.tiers[0])
+        # provenance comes from INSIDE the committed tier dir (atomic with the
+        # data), never the manifest: a crash between the data rename and the
+        # manifest write must not leave a base list that lags the data — the
+        # next run would re-merge a fragment the directory already contains.
+        prov0 = lin.tier_provenance(out_root, cfg.tiers[0])
         if (
-            rec0
-            and rec0.get("config_hash") == cfg.config_hash(cfg.tiers[0])
-            and rec0.get("fragments")
+            prov0
+            and prov0.get("config_hash") == cfg.config_hash(cfg.tiers[0])
+            and prov0.get("fragments")
         ):
-            d = lin.fragment_delta(rec0["fragments"], fragments)
+            d = lin.fragment_delta(prov0["fragments"], fragments)
             if d:  # non-empty append-only delta
                 delta_files = d
     touched_1m: set | None = None  # {(source, 1m bucket)} the delta touched
@@ -327,12 +331,18 @@ def run(
         for t_ in tiers_todo:
             retained = retained_ds[t_]
             factor = TIER_FACTORS[t_]
-            rec_t = manifest["tiers"].get(t_)
+            prov_t = lin.tier_provenance(out_root, t_)
             committed_points = os.path.join(out_root, t_, "points")
+            # points reuse requires this tier's committed points to have been
+            # built from the SAME input base the delta was diffed against —
+            # config_hash alone would happily reuse points that predate an
+            # earlier append (e.g. a run that committed only the finest tier)
             incr_t = (
                 touched_1m is not None
-                and rec_t is not None
-                and rec_t.get("config_hash") == cfg.config_hash(t_)
+                and prov_t is not None
+                and prov_t.get("config_hash") == cfg.config_hash(t_)
+                and prov0 is not None
+                and prov_t.get("input_fingerprint") == prov0.get("input_fingerprint")
                 and os.path.isdir(committed_points)
             )
             if incr_t:

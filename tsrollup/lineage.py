@@ -32,39 +32,37 @@ from tsrollup.ingest import QUARANTINE_SOURCE
 MANIFEST = "manifest.json"
 
 
+def _fragment_entries(paths: list[str]) -> list[tuple[str, str, int]]:
+    """ONE definition of 'which files constitute the input': sorted
+    (abs_path, rel_key, size) triples via ingest.list_parquet_files — both the
+    fingerprint and the fragment list derive from this walk, so they can never
+    disagree about the input's membership."""
+    from tsrollup.ingest import list_parquet_files
+
+    entries: list[tuple[str, str, int]] = []
+    for p in sorted(paths):
+        is_dir = os.path.isdir(p)
+        for fp in list_parquet_files(p):
+            rel = os.path.relpath(fp, p) if is_dir else os.path.basename(fp)
+            entries.append((os.path.abspath(fp), rel, os.path.getsize(fp)))
+    return sorted(entries)
+
+
 def input_fingerprint(paths: list[str]) -> str:
-    """Cheap, stable fingerprint of the input: sorted (path, size) pairs."""
+    """Cheap, stable fingerprint of the input: sorted (rel_path, size) pairs
+    (relative keys, so the fingerprint survives moving the input root)."""
     import hashlib
 
-    entries = []
-    for p in sorted(paths):
-        if os.path.isdir(p):
-            for root, _, files in os.walk(p):
-                for f in sorted(files):
-                    if f.endswith(".parquet"):
-                        fp = os.path.join(root, f)
-                        entries.append((os.path.relpath(fp, p), os.path.getsize(fp)))
-        else:
-            entries.append((os.path.basename(p), os.path.getsize(p)))
+    entries = [[rel, size] for _, rel, size in _fragment_entries(paths)]
     return hashlib.sha256(json.dumps(entries).encode()).hexdigest()[:16]
 
 
 def input_fragments(paths: list[str]) -> list[list]:
     """Per-fragment identity of the input: sorted [abs_path, size] pairs —
-    recorded in each tier's lineage record (SURVEY §7.7 ``input_fragment_ids``)
+    recorded in each tier's provenance (SURVEY §7.7 ``input_fragment_ids``)
     so a later run can diff WHICH fragments changed instead of invalidating
     every tier on any input change."""
-    out: list[list] = []
-    for p in sorted(paths):
-        if os.path.isdir(p):
-            for root, _, files in os.walk(p):
-                for f in sorted(files):
-                    if f.endswith(".parquet"):
-                        fp = os.path.join(root, f)
-                        out.append([os.path.abspath(fp), os.path.getsize(fp)])
-        else:
-            out.append([os.path.abspath(p), os.path.getsize(p)])
-    return sorted(out)
+    return sorted([ap, size] for ap, _, size in _fragment_entries(paths))
 
 
 def fragment_delta(committed: list | None, current: list) -> list[str] | None:
@@ -145,6 +143,23 @@ def lineage_from_rolled(rolled_dir: str) -> dict:
     return lineage
 
 
+PROVENANCE = "_PROVENANCE.json"
+
+
+def tier_provenance(out_root: str, tier: str) -> dict | None:
+    """The provenance record stored INSIDE the committed tier directory —
+    written before the atomic rename, so it can never disagree with the data
+    it sits next to. The incremental-append path MUST key off this, not the
+    manifest: the manifest is written after the rename, and a crash between
+    the two would otherwise make the next run re-merge a fragment the
+    directory already contains (silent double-count)."""
+    p = os.path.join(out_root, tier, PROVENANCE)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
 def commit_tier(
     out_root: str,
     tier: str,
@@ -154,12 +169,22 @@ def commit_tier(
     extra: dict | None = None,
 ) -> dict:
     """Atomically publish staged dirs ({kind: tmp_path}) as ``out_root/tier/{kind}``
-    and record lineage in the manifest."""
+    and record lineage in the manifest. Provenance (config hash, input
+    fingerprint, fragment list) travels INSIDE the renamed directory so data
+    and provenance commit in one atomic step."""
     final_tier_dir = os.path.join(out_root, tier)
     tmp_tier_dir = os.path.join(out_root, f".tmp-tier-{tier}-{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp_tier_dir, exist_ok=True)
     for kind, src_path in staged.items():
         os.rename(src_path, os.path.join(tmp_tier_dir, kind))
+    prov = {
+        "config_hash": cfg.config_hash(tier),
+        "input_fingerprint": fingerprint,
+    }
+    if extra:
+        prov.update({k: v for k, v in extra.items() if k in ("fragments", "now_1m")})
+    with open(os.path.join(tmp_tier_dir, PROVENANCE), "w") as f:
+        json.dump(prov, f)
     if os.path.isdir(final_tier_dir):
         shutil.rmtree(final_tier_dir)
     os.rename(tmp_tier_dir, final_tier_dir)

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -318,13 +320,16 @@ def _verify_pairs(t: pa.Table, threshold: float) -> pa.Table:
 
 
 def q_dedup_minhash(sf_dir: str, threshold: float = 0.5):
-    """Memoized per (sf_dir, threshold): ``dedup_clusters`` composes on the
-    same verified pair set, so one process computes it once."""
-    return _dedup_minhash_impl(sf_dir, threshold).copy()
+    """Memoized per (sf_dir, threshold, file identity): ``dedup_clusters``
+    composes on the same verified pair set, so one process computes it once —
+    but the cache key carries the parquet's (size, mtime) so a regenerated
+    corpus at the same path is never served stale results."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return _dedup_minhash_impl(sf_dir, threshold, (st.st_size, st.st_mtime_ns)).copy()
 
 
 @lru_cache(maxsize=8)
-def _dedup_minhash_impl(sf_dir: str, threshold: float):
+def _dedup_minhash_impl(sf_dir: str, threshold: float, _file_id=None):
     """MinHash+LSH near-dup candidates, exact-Jaccard verified (rows-only).
 
     Fully distributed (round-2: no driver-side corpus materialization):
@@ -724,9 +729,13 @@ def q_embed_dedup(sf_dir: str, threshold: float = 0.40):
             for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
                 mi, ids_i = self._load(i)
                 mj, ids_j = self._load(j)
-                outs.append(ann.cosine_pairs_cross(mi, ids_i, mj, ids_j, threshold))
-                if i != j:  # a < b can fall on either side of the tile
-                    outs.append(ann.cosine_pairs_cross(mj, ids_j, mi, ids_i, threshold))
+                # off-diagonal tiles emit both pair orientations from the ONE
+                # matmul (a < b can fall on either side of a disjoint tile)
+                outs.append(
+                    ann.cosine_pairs_cross(
+                        mi, ids_i, mj, ids_j, threshold, both_orientations=(i != j)
+                    )
+                )
             out = pd.concat(outs, ignore_index=True) if outs else None
             if out is None or not len(out):
                 return pd.DataFrame(
