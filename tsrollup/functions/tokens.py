@@ -6,9 +6,10 @@ for MinHash banding, SimHash, fingerprinting and token-id assignment — at
 scale-safe shape (the same pattern ``rollup._group_reduce`` uses):
 
 1. tokenize the whole batch once (one C-level split per document),
-2. hash every DISTINCT token exactly once (``pd.factorize`` + the vectorized
+2. hash every token straight from the flat utf8 buffer (the vectorized
    FNV-1a kernel in ``tsrollup.hashing`` — one numpy pass per byte position,
-   not one Python call per token),
+   not one Python call per token; NUL-safe, unlike a pd.factorize pre-dedup
+   whose string hash table is C-string based),
 3. segment-reduce per document (``np.minimum.reduceat`` / ``np.add.reduceat``).
 
 Every kernel is bit-identical to its scalar counterpart in
@@ -27,7 +28,6 @@ import pyarrow as pa
 
 from tsrollup.hashing import (
     _FNV_BASIS,
-    fnv1a64_batch,
     fnv1a64_update,
     fnv1a64_update_byte,
     mix2,
@@ -43,7 +43,7 @@ class TokenBatch:
     Attributes:
         doc_lens:  (n_docs,) tokens per document
         doc_starts:(n_docs,) offset of each doc's first token in the flat arrays
-        hashes:    (n_tokens,) uint64 FNV-1a per token (hashed per DISTINCT token)
+        hashes:    (n_tokens,) uint64 FNV-1a per token (buffer-exact, NUL-safe)
         buf/starts/lengths: flat utf8 view of every token (for windowed joins)
     """
 
@@ -58,12 +58,18 @@ class TokenBatch:
         from tsrollup.hashing import _utf8_buffer
 
         self.buf, self.starts, self.lengths = _utf8_buffer(arr)
-        # hash each distinct token once, then scatter
-        codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
-        self._codes = codes
-        self._uniq_hash = fnv1a64_batch(list(uniques)) if len(uniques) else np.zeros(0, np.uint64)
-        self.hashes = (
-            self._uniq_hash[codes] if self.n_tokens else np.zeros(0, np.uint64)
+        # hash straight from the utf8 buffer — NOT via pd.factorize + hash per
+        # distinct token: pandas' string hash table treats object strings as
+        # NUL-terminated C strings, so '\x00' and '\x00' + '0' collapse into
+        # ONE unique and distinct tokens share a hash (caught by the
+        # test_token_kernels_property_parity fuzz). The buffer path is
+        # byte-exact on arbitrary unicode and still one numpy pass per byte
+        # position.
+        self.hashes = fnv1a64_update(
+            np.full(self.n_tokens, _FNV_BASIS, dtype=np.uint64),
+            self.buf,
+            self.starts,
+            self.lengths,
         )
 
     # --- windowed join hashes (shingles / winnowing grams) ------------------
@@ -180,8 +186,7 @@ def token_ids(tb: TokenBatch, vocab: int) -> np.ndarray:
     flattened across the batch (use tb.doc_starts to segment)."""
     if tb.n_tokens == 0:
         return np.zeros(0, np.int32)
-    uniq_ids = (tb._uniq_hash % np.uint64(vocab)).astype(np.int32)
-    return uniq_ids[tb._codes]
+    return (tb.hashes % np.uint64(vocab)).astype(np.int32)
 
 
 def unique_window_hashes(tb: TokenBatch, window: int) -> tuple[np.ndarray, np.ndarray]:
