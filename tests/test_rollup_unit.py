@@ -221,3 +221,37 @@ def test_window_count_guard_detects_split():
     cut = stamped.slice(0, 5)  # cuts a/1 mid-window
     with pytest.raises(RuntimeError, match="split across blocks"):
         check_window_counts(cut, cut["bucket"].to_numpy() // 10)
+
+
+def test_safe_factorize_nul_bytes_and_rollup_with_nul_source(ray_session):
+    """pandas' string factorize merges strings differing only past a NUL byte
+    (C-string hash table); safe_factorize must keep them distinct, and the
+    full partial+final rollup must keep NUL-containing sources as separate
+    groups."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tsrollup.hashing import safe_factorize
+    from tsrollup.rollup import final_rollup, partial_rollup
+
+    codes, uniq = safe_factorize(np.array(["\x00", "\x000", "\x00"], dtype=object))
+    assert len(uniq) == 2 and codes[0] == codes[2] != codes[1]
+
+    t = pa.table(
+        {
+            "source": ["s\x00a", "s\x00b", "s\x00a"],
+            "bucket": [5, 5, 6],
+            "n_tok": [10, 20, 30],
+            "chk": [0, 0, 0],
+        }
+    )
+    import ray.data
+
+    rolled = final_rollup(
+        ray.data.from_arrow(t).map_batches(partial_rollup, batch_format="pyarrow")
+    ).to_pandas()
+    # NB: pandas Series.unique() itself collapses NUL strings (same hash
+    # table) — use a Python set for the check
+    assert sorted(set(rolled["source"])) == ["s\x00a", "s\x00b"]
+    assert int(rolled["sum_tok"].sum()) == 60
+    assert len(rolled) == 3  # (s\x00a,5), (s\x00b,5), (s\x00a,6)

@@ -128,3 +128,25 @@ def fnv1a64_batch(strings) -> np.ndarray:
 def hash_strings(arr) -> np.ndarray:
     """Deterministic FNV-1a hash of a string sequence -> uint64 (vectorized)."""
     return fnv1a64_batch(arr)
+
+
+def safe_factorize(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """NUL-safe string factorize: (codes, uniques) like ``pd.factorize``.
+
+    ``pd.factorize`` on object strings goes through pandas' C-string hash
+    table, which terminates at NUL bytes — '\\x00' and '\\x00' + '0' collapse
+    into ONE unique, silently merging distinct groups (caught by the token
+    fuzz in tests/test_functions.py). The fast khash factorize is therefore
+    VERIFIED with one vectorized equality pass against each row's
+    representative (C-level PyUnicode compare, NUL-exact); only when a
+    collapse is detected does the comparison-based ``np.unique`` path run."""
+    import pandas as pd
+
+    arr = np.asarray(arr)
+    codes, uniques = pd.factorize(arr, sort=False)
+    uniques = np.asarray(uniques)
+    if len(arr) and len(uniques) and arr.dtype.kind in "OUS":
+        m = codes >= 0  # nulls factorize to -1; don't verify those
+        if not (arr[m] == uniques[codes[m]]).all():
+            uniques, codes = np.unique(arr, return_inverse=True)
+    return codes, uniques

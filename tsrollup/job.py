@@ -357,11 +357,11 @@ def run(
                 touched_ref = _ray.put(touched_t)
 
                 def _is_recompute(src, wid, _ref=touched_ref, _cut=cutoff):
-                    import pandas as pd
+                    from tsrollup.hashing import safe_factorize
 
                     touched = _ray.get(_ref)
                     hit = np.zeros(len(wid), dtype=bool)
-                    codes, uniques = pd.factorize(src, sort=False)
+                    codes, uniques = safe_factorize(src)
                     for ci, s in enumerate(uniques):
                         tw = touched.get(s)
                         if tw is not None:

@@ -114,13 +114,13 @@ def lineage_from_rolled(rolled_dir: str) -> dict:
     """Per-source lineage computed from the *committed* parquet (re-read from
     disk, so the record describes what is actually durable). Rolled tiers are
     tiny (>=60x reduction), so this is a metadata-scale scan."""
-    import pandas as pd
+    from tsrollup.hashing import safe_factorize
 
     ds = pads.dataset(rolled_dir, format="parquet", partitioning="hive")
     if not ds.files:  # empty tier (e.g. empty input)
         return {}
     t = ds.to_table(columns=["source", "bucket", "n_rows", "sum_tok", "chk"])
-    codes, uniques = pd.factorize(t["source"].to_numpy(zero_copy_only=False), sort=False)
+    codes, uniques = safe_factorize(t["source"].to_numpy(zero_copy_only=False))
     lineage: dict[str, dict] = {}
     n_rows = t["n_rows"].to_numpy(zero_copy_only=False)
     sum_tok = t["sum_tok"].to_numpy(zero_copy_only=False)

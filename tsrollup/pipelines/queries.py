@@ -857,7 +857,9 @@ def q_asof_join(sf_dir: str):
             bucket = d["bucket"].to_numpy(zero_copy_only=False)
             cents = d["n_tok"].to_numpy(zero_copy_only=False)
             mark = np.full(len(src), -1, dtype=np.int64)
-            codes, uniques = pd.factorize(src, sort=False)
+            from tsrollup.hashing import safe_factorize
+
+            codes, uniques = safe_factorize(src)
             for code, s in enumerate(uniques):
                 mb = self.marks.get(s)
                 if mb is None or not len(mb):
@@ -925,7 +927,9 @@ def q_range_join(sf_dir: str):
             bucket = d["bucket"].to_numpy(zero_copy_only=False)
             cents = d["n_tok"].to_numpy(zero_copy_only=False)
             out_src, out_lo, out_cents = [], [], []
-            codes, uniques = pd.factorize(src, sort=False)
+            from tsrollup.hashing import safe_factorize
+
+            codes, uniques = safe_factorize(src)
             for code, s in enumerate(uniques):
                 los = self.lows.get(s)
                 if los is None or not len(los):

@@ -113,10 +113,12 @@ def _group_reduce(
 
 
 def pd_factorize(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    import pandas as pd
+    # NUL-safe: pandas' own string factorize merges strings that differ only
+    # past a NUL byte (C-string hash table) — distinct sources must never
+    # merge into one rollup group
+    from tsrollup.hashing import safe_factorize
 
-    codes, uniques = pd.factorize(arr, sort=False)
-    return codes, np.asarray(uniques)
+    return safe_factorize(arr)
 
 
 def partial_rollup(t: pa.Table) -> pa.Table:

@@ -56,8 +56,9 @@ def _part_column(t: pa.Table, keys: Sequence[str], num_partitions: int) -> pa.Ta
     for k in keys:
         col = t[k]
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            codes, uniques = pd.factorize(col.to_numpy(zero_copy_only=False), sort=False)
-            h = hash_strings(uniques)[codes]  # hash each distinct string once
+            # hash every value straight from the strings (NUL-safe; a
+            # pd.factorize pre-dedup merges strings differing past a NUL)
+            h = hash_strings(col)  # _utf8_buffer handles Array and ChunkedArray
         else:
             h = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         acc = mix2(acc, h)
