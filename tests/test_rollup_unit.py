@@ -255,3 +255,33 @@ def test_safe_factorize_nul_bytes_and_rollup_with_nul_source(ray_session):
     assert sorted(set(rolled["source"])) == ["s\x00a", "s\x00b"]
     assert int(rolled["sum_tok"].sum()) == 60
     assert len(rolled) == 3  # (s\x00a,5), (s\x00b,5), (s\x00a,6)
+
+
+def test_csv_source_parses_ragged_lines_and_quarantines(ray_session, tmp_path):
+    """S1 ragged-CSV source: variable-length token tails parse vectorized;
+    malformed lines (missing fields / non-integer or non-integral tokens)
+    fall into the quarantine channel instead of being silently dropped."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from tsrollup.ingest import QUARANTINE_SOURCE, derive_batch, read_input_csv
+    from tsrollup.rollup import final_rollup, partial_rollup
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "srcA-0000000060,srcA,1 2 3\n"     # 3 tokens, bucket = (epoch0+60)//60
+        "srcA-0000000120,srcA,7\n"          # 1 token
+        "srcB-0000000060,srcB,\n"           # 0 tokens (valid)
+        "broken-line-no-tokens-field\n"     # missing fields -> quarantine
+        "srcA-0000000060,srcA,1 x 3\n"      # non-integer token -> quarantine
+        "srcA-0000000060,srcA,1 3.5\n"      # non-integral token -> quarantine
+        "badid,srcA,1 2\n"                  # doc_id suffix not 10 digits -> quarantine
+    )
+    derived = read_input_csv(str(p)).map_batches(derive_batch, batch_format="pyarrow")
+    rolled = final_rollup(derived.map_batches(partial_rollup, batch_format="pyarrow")).to_pandas()
+    q = rolled[rolled["source"] == QUARANTINE_SOURCE]
+    good = rolled[rolled["source"] != QUARANTINE_SOURCE]
+    assert int(q["chk"].sum()) == 4  # four malformed lines counted
+    assert set(good["source"]) == {"srcA", "srcB"}
+    assert int(good["sum_tok"].sum()) == 3 + 1 + 0  # n_tok sums, not token values
+    assert (good[good["source"] == "srcA"]["n_rows"].sum()) == 2

@@ -124,6 +124,69 @@ def normalize_json_batch(t: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def read_input_csv(path: str | list[str], **kwargs) -> ray.data.Dataset:
+    """Ragged-CSV source — the reference's literal M4 reader surface
+    (ref main.py:21-80: per-row variable-length CSV). Line format::
+
+        doc_id,source,tok1 tok2 tok3 ...
+
+    with a variable-length whitespace-separated token tail (CSV cannot carry
+    arrays; the ragged tail IS the array, exactly like the reference's ragged
+    series rows). Read as text lines (Arrow CSV requires rectangular rows),
+    parsed with vectorized pandas str kernels; malformed lines (missing
+    fields, non-integer tokens) become quarantine rows (n_tok = -1) that
+    ``derive_batch`` counts into the quarantine channel — not the reference's
+    silent ``[]`` drop."""
+    ds = ray.data.read_text(path, **kwargs)
+    return ds.map_batches(parse_csv_batch, batch_format="pandas")
+
+
+def parse_csv_batch(df) -> pa.Table:
+    """One text-line batch -> canonical F1 columns (vectorized; no row loop)."""
+    import pandas as pd
+
+    lines = df["text"].fillna("")
+    parts = lines.str.split(",", n=2, expand=True)
+    if parts.shape[1] < 3:  # batch where every line is short
+        for c in range(parts.shape[1], 3):
+            parts[c] = None
+    doc_id = parts[0].fillna("")
+    source = parts[1]
+    tok_str = parts[2]
+    bad = source.isna() | tok_str.isna()
+
+    toks = tok_str.fillna("").str.split()
+    lens = toks.map(len).to_numpy(dtype=np.int64)
+    flat = pd.Series(
+        [t for sub in toks for t in sub], dtype=object
+    )
+    ids = pd.to_numeric(flat, errors="coerce") if len(flat) else pd.Series([], dtype=float)
+    bad_tok = (
+        (ids.isna() | (ids % 1 != 0)).to_numpy() if len(flat) else np.zeros(0, bool)
+    )  # non-numeric AND non-integral ("3.5") tokens both poison the line
+    if bad_tok.any():  # any non-integer token poisons its whole line
+        doc_idx = np.repeat(np.arange(len(lines)), lens)
+        bad = bad.to_numpy() | np.isin(np.arange(len(lines)), doc_idx[bad_tok])
+    else:
+        bad = bad.to_numpy()
+    vals = np.where(bad_tok, 0, ids.to_numpy()) if len(flat) else np.zeros(0)
+    offs = np.zeros(len(lines) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offs.astype(np.int32)), pa.array(vals.astype(np.int32))
+    )
+    n_tok = np.where(bad, -1, lens).astype(np.int32)  # -1 fails derive_batch's
+    # n_tok == len(tokens) check -> the row lands in the quarantine channel
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id.to_numpy(dtype=object), pa.string()),
+            "tokens": tokens,
+            "n_tok": pa.array(n_tok),
+            "source": pa.array(source.fillna("").to_numpy(dtype=object), pa.string()),
+        }
+    )
+
+
 def list_parquet_files(path: str | list[str]) -> list[str]:
     import os
 

@@ -804,6 +804,46 @@ def q_downsample_lttb(sf_dir: str, target: int = 50):
     return map_key_groups(_rolled_events(sf_dir), ["source"], _lttb, batch_format="pandas")
 
 
+_CSV_EXPORT = "/tmp/tsrollup_csv_ingest/docs.csv"
+
+
+def q_csv_ingest(sf_dir: str):
+    """S1 (the reference's ragged M4 CSV reader, ref main.py:21-80) with a
+    CORRECTNESS row: a deterministic ragged-CSV projection of the documents
+    table (line = ``doc_id,source,tok tok tok...``, variable-length tail) is
+    read back through the engine's CSV source — ``read_input_csv`` (text
+    lines -> vectorized parse -> quarantine channel) -> ``derive_batch`` ->
+    rollup — and DuckDB-checked against ``read_csv`` over the SAME file."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tsrollup.functions import text as tx
+    from tsrollup.functions import tokens as tk
+    from tsrollup.ingest import derive_batch, read_input_csv
+
+    os.makedirs(os.path.dirname(_CSV_EXPORT), exist_ok=True)
+    t = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+        .sort_by("doc_id")
+        .slice(0, 100_000)  # bounded interchange demo — never the whole corpus
+    )
+    df = t.to_pandas()
+    tb = tk.TokenBatch(df["text"])
+    ids = tk.token_ids(tb, tx.VOCAB)
+    with open(_CSV_EXPORT, "w") as f:
+        for i, (s, d) in enumerate(zip(df["source"], df["doc_id"])):
+            toks = ids[tb.doc_starts[i] : tb.doc_starts[i + 1]]
+            f.write(f"{s}-{int(d):010d},{s},{' '.join(map(str, toks))}\n")
+
+    derived = read_input_csv(_CSV_EXPORT).map_batches(derive_batch, batch_format="pyarrow")
+    rolled = final_rollup(derived.map_batches(partial_rollup, batch_format="pyarrow"))
+    return rolled.map_batches(
+        lambda t: t.select(["source", "bucket", "n_rows", "sum_tok", "min_tok", "max_tok"]),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # time-series joins / windowed aggregates (custom operators Ray Data lacks;
 # each documents its partitioning assumption per the scale brief)
@@ -1195,6 +1235,20 @@ ORACLE_SQL: dict[str, str] = {
         FROM read_json_auto('{_JSON_EXPORT}')
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    "csv_ingest": rf"""
+        WITH rows_ AS (
+            SELECT doc_id, source,
+                   CASE WHEN COALESCE(trim(toks), '') = '' THEN 0
+                        ELSE len(regexp_extract_all(toks, '\S+')) END AS n_tok
+            FROM read_csv('{_CSV_EXPORT}', header=false, delim=',',
+                          columns={{'doc_id': 'VARCHAR', 'source': 'VARCHAR',
+                                    'toks': 'VARCHAR'}})
+        )
+        SELECT source, (1767225600 + CAST(doc_id[-10:] AS BIGINT)) // 60 AS bucket,
+               COUNT(*) AS n_rows, CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+               MIN(CAST(n_tok AS INTEGER)) AS min_tok, MAX(CAST(n_tok AS INTEGER)) AS max_tok
+        FROM rows_ GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "quantiles": """
         SELECT event_type AS source, COUNT(*) AS n_rows,
                CAST(quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.5) AS BIGINT) AS p50,
@@ -1234,6 +1288,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "quantiles": q_quantiles,
     "json_ingest": q_json_ingest,
+    "csv_ingest": q_csv_ingest,
 }
 
 # training-data operator pipelines (documents / embeddings)
