@@ -30,6 +30,16 @@ def main() -> int:
         print(f"tier {tier!r} not committed; manifest has {sorted(man['tiers'])}")
         return 1
     print(f"tier {tier}: config={rec['config_hash']} input={rec['input_fingerprint']}")
+    from tsrollup.lineage import tier_provenance
+
+    prov = tier_provenance(out_root, tier)
+    if prov:
+        n_frag = len(prov.get("fragments") or [])
+        agree = prov.get("input_fingerprint") == rec.get("input_fingerprint")
+        print(
+            f"provenance: {n_frag} input fragments, now_1m={prov.get('now_1m')}"
+            + ("" if agree else "  [WARNING: manifest lags the committed data]")
+        )
     for src, info in sorted(rec["lineage"].items()):
         print(f"  {src}: {json.dumps(info)}")
 
