@@ -58,19 +58,20 @@ class TokenBatch:
         from tsrollup.hashing import _utf8_buffer
 
         self.buf, self.starts, self.lengths = _utf8_buffer(arr)
-        # hash straight from the utf8 buffer — NOT via pd.factorize + hash per
-        # distinct token: pandas' string hash table treats object strings as
+        # hash each DISTINCT token once, then scatter (Zipf dedup: distinct
+        # tokens << total tokens). Deduping through safe_factorize, NOT bare
+        # pd.factorize: pandas' string hash table treats object strings as
         # NUL-terminated C strings, so '\x00' and '\x00' + '0' collapse into
         # ONE unique and distinct tokens share a hash (caught by the
-        # test_token_kernels_property_parity fuzz). The buffer path is
-        # byte-exact on arbitrary unicode and still one numpy pass per byte
-        # position.
-        self.hashes = fnv1a64_update(
-            np.full(self.n_tokens, _FNV_BASIS, dtype=np.uint64),
-            self.buf,
-            self.starts,
-            self.lengths,
-        )
+        # test_token_kernels_property_parity fuzz; safe_factorize verifies
+        # and falls back exactly).
+        from tsrollup.hashing import fnv1a64_batch, safe_factorize
+
+        if self.n_tokens:
+            codes, uniques = safe_factorize(np.asarray(flat, dtype=object))
+            self.hashes = fnv1a64_batch(list(uniques))[codes]
+        else:
+            self.hashes = np.zeros(0, np.uint64)
 
     # --- windowed join hashes (shingles / winnowing grams) ------------------
 

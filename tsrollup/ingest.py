@@ -44,24 +44,19 @@ def derive_batch(t: pa.Table) -> pa.Table:
     if n == 0:
         return _derived_empty()
     seq_str = pc.utf8_slice_codeunits(t["doc_id"], start=-10)
-    # fast path: the whole batch parses as digits (overwhelmingly common) —
-    # avoids a per-row regex over the hot ingest path
-    seq_all = None
-    try:
-        seq_all = pc.cast(seq_str, pa.int64())
-    except pa.ArrowInvalid:
-        pass
-    if seq_all is not None:
-        valid = pa.array(np.ones(n, dtype=bool))
-    else:
-        valid = pc.fill_null(pc.match_substring_regex(seq_str, r"^[0-9]{10}$"), False)
+    # ONE validation path: the anchored RE2 kernel (vectorized C, ~75 ms per
+    # 1M rows — ~2% of scan wall). A cast-based fast path that bypassed the
+    # regex when the WHOLE batch casts made validity depend on batch
+    # composition (a short all-digit doc_id was accepted or quarantined based
+    # on its neighbors), breaking determinism-at-any-parallelism.
+    valid = pc.fill_null(pc.match_substring_regex(seq_str, r"^[0-9]{10}$"), False)
     if "tokens" in t.column_names:
         len_ok = pc.fill_null(pc.equal(pc.list_value_length(t["tokens"]), t["n_tok"]), False)
         valid = pc.and_(valid, len_ok)
     n_bad = n - pc.sum(pc.cast(valid, pa.int64())).as_py()
 
-    if n_bad == 0 and seq_all is not None:
-        good, seq = t, seq_all
+    if n_bad == 0:
+        good, seq = t, pc.cast(seq_str, pa.int64())
     else:
         good = t.filter(valid)
         seq = pc.cast(pc.utf8_slice_codeunits(good["doc_id"], start=-10), pa.int64())
@@ -142,7 +137,10 @@ def read_input_csv(path: str | list[str], **kwargs) -> ray.data.Dataset:
 
 
 def parse_csv_batch(df) -> pa.Table:
-    """One text-line batch -> canonical F1 columns (vectorized; no row loop)."""
+    """One text-line batch -> canonical F1 columns. Field splitting,
+    numeric parsing and validation are vectorized pandas/numpy kernels; the
+    one Python-level pass is the token flatten (same shape as
+    functions.tokens.TokenBatch)."""
     import pandas as pd
 
     lines = df["text"].fillna("")
@@ -161,14 +159,22 @@ def parse_csv_batch(df) -> pa.Table:
         [t for sub in toks for t in sub], dtype=object
     )
     ids = pd.to_numeric(flat, errors="coerce") if len(flat) else pd.Series([], dtype=float)
+    # non-numeric, non-integral ("3.5"), and out-of-int32-range tokens all
+    # poison their line — a silent int32 wrap (or float64 precision loss,
+    # which lands outside the int32 range and is caught by the same bound)
+    # must never pass validation; the JSON path's Arrow cast raises on the
+    # same inputs
     bad_tok = (
-        (ids.isna() | (ids % 1 != 0)).to_numpy() if len(flat) else np.zeros(0, bool)
-    )  # non-numeric AND non-integral ("3.5") tokens both poison the line
-    if bad_tok.any():  # any non-integer token poisons its whole line
+        (ids.isna() | (ids % 1 != 0) | (ids < -(2**31)) | (ids >= 2**31)).to_numpy()
+        if len(flat)
+        else np.zeros(0, bool)
+    )
+    bad = bad.to_numpy()
+    if bad_tok.any():
         doc_idx = np.repeat(np.arange(len(lines)), lens)
-        bad = bad.to_numpy() | np.isin(np.arange(len(lines)), doc_idx[bad_tok])
-    else:
-        bad = bad.to_numpy()
+        bad_lines = np.zeros(len(lines), dtype=bool)
+        bad_lines[doc_idx[bad_tok]] = True
+        bad |= bad_lines
     vals = np.where(bad_tok, 0, ids.to_numpy()) if len(flat) else np.zeros(0)
     offs = np.zeros(len(lines) + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])

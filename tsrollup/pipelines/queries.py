@@ -644,23 +644,22 @@ def q_top_tokens(sf_dir: str, k: int = 20):
 _JSON_EXPORT = "/tmp/tsrollup_json_ingest/docs.jsonl"
 
 
-def q_json_ingest(sf_dir: str):
-    """S6 (JSON deserialization) with a CORRECTNESS row: a deterministic JSONL
-    projection of the documents table (F1 shape: doc_id/tokens/n_tok/source)
-    is read back through the engine's real JSON source — ``read_input_json``
-    -> ``normalize_json_batch`` -> ``derive_batch`` (quarantine channel) ->
-    rollup — and the rolled aggregate is DuckDB-checked against
-    ``read_json_auto`` over the SAME file (the oracle SQL reads the export,
-    so both sides parse identical text)."""
+def _interchange_rollup(sf_dir: str, export_path: str, write_export, reader):
+    """Shared scaffolding for the interchange-format demos (S1 CSV / S6
+    JSON): bounded deterministic projection of documents -> export via
+    ``write_export(export_path, df, tb, ids)`` -> read back through
+    ``reader`` -> derive (quarantine channel) -> rollup -> canonical
+    6-column select. One definition of the interchange contract (column
+    set, 100k bound, sort key) for every format."""
     import os
 
     import pyarrow.parquet as pq
 
     from tsrollup.functions import text as tx
     from tsrollup.functions import tokens as tk
-    from tsrollup.ingest import derive_batch, read_input_json
+    from tsrollup.ingest import derive_batch
 
-    os.makedirs(os.path.dirname(_JSON_EXPORT), exist_ok=True)
+    os.makedirs(os.path.dirname(export_path), exist_ok=True)
     t = (
         pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
         .sort_by("doc_id")
@@ -669,25 +668,39 @@ def q_json_ingest(sf_dir: str):
     df = t.to_pandas()
     tb = tk.TokenBatch(df["text"])
     ids = tk.token_ids(tb, tx.VOCAB)
-    toks = [
-        ids[tb.doc_starts[i] : tb.doc_starts[i + 1]].tolist() for i in range(len(df))
-    ]
-    export = pd.DataFrame(
-        {
-            "doc_id": [f"{s}-{int(d):010d}" for s, d in zip(df["source"], df["doc_id"])],
-            "tokens": toks,
-            "n_tok": tb.doc_lens.astype(np.int64),
-            "source": df["source"],
-        }
-    )
-    export.to_json(_JSON_EXPORT, orient="records", lines=True)
-
-    derived = read_input_json(_JSON_EXPORT).map_batches(derive_batch, batch_format="pyarrow")
+    write_export(export_path, df, tb, ids)
+    derived = reader(export_path).map_batches(derive_batch, batch_format="pyarrow")
     rolled = final_rollup(derived.map_batches(partial_rollup, batch_format="pyarrow"))
     return rolled.map_batches(
         lambda t: t.select(["source", "bucket", "n_rows", "sum_tok", "min_tok", "max_tok"]),
         batch_format="pyarrow",
     )
+
+
+def q_json_ingest(sf_dir: str):
+    """S6 (JSON deserialization) with a CORRECTNESS row: a deterministic JSONL
+    projection of the documents table (F1 shape: doc_id/tokens/n_tok/source)
+    is read back through the engine's real JSON source — ``read_input_json``
+    -> ``normalize_json_batch`` -> ``derive_batch`` (quarantine channel) ->
+    rollup — and the rolled aggregate is DuckDB-checked against
+    ``read_json_auto`` over the SAME file (the oracle SQL reads the export,
+    so both sides parse identical text)."""
+    from tsrollup.ingest import read_input_json
+
+    def _write(path, df, tb, ids):
+        toks = [
+            ids[tb.doc_starts[i] : tb.doc_starts[i + 1]].tolist() for i in range(len(df))
+        ]
+        pd.DataFrame(
+            {
+                "doc_id": [f"{s}-{int(d):010d}" for s, d in zip(df["source"], df["doc_id"])],
+                "tokens": toks,
+                "n_tok": tb.doc_lens.astype(np.int64),
+                "source": df["source"],
+            }
+        ).to_json(path, orient="records", lines=True)
+
+    return _interchange_rollup(sf_dir, _JSON_EXPORT, _write, read_input_json)
 
 
 def q_dedup_clusters(sf_dir: str, threshold: float = 0.5):
@@ -814,34 +827,15 @@ def q_csv_ingest(sf_dir: str):
     read back through the engine's CSV source — ``read_input_csv`` (text
     lines -> vectorized parse -> quarantine channel) -> ``derive_batch`` ->
     rollup — and DuckDB-checked against ``read_csv`` over the SAME file."""
-    import os
+    from tsrollup.ingest import read_input_csv
 
-    import pyarrow.parquet as pq
+    def _write(path, df, tb, ids):
+        with open(path, "w") as f:
+            for i, (s_, d) in enumerate(zip(df["source"], df["doc_id"])):
+                toks = ids[tb.doc_starts[i] : tb.doc_starts[i + 1]]
+                f.write(f"{s_}-{int(d):010d},{s_},{' '.join(map(str, toks))}\n")
 
-    from tsrollup.functions import text as tx
-    from tsrollup.functions import tokens as tk
-    from tsrollup.ingest import derive_batch, read_input_csv
-
-    os.makedirs(os.path.dirname(_CSV_EXPORT), exist_ok=True)
-    t = (
-        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
-        .sort_by("doc_id")
-        .slice(0, 100_000)  # bounded interchange demo — never the whole corpus
-    )
-    df = t.to_pandas()
-    tb = tk.TokenBatch(df["text"])
-    ids = tk.token_ids(tb, tx.VOCAB)
-    with open(_CSV_EXPORT, "w") as f:
-        for i, (s, d) in enumerate(zip(df["source"], df["doc_id"])):
-            toks = ids[tb.doc_starts[i] : tb.doc_starts[i + 1]]
-            f.write(f"{s}-{int(d):010d},{s},{' '.join(map(str, toks))}\n")
-
-    derived = read_input_csv(_CSV_EXPORT).map_batches(derive_batch, batch_format="pyarrow")
-    rolled = final_rollup(derived.map_batches(partial_rollup, batch_format="pyarrow"))
-    return rolled.map_batches(
-        lambda t: t.select(["source", "bucket", "n_rows", "sum_tok", "min_tok", "max_tok"]),
-        batch_format="pyarrow",
-    )
+    return _interchange_rollup(sf_dir, _CSV_EXPORT, _write, read_input_csv)
 
 
 # ---------------------------------------------------------------------------

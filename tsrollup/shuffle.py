@@ -56,9 +56,14 @@ def _part_column(t: pa.Table, keys: Sequence[str], num_partitions: int) -> pa.Ta
     for k in keys:
         col = t[k]
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            # hash every value straight from the strings (NUL-safe; a
-            # pd.factorize pre-dedup merges strings differing past a NUL)
-            h = hash_strings(col)  # _utf8_buffer handles Array and ChunkedArray
+            # hash each distinct key once, scatter to rows — via the
+            # NUL-safe factorize (bare pd.factorize merges strings that
+            # differ only past a NUL byte)
+            from tsrollup.hashing import safe_factorize
+
+            codes, uniques = safe_factorize(col.to_numpy(zero_copy_only=False))
+            h = hash_strings(uniques)[np.maximum(codes, 0)] if len(uniques) else np.zeros(len(codes), np.uint64)
+            h[codes < 0] = np.uint64(0)  # null keys: one fixed partition
         else:
             h = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         acc = mix2(acc, h)
