@@ -1042,6 +1042,30 @@ def q_moving_avg(sf_dir: str, window: int = 10):
     return map_key_groups(_rolled_events(sf_dir), ["source"], _roll, batch_format="pandas")
 
 
+def q_delta_1m(sf_dir: str):
+    """Per-source discrete difference of the 1m series (rate-of-change
+    windowed operator): ``delta_cents = sum_cents - lag(sum_cents)`` in
+    bucket order; the first row of each source drops (SQL LAG-inner
+    semantics). Exact integers, one vectorized diff per group."""
+
+    def _d(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"source": pd.Series(dtype=object),
+                                 "bucket": pd.Series(dtype=np.int64),
+                                 "delta_cents": pd.Series(dtype=np.int64)})
+        df = df.sort_values("bucket")
+        x = df["sum_tok"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "source": df["source"].to_numpy()[1:],
+                "bucket": df["bucket"].to_numpy()[1:],
+                "delta_cents": np.diff(x),
+            }
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _d, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # ORACLE SQL (DuckDB) — keyed identically to QUERIES
 # ---------------------------------------------------------------------------
@@ -1076,6 +1100,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM ev e JOIN ivl i
           ON e.source = i.source AND e.bucket >= i.lo AND e.bucket < i.hi
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "delta_1m": f"""
+        WITH r AS ({_ROLLUP_SQL_BODY})
+        SELECT source, bucket,
+               CAST(sum_cents - LAG(sum_cents) OVER w AS BIGINT) AS delta_cents
+        FROM r
+        WINDOW w AS (PARTITION BY source ORDER BY bucket)
+        QUALIFY LAG(sum_cents) OVER w IS NOT NULL
+        ORDER BY 1, 2
     """,
     "moving_avg": f"""
         WITH r AS ({_ROLLUP_SQL_BODY})
@@ -1270,6 +1303,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "moving_avg": q_moving_avg,
+    "delta_1m": q_delta_1m,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
