@@ -493,3 +493,27 @@ def test_resize_and_audio_stages():
     assert a.column_names == ["media_id", "window_idx", "features"]
     assert a.num_rows >= 8  # at least one window per media row
     assert (np.asarray(a["window_idx"]) >= 0).all()
+
+
+@settings(max_examples=50, deadline=None, print_blob=True)
+@example(vals=["\x00", "\x000", "\x00"])
+@example(vals=["abc", "abc\x00x"])  # retained unique contains no NUL
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_safe_factorize_property(vals):
+    """safe_factorize must be an exact factorize on arbitrary unicode:
+    reconstruction equals the input and uniques are genuinely distinct."""
+    from tsrollup.hashing import safe_factorize
+
+    arr = np.array(vals, dtype=object)
+    codes, uniq = safe_factorize(arr)
+    assert [uniq[c] for c in codes] == vals
+    assert len(set(uniq)) == len(uniq)
