@@ -168,6 +168,10 @@ def main() -> int:
     if "--scaling" in sys.argv:
         return scaling(sf_dir)
 
+    # bracket the run with host-capacity probes so the recorded numbers
+    # self-document the environment (this sandbox's deliverable parallelism
+    # swings 2-4x on minute timescales; see BASELINE.md)
+    probe_before = host_probe(num_cpus)
     ray = _init_ray(num_cpus)
     in_dir = ensure_synth()
     warm_page_cache(in_dir)
@@ -180,10 +184,15 @@ def main() -> int:
         "queries": queries,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "num_cpus": num_cpus,
+        "host_probe_sec_before": probe_before,
+        "host_probe_healthy_ref": 1.0,  # ~1 s/proc on an unloaded host
         **engine,
     }
-    print(json.dumps(out))
     ray.shutdown()
+    # after-probe only once Ray is down (forking under a live Ray session
+    # inherits its gRPC threads)
+    out["host_probe_sec_after"] = host_probe(num_cpus)
+    print(json.dumps(out))
     return 0
 
 
