@@ -64,3 +64,37 @@ def test_moving_avg_matches_duckdb(ray_session):
     # window caps at 10 rows and the first row of each source has win_n == 1
     assert got["win_n"].max() == 10
     assert (got.sort_values(["source", "bucket"]).groupby("source")["win_n"].first() == 1).all()
+
+
+def test_asof_join_drops_sources_without_marks(ray_session, tmp_path):
+    """A source whose rolled series has no mark buckets (none divisible by 7)
+    must contribute NO rows — ASOF inner semantics — instead of erroring or
+    mismatching; verified against DuckDB on a crafted events table."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tsrollup.pipelines.queries import ORACLE_SQL, QUERIES
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # srcA has buckets 7000000..7000010 (7000000 % 7 == 0 -> has marks);
+    # srcB only bucket 7000001..7000003 (none % 7 == 0 -> no marks)
+    ts_a = [(7_000_000 + i) * 60_000_000 for i in range(11)]
+    ts_b = [(7_000_001 + i) * 60_000_000 for i in range(3)]
+    t = pa.table(
+        {
+            "ts": pa.array(ts_a + ts_b, pa.timestamp("us")),
+            "event_type": ["srcA"] * 11 + ["srcB"] * 3,
+            "value": [float(i) for i in range(14)],
+            "user_id": list(range(14)),
+        }
+    )
+    pq.write_table(t, str(d / "events.parquet"))
+    got = QUERIES["asof_join"](str(d)).to_pandas()
+    assert set(got["source"]) == {"srcA"}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    want = con.sql(ORACLE_SQL["asof_join"]).df()
+    assert len(got) == len(want)
+    assert int(got["n_events"].sum()) == int(want["n_events"].sum()) == 11
