@@ -36,11 +36,19 @@ def text_hash(s: str) -> int:
     return fnv1a64_bytes(s.encode())
 
 
-def add_text_hash(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    df = df.copy()
-    df["text_hash"] = (
-        df[text_col].fillna("").map(lambda s: fnv1a64_bytes(s.encode())).astype("uint64")
-    )
+def add_text_hash(data, text_col: str = "text"):
+    """Append a vectorized FNV-1a content hash column. pandas DataFrame or
+    pyarrow Table in -> same type out (the Table path never creates a Python
+    string; equals ``fnv1a64_bytes(s.encode())`` per row)."""
+    from tsrollup.hashing import hash_strings
+
+    if isinstance(data, pa.Table):
+        from tsrollup.functions.tokens import as_string_array
+
+        h = hash_strings(as_string_array(data.column(text_col)))
+        return data.append_column("text_hash", pa.array(h, pa.uint64()))
+    df = data.copy()
+    df["text_hash"] = pd.Series(hash_strings(df[text_col].fillna("")), index=df.index)
     return df
 
 
@@ -90,26 +98,36 @@ def lsh_bands(sig: np.ndarray, bands: int = 16) -> np.ndarray:
 
 
 def minhash_band_rows(
-    df: pd.DataFrame, text_col="text", id_col="doc_id", num_perm=64, bands=16, k=3
-) -> pd.DataFrame:
+    data, text_col="text", id_col="doc_id", num_perm=64, bands=16, k=3
+):
     """Per doc: explode to (band_id, band_hash, doc_id) rows — the LSH shuffle
-    key. Batch-vectorized (tokens.TokenBatch: one tokenize pass, distinct
-    tokens hashed once, signatures via segment-min) — bit-identical to the
-    per-doc ``lsh_bands(minhash_signature(shingle_hashes(...)))`` composition,
-    which remains the tested specification."""
+    key. Batch-vectorized (tokens.TokenBatch: one Arrow tokenize pass, tokens
+    hashed straight from the flat utf8 buffer, signatures via segment-min) —
+    bit-identical to the per-doc
+    ``lsh_bands(minhash_signature(shingle_hashes(...)))`` composition, which
+    remains the tested specification. pandas DataFrame or pyarrow Table
+    in -> same type out (the Table path touches no Python objects)."""
     from tsrollup.functions import tokens as tk
 
-    tb = tk.TokenBatch(df[text_col])
+    is_table = isinstance(data, pa.Table)
+    texts = data.column(text_col) if is_table else data[text_col]
+    ids = (
+        data.column(id_col).to_numpy(zero_copy_only=False)
+        if is_table
+        else data[id_col].to_numpy()
+    ).astype(np.int64)
+    tb = tk.TokenBatch(texts)
     sigs = tk.minhash_signatures(tb, num_perm, k)
     bh = tk.lsh_band_hashes(sigs, bands)  # (n_docs, bands)
-    n = len(df)
-    return pd.DataFrame(
-        {
-            id_col: np.repeat(df[id_col].to_numpy(), bands),
-            "band_id": np.tile(np.arange(bands, dtype=np.int32), n),
-            "band_hash": bh.reshape(-1).astype(np.int64),
-        }
-    )
+    n = len(ids)
+    cols = {
+        id_col: np.repeat(ids, bands),
+        "band_id": np.tile(np.arange(bands, dtype=np.int32), n),
+        "band_hash": bh.reshape(-1).astype(np.int64),
+    }
+    if is_table:
+        return pa.table({k: pa.array(v) for k, v in cols.items()})
+    return pd.DataFrame(cols)
 
 
 def candidate_pairs_from_bucket(group: pd.DataFrame, id_col="doc_id") -> pd.DataFrame:

@@ -35,9 +35,26 @@ def tokenize_ids(text: str) -> np.ndarray:
     )
 
 
-def count_tokens_batch(df: pd.DataFrame, text_col: str = "text") -> pd.Series:
-    """n_tok per row = count of \\S+ runs (SQL: len(regexp_extract_all(text,'\\S+')))."""
-    return df[text_col].fillna("").str.count(r"\S+").astype("int64")
+def count_tokens_batch(df, text_col: str = "text") -> pd.Series:
+    """n_tok per row = count of \\S+ runs (SQL: len(regexp_extract_all(text,'\\S+'))).
+
+    Arrow-native: one split kernel + a bincount of non-empty tokens (Python
+    ``re`` \\S and ``str.isspace`` agree over all of Unicode, and so does
+    Arrow's whitespace predicate — scanned exhaustively). Accepts a pandas
+    DataFrame or a pyarrow Table."""
+    import pyarrow.compute as pc
+
+    from tsrollup.functions import tokens as tk
+
+    col = df[text_col] if isinstance(df, pd.DataFrame) else df.column(text_col)
+    sp = tk.split_whitespace(col)
+    n = len(sp)
+    raw_lens = pc.list_value_length(sp).to_numpy(zero_copy_only=False).astype(np.int64)
+    nonempty = pc.greater(pc.binary_length(sp.flatten()), 0).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(n), raw_lens)
+    counts = np.bincount(doc_idx[nonempty], minlength=n).astype(np.int64)
+    index = df.index if isinstance(df, pd.DataFrame) else None
+    return pd.Series(counts, index=index)
 
 
 def bpeish_count_batch(df: pd.DataFrame, text_col: str = "text") -> pd.Series:
@@ -66,8 +83,24 @@ def quality_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     n_punct = s.str.count(r"[!-/:-@\[-`{-~]").astype("int64")
     n_upper = s.str.count(r"[A-Z]").astype("int64")
     n_space = s.str.count(r"\s").astype("int64")
-    words = s.str.findall(r"\S+")
-    n_stop = words.map(lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS)).astype("int64")
+    # stopword hits: Arrow split+lower+is_in+bincount — no per-token Python
+    # (scalar spec: sum(1 for w in findall(r'\S+') if w.lower() in STOPWORDS))
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tsrollup.functions import tokens as tk
+
+    sp = tk.split_whitespace(s)
+    raw_lens = pc.list_value_length(sp).to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = sp.flatten()
+    low = _lower_like_python(toks)
+    m = pc.is_in(low, value_set=pa.array(sorted(STOPWORDS), type=low.type)).to_numpy(
+        zero_copy_only=False
+    )
+    doc_idx = np.repeat(np.arange(len(s)), raw_lens)
+    n_stop = pd.Series(
+        np.bincount(doc_idx, weights=m, minlength=len(s)).astype(np.int64), index=s.index
+    )
     mean_tok_len = np.where(n_tok > 0, (n_chars - n_space) / n_tok.replace(0, 1), 0.0)
     return pd.DataFrame(
         {
@@ -114,27 +147,53 @@ def detect_lang(text: str) -> str:
     return best_lang if best_hits > 0 else "en"
 
 
-def detect_lang_batch(texts: pd.Series) -> np.ndarray:
+def _lower_like_python(tokens: "pa.Array") -> "pa.Array":
+    """``pc.utf8_lower`` patched to Python ``str.lower`` semantics. Exhaustive
+    scan over all of Unicode found exactly one divergence: U+0130 (İ), which
+    Python full-case-maps to 'i' + U+0307 while utf8proc simple-maps to 'i'
+    — pre-expanding it restores bit parity (guarded by the hypothesis fuzz
+    in tests/test_functions.py)."""
+    import pyarrow.compute as pc
+
+    return pc.utf8_lower(pc.replace_substring(tokens, "İ", "i̇"))
+
+
+def detect_lang_batch(texts) -> np.ndarray:
     """Vectorized :func:`detect_lang` (same decision order: empty -> 'und',
     CJK ratio -> 'zh', else best stopword-hit language in sorted-code order
-    with strictly-greater replacement, no hits -> 'en'); one pass of pandas
-    str kernels + a bincount per language instead of per-doc Python."""
-    from itertools import chain
+    with strictly-greater replacement, no hits -> 'en').
 
-    s = texts.fillna("")
-    n = len(s)
-    slen = s.str.len().to_numpy()
-    n_cjk = s.str.count("[一-鿿]").to_numpy()
-    toks = s.str.split()
-    lens = toks.map(len).to_numpy(dtype=np.int64)
-    doc_idx = np.repeat(np.arange(n), lens)
-    words = pd.Series(list(chain.from_iterable(toks)), dtype=object)
-    if len(words):
-        words = words.str.lower().str.strip(".,;:!?\"'()")
+    Arrow-native end to end: split/lower/trim/is_in run inside Arrow buffers
+    (no per-token Python object — the round-2 chain-flatten built one str per
+    token) + one bincount per language. Accepts a pd.Series or pa.Array;
+    whitespace/lower/CJK-count semantics verified bit-equal to the scalar
+    spec over the full Unicode range."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tsrollup.functions import tokens as tk
+
+    arr = tk.as_string_array(texts)
+    n = len(arr)
+    slen = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_cjk = (
+        pc.count_substring_regex(arr, "[一-鿿]").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    sp = pc.utf8_split_whitespace(arr)
+    raw_lens = pc.list_value_length(sp).to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = sp.flatten()
+    doc_idx = np.repeat(np.arange(n), raw_lens)
+    nonempty = pc.greater(pc.binary_length(toks), 0).to_numpy(zero_copy_only=False)
+    lens = np.bincount(doc_idx[nonempty], minlength=n)  # true str.split() counts
+    # lower+strip every token; Arrow's empty edge tokens stay empty and can
+    # never hit a marker set, so they need no filtering here
+    words = pc.utf8_trim(_lower_like_python(toks), ".,;:!?\"'()")
     langs = sorted(_LANG_MARKERS)
     hits = np.zeros((len(langs), n), dtype=np.int64)
     for li, lang in enumerate(langs):
-        m = words.isin(_LANG_MARKERS[lang]).to_numpy() if len(words) else np.zeros(0, bool)
+        m = pc.is_in(
+            words, value_set=pa.array(sorted(_LANG_MARKERS[lang]), type=words.type)
+        ).to_numpy(zero_copy_only=False)
         hits[li] = np.bincount(doc_idx, weights=m, minlength=n).astype(np.int64)
     best_li = np.argmax(hits, axis=0)  # first max == sorted-code tie-break
     best_hits = hits[best_li, np.arange(n)]
@@ -147,17 +206,20 @@ def detect_lang_batch(texts: pd.Series) -> np.ndarray:
 
 
 class LangIdStage:
-    """Actor-pool stage: regexes/sets built once per actor; batch-vectorized
-    scoring (bit-identical to per-doc :func:`detect_lang`)."""
+    """Actor-pool stage: marker sets/value arrays built once per actor;
+    batch-vectorized Arrow scoring (bit-identical to per-doc
+    :func:`detect_lang`). pyarrow in/out — the text column never converts
+    to pandas objects."""
 
     def __init__(self) -> None:
         self.cjk = _CJK
         self.markers = _LANG_MARKERS
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["lang_pred"] = detect_lang_batch(df["text"])
-        return df
+    def __call__(self, t):
+        import pyarrow as pa
+
+        pred = detect_lang_batch(t.column("text"))
+        return t.append_column("lang_pred", pa.array(pred, type=pa.string()))
 
 
 # --- fingerprinting --------------------------------------------------------

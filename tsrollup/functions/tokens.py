@@ -5,11 +5,15 @@ for MinHash banding, SimHash, fingerprinting and token-id assignment — at
 100 TB those loops ARE the job. This module replaces them with the
 scale-safe shape (the same pattern ``rollup._group_reduce`` uses):
 
-1. tokenize the whole batch once (one C-level split per document),
-2. hash every token straight from the flat utf8 buffer (the vectorized
+1. tokenize the whole batch once with ``pyarrow.compute.utf8_split_whitespace``
+   — the resulting ListArray's flat utf8 child + offsets ARE the token
+   buffer; no per-token Python object is ever created (verified bit-identical
+   to Python ``str.split`` over the full Unicode range, modulo the empty edge
+   tokens Arrow emits, which are masked out at the numpy level),
+2. hash every token straight from that flat utf8 buffer (the vectorized
    FNV-1a kernel in ``tsrollup.hashing`` — one numpy pass per byte position,
-   not one Python call per token; NUL-safe, unlike a pd.factorize pre-dedup
-   whose string hash table is C-string based),
+   not one Python call per token; NUL-safe by construction, no string hash
+   table involved),
 3. segment-reduce per document (``np.minimum.reduceat`` / ``np.add.reduceat``).
 
 Every kernel is bit-identical to its scalar counterpart in
@@ -20,11 +24,10 @@ specification.
 
 from __future__ import annotations
 
-from itertools import chain
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from tsrollup.hashing import (
     _FNV_BASIS,
@@ -37,41 +40,82 @@ from tsrollup.hashing import (
 _SPACE = 0x20
 
 
+def as_string_array(texts) -> pa.Array:
+    """Normalize a pd.Series / pa.Array / pa.ChunkedArray / sequence to a
+    non-null Arrow string Array (nulls -> ''). The one unavoidable
+    object-touching pass when the caller hands us pandas objects — document
+    -level, not token-level; pyarrow-format stages skip it entirely."""
+    if isinstance(texts, pd.Series):
+        arr = pa.array(texts, from_pandas=True)
+    elif isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(list(texts), type=pa.string())
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    return arr
+
+
+def split_whitespace(texts) -> pa.ListArray:
+    """``list<string>`` of whitespace tokens per document, via one Arrow
+    kernel call.
+
+    Arrow's whitespace predicate equals Python ``str.isspace`` across the
+    entire Unicode range (scanned exhaustively when this was written), but
+    unlike ``str.split`` it emits zero-length tokens at document edges —
+    callers must mask those (TokenBatch does)."""
+    return pc.utf8_split_whitespace(as_string_array(texts))
+
+
 class TokenBatch:
-    """Whitespace tokens of a document batch, flattened + hashed once.
+    """Whitespace tokens of a document batch, flattened + hashed once —
+    entirely inside Arrow/numpy buffers; no per-token Python object exists
+    at any point (the round-2 ``str.split`` + chain-flatten built one str
+    per token; at 100 TB that flatten WAS the tokenize cost).
 
     Attributes:
         doc_lens:  (n_docs,) tokens per document
-        doc_starts:(n_docs,) offset of each doc's first token in the flat arrays
+        doc_starts:(n_docs+1,) offset of each doc's first token in the flat arrays
         hashes:    (n_tokens,) uint64 FNV-1a per token (buffer-exact, NUL-safe)
         buf/starts/lengths: flat utf8 view of every token (for windowed joins)
     """
 
-    def __init__(self, texts: pd.Series):
-        toks = texts.fillna("").str.split()
-        self.doc_lens = toks.map(len).to_numpy(dtype=np.int64)
-        self.doc_starts = np.zeros(len(toks) + 1, dtype=np.int64)
-        np.cumsum(self.doc_lens, out=self.doc_starts[1:])
-        flat = list(chain.from_iterable(toks))
-        self.n_tokens = len(flat)
-        arr = pa.array(flat, type=pa.string())
-        from tsrollup.hashing import _utf8_buffer
+    def __init__(self, texts):
+        sp = split_whitespace(texts)
+        n_docs = len(sp)
+        # raw per-doc token counts INCLUDING Arrow's empty edge tokens
+        raw_lens = pc.list_value_length(sp).to_numpy().astype(np.int64)
+        rel = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(raw_lens, out=rel[1:])
+        child = sp.flatten()  # tokens in doc order; zero-copy slice of the child
+        from tsrollup.hashing import _FNV_BASIS, _utf8_buffer, fnv1a64_update
 
-        self.buf, self.starts, self.lengths = _utf8_buffer(arr)
-        # hash each DISTINCT token once, then scatter (Zipf dedup: distinct
-        # tokens << total tokens). Deduping through safe_factorize, NOT bare
-        # pd.factorize: pandas' string hash table treats object strings as
-        # NUL-terminated C strings, so '\x00' and '\x00' + '0' collapse into
-        # ONE unique and distinct tokens share a hash (caught by the
-        # test_token_kernels_property_parity fuzz; safe_factorize verifies
-        # and falls back exactly).
-        from tsrollup.hashing import fnv1a64_batch, safe_factorize
-
+        buf, tstarts, tlens = _utf8_buffer(child)
+        keep = tlens > 0  # drop the empty edge tokens -> exact str.split()
+        kept = np.zeros(len(keep) + 1, dtype=np.int64)
+        np.cumsum(keep, out=kept[1:])
+        self.doc_starts = kept[rel]
+        self.doc_lens = np.diff(self.doc_starts)
+        self.buf = buf
+        self.starts = tstarts[keep]
+        self.lengths = tlens[keep]
+        self.n_tokens = int(kept[-1])
+        self._child = child
+        self._keep = keep
         if self.n_tokens:
-            codes, uniques = safe_factorize(np.asarray(flat, dtype=object))
-            self.hashes = fnv1a64_batch(list(uniques))[codes]
+            basis = np.full(self.n_tokens, _FNV_BASIS, dtype=np.uint64)
+            self.hashes = fnv1a64_update(basis, buf, self.starts, self.lengths)
         else:
             self.hashes = np.zeros(0, np.uint64)
+
+    def token_array(self) -> pa.Array:
+        """The (non-empty) tokens as an Arrow StringArray, doc order —
+        for downstream Arrow kernels (lower/trim/is_in/value_counts)."""
+        if self.n_tokens == len(self._keep):
+            return self._child
+        return self._child.filter(pa.array(self._keep))
 
     # --- windowed join hashes (shingles / winnowing grams) ------------------
 

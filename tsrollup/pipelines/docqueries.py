@@ -41,29 +41,31 @@ def _docs(sf_dir: str, columns=("doc_id", "text", "lang", "source", "n_chars")) 
 
 
 def q_token_count(sf_dir: str):
-    """Whitespace token count per document (vectorized pandas str kernel)."""
+    """Whitespace token count per document (Arrow split kernel; the text
+    column never leaves Arrow buffers — no pandas conversion, no per-token
+    Python)."""
 
-    def _f(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": df["doc_id"], "n_tok": text.count_tokens_batch(df)})
+    def _f(t: pa.Table) -> pa.Table:
+        counts = text.count_tokens_batch(t).to_numpy()
+        return pa.table({"doc_id": t.column("doc_id"), "n_tok": pa.array(counts, pa.int64())})
 
-    return _docs(sf_dir, ("doc_id", "text")).map_batches(_f, batch_format="pandas")
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(_f, batch_format="pyarrow")
 
 
 def q_token_count_by_source(sf_dir: str):
     """Total docs/tokens per source — partial combine + tiny groupby."""
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(n_tok=text.count_tokens_batch(df))
-        g = df.groupby("source", sort=False)
-        return pd.DataFrame(
-            {"n_docs": g.size().astype(np.int64), "n_tok": g["n_tok"].sum()}
-        ).reset_index()
+    def _partial(t: pa.Table) -> pa.Table:
+        counts = text.count_tokens_batch(t).to_numpy()
+        per_batch = pa.table({"source": t.column("source"), "n_tok": pa.array(counts, pa.int64())})
+        g = per_batch.group_by("source").aggregate([("n_tok", "count"), ("n_tok", "sum")])
+        return g.rename_columns(["source", "n_docs", "n_tok"])
 
     from ray.data.aggregate import Sum
 
     return (
         _docs(sf_dir, ("source", "text"))
-        .map_batches(_partial, batch_format="pandas")
+        .map_batches(_partial, batch_format="pyarrow")
         .groupby("source")
         .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_tok", alias_name="n_tok"))
     )
@@ -87,10 +89,10 @@ def q_tokenize(sf_dir: str):
     per-doc n_tok and an order-sensitive token checksum. Rows-only (token ids
     aren't SQL-expressible); determinism asserted in tests."""
 
-    def _f(df: pd.DataFrame) -> pd.DataFrame:
+    def _f(t: pa.Table) -> pa.Table:
         from tsrollup.functions import tokens as tk
 
-        tb = tk.TokenBatch(df["text"])
+        tb = tk.TokenBatch(t.column("text"))
         ids = tk.token_ids(tb, text.VOCAB)
         # order-sensitive checksum: sum of (position+1) * (token_id+1) mod 2^64
         # — one batch-wide multiply + segment-reduce (wrapping uint64, same as
@@ -102,19 +104,19 @@ def q_tokenize(sf_dir: str):
         )
         with np.errstate(over="ignore"):
             contrib = pos * (ids.astype(np.uint64) + np.uint64(1))
-        chk = np.zeros(len(df), dtype=np.uint64)
+        chk = np.zeros(t.num_rows, dtype=np.uint64)
         nz = np.flatnonzero(tb.doc_lens > 0)
         if len(nz):
             chk[nz] = np.add.reduceat(contrib, tb.doc_starts[:-1][nz])
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "n_tok": tb.doc_lens.astype(np.int64),
-                "tok_chk": chk.astype(np.int64),
+                "doc_id": t.column("doc_id"),
+                "n_tok": pa.array(tb.doc_lens, pa.int64()),
+                "tok_chk": pa.array(chk.view(np.int64), pa.int64()),
             }
         )
 
-    return _docs(sf_dir, ("doc_id", "text")).map_batches(_f, batch_format="pandas")
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(_f, batch_format="pyarrow")
 
 
 def q_langid(sf_dir: str):
@@ -122,20 +124,21 @@ def q_langid(sf_dir: str):
     regex/sets compiled once per actor). SQL-verified: the DuckDB oracle
     replicates the full decision procedure."""
     ds = _docs(sf_dir, ("doc_id", "text", "lang")).map_batches(
-        text.LangIdStage, batch_format="pandas", concurrency=(1, 4)
+        text.LangIdStage, batch_format="pyarrow", concurrency=(1, 4)
     )
 
-    def _acc(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(correct=(df["lang_pred"] == df["lang"]).astype(np.int64))
-        g = df.groupby("lang", sort=False)
-        out = g.agg(n_docs=("correct", "size"), n_correct=("correct", "sum")).reset_index()
-        out["n_docs"] = out["n_docs"].astype(np.int64)
-        return out
+    def _acc(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        correct = pc.cast(pc.equal(t.column("lang_pred"), t.column("lang")), pa.int64())
+        tmp = pa.table({"lang": t.column("lang"), "correct": correct})
+        g = tmp.group_by("lang").aggregate([("correct", "count"), ("correct", "sum")])
+        return g.rename_columns(["lang", "n_docs", "n_correct"])
 
     from ray.data.aggregate import Sum
 
     return (
-        ds.map_batches(_acc, batch_format="pandas")
+        ds.map_batches(_acc, batch_format="pyarrow")
         .groupby("lang")
         .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_correct", alias_name="n_correct"))
     )
@@ -144,15 +147,19 @@ def q_langid(sf_dir: str):
 def q_fingerprint(sf_dir: str):
     """Winnowing-style document fingerprints (rows-only; deterministic)."""
 
-    def _f(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def _f(t: pa.Table) -> pa.Table:
+        from tsrollup.functions import tokens as tk
+
+        tb = tk.TokenBatch(t.column("text"))
+        fp = tk.fingerprint_batch(tb, 8)
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "fingerprint": text.fingerprint_batch(df).to_numpy().view(np.int64),
+                "doc_id": t.column("doc_id"),
+                "fingerprint": pa.array(fp.view(np.int64), pa.int64()),
             }
         )
 
-    return _docs(sf_dir, ("doc_id", "text")).map_batches(_f, batch_format="pandas")
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(_f, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -168,15 +175,16 @@ def q_dedup_exact(sf_dir: str):
     unique document) is the per-group-Python trap (see tsrollup.shuffle)."""
     from tsrollup.shuffle import map_key_partitions
 
-    ds = _docs(sf_dir, ("doc_id", "text")).map_batches(dedup.add_text_hash, batch_format="pandas")
+    ds = _docs(sf_dir, ("doc_id", "text")).map_batches(dedup.add_text_hash, batch_format="pyarrow")
 
     def _keep_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"doc_id": pa.array([], pa.int64())})
-        df = t.to_pandas()
-        # group by (hash, text): the text comparison guards hash collisions
-        out = df.groupby(["text_hash", "text"], sort=False)["doc_id"].min()
-        return pa.table({"doc_id": pa.array(out.to_numpy(dtype=np.int64))})
+        # group by (hash, text): the text comparison guards hash collisions.
+        # Arrow group_by, not pandas: strings stay in Arrow buffers and the
+        # grouping is length-prefixed (NUL-safe by construction).
+        g = t.group_by(["text_hash", "text"]).aggregate([("doc_id", "min")])
+        return pa.table({"doc_id": g.column("doc_id_min").cast(pa.int64())})
 
     return map_key_partitions(ds, ["text_hash"], _keep_block)
 
@@ -196,21 +204,22 @@ _END_SCHEMA = pa.schema(
 )
 
 
-def _shingle_rows(df: pd.DataFrame, k: int = 3) -> pa.Table:
-    """(key=doc_id, sh=sorted unique shingle hashes) rows, join-schema shaped."""
+def _shingle_rows(t: pa.Table, k: int = 3) -> pa.Table:
+    """(key=doc_id, sh=sorted unique shingle hashes) rows, join-schema shaped.
+    pyarrow in/out — texts never convert to pandas objects."""
     from tsrollup.functions import tokens as tk
 
-    n = len(df)
+    n = t.num_rows
     if n == 0:
         return _JOIN_SCHEMA.empty_table()
-    tb = tk.TokenBatch(df["text"])
+    tb = tk.TokenBatch(t.column("text"))
     vals, seg_lens = tk.unique_window_hashes(tb, k)
     offs = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(seg_lens, out=offs[1:])
     sh = pa.ListArray.from_arrays(pa.array(offs), pa.array(vals.view(np.int64)))
     return pa.table(
         {
-            "key": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
+            "key": t.column("doc_id").cast(pa.int64()),
             "a": pa.array(np.full(n, -1, np.int64)),
             "b": pa.array(np.full(n, -1, np.int64)),
             "side": pa.array(np.full(n, -1, np.int32)),
@@ -343,7 +352,7 @@ def _dedup_minhash_impl(sf_dir: str, threshold: float, _file_id=None):
 
     docs = _docs(sf_dir, ("doc_id", "text"))
     band_rows = docs.map_batches(
-        lambda df: dedup.minhash_band_rows(df), batch_format="pandas"
+        lambda t: dedup.minhash_band_rows(t), batch_format="pyarrow"
     )
     # pairs per bucket, vectorized per PARTITION (per-bucket map_groups would
     # pay per-GROUP Python over every distinct band hash)
@@ -367,7 +376,7 @@ def _dedup_minhash_impl(sf_dir: str, threshold: float, _file_id=None):
     ends = cands.map_batches(_local_dedup, batch_format="pyarrow").map_batches(
         _pair_ends, batch_format="pyarrow"
     )
-    shingles = docs.map_batches(_shingle_rows, batch_format="pandas")
+    shingles = docs.map_batches(_shingle_rows, batch_format="pyarrow")
     joined = map_key_partitions(shingles.union(ends), ["key"], _attach_shingles)
     verified = map_key_partitions(
         joined, ["a", "b"], lambda t: _verify_pairs(t, threshold)
@@ -384,26 +393,30 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3):
     for hamming < 4), hamming-verified (rows-only)."""
     docs = _docs(sf_dir, ("doc_id", "text"))
 
-    def _sim(df: pd.DataFrame) -> pd.DataFrame:
-        # vectorized block-key explode (same values as simhash_block_keys)
-        v = dedup.simhash_batch(df).to_numpy()
+    def _sim(t: pa.Table) -> pa.Table:
+        # vectorized block-key explode (same values as simhash_block_keys);
+        # pyarrow in/out — the simhash runs on TokenBatch's Arrow buffers
+        from tsrollup.functions import tokens as tk
+
+        v = tk.simhash_batch(tk.TokenBatch(t.column("text")))
         blocks, width = 4, 16
         mask = np.uint64((1 << width) - 1)
-        keys = np.empty((len(df), blocks), dtype=np.int64)
+        keys = np.empty((t.num_rows, blocks), dtype=np.int64)
         for i in range(blocks):
             keys[:, i] = ((v >> np.uint64(i * width)) & mask).astype(np.int64) | (i << 48)
-        return pd.DataFrame(
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
             {
-                "doc_id": np.repeat(df["doc_id"].to_numpy(dtype=np.int64), blocks),
-                "block_key": keys.reshape(-1),
-                "simhash": np.repeat(v.astype(np.int64), blocks),
+                "doc_id": pa.array(np.repeat(ids, blocks)),
+                "block_key": pa.array(keys.reshape(-1)),
+                "simhash": pa.array(np.repeat(v.astype(np.int64), blocks)),
             }
         )
 
     from tsrollup.shuffle import map_key_partitions
 
     cands = map_key_partitions(
-        docs.map_batches(_sim, batch_format="pandas"), ["block_key"],
+        docs.map_batches(_sim, batch_format="pyarrow"), ["block_key"],
         lambda t: _simhash_pairs_block(t, max_hamming),
     )
     out = cands.to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)

@@ -628,13 +628,25 @@ def q_top_tokens(sf_dir: str, k: int = 20):
     documents — per-batch partial counts, tiny final combine, deterministic
     (count desc, token asc) tie-break."""
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].fillna("").str.findall(r"\S+").explode().dropna()
-        vc = toks.value_counts()
-        return pd.DataFrame({"token": vc.index, "n": vc.to_numpy().astype(np.int64)})
+    def _partial(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from tsrollup.functions import tokens as tk
+
+        sp = tk.split_whitespace(t.column("text"))
+        toks = sp.flatten()
+        toks = toks.filter(pc.greater(pc.binary_length(toks), 0))
+        vc = pc.value_counts(toks)  # Arrow hash-count; zero per-token Python
+        return pa.table(
+            {
+                "token": vc.field("values").cast(pa.string()),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
-    partials = ds.map_batches(_partial, batch_format="pandas")
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
     from ray.data.aggregate import Sum
 
     counts = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
