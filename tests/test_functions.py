@@ -1,6 +1,8 @@
 """Training-data operator library: dedup soundness/recall, ANN exactness and
 LSH recall, text analysis determinism, multimodal plumbing."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -541,3 +543,46 @@ def test_embed_dedup_exact_refuses_quadratic_tile_list(tmp_path):
     pq.write_table(t, str(d / "embeddings.parquet"))
     with pytest.raises(ValueError, match="q_embed_dedup_lsh"):
         q_embed_dedup(str(d), max_chunks=0)
+
+
+def test_min_label_propagation_matches_union_find(ray_session):
+    """Distributed connected components (two keyed exchanges per round) must
+    equal the driver-side union-find specification — including on a long
+    chain, where the min label needs one round per hop to spread."""
+    rng = np.random.default_rng(7)
+    cases = []
+    for _ in range(3):
+        a = rng.integers(0, 500, 120).astype(np.int64)
+        b = rng.integers(0, 500, 120).astype(np.int64)
+        m = a != b
+        cases.append(pd.DataFrame({"a": a[m], "b": b[m]}))
+    chain = np.arange(40, dtype=np.int64)
+    cases.append(pd.DataFrame({"a": chain[:-1] + 1000, "b": chain[1:] + 1000}))
+    for pairs in cases:
+        cc = dedup.connected_components(pairs)
+        exp = (
+            pd.DataFrame({"node": list(cc), "label": [cc[x] for x in cc]})
+            .astype(np.int64)
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        got = (
+            dedup.propagate_min_labels(pairs)
+            .to_pandas()
+            .astype(np.int64)
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp)
+
+
+def test_dedup_clusters_distributed_matches_driver(ray_session):
+    from tsrollup.pipelines.queries import q_dedup_clusters, q_dedup_clusters_distributed
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("testdata missing")
+    a = q_dedup_clusters(sf).reset_index(drop=True)
+    b = q_dedup_clusters_distributed(sf).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
