@@ -398,3 +398,40 @@ def test_crash_between_commit_and_manifest_does_not_double_count(ray_session, tm
 
     expected = int(pc.sum(t["n_tok"]).as_py())
     assert sum(v.get("token_sum", 0) for v in rec.values()) == expected
+
+
+def test_corrupt_provenance_degrades_to_full_recompute(ray_session, tiny_table, tmp_path):
+    """A truncated/empty _PROVENANCE.json (crash mid-write, power loss) must
+    not crash resume: with unchanged input the manifest-backed skip still
+    applies (data is intact); with an APPENDED fragment the incremental path
+    can't establish its base, so the run degrades to a full recompute —
+    never a JSONDecodeError, never a delta double-count."""
+    import pyarrow.parquet as pq
+
+    from tsrollup import lineage as lin
+
+    d = tmp_path / "in"
+    d.mkdir()
+    half = tiny_table.num_rows // 2
+    pq.write_table(tiny_table.slice(0, half), str(d / "a.parquet"))
+    out = str(tmp_path / "out")
+    job.run(str(d), RollupConfig(out_root=out, tiers=("1m",)))
+    prov_path = os.path.join(out, "1m", lin.PROVENANCE)
+    with open(prov_path, "w") as f:
+        f.write('{"config_hash": "tru')  # truncated JSON
+    assert lin.tier_provenance(out, "1m") is None  # no JSONDecodeError
+    # unchanged input: manifest skip is still correct (committed data intact)
+    res = job.run(str(d), RollupConfig(out_root=out, tiers=("1m",)))
+    assert res["1m"]["skipped"] is True
+    # appended fragment: no provenance base -> full recompute, right answer
+    with open(prov_path, "w") as f:
+        f.write("")  # fully empty this time
+    pq.write_table(tiny_table.slice(half), str(d / "b.parquet"))
+    res2 = job.run(str(d), RollupConfig(out_root=out, tiers=("1m",)))
+    assert res2["1m"]["skipped"] is False
+    assert not res2["1m"].get("incremental")
+    # rebuilt tier carries valid provenance again and matches from-scratch
+    assert lin.tier_provenance(out, "1m") is not None
+    out_f = str(tmp_path / "full")
+    job.run(str(d), RollupConfig(out_root=out_f, tiers=("1m",)))
+    _assert_tiers_equal(out, out_f, tiers=("1m",))

@@ -276,12 +276,16 @@ def test_csv_source_parses_ragged_lines_and_quarantines(ray_session, tmp_path):
         "srcA-0000000060,srcA,1 x 3\n"      # non-integer token -> quarantine
         "srcA-0000000060,srcA,1 3.5\n"      # non-integral token -> quarantine
         "badid,srcA,1 2\n"                  # doc_id suffix not 10 digits -> quarantine
+        "srcA-0000000120,srcA,3.0 4\n"      # float-formatted integral -> quarantine
+        "srcA-0000000120,srcA,1e3\n"        # scientific notation -> quarantine
+        "srcA-0000000120,srcA,+5\n"         # explicit plus sign -> quarantine
     )
     derived = read_input_csv(str(p)).map_batches(derive_batch, batch_format="pyarrow")
     rolled = final_rollup(derived.map_batches(partial_rollup, batch_format="pyarrow")).to_pandas()
     q = rolled[rolled["source"] == QUARANTINE_SOURCE]
     good = rolled[rolled["source"] != QUARANTINE_SOURCE]
-    assert int(q["chk"].sum()) == 4  # four malformed lines counted
+    assert int(q["chk"].sum()) == 7  # seven malformed lines counted
+    # the three float-formatted lines must NOT have leaked into srcA's rollup
     assert set(good["source"]) == {"srcA", "srcB"}
     assert int(good["sum_tok"].sum()) == 3 + 1 + 0  # n_tok sums, not token values
     assert (good[good["source"] == "srcA"]["n_rows"].sum()) == 2

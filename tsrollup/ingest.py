@@ -159,16 +159,19 @@ def parse_csv_batch(df) -> pa.Table:
         [t for sub in toks for t in sub], dtype=object
     )
     ids = pd.to_numeric(flat, errors="coerce") if len(flat) else pd.Series([], dtype=float)
-    # non-numeric, non-integral ("3.5"), and out-of-int32-range tokens all
-    # poison their line — a silent int32 wrap (or float64 precision loss,
-    # which lands outside the int32 range and is caught by the same bound)
-    # must never pass validation; the JSON path's Arrow cast raises on the
-    # same inputs
-    bad_tok = (
-        (ids.isna() | (ids % 1 != 0) | (ids < -(2**31)) | (ids >= 2**31)).to_numpy()
-        if len(flat)
-        else np.zeros(0, bool)
-    )
+    # only canonical integer literals pass: Arrow's string->int cast (the
+    # JSON path) rejects "3.0"/"1e3"/"+5", so the CSV path must too — a
+    # to_numeric+integrality check alone would silently coerce them. The
+    # regex gate enforces identical accept sets; the numeric bound still
+    # catches int32 overflow (float64 holds every 10-digit int exactly).
+    if len(flat):
+        noncanon = ~flat.str.fullmatch(r"-?[0-9]+").to_numpy(dtype=bool)
+        bad_tok = (
+            noncanon
+            | (ids.isna() | (ids < -(2**31)) | (ids >= 2**31)).to_numpy()
+        )
+    else:
+        bad_tok = np.zeros(0, bool)
     bad = bad.to_numpy()
     if bad_tok.any():
         doc_idx = np.repeat(np.arange(len(lines)), lens)

@@ -154,10 +154,14 @@ def tier_provenance(out_root: str, tier: str) -> dict | None:
     the two would otherwise make the next run re-merge a fragment the
     directory already contains (silent double-count)."""
     p = os.path.join(out_root, tier, PROVENANCE)
-    if os.path.exists(p):
+    try:
         with open(p) as f:
             return json.load(f)
-    return None
+    except (FileNotFoundError, json.JSONDecodeError, OSError):
+        # a truncated/empty provenance file (crash mid-write, power loss)
+        # must degrade to "no provenance" -> full recompute, never crash
+        # every subsequent resume run
+        return None
 
 
 def commit_tier(
@@ -185,6 +189,8 @@ def commit_tier(
         prov.update({k: v for k, v in extra.items() if k in ("fragments", "now_1m")})
     with open(os.path.join(tmp_tier_dir, PROVENANCE), "w") as f:
         json.dump(prov, f)
+        f.flush()
+        os.fsync(f.fileno())  # durable before the atomic tier rename
     if os.path.isdir(final_tier_dir):
         shutil.rmtree(final_tier_dir)
     os.rename(tmp_tier_dir, final_tier_dir)
