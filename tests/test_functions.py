@@ -519,6 +519,36 @@ def test_safe_factorize_property(vals):
     codes, uniq = safe_factorize(arr)
     assert [uniq[c] for c in codes] == vals
     assert len(set(uniq)) == len(uniq)
+    # pd.factorize contract: uniques in FIRST-APPEARANCE order (ADVICE r2
+    # #5 — the old fallback returned np.unique's sorted order)
+    seen: dict = {}
+    for v in vals:
+        seen.setdefault(v, len(seen))
+    assert [seen[u] for u in uniq] == list(range(len(uniq)))
+
+
+def test_safe_factorize_fallback_first_appearance_order():
+    """Force the comparison-based fallback (NUL-collapse) with uniques whose
+    sorted order differs from first-appearance order; codes must still
+    reconstruct and uniques must keep first-appearance order."""
+    from tsrollup.hashing import safe_factorize
+
+    vals = ["z\x002", "z\x001", "z\x002", "z\x001", "z\x003"]
+    arr = np.array(vals, dtype=object)
+    codes, uniq = safe_factorize(arr)
+    assert [uniq[c] for c in codes] == vals
+    assert list(uniq) == ["z\x002", "z\x001", "z\x003"]  # not sorted
+
+
+def test_safe_factorize_nulls_keep_minus_one():
+    """Nulls factorize to code -1 and never enter uniques, matching
+    pd.factorize (and the fallback preserves this if ever reached)."""
+    from tsrollup.hashing import safe_factorize
+
+    arr = np.array(["\x00", None, "\x000", "\x00", None], dtype=object)
+    codes, uniq = safe_factorize(arr)
+    assert list(codes) == [0, -1, 1, 0, -1]
+    assert list(uniq) == ["\x00", "\x000"]
 
 
 def test_embed_dedup_exact_refuses_quadratic_tile_list(tmp_path):

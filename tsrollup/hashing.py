@@ -148,5 +148,20 @@ def safe_factorize(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     if len(arr) and len(uniques) and arr.dtype.kind in "OUS":
         m = codes >= 0  # nulls factorize to -1; don't verify those
         if not (arr[m] == uniques[codes[m]]).all():
-            uniques, codes = np.unique(arr, return_inverse=True)
+            # comparison-based exact path, preserving pd.factorize's full
+            # contract (ADVICE r2 #5): nulls stay code -1 and uniques keep
+            # FIRST-APPEARANCE order — a bare np.unique would sort them and
+            # give nulls a real code, silently diverging for any caller
+            # that relies on either invariant.
+            null = pd.isna(arr) if arr.dtype.kind == "O" else np.zeros(len(arr), bool)
+            vals = arr[~null]
+            su, inv = np.unique(vals, return_inverse=True)
+            first_pos = np.full(len(su), len(vals), dtype=np.int64)
+            np.minimum.at(first_pos, inv, np.arange(len(vals), dtype=np.int64))
+            order = np.argsort(first_pos, kind="stable")
+            rank = np.empty(len(su), dtype=np.int64)
+            rank[order] = np.arange(len(su), dtype=np.int64)
+            codes = np.full(len(arr), -1, dtype=np.int64)
+            codes[~null] = rank[inv]
+            uniques = su[order]
     return codes, uniques

@@ -32,6 +32,13 @@ from tsrollup.util import read_parquet_clean
 from tsrollup.functions import ann, dedup, text
 from tsrollup.shuffle import map_key_groups
 
+# q_dedup_ngram's defaults and its oracle SQL are generated from these SAME
+# constants, so the shipped SQL can never drift from the shipped default
+# invocation (ADVICE r2 #3). Non-default (threshold, k) calls have no
+# static oracle entry by construction.
+NGRAM_THRESHOLD = 0.4
+NGRAM_K = 3
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -461,10 +468,11 @@ def _simhash_pairs_block(t: pa.Table, max_hamming: int) -> pa.Table:
     )
 
 
-def q_dedup_ngram(sf_dir: str, threshold: float = 0.4, k: int = 3):
+def q_dedup_ngram(sf_dir: str, threshold: float = NGRAM_THRESHOLD, k: int = NGRAM_K):
     """Exact n-gram Jaccard near-dup pairs within each source (brute force per
     source partition — sources bound the pair count; the LSH variants above are
-    the corpus-wide scale path). SQL-verified (shingle-string Jaccard)."""
+    the corpus-wide scale path). SQL-verified (shingle-string Jaccard); the
+    oracle is generated from the same (NGRAM_THRESHOLD, NGRAM_K) defaults."""
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) < 2:
@@ -925,15 +933,69 @@ def q_ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 10, n_planes: int = 8):
 
 _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(text.STOPWORDS)) + "]"
 
+# DuckDB's RE2 '\s'/'\S' are ASCII-only, while the engine tokenizes on the
+# full Unicode whitespace set (pc.utf8_split_whitespace == Python str.split
+# == re '\s' — verified exhaustively, incl. U+001C..1F and U+0085). This
+# view normalizes every non-ASCII whitespace char (Z* categories, NEL, the
+# information-separator controls) to ' ' so the oracle's ASCII tokenizer
+# agrees with the engine on arbitrary input, not just the ASCII synth
+# corpus (ADVICE r2 #4). One-char-for-one-char, so length(text)/n_chars
+# and all non-whitespace character-class counts are unchanged.
+_DOCS_WS_NORM = (
+    "(SELECT * REPLACE (regexp_replace(text, "
+    r"'[\p{Z}\x{85}\x{1C}-\x{1F}]', ' ', 'g') AS text) "
+    "FROM documents) documents"
+)
+
+def _dedup_ngram_sql(threshold: float, k: int) -> str:
+    """Exact SQL replica of q_dedup_ngram at the given parameters: per-source
+    all-pairs Jaccard over distinct k-token shingle STRINGS (== Jaccard over
+    the engine's 64-bit shingle hashes absent collisions; docs with < k
+    tokens use the whole joined token string as their one shingle, matching
+    dedup.shingle_hashes)."""
+    shingle_expr = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, source, regexp_extract_all(text, '\S+') AS t
+            FROM {_DOCS_WS_NORM}
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, source, s FROM (
+                SELECT doc_id, source,
+                       {shingle_expr} AS s
+                FROM toks, UNNEST(generate_series(1, len(t) - {k - 1})) AS g(i)
+                WHERE len(t) >= {k}
+                UNION ALL
+                SELECT doc_id, source, array_to_string(t, ' ')
+                FROM toks WHERE len(t) BETWEEN 1 AND {k - 1}
+            )
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+            FROM sh a JOIN sh b
+              ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.a, i.b,
+               ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b
+        WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {threshold}
+        ORDER BY 1, 2
+    """
+
+
 DOC_ORACLE_SQL: dict[str, str] = {
-    "token_count": r"""
+    "token_count": rf"""
         SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
-        FROM documents ORDER BY doc_id
+        FROM {_DOCS_WS_NORM} ORDER BY doc_id
     """,
-    "token_count_by_source": r"""
+    "token_count_by_source": rf"""
         SELECT source, COUNT(*) AS n_docs,
                CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tok
-        FROM documents GROUP BY 1 ORDER BY 1
+        FROM {_DOCS_WS_NORM} GROUP BY 1 ORDER BY 1
     """,
     "doc_quality": rf"""
         SELECT doc_id,
@@ -949,52 +1011,19 @@ DOC_ORACLE_SQL: dict[str, str] = {
                      THEN CAST(length(text) - (length(text) - length(regexp_replace(text, '\s', '', 'g'))) AS DOUBLE)
                           / len(regexp_extract_all(text, '\S+'))
                      ELSE 0.0 END, 6) AS mean_tok_len
-        FROM documents ORDER BY doc_id
+        FROM {_DOCS_WS_NORM} ORDER BY doc_id
     """,
     "dedup_exact": """
         SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1
     """,
-    # exact SQL replica of q_dedup_ngram: per-source all-pairs Jaccard over
-    # distinct 3-token shingles (docs with <3 tokens use the whole joined
-    # token string as their one shingle, matching dedup.shingle_hashes;
-    # Jaccard over shingle STRINGS == Jaccard over the engine's 64-bit
-    # shingle hashes absent collisions)
-    "dedup_ngram": r"""
-        WITH toks AS (
-            SELECT doc_id, source, regexp_extract_all(text, '\S+') AS t
-            FROM documents
-        ),
-        sh AS (
-            SELECT DISTINCT doc_id, source, s FROM (
-                SELECT doc_id, source,
-                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-                FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
-                WHERE len(t) >= 3
-                UNION ALL
-                SELECT doc_id, source, array_to_string(t, ' ')
-                FROM toks WHERE len(t) BETWEEN 1 AND 2
-            )
-        ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        inter AS (
-            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
-            FROM sh a JOIN sh b
-              ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
-        SELECT i.a, i.b,
-               ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
-        FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.a
-        JOIN sizes sb ON sb.doc_id = i.b
-        WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.4
-        ORDER BY 1, 2
-    """,
+    # generated from the SAME (NGRAM_THRESHOLD, NGRAM_K) constants the
+    # query defaults use — see _dedup_ngram_sql (ADVICE r2 #3)
+    "dedup_ngram": _dedup_ngram_sql(NGRAM_THRESHOLD, NGRAM_K),
     # exact SQL replica of functions.text.detect_lang: whitespace tokens,
     # lower+strip punctuation, stopword-hit argmax with sorted-code tie-break,
     # no-hit -> 'en', empty/whitespace-only -> 'und', CJK-ratio -> 'zh'
-    "langid": r"""
-        WITH d AS (SELECT doc_id, text, lang FROM documents),
+    "langid": rf"""
+        WITH d AS (SELECT doc_id, text, lang FROM {_DOCS_WS_NORM}),
         toks AS (
             SELECT doc_id, trim(lower(raw), '.,;:!?"''()') AS w
             FROM d, UNNEST(regexp_split_to_array(text, '\s+')) AS u(raw)

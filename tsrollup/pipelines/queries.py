@@ -1477,9 +1477,15 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         FROM m GROUP BY 1 ORDER BY 1
     """,
+    # RE2 '\S' is ASCII-only: normalize Unicode whitespace to ' ' first so
+    # the oracle tokenizer agrees with the engine's pc.utf8_split_whitespace
+    # on arbitrary input (same normalization as the documents oracles,
+    # docqueries._DOCS_WS_NORM; ADVICE r2 #4)
     "top_tokens": r"""
         WITH toks AS (
-            SELECT UNNEST(regexp_extract_all(text, '\S+')) AS token FROM documents)
+            SELECT UNNEST(regexp_extract_all(
+                regexp_replace(text, '[\p{Z}\x{85}\x{1C}-\x{1F}]', ' ', 'g'),
+                '\S+')) AS token FROM documents)
         SELECT token, COUNT(*) AS n FROM toks GROUP BY 1
         ORDER BY n DESC, token ASC LIMIT 20
     """,
