@@ -68,3 +68,31 @@ def test_encode_blocks_batch():
     assert len(blocks) == 2
     t, v = gorilla.decode(blocks[0])
     np.testing.assert_array_equal(t, pairs[0][0])
+
+
+def test_vectorized_encode_byte_identical_to_scalar():
+    """encode/encode_blocks/encode_concat are batch-vectorized (round 3);
+    they must stay BYTE-identical to the retained scalar reference across
+    block shapes: empty, single-point, tiny, >=128 (vector dispatch),
+    constant values, repeated XOR windows, non-finite."""
+    rng = np.random.default_rng(123)
+    parts_t, parts_v = [], []
+    for L in [0, 1, 2, 3, 50, 127, 128, 400]:
+        t0 = int(rng.integers(0, 10**12))
+        parts_t.append(t0 + np.cumsum(rng.integers(0, 5000, L)).astype(np.int64))
+        v = np.round(rng.normal(size=L), 1)
+        if L >= 50:
+            v[5] = np.inf
+            v[6] = np.nan
+            v[7:9] = 0.0
+        parts_v.append(v)
+    got = gorilla.encode_blocks(parts_t, parts_v)
+    want = [gorilla._encode_scalar(t, v) for t, v in zip(parts_t, parts_v)]
+    assert got == want
+    for blk, t, v in zip(got, parts_t, parts_v):
+        ts2, v2 = gorilla.decode(blk)
+        assert np.array_equal(ts2, t)
+        assert np.array_equal(v2.view(np.uint64), v.view(np.uint64))
+    # single-block entry point dispatches to the vector path at n >= 128
+    big_t, big_v = parts_t[-1], parts_v[-1]
+    assert gorilla.encode(big_t, big_v) == gorilla._encode_scalar(big_t, big_v)

@@ -86,8 +86,11 @@ def _unzigzag(v: int) -> int:
 _TS_BUCKETS = ((7, 64), (9, 256), (12, 2048))
 
 
-def encode(timestamps: np.ndarray, values: np.ndarray) -> bytes:
-    """Encode parallel int64 timestamps + float64 values into one binary block."""
+def _encode_scalar(timestamps: np.ndarray, values: np.ndarray) -> bytes:
+    """Reference scalar encoder (the round-1/2 implementation). Kept as the
+    small-block fast path — NumPy call overhead beats the Python loop only
+    past ~64 points — and as the differential-test oracle for the
+    vectorized :func:`encode`."""
     ts = np.asarray(timestamps, dtype=np.int64)
     vals = np.asarray(values, dtype=np.float64)
     n = len(ts)
@@ -141,6 +144,203 @@ def encode(timestamps: np.ndarray, values: np.ndarray) -> bytes:
     return header + w.getvalue()
 
 
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized ``int.bit_length`` for uint64 (0 for 0). Computed per
+    32-bit half: float64 log2 is only exact for values that fit the 52-bit
+    mantissa, and a 64-bit value just below 2**k can ROUND UP to 2**k and
+    inflate the result — 32-bit values convert exactly, so each half is
+    safe."""
+    x = np.asarray(x, dtype=np.uint64)
+    hi = (x >> np.uint64(32)).astype(np.uint32)
+    lo = x.astype(np.uint32)
+
+    def _bl32(v: np.ndarray) -> np.ndarray:
+        out = np.zeros(v.shape, np.int64)
+        nz = v != 0
+        if nz.any():
+            out[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
+        return out
+
+    return np.where(hi != 0, _bl32(hi) + 32, _bl32(lo))
+
+
+def _pack_bits(values: np.ndarray, widths: np.ndarray) -> bytes:
+    """MSB-first bit packing of variable-width fields (the _BitWriter wire
+    format), fully vectorized: each field is byte-aligned to its END bit,
+    rendered as a 9-byte big-endian window (max 64-bit value + 7-bit
+    misalignment), and scatter-ORed into the output. Disjoint bit ranges
+    make the OR exact; zero-width fields carry value 0 and OR as no-ops.
+    Precondition: values[i] < 2**widths[i]."""
+    end_bits = np.cumsum(widths)  # exclusive end bit of each field
+    total = int(end_bits[-1]) if len(end_bits) else 0
+    out = np.zeros((total + 7) // 8 + 8, dtype=np.uint8)  # +8 scratch lead-in
+    shift = ((-end_bits) % 8).astype(np.uint64)  # left shift to byte-align end
+    low = values << shift  # wraps mod 2**64; overflow goes to `carry`
+    # values >> (64 - shift) without the undefined >>64 at shift == 0
+    carry = (values >> (np.uint64(63) - shift)) >> np.uint64(1)
+    win = np.empty((len(values), 9), dtype=np.uint8)
+    win[:, 0] = carry.astype(np.uint8)  # carry < 2**7: values < 2**64, shift <= 7
+    win[:, 1:] = low.byteswap().view(np.uint8).reshape(-1, 8)  # big-endian
+    # field's window covers stream bytes [last-8, last]; +8 scratch offset
+    last_byte = (end_bits - 1) // 8
+    pos = last_byte[:, None] + np.arange(9)[None, :]
+    np.bitwise_or.at(out, pos.ravel(), win.ravel())
+    return out[8:].tobytes()
+
+
+def encode(timestamps: np.ndarray, values: np.ndarray) -> bytes:
+    """Encode parallel int64 timestamps + float64 values into one binary
+    block — byte-identical to :func:`_encode_scalar`, but batch-vectorized:
+    delta-of-delta bucketing, XOR lead/trail analysis and the bit packing
+    all run as NumPy kernels. The only remaining per-point Python is the
+    Gorilla prev-window state machine (inherently sequential), reduced to
+    plain-int compares over precomputed arrays on the nonzero-XOR subset."""
+    ts = np.asarray(timestamps, dtype=np.int64)
+    vals = np.asarray(values, dtype=np.float64)
+    n = len(ts)
+    assert len(vals) == n
+    if n < 128:  # NumPy fixed overhead dominates below this (measured)
+        return _encode_scalar(ts, vals)
+    return encode_concat(ts, vals, np.array([0, n], dtype=np.int64))[0]
+
+
+def encode_concat(ts: np.ndarray, vals: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    """Encode MANY blocks in one vectorized pass: ``offsets`` delimits blocks
+    in the concatenated ``ts``/``vals`` (Arrow ListArray layout — block b is
+    ``[offsets[b], offsets[b+1])``). Field computation (delta-of-delta
+    buckets, XOR lead/trail) runs over ALL blocks' points at once with the
+    per-block chain resets applied by index surgery; the bit packing is ONE
+    :func:`_pack_bits` call over a byte-aligned concatenated stream that is
+    then sliced per block. Byte-identical to per-block :func:`_encode_scalar`.
+    The only per-block Python left is slicing out each result's bytes."""
+    ts = np.asarray(ts, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    B = len(offsets) - 1
+    n_b = np.diff(offsets)  # points per block
+    bits_all = vals.view(np.uint64)
+
+    # headers: n, then (ts0, v0) for non-empty blocks
+    head_n = n_b.astype("<u4").tobytes()  # 4B each, little-endian
+    first = offsets[:-1].clip(max=len(ts) - 1 if len(ts) else 0)
+    head_tv = np.empty((B, 2), dtype="<i8")
+    head_tv[:, 0] = ts[first] if len(ts) else 0
+    head_tv[:, 1] = bits_all[first].view(np.int64) if len(ts) else 0
+
+    # encoded points: every point except each block's first
+    e_b = np.maximum(n_b - 1, 0)  # encoded points per block
+    enc_starts = np.concatenate(([0], np.cumsum(e_b)))  # in encoded domain
+    E = int(enc_starts[-1])
+    if E == 0:
+        out = []
+        for b in range(B):
+            h = head_n[4 * b : 4 * b + 4]
+            if n_b[b] >= 1:
+                h += head_tv[b].tobytes()
+            out.append(h)
+        return out
+    # global index of each encoded point (skip block-first points)
+    pos = np.arange(E) + np.repeat(offsets[:-1] + 1 - enc_starts[:-1], e_b)
+
+    # --- timestamps: delta-of-delta with per-block chain reset
+    deltas = ts[pos] - ts[pos - 1]
+    prev_delta = np.empty(E, dtype=np.int64)
+    prev_delta[1:] = deltas[:-1]
+    prev_delta[enc_starts[:-1][e_b > 0]] = 0  # chain restarts at each block
+    dod = deltas - prev_delta
+    zz = ((dod << 1) ^ (dod >> 63)).view(np.uint64)
+    c0 = dod == 0
+    c1 = (dod >= -63) & (dod <= 64)
+    c2 = (dod >= -255) & (dod <= 256)
+    c3 = (dod >= -2047) & (dod <= 2048)
+    cases = [c0, c1, c2, c3]
+    f1_val = np.select(cases, [0, 0b10, 0b110, 0b1110], 0b1111).astype(np.uint64)
+    f1_bits = np.select(cases, [1, 2, 3, 4], 4)
+    f2_val = np.select(
+        cases,
+        [
+            np.zeros(E, np.uint64),
+            (dod + 63).astype(np.uint64),
+            (dod + 255).astype(np.uint64),
+            (dod + 2047).astype(np.uint64),
+        ],
+        zz,
+    )
+    f2_bits = np.select(cases, [0, 7, 9, 12], 64)
+
+    # --- values: XOR fields with per-block window reset
+    xor = bits_all[pos] ^ bits_all[pos - 1]
+    idx = np.nonzero(xor)[0]
+    f3_val = np.zeros(E, dtype=np.uint64)  # xor == 0 -> single '0' bit
+    f3_bits = np.ones(E, dtype=np.int64)
+    f4_val = np.zeros(E, dtype=np.uint64)
+    f4_bits = np.zeros(E, dtype=np.int64)
+    if len(idx):
+        xnz = xor[idx]
+        lead = np.minimum(64 - _bit_length_u64(xnz), 31)
+        trail = _bit_length_u64(xnz & (~xnz + np.uint64(1))) - 1
+        # prev-window state machine (inherently sequential): plain-int
+        # compares over the nonzero-XOR subset, resetting at block edges
+        blk_of = np.searchsorted(enc_starts, idx, side="right")  # 1-based
+        use_prev = np.zeros(len(idx), dtype=bool)
+        sh = np.empty(len(idx), dtype=np.int64)  # right shift applied to xor
+        ml = np.empty(len(idx), dtype=np.int64)  # payload width emitted
+        pl, pt, pb = -1, 65, -1  # prev lead / prev trail / its block
+        for j, (ld, tr, bk) in enumerate(
+            zip(lead.tolist(), trail.tolist(), blk_of.tolist())
+        ):
+            if bk != pb:
+                pl, pt, pb = -1, 65, bk
+            if ld >= pl >= 0 and tr >= pt:
+                use_prev[j] = True
+                sh[j] = pt
+                ml[j] = 64 - pl - pt
+            else:
+                sh[j] = tr
+                ml[j] = 64 - ld - tr
+                pl, pt = ld, tr
+        v11 = (
+            np.uint64(0b11 << 11)
+            | (lead.astype(np.uint64) << np.uint64(6))
+            | (ml.astype(np.uint64) - np.uint64(1))
+        )
+        f3_val[idx] = np.where(use_prev, np.uint64(0b10), v11)
+        f3_bits[idx] = np.where(use_prev, 2, 13)
+        f4_val[idx] = xnz >> sh.astype(np.uint64)
+        f4_bits[idx] = ml
+
+    fvals = np.empty(4 * E, dtype=np.uint64)
+    fbits = np.empty(4 * E, dtype=np.int64)
+    fvals[0::4], fvals[1::4], fvals[2::4], fvals[3::4] = f1_val, f2_val, f3_val, f4_val
+    fbits[0::4], fbits[1::4], fbits[2::4], fbits[3::4] = f1_bits, f2_bits, f3_bits, f4_bits
+
+    # byte-align each block's stream with a zero-valued pad field so ONE
+    # _pack_bits call packs everything and per-block slices are byte-exact
+    # (zero pad bits == _BitWriter's final-byte zero padding)
+    fb4 = 4 * enc_starts  # block boundaries in field domain
+    cum = np.concatenate(([0], np.cumsum(fbits)))
+    blk_bits = np.diff(cum[fb4])  # bits per block
+    pad = (-blk_bits) % 8
+    ins = fb4[1:]  # insert AFTER each block's last field
+    fvals = np.insert(fvals, ins, np.zeros(B, np.uint64))
+    fbits = np.insert(fbits, ins, pad)
+    packed = _pack_bits(fvals, fbits)
+    byte_ends = np.cumsum((blk_bits + pad) // 8)
+    byte_starts = np.concatenate(([0], byte_ends[:-1]))
+
+    out = []
+    bs, be = byte_starts.tolist(), byte_ends.tolist()
+    htv = head_tv.tobytes()
+    for b in range(B):
+        if n_b[b] == 0:
+            out.append(head_n[4 * b : 4 * b + 4])
+        else:
+            out.append(
+                head_n[4 * b : 4 * b + 4] + htv[16 * b : 16 * b + 16] + packed[bs[b] : be[b]]
+            )
+    return out
+
+
 def decode(block: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of :func:`encode`; exact round-trip."""
     (n,) = struct.unpack_from("<I", block, 0)
@@ -188,5 +388,14 @@ def decode(block: bytes) -> tuple[np.ndarray, np.ndarray]:
 
 
 def encode_blocks(ts_lists, val_lists) -> list[bytes]:
-    """Batch entry point: encode each (timestamps, values) pair."""
-    return [encode(t, v) for t, v in zip(ts_lists, val_lists)]
+    """Batch entry point: encode each (timestamps, values) pair in one
+    vectorized :func:`encode_concat` pass (typical blocks are ~10² points —
+    far below the single-block vectorization crossover, so batching ACROSS
+    blocks is where the per-point Python loop actually disappears)."""
+    ts_parts = [np.asarray(t, dtype=np.int64) for t in ts_lists]
+    val_parts = [np.asarray(v, dtype=np.float64) for v in val_lists]
+    offsets = np.zeros(len(ts_parts) + 1, dtype=np.int64)
+    np.cumsum([len(t) for t in ts_parts], out=offsets[1:])
+    ts = np.concatenate(ts_parts) if ts_parts else np.empty(0, np.int64)
+    vals = np.concatenate(val_parts) if val_parts else np.empty(0, np.float64)
+    return encode_concat(ts, vals, offsets)

@@ -256,9 +256,14 @@ def gorilla_encode_batch(t: pa.Table) -> pa.Table:
     kept = t.column("kept_idx").combine_chunks()
     vals = t.column("values").combine_chunks()
     start = t["start_bucket"].to_numpy(zero_copy_only=False)
-    blocks = []
-    for i in range(t.num_rows):
-        k = np.asarray(kept[i].values) if len(kept[i]) else np.array([], dtype=np.int32)
-        v = np.asarray(vals[i].values) if len(vals[i]) else np.array([], dtype=np.float64)
-        blocks.append(gorilla.encode(start[i] + k.astype(np.int64), v))
+    # one vectorized pass over ALL windows via the ListArray's flat buffers
+    # (per-window ts = start_bucket + kept_idx, broadcast by list offsets)
+    k_off = np.asarray(kept.offsets)
+    v_off = np.asarray(vals.offsets)
+    lens = np.diff(k_off)
+    ts_flat = np.asarray(kept.values, dtype=np.int64)[k_off[0] : k_off[-1]] + np.repeat(
+        start, lens
+    )
+    v_flat = np.asarray(vals.values, dtype=np.float64)[v_off[0] : v_off[-1]]
+    blocks = gorilla.encode_concat(ts_flat, v_flat, k_off - k_off[0])
     return t.append_column("gorilla", pa.array(blocks, type=pa.large_binary()))
