@@ -28,8 +28,15 @@ QUARANTINE_SOURCE = "__quarantine__"
 
 
 def read_input(path: str | list[str], columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
-    """`ray.data.read_parquet` with column pruning (engine source S1/S4)."""
-    return ray.data.read_parquet(path, columns=columns or ROLLUP_COLUMNS, **kwargs)
+    """`ray.data.read_parquet` with column pruning (engine source S1/S4).
+
+    Routed through :func:`tsrollup.util.read_parquet_clean`: external inputs
+    (e.g. pandas-written testdata) carry a ``pandas`` schema-metadata blob
+    that makes pa.Schema unhashable and spams 'Failed to hash the schemas'
+    from every downstream unify."""
+    from tsrollup.util import read_parquet_clean
+
+    return read_parquet_clean(path, columns=columns or ROLLUP_COLUMNS, **kwargs)
 
 
 def derive_batch(t: pa.Table) -> pa.Table:

@@ -65,7 +65,9 @@ def build_windows(
     )
 
 
-def downsample_windows(wins: ray.data.Dataset, cfg: RollupConfig) -> ray.data.Dataset:
+def downsample_windows(
+    wins: ray.data.Dataset, cfg: RollupConfig, est_rows: int | None = None
+) -> ray.data.Dataset:
     """window rows -> downsampled points + Gorilla blocks (ONE actor pool for
     however many tiers are unioned into ``wins``)."""
     cls, kwargs = make_wavelet_stage(cfg, tier=None)
@@ -76,6 +78,11 @@ def downsample_windows(wins: ray.data.Dataset, cfg: RollupConfig) -> ray.data.Da
     import ray as _ray
 
     max_pool = cfg.wavelet_concurrency or max(2, int(_ray.cluster_resources().get("CPU", 4)) // 2)
+    if est_rows is not None and not cfg.wavelet_concurrency:
+        # pool sized to the actual tier volume: a 1-batch coarse tier must
+        # not reserve (and warn about) an 8-actor pool it can never feed
+        est_batches = -(-max(est_rows, 1) // (cfg.window_batch_size or 512))
+        max_pool = max(1, min(max_pool, est_batches))
     return wins.map_batches(
         cls,
         fn_constructor_kwargs=kwargs,
@@ -327,9 +334,13 @@ def run(
         L = cfg.window_len
         reused_counts: dict[str, int] = {}
         wins = None
+        est_win_rows = 0  # pool-sizing estimate (retained tiers are
+        # materialized, so .count() is metadata; incremental filters only
+        # shrink it further — an upper bound is exactly what sizing wants)
         reused_parts: list[ray.data.Dataset] = []
         for t_ in tiers_todo:
             retained = retained_ds[t_]
+            est_win_rows += retained.count()
             factor = TIER_FACTORS[t_]
             prov_t = lin.tier_provenance(out_root, t_)
             committed_points = os.path.join(out_root, t_, "points")
@@ -400,7 +411,7 @@ def run(
                 reused_parts.append(reused)
             w = build_windows(retained, t_, cfg, co_partitioned=True)
             wins = w if wins is None else wins.union(w)
-        points = downsample_windows(wins, cfg)
+        points = downsample_windows(wins, cfg, est_rows=est_win_rows)
         for r in reused_parts:
             points = points.union(r)
         stage_points_all = lin.staging_dir(out_root, "all", "points")
