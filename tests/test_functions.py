@@ -224,7 +224,7 @@ def test_fake_decode_deterministic_plumbing():
 
 def test_frame_sample_stage():
     t = multimodal.synth_media_table(4)
-    out = multimodal.FrameSampleStage(stride=25)(t)
+    out = multimodal.FrameSampleStage(stride=25, fake=True)(t)
     assert out.column_names == ["media_id", "frame_idx", "features"]
     assert out.num_rows >= 4  # at least frame 0 per video
     assert (np.asarray(out["frame_idx"]) % 25 == 0).all()
@@ -616,3 +616,78 @@ def test_dedup_clusters_distributed_matches_driver(ray_session):
     b = q_dedup_clusters_distributed(sf).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+# --- real-decoder paths: run whenever the optional codec lib is present ----
+# (this sandbox has none of PIL/cv2/soundfile — verified — so these skip
+# here; they exist so fake=False is exercised the day the env gains them)
+
+_HAS_PIL = False
+try:  # pragma: no cover - environment probe
+    import PIL.Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    pass
+
+_HAS_SF = False
+try:  # pragma: no cover - environment probe
+    import soundfile  # noqa: F401
+
+    _HAS_SF = True
+except ImportError:
+    pass
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="PIL not installed")
+def test_decode_image_stage_real_path():
+    import io
+
+    import PIL.Image
+
+    imgs = []
+    for i in range(3):
+        buf = io.BytesIO()
+        arr = np.full((16, 16, 3), i * 40, dtype=np.uint8)
+        PIL.Image.fromarray(arr).save(buf, format="PNG")
+        imgs.append(buf.getvalue())
+    t = pa.table(
+        {
+            "media_id": pa.array(np.arange(3, dtype=np.int64)),
+            "payload": pa.array(imgs, type=pa.binary()),
+            "media_type": pa.array(["image/png"] * 3),
+            "meta": pa.array(["{}"] * 3),
+        }
+    )
+    out = multimodal.DecodeImageStage(fake=False)(t)
+    f = np.asarray(out["features"].combine_chunks().values).reshape(3, -1)
+    assert f.shape[1] == multimodal.FEATURE_DIM
+    # darker image -> lower intensity features, and all within [-0.5, 0.5]
+    assert f[0].mean() < f[2].mean()
+    assert (f >= -0.5).all() and (f <= 0.5).all()
+    out_r = multimodal.ResizeImageStage(th=4, tw=4, fake=False)(t)
+    px = np.asarray(out_r["pixels"].combine_chunks().values)
+    assert len(px) == 3 * 16 and (px >= 0).all() and (px <= 1).all()
+
+
+@pytest.mark.skipif(not _HAS_SF, reason="soundfile not installed")
+def test_decode_audio_stage_real_path():
+    import io
+
+    import soundfile as sf
+
+    rate = 8000
+    tone = np.sin(2 * np.pi * 440 * np.arange(2 * rate) / rate).astype(np.float32)
+    buf = io.BytesIO()
+    sf.write(buf, tone, rate, format="WAV")
+    t = pa.table(
+        {
+            "media_id": pa.array([7], type=pa.int64()),
+            "payload": pa.array([buf.getvalue()], type=pa.binary()),
+            "media_type": pa.array(["audio/wav"]),
+            "meta": pa.array(["{}"]),
+        }
+    )
+    out = multimodal.DecodeAudioStage(hop_seconds=1.0, fake=False)(t)
+    assert out.num_rows == 2  # two 1-second windows
+    assert list(np.asarray(out["window_idx"])) == [0, 1]
