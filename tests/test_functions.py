@@ -691,3 +691,67 @@ def test_decode_audio_stage_real_path():
     out = multimodal.DecodeAudioStage(hop_seconds=1.0, fake=False)(t)
     assert out.num_rows == 2  # two 1-second windows
     assert list(np.asarray(out["window_idx"])) == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# sketches (HLL / CMS) — 100 TB scale paths for distinct / top-k
+# ---------------------------------------------------------------------------
+
+def test_hyperloglog_accuracy_and_merge():
+    from tsrollup.functions import sketch
+    from tsrollup.hashing import mix64
+
+    for n, tol in [(150, 0.05), (10_000, 0.05), (200_000, 0.04)]:
+        h = mix64(np.arange(n, dtype=np.uint64))
+        est = sketch.HyperLogLog(12).add_hashes(h).estimate()
+        assert abs(est - n) / n < tol, (n, est)
+    # merge(a, b) == single-pass over a ∪ b (register-exact)
+    h = mix64(np.arange(50_000, dtype=np.uint64))
+    a = sketch.HyperLogLog(12).add_hashes(h[:30_000])
+    b = sketch.HyperLogLog(12).add_hashes(h[20_000:])
+    one = sketch.HyperLogLog(12).add_hashes(h)
+    np.testing.assert_array_equal(a.merge(b).regs, one.regs)
+    # serialization round-trip
+    rt = sketch.HyperLogLog.from_bytes(one.to_bytes(), 12)
+    np.testing.assert_array_equal(rt.regs, one.regs)
+
+
+def test_countmin_overestimates_and_merges():
+    from tsrollup.functions import sketch
+    from tsrollup.hashing import mix64
+
+    rng = np.random.default_rng(5)
+    keys = mix64(np.arange(5_000, dtype=np.uint64))
+    counts = rng.integers(1, 100, len(keys)).astype(np.int64)
+    cms = sketch.CountMinSketch(width=1 << 15).add_hashes(keys, counts)
+    est = cms.query_hashes(keys)
+    assert (est >= counts).all()  # one-sided error, always
+    assert np.median(est - counts) == 0  # collisions are rare at this width
+    # split-add then merge == single-pass (counter-exact)
+    a = sketch.CountMinSketch(width=1 << 15).add_hashes(keys[:2500], counts[:2500])
+    b = sketch.CountMinSketch(width=1 << 15).add_hashes(keys[2500:], counts[2500:])
+    np.testing.assert_array_equal(a.merge(b).tab, cms.tab)
+    rt = sketch.CountMinSketch.from_bytes(cms.to_bytes(), width=1 << 15)
+    np.testing.assert_array_equal(rt.tab, cms.tab)
+
+
+def test_sketch_queries_match_exact(ray_session):
+    sf_dir_smallest = "/root/testdata/sf0.001"
+    """distinct_users_hll within 5% of exact; top_tokens_cms == exact top-k
+    on the testdata vocabulary (collision-free at this width)."""
+    from tsrollup.pipelines.queries import (
+        q_distinct_users,
+        q_distinct_users_hll,
+        q_top_tokens,
+        q_top_tokens_cms,
+    )
+
+    hll = q_distinct_users_hll(sf_dir_smallest).to_pandas()
+    exact = q_distinct_users(sf_dir_smallest).to_pandas()
+    m = hll.merge(exact, on="source")
+    assert len(m) == len(exact)
+    rel = (m["n_users_est"] - m["n_users"]).abs() / m["n_users"]
+    assert (rel < 0.05).all(), m
+    cms = q_top_tokens_cms(sf_dir_smallest).to_pandas().reset_index(drop=True)
+    ex = q_top_tokens(sf_dir_smallest).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(cms, ex, check_dtype=False)

@@ -323,6 +323,53 @@ def q_distinct_users(sf_dir: str):
     )
 
 
+def q_distinct_users_hll(sf_dir: str, p: int = 12):
+    """Approximate per-source distinct users via mergeable HyperLogLog
+    partials — the 100 TB scale path for ``distinct_users``: the exact
+    two-level groupby shuffles every (source, user) pair; this ships one
+    2**p-byte register row per (batch, source) and max-merges them in a
+    per-source group, so data movement is O(batches), not O(keys).
+    Approximate by nature -> no SQL oracle; accuracy is unit-tested against
+    the exact count (tests/test_functions.py)."""
+    from tsrollup.functions import sketch
+    from tsrollup.hashing import fnv1a64_batch, safe_factorize
+
+    def _partial(t: pa.Table) -> pa.Table:
+        from tsrollup.hashing import mix64
+
+        src = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"]
+        if pa.types.is_integer(uid.type):
+            h = mix64(uid.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            h = fnv1a64_batch(uid)
+        codes, uniques = safe_factorize(src)
+        rows_s, rows_r = [], []
+        for ci, s in enumerate(uniques):
+            hll = sketch.HyperLogLog(p).add_hashes(h[codes == ci])
+            rows_s.append(s)
+            rows_r.append(hll.to_bytes())
+        return pa.table(
+            {"source": pa.array(rows_s, type=pa.string()),
+             "regs": pa.array(rows_r, type=pa.large_binary())}
+        )
+
+    def _est(df: pd.DataFrame) -> pd.DataFrame:
+        from tsrollup.functions import sketch as sk
+
+        hll = sk.HyperLogLog(p)
+        for b in df["regs"]:
+            hll.merge(sk.HyperLogLog.from_bytes(b, p))
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]],
+             "n_users_est": np.array([round(hll.estimate())], dtype=np.int64)}
+        )
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    return map_key_groups(partials, ["source"], _est, batch_format="pandas")
+
+
 def q_topk_events_global(sf_dir: str, k: int = 10):
     """Global sort + limit (engine §2.8; ties -> lower event_id)."""
     ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
@@ -651,6 +698,63 @@ def q_top_tokens(sf_dir: str, k: int = 20):
 
     counts = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
     return counts.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def q_top_tokens_cms(sf_dir: str, k: int = 20, cand: int = 64, width: int = 1 << 15):
+    """Heavy-hitter top-k tokens via CountMinSketch — the 100 TB scale path
+    for ``top_tokens``: the exact version shuffles every distinct token
+    through a groupby; this ships ONE fixed-size sketch (+ a small exact
+    candidate set) per batch and folds them in a single-group merge, then
+    re-scores the candidate union against the merged sketch. CMS estimates
+    are one-sided overestimates; with this width the testdata vocabulary is
+    collision-free and the output equals the exact query (unit-tested) —
+    no SQL oracle because the contract is approximate."""
+    from tsrollup.functions import sketch
+    from tsrollup.hashing import fnv1a64_batch
+
+    def _partial(t: pa.Table) -> pa.Table:
+        from tsrollup.functions import tokens as tk
+
+        sp = tk.split_whitespace(t.column("text"))
+        toks = sp.flatten()
+        toks = toks.filter(pc.greater(pc.binary_length(toks), 0))
+        vc = pc.value_counts(toks)
+        vals = vc.field("values").cast(pa.string())
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        cms = sketch.CountMinSketch(width=width).add_hashes(fnv1a64_batch(vals), counts)
+        top = np.argsort(-counts, kind="stable")[:cand]
+        return pa.table(
+            {
+                "g": pa.array([0], type=pa.int32()),
+                "sketch": pa.array([cms.to_bytes()], type=pa.large_binary()),
+                "cand": pa.array([vals.take(pa.array(top)).to_pylist()],
+                                 type=pa.list_(pa.string())),
+            }
+        )
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        from tsrollup.functions import sketch as sk
+        from tsrollup.hashing import fnv1a64_batch as fnv
+
+        cms = sk.CountMinSketch(width=width)
+        cands: set[str] = set()
+        for b, c in zip(df["sketch"], df["cand"]):
+            cms.merge(sk.CountMinSketch.from_bytes(b, width=width))
+            cands.update(c)
+        toks = sorted(cands)
+        est = cms.query_hashes(fnv(pa.array(toks, type=pa.string())))
+        order = np.lexsort((np.array(toks, dtype=object), -est))[:k]
+        return pd.DataFrame(
+            {"token": np.array(toks, dtype=object)[order], "n": est[order]}
+        )
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    # single-group fold: sketches are tiny (depth*width*8 B) and the batch
+    # count bounds the group; a tree-merge is the >>1e4-batch extension
+    return map_key_groups(partials, ["g"], _merge, batch_format="pandas").map_batches(
+        lambda t: t.select(["token", "n"]), batch_format="pyarrow"
+    )
 
 
 _JSON_EXPORT = "/tmp/tsrollup_json_ingest/docs.jsonl"
@@ -1294,6 +1398,130 @@ def q_delta_1m(sf_dir: str):
     return map_key_groups(_rolled_events(sf_dir), ["source"], _d, batch_format="pandas")
 
 
+def q_anomaly_zscore(sf_dir: str, window: int = 30, threshold: float = 2.5):
+    """Rolling z-score anomaly detection per source over the 1m rollup:
+    flag rows where |z| >= threshold within a trailing ``window``-row frame.
+
+    Exactness contract: z = (n*x - S) / sqrt(n*S2 - S^2) where n, S, S2 are
+    EXACT int64 window sums (count, sum, sum-of-squares) — numerator and
+    radicand are integers on both sides, and float64 division/sqrt of
+    identical integers is correctly rounded, so the engine and the SQL
+    oracle produce bit-identical doubles (no reliance on rounding luck).
+    The n*S2 accumulations stay far inside int64 at any tested scale; the
+    oracle's HUGEINT sums bound the same quantities exactly."""
+
+    def _an(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object), "bucket": pd.Series(dtype=np.int64),
+             "sum_cents": pd.Series(dtype=np.int64), "z": pd.Series(dtype=np.float64)}
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values("bucket")
+        x = df["sum_tok"].to_numpy().astype(np.int64)
+        p1 = np.concatenate(([0], np.cumsum(x)))
+        p2 = np.concatenate(([0], np.cumsum(x * x)))
+        i = np.arange(1, len(x) + 1)
+        start = np.maximum(0, i - window)
+        n = i - start
+        s = p1[i] - p1[start]
+        s2 = p2[i] - p2[start]
+        rad = n * s2 - s * s
+        num = n * x - s
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = num / np.sqrt(rad.astype(np.float64))
+        keep = (n >= 5) & (rad > 0) & (np.abs(z) >= threshold)
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "source": df["source"].to_numpy()[keep],
+                "bucket": df["bucket"].to_numpy()[keep],
+                "sum_cents": x[keep],
+                "z": np.round(z[keep], 6),
+            }
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _an, batch_format="pandas")
+
+
+def q_increase_1h(sf_dir: str):
+    """PromQL-style counter ``increase`` per source per hour: the sum of
+    POSITIVE 1m-to-1m deltas inside each 1h bucket (a negative delta is a
+    counter reset and contributes 0). Each delta is attributed to the hour
+    of its LATER bucket; a source's first row has no delta (LAG-inner
+    semantics). Exact integers end to end."""
+
+    def _inc(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object), "hour": pd.Series(dtype=np.int64),
+                 "inc": pd.Series(dtype=np.int64)}
+            )
+        df = df.sort_values("bucket")
+        x = df["sum_tok"].to_numpy().astype(np.int64)
+        b = df["bucket"].to_numpy().astype(np.int64)
+        d = np.diff(x)
+        g = pd.DataFrame(
+            {"source": df["source"].to_numpy()[1:], "hour": b[1:] // 60,
+             "inc": np.maximum(d, 0)}
+        )
+        return g.groupby(["source", "hour"], as_index=False, sort=True)["inc"].sum()
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _inc, batch_format="pandas")
+
+
+def q_corr_pairs(sf_dir: str):
+    """Pearson correlation of per-bucket event COUNTS for every source pair
+    over their inner-aligned 1m buckets (co-activity matrix).
+
+    Scale shape: one keyed exchange on ``bucket`` (group size == #sources,
+    bounded) emits per-pair product terms; a second tiny exchange on the
+    pair key folds them into exact int64 sums (n, Sx, Sy, Sxy, Sxx, Syy).
+    r = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)) — all
+    integer inputs, so the float64 result is bit-identical to the oracle's
+    (same expression, same parenthesisation)."""
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"src_a": pd.Series(dtype=object), "src_b": pd.Series(dtype=object),
+             "x": pd.Series(dtype=np.int64), "y": pd.Series(dtype=np.int64)}
+        )
+        if len(df) < 2:
+            return empty
+        df = df.sort_values("source")
+        src = df["source"].to_numpy()
+        cnt = df["n_rows"].to_numpy().astype(np.int64)
+        ai, bi = np.triu_indices(len(df), k=1)
+        return pd.DataFrame(
+            {"src_a": src[ai], "src_b": src[bi], "x": cnt[ai], "y": cnt[bi]}
+        )
+
+    def _r(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"src_a": pd.Series(dtype=object), "src_b": pd.Series(dtype=object),
+             "n_buckets": pd.Series(dtype=np.int64), "r": pd.Series(dtype=np.float64)}
+        )
+        x = g["x"].to_numpy().astype(np.int64)
+        y = g["y"].to_numpy().astype(np.int64)
+        n = len(g)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy, sxx, syy = int((x * y).sum()), int((x * x).sum()), int((y * y).sum())
+        da, db = n * sxx - sx * sx, n * syy - sy * sy
+        if n < 2 or da <= 0 or db <= 0:
+            return empty
+        r = (n * sxy - sx * sy) / (np.sqrt(float(da)) * np.sqrt(float(db)))
+        return pd.DataFrame(
+            {"src_a": [g["src_a"].iloc[0]], "src_b": [g["src_b"].iloc[0]],
+             "n_buckets": np.array([n], dtype=np.int64), "r": [round(float(r), 6)]}
+        )
+
+    parts = map_key_groups(
+        _rolled_events(sf_dir), ["bucket"], _pairs, batch_format="pandas"
+    )
+    return map_key_groups(parts, ["src_a", "src_b"], _r, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # ORACLE SQL (DuckDB) — keyed identically to QUERIES
 # ---------------------------------------------------------------------------
@@ -1346,6 +1574,62 @@ ORACLE_SQL: dict[str, str] = {
         FROM r
         WINDOW w AS (PARTITION BY source ORDER BY bucket
                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        ORDER BY 1, 2
+    """,
+    # exact-integer z-score: n/S/S2 are HUGEINT-exact window sums, so the
+    # final double == the engine's (same integer inputs, same expression)
+    "anomaly_zscore": f"""
+        WITH r AS ({_ROLLUP_SQL_BODY}),
+        w AS (
+            SELECT source, bucket, sum_cents,
+                   COUNT(*) OVER win AS n,
+                   SUM(CAST(sum_cents AS HUGEINT)) OVER win AS s,
+                   SUM(CAST(sum_cents AS HUGEINT) * sum_cents) OVER win AS s2
+            FROM r
+            WINDOW win AS (PARTITION BY source ORDER BY bucket
+                           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+        )
+        SELECT source, bucket, sum_cents,
+               ROUND(CAST(n * sum_cents - s AS DOUBLE)
+                     / sqrt(CAST(n * s2 - s * s AS DOUBLE)), 6) AS z
+        FROM w
+        WHERE n >= 5 AND n * s2 - s * s > 0
+          AND abs(CAST(n * sum_cents - s AS DOUBLE)
+                  / sqrt(CAST(n * s2 - s * s AS DOUBLE))) >= 2.5
+        ORDER BY 1, 2
+    """,
+    "increase_1h": f"""
+        WITH r AS ({_ROLLUP_SQL_BODY}),
+        d AS (
+            SELECT source, bucket,
+                   sum_cents - LAG(sum_cents) OVER (
+                       PARTITION BY source ORDER BY bucket) AS dd
+            FROM r
+        )
+        SELECT source, bucket // 60 AS hour,
+               CAST(SUM(CASE WHEN dd > 0 THEN dd ELSE 0 END) AS BIGINT) AS inc
+        FROM d WHERE dd IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "corr_pairs": f"""
+        WITH r AS ({_ROLLUP_SQL_BODY}),
+        p AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   a.n_rows AS x, b.n_rows AS y
+            FROM r a JOIN r b ON a.bucket = b.bucket AND a.source < b.source
+        ),
+        s AS (
+            SELECT src_a, src_b, COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM p GROUP BY 1, 2
+        )
+        SELECT src_a, src_b, CAST(n AS BIGINT) AS n_buckets,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r
+        FROM s
+        WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
         ORDER BY 1, 2
     """,
     "rollup_1m": f"SELECT * FROM ({_ROLLUP_SQL_BODY}) ORDER BY source, bucket",
@@ -1545,6 +1829,9 @@ QUERIES = {
     "range_join_exchange": q_range_join_exchange,
     "moving_avg": q_moving_avg,
     "delta_1m": q_delta_1m,
+    "anomaly_zscore": q_anomaly_zscore,
+    "increase_1h": q_increase_1h,
+    "corr_pairs": q_corr_pairs,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
@@ -1554,6 +1841,8 @@ QUERIES = {
     "baseline_comparison": q_baseline_comparison,
     "sessionize": q_sessionize,
     "top_tokens": q_top_tokens,
+    "distinct_users_hll": q_distinct_users_hll,
+    "top_tokens_cms": q_top_tokens_cms,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_distributed": q_dedup_clusters_distributed,
     "quantiles": q_quantiles,
