@@ -1522,6 +1522,98 @@ def q_corr_pairs(sf_dir: str):
     return map_key_groups(parts, ["src_a", "src_b"], _r, batch_format="pandas")
 
 
+def q_ewma_1m(sf_dir: str, shift: int = 3):
+    """Fixed-point exponentially-weighted moving average per source over the
+    1m rollup: ``e_i = e_{i-1} + floor((x_i - e_{i-1}) / 2**shift)`` with
+    ``e_0 = x_0`` — a genuinely SEQUENTIAL stateful operator with an exact
+    integer contract, verified against a recursive-CTE SQL oracle.
+
+    Exactness: the update is integer floor arithmetic (division by a power
+    of two is exact in float64 too, so the oracle's FLOOR(../8.0) matches
+    Python's ``// 8`` bit for bit, negatives included). The per-row Python
+    loop runs on ROLLED volumes (>=60x reduced) inside the per-source group
+    worker — the floor makes the recurrence nonlinear, so no vectorized
+    scan exists; this is the engine's accepted shape for inherently
+    sequential state (cf. Gorilla's window machine)."""
+    div = 1 << shift
+
+    def _ewma(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object), "bucket": pd.Series(dtype=np.int64),
+                 "ewma_cents": pd.Series(dtype=np.int64)}
+            )
+        df = df.sort_values("bucket")
+        x = df["sum_tok"].to_numpy().astype(np.int64).tolist()
+        out = np.empty(len(x), dtype=np.int64)
+        e = x[0]
+        out[0] = e
+        for i in range(1, len(x)):
+            e = e + (x[i] - e) // div
+            out[i] = e
+        return pd.DataFrame(
+            {"source": df["source"].to_numpy(), "bucket": df["bucket"].to_numpy(),
+             "ewma_cents": out}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _ewma, batch_format="pandas")
+
+
+def q_funnel_1h(sf_dir: str, window_ms: int = 3_600_000):
+    """Conversion funnel: for every user with >= 1 'signup' event, did a
+    'purchase' occur within ``window_ms`` AFTER their FIRST signup?
+    Classic event-analytics operator; per-user keyed exchange, vectorized
+    group kernel (no per-row Python), exact SQL oracle (MIN + windowed
+    LEFT JOIN + MAX CASE)."""
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        sig = df[df["event_type"] == "signup"]
+        if not len(sig):
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype=np.int64),
+                 "converted": pd.Series(dtype=np.int64)}
+            )
+        s0 = int(sig["ts"].astype("int64").min())  # first signup, microseconds
+        p = df[df["event_type"] == "purchase"]
+        pu = p["ts"].astype("int64").to_numpy()
+        # oracle mirror: full-precision >=, millisecond-truncated window diff
+        hit = ((pu >= s0) & (pu // 1000 - s0 // 1000 <= window_ms)).any()
+        return pd.DataFrame(
+            {"user_id": np.array([df["user_id"].iloc[0]], dtype=np.int64),
+             "converted": np.array([1 if hit else 0], dtype=np.int64)}
+        )
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return map_key_groups(ds, ["user_id"], _f, batch_format="pandas")
+
+
+def q_value_histogram(sf_dir: str, bin_cents: int = 500):
+    """Per-source fixed-width value distribution: count of events per
+    ``bin = floor(value*100) // bin_cents`` (floor semantics hold for
+    negative values on both sides). Partial per-batch counts -> tiny
+    groupby-sum combine; exact integers."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t["value"], 100.0)), pa.int64())
+        b = cents.to_numpy(zero_copy_only=False) // bin_cents
+        g = pd.DataFrame(
+            {"source": t["event_type"].to_numpy(zero_copy_only=False), "bin": b}
+        ).groupby(["source", "bin"], as_index=False, sort=False).size()
+        return pa.table(
+            {"source": pa.array(g["source"], type=pa.string()),
+             "bin": pa.array(g["bin"].to_numpy(), type=pa.int64()),
+             "n": pa.array(g["size"].to_numpy(), type=pa.int64())}
+        )
+
+    partials = _events(sf_dir, ("event_type", "value")).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    return partials.groupby(["source", "bin"]).aggregate(Sum("n", alias_name="n"))
+
+
 # ---------------------------------------------------------------------------
 # ORACLE SQL (DuckDB) — keyed identically to QUERIES
 # ---------------------------------------------------------------------------
@@ -1631,6 +1723,46 @@ ORACLE_SQL: dict[str, str] = {
         FROM s
         WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
         ORDER BY 1, 2
+    """,
+    # recursive-CTE replica of the fixed-point EWMA: FLOOR(../8.0) on an
+    # integer difference is exact (power-of-two divisor), matching the
+    # engine's Python floor division bit for bit
+    "ewma_1m": f"""
+        WITH RECURSIVE r AS ({_ROLLUP_SQL_BODY}),
+        o AS (
+            SELECT source, bucket, sum_cents,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY bucket) AS rn
+            FROM r
+        ),
+        e AS (
+            SELECT source, bucket, rn, sum_cents AS ewma
+            FROM o WHERE rn = 1
+          UNION ALL
+            SELECT o.source, o.bucket, o.rn,
+                   e.ewma + CAST(FLOOR((o.sum_cents - e.ewma) / 8.0) AS BIGINT)
+            FROM e JOIN o ON o.source = e.source AND o.rn = e.rn + 1
+        )
+        SELECT source, bucket, CAST(ewma AS BIGINT) AS ewma_cents
+        FROM e ORDER BY 1, 2
+    """,
+    "funnel_1h": """
+        WITH s AS (
+            SELECT user_id, MIN(ts) AS s0 FROM events
+            WHERE event_type = 'signup' GROUP BY 1
+        )
+        SELECT s.user_id,
+               CAST(MAX(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS converted
+        FROM s LEFT JOIN events p
+          ON p.user_id = s.user_id AND p.event_type = 'purchase'
+         AND p.ts >= s.s0 AND epoch_ms(p.ts) - epoch_ms(s.s0) <= 3600000
+        GROUP BY 1 ORDER BY 1
+    """,
+    "value_histogram": """
+        SELECT event_type AS source,
+               CAST(FLOOR(CAST(FLOOR(value * 100) AS BIGINT) / 500.0) AS BIGINT) AS bin,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "rollup_1m": f"SELECT * FROM ({_ROLLUP_SQL_BODY}) ORDER BY source, bucket",
     "rollup_1h": f"""
@@ -1832,6 +1964,9 @@ QUERIES = {
     "anomaly_zscore": q_anomaly_zscore,
     "increase_1h": q_increase_1h,
     "corr_pairs": q_corr_pairs,
+    "ewma_1m": q_ewma_1m,
+    "funnel_1h": q_funnel_1h,
+    "value_histogram": q_value_histogram,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
