@@ -93,6 +93,15 @@ def q_rollup_1d(sf_dir: str):
     )
 
 
+def q_rollup_5m(sf_dir: str, factor: int = 5):
+    """Arbitrary-factor continuous aggregate (resample-to-any-frequency):
+    the cascade is generic in its bucket factor, not hardwired to 60/24 —
+    this is the 1m tier re-bucketed by 5. SQL-verified."""
+    return cascade_tier(_rolled_events(sf_dir), factor).map_batches(
+        _rename_cents, batch_format="pyarrow"
+    )
+
+
 def q_gapfill_1m_ffill(sf_dir: str):
     """Forward-fill gap-fill of each source's full 1m bucket span (engine
     gap-fill kernel via groupby(source).map_groups)."""
@@ -1771,6 +1780,12 @@ ORACLE_SQL: dict[str, str] = {
                MAX(max_cents) AS max_cents
         FROM ({_ROLLUP_SQL_BODY}) GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    "rollup_5m": f"""
+        SELECT source, bucket // 5 AS bucket, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               CAST(SUM(sum_cents) AS BIGINT) AS sum_cents, MIN(min_cents) AS min_cents,
+               MAX(max_cents) AS max_cents
+        FROM ({_ROLLUP_SQL_BODY}) GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "rollup_1d": f"""
         SELECT source, bucket // 1440 AS bucket, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
                CAST(SUM(sum_cents) AS BIGINT) AS sum_cents, MIN(min_cents) AS min_cents,
@@ -1944,6 +1959,7 @@ QUERIES = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
     "rollup_1d": q_rollup_1d,
+    "rollup_5m": q_rollup_5m,
     "gapfill_1m_ffill": q_gapfill_1m_ffill,
     "gapfill_1m_linear": q_gapfill_1m_linear,
     "downsample_uniform": q_downsample_uniform,
