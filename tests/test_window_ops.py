@@ -106,3 +106,31 @@ def test_funnel_window_edges(ray_session, adversarial_events_dir):
     assert conv[102] == 0  # just outside
     assert conv[103] == 0  # signup, no purchase
     assert 104 not in conv  # purchase only -> not in the signup cohort
+
+
+def test_anomaly_zscore_huge_values_no_overflow(ray_session, tmp_path):
+    """Cents near 2^31 would overflow an int64 sum-of-squares prefix over a
+    long series without the shift-invariant centering; the oracle's HUGEINT
+    raw-value sums are exact, so equality here proves the centering is an
+    exact identity, not an approximation."""
+    rng = np.random.default_rng(7)
+    base_us = 1_767_225_600_000_000
+    n = 5_000
+    # value*100 ~ 2.1e9 cents, +-1e6 noise; sum over 5k squares of the RAW
+    # value would be ~2e22 >> int64
+    vals = (2.1e9 + rng.integers(-1_000_000, 1_000_000, n) * 1.0) / 100.0
+    vals[1_000] *= 1.002  # a genuine outlier
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(base_us + np.arange(n) * 60_000_000, type=pa.timestamp("us")),
+            "user_id": pa.array(np.zeros(n), type=pa.int64()),
+            "event_type": pa.array(["big"] * n),
+            "value": pa.array(vals, type=pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    eng = QUERIES["anomaly_zscore"](str(tmp_path)).to_pandas()
+    ora = _oracle("anomaly_zscore", str(tmp_path))
+    assert len(eng), "outlier should be flagged"
+    pd.testing.assert_frame_equal(_canon(eng), _canon(ora), check_dtype=False)

@@ -1428,15 +1428,22 @@ def q_anomaly_zscore(sf_dir: str, window: int = 30, threshold: float = 2.5):
             return empty
         df = df.sort_values("bucket")
         x = df["sum_tok"].to_numpy().astype(np.int64)
-        p1 = np.concatenate(([0], np.cumsum(x)))
-        p2 = np.concatenate(([0], np.cumsum(x * x)))
+        # z is SHIFT-INVARIANT in exact integer arithmetic (n*x' - S' and
+        # n*S2' - S'^2 are identities under x' = x - c), so center on the
+        # group minimum before accumulating: the sum-of-squares prefix then
+        # stays in int64 headroom at any realistic cents magnitude, while
+        # the oracle's HUGEINT sums of RAW values bound the same exact
+        # quantities (overflow test in tests/test_window_ops.py).
+        xs = x - x.min() if len(x) else x
+        p1 = np.concatenate(([0], np.cumsum(xs)))
+        p2 = np.concatenate(([0], np.cumsum(xs * xs)))
         i = np.arange(1, len(x) + 1)
         start = np.maximum(0, i - window)
         n = i - start
         s = p1[i] - p1[start]
         s2 = p2[i] - p2[start]
         rad = n * s2 - s * s
-        num = n * x - s
+        num = n * xs - s
         with np.errstate(invalid="ignore", divide="ignore"):
             z = num / np.sqrt(rad.astype(np.float64))
         keep = (n >= 5) & (rad > 0) & (np.abs(z) >= threshold)
