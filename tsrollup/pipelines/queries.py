@@ -24,7 +24,7 @@ from tsrollup.util import read_parquet_clean
 
 from tsrollup.oracle import gapfill_series
 from tsrollup.rollup import cascade_tier, final_rollup, partial_rollup
-from tsrollup.shuffle import map_key_groups
+from tsrollup.shuffle import map_key_groups, map_key_partitions
 
 # ---------------------------------------------------------------------------
 # events -> engine data model
@@ -1498,19 +1498,50 @@ def q_corr_pairs(sf_dir: str):
     integer inputs, so the float64 result is bit-identical to the oracle's
     (same expression, same parenthesisation)."""
 
-    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"src_a": pd.Series(dtype=object), "src_b": pd.Series(dtype=object),
-             "x": pd.Series(dtype=np.int64), "y": pd.Series(dtype=np.int64)}
-        )
-        if len(df) < 2:
-            return empty
-        df = df.sort_values("source")
-        src = df["source"].to_numpy()
-        cnt = df["n_rows"].to_numpy().astype(np.int64)
-        ai, bi = np.triu_indices(len(df), k=1)
-        return pd.DataFrame(
-            {"src_a": src[ai], "src_b": src[bi], "x": cnt[ai], "y": cnt[bi]}
+    _PARTIAL_SCHEMA = pa.schema(
+        [("src_a", pa.string()), ("src_b", pa.string()), ("n", pa.int64()),
+         ("sx", pa.int64()), ("sy", pa.int64()), ("sxy", pa.int64()),
+         ("sxx", pa.int64()), ("syy", pa.int64())]
+    )
+
+    def _pair_partials(t: pa.Table) -> pa.Table:
+        """One hash partition of buckets -> one partial-sums row per source
+        pair. Vectorized pivot to a bucket x source count matrix; per-pair
+        sums are masked column reductions, so Python cost is O(pairs), not
+        O(buckets) — the earlier per-bucket map_key_groups paid ~1.5 ms of
+        group overhead x 43k buckets (~70 s at sf0.1)."""
+        from tsrollup.hashing import safe_factorize
+
+        if t.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        src = t["source"].to_numpy(zero_copy_only=False)
+        cnt = t["n_rows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cs, us = safe_factorize(src)
+        cb, _ = pd.factorize(t["bucket"].to_numpy(zero_copy_only=False))
+        S, B = len(us), cb.max() + 1
+        M = np.zeros((B, S), np.int64)
+        M[cb, cs] = cnt
+        present = np.zeros((B, S), bool)
+        present[cb, cs] = True
+        order = np.argsort(us)  # pair key = (smaller, larger) source name
+        rows = []
+        for i in range(S):
+            for j in range(i + 1, S):
+                ai, bi = order[i], order[j]
+                mask = present[:, ai] & present[:, bi]
+                if not mask.any():
+                    continue
+                x, y = M[mask, ai], M[mask, bi]
+                rows.append(
+                    (us[ai], us[bi], int(mask.sum()), int(x.sum()), int(y.sum()),
+                     int((x * y).sum()), int((x * x).sum()), int((y * y).sum()))
+                )
+        if not rows:
+            return _PARTIAL_SCHEMA.empty_table()
+        cols = list(zip(*rows))
+        return pa.table(
+            {f.name: pa.array(list(c), type=f.type)
+             for f, c in zip(_PARTIAL_SCHEMA, cols)}
         )
 
     def _r(g: pd.DataFrame) -> pd.DataFrame:
@@ -1518,11 +1549,11 @@ def q_corr_pairs(sf_dir: str):
             {"src_a": pd.Series(dtype=object), "src_b": pd.Series(dtype=object),
              "n_buckets": pd.Series(dtype=np.int64), "r": pd.Series(dtype=np.float64)}
         )
-        x = g["x"].to_numpy().astype(np.int64)
-        y = g["y"].to_numpy().astype(np.int64)
-        n = len(g)
-        sx, sy = int(x.sum()), int(y.sum())
-        sxy, sxx, syy = int((x * y).sum()), int((x * x).sum()), int((y * y).sum())
+        if not len(g):
+            return empty
+        n = int(g["n"].sum())
+        sx, sy = int(g["sx"].sum()), int(g["sy"].sum())
+        sxy, sxx, syy = int(g["sxy"].sum()), int(g["sxx"].sum()), int(g["syy"].sum())
         da, db = n * sxx - sx * sx, n * syy - sy * sy
         if n < 2 or da <= 0 or db <= 0:
             return empty
@@ -1532,9 +1563,7 @@ def q_corr_pairs(sf_dir: str):
              "n_buckets": np.array([n], dtype=np.int64), "r": [round(float(r), 6)]}
         )
 
-    parts = map_key_groups(
-        _rolled_events(sf_dir), ["bucket"], _pairs, batch_format="pandas"
-    )
+    parts = map_key_partitions(_rolled_events(sf_dir), ["bucket"], _pair_partials)
     return map_key_groups(parts, ["src_a", "src_b"], _r, batch_format="pandas")
 
 
@@ -1582,27 +1611,39 @@ def q_funnel_1h(sf_dir: str, window_ms: int = 3_600_000):
     group kernel (no per-row Python), exact SQL oracle (MIN + windowed
     LEFT JOIN + MAX CASE)."""
 
-    def _f(df: pd.DataFrame) -> pd.DataFrame:
-        sig = df[df["event_type"] == "signup"]
-        if not len(sig):
-            return pd.DataFrame(
-                {"user_id": pd.Series(dtype=np.int64),
-                 "converted": pd.Series(dtype=np.int64)}
-            )
-        s0 = int(sig["ts"].astype("int64").min())  # first signup, microseconds
-        p = df[df["event_type"] == "purchase"]
-        pu = p["ts"].astype("int64").to_numpy()
+    def _f(t: pa.Table) -> pa.Table:
+        """One hash partition of users -> one row per signup user. Fully
+        vectorized (factorize + minimum.at + boolean scatter): Python cost
+        is O(1) per partition, not per user — at real user cardinalities a
+        per-user group call would dominate."""
+        empty = pa.schema([("user_id", pa.int64()), ("converted", pa.int64())])
+        if t.num_rows == 0:
+            return empty.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cu, uu = pd.factorize(uid)
+        sig = et == "signup"
+        NOSIG = np.iinfo(np.int64).max
+        s0 = np.full(len(uu), NOSIG, dtype=np.int64)
+        np.minimum.at(s0, cu[sig], us[sig])
+        pur = et == "purchase"
         # oracle mirror: full-precision >=, millisecond-truncated window diff
-        hit = ((pu >= s0) & (pu // 1000 - s0 // 1000 <= window_ms)).any()
-        return pd.DataFrame(
-            {"user_id": np.array([df["user_id"].iloc[0]], dtype=np.int64),
-             "converted": np.array([1 if hit else 0], dtype=np.int64)}
+        s0_row = s0[cu]
+        ok = pur & (us >= s0_row) & (s0_row != NOSIG)
+        ok[ok] = us[ok] // 1000 - s0_row[ok] // 1000 <= window_ms
+        conv = np.zeros(len(uu), dtype=bool)
+        conv[cu[ok]] = True
+        keep = s0 != NOSIG
+        return pa.table(
+            {"user_id": pa.array(uu[keep].astype(np.int64)),
+             "converted": pa.array(conv[keep].astype(np.int64))}
         )
 
     ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
     )
-    return map_key_groups(ds, ["user_id"], _f, batch_format="pandas")
+    return map_key_partitions(ds, ["user_id"], _f)
 
 
 def q_value_histogram(sf_dir: str, bin_cents: int = 500):
