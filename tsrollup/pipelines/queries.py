@@ -366,6 +366,11 @@ def q_distinct_users_hll(sf_dir: str, p: int = 12):
     def _est(df: pd.DataFrame) -> pd.DataFrame:
         from tsrollup.functions import sketch as sk
 
+        if not len(df):  # empty-partition probe
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object),
+                 "n_users_est": pd.Series(dtype=np.int64)}
+            )
         hll = sk.HyperLogLog(p)
         for b in df["regs"]:
             hll.merge(sk.HyperLogLog.from_bytes(b, p))
