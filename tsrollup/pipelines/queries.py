@@ -739,22 +739,52 @@ def q_top_tokens_cms(sf_dir: str, k: int = 20, cand: int = 64, width: int = 1 <<
         top = np.argsort(-counts, kind="stable")[:cand]
         return pa.table(
             {
-                "g": pa.array([0], type=pa.int32()),
+                # deterministic tree-merge salt from the sketch bytes: the
+                # combine level folds ~fan_in-way, so no single fold ever
+                # sees more than (partials / fan_in) rows at any batch count
+                "g": pa.array(
+                    [int(fnv1a64_batch(vals[:1])[0] % 64) if len(vals) else 0],
+                    type=pa.int32(),
+                ),
                 "sketch": pa.array([cms.to_bytes()], type=pa.large_binary()),
                 "cand": pa.array([vals.take(pa.array(top)).to_pylist()],
                                  type=pa.list_(pa.string())),
             }
         )
 
-    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+    def _fold(df: pd.DataFrame):
+        """Merge a set of partial rows into one (sketch, cand-union) row —
+        re-entrant (a merge of merges is a merge), so it serves as both the
+        salted combine level and the input to the final top-k."""
         from tsrollup.functions import sketch as sk
-        from tsrollup.hashing import fnv1a64_batch as fnv
 
         cms = sk.CountMinSketch(width=width)
         cands: set[str] = set()
         for b, c in zip(df["sketch"], df["cand"]):
             cms.merge(sk.CountMinSketch.from_bytes(b, width=width))
             cands.update(c)
+        return cms, cands
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"g": pd.Series(dtype=np.int32), "sketch": pd.Series(dtype=object),
+                 "cand": pd.Series(dtype=object)}
+            )
+        cms, cands = _fold(df)
+        return pd.DataFrame(
+            {"g": np.array([0], dtype=np.int32), "sketch": [cms.to_bytes()],
+             "cand": [sorted(cands)]}
+        )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        from tsrollup.hashing import fnv1a64_batch as fnv
+
+        if not len(df):
+            return pd.DataFrame(
+                {"token": pd.Series(dtype=object), "n": pd.Series(dtype=np.int64)}
+            )
+        cms, cands = _fold(df)
         toks = sorted(cands)
         est = cms.query_hashes(fnv(pa.array(toks, type=pa.string())))
         order = np.lexsort((np.array(toks, dtype=object), -est))[:k]
@@ -764,9 +794,10 @@ def q_top_tokens_cms(sf_dir: str, k: int = 20, cand: int = 64, width: int = 1 <<
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
     partials = ds.map_batches(_partial, batch_format="pyarrow")
-    # single-group fold: sketches are tiny (depth*width*8 B) and the batch
-    # count bounds the group; a tree-merge is the >>1e4-batch extension
-    return map_key_groups(partials, ["g"], _merge, batch_format="pandas").map_batches(
+    # TREE-MERGE: salted ~64-way combine level, then the final fold sees at
+    # most 64 rows no matter how many batches the corpus produced
+    combined = map_key_groups(partials, ["g"], _combine, batch_format="pandas")
+    return map_key_groups(combined, ["g"], _final, batch_format="pandas").map_batches(
         lambda t: t.select(["token", "n"]), batch_format="pyarrow"
     )
 
