@@ -353,35 +353,58 @@ def q_distinct_users_hll(sf_dir: str, p: int = 12):
         else:
             h = fnv1a64_batch(uid)
         codes, uniques = safe_factorize(src)
-        rows_s, rows_r = [], []
+        rows_s, rows_r, rows_g = [], [], []
         for ci, s in enumerate(uniques):
             hll = sketch.HyperLogLog(p).add_hashes(h[codes == ci])
             rows_s.append(s)
             rows_r.append(hll.to_bytes())
+            # content-derived tree-merge salt: register-max merge is
+            # re-entrant, so a ~64-way combine level bounds every fold
+            rows_g.append(int(fnv1a64_bytes(hll.to_bytes()[:64]) % 64))
         return pa.table(
             {"source": pa.array(rows_s, type=pa.string()),
+             "g": pa.array(rows_g, type=pa.int32()),
              "regs": pa.array(rows_r, type=pa.large_binary())}
         )
 
-    def _est(df: pd.DataFrame) -> pd.DataFrame:
+    def _fold(df: pd.DataFrame):
         from tsrollup.functions import sketch as sk
 
+        hll = sk.HyperLogLog(p)
+        for b in df["regs"]:
+            hll.merge(sk.HyperLogLog.from_bytes(b, p))
+        return hll
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # empty-partition probe
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object), "g": pd.Series(dtype=np.int32),
+                 "regs": pd.Series(dtype=object)}
+            )
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]], "g": np.array([0], dtype=np.int32),
+             "regs": [_fold(df).to_bytes()]}
+        )
+
+    def _est(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):  # empty-partition probe
             return pd.DataFrame(
                 {"source": pd.Series(dtype=object),
                  "n_users_est": pd.Series(dtype=np.int64)}
             )
-        hll = sk.HyperLogLog(p)
-        for b in df["regs"]:
-            hll.merge(sk.HyperLogLog.from_bytes(b, p))
         return pd.DataFrame(
             {"source": [df["source"].iloc[0]],
-             "n_users_est": np.array([round(hll.estimate())], dtype=np.int64)}
+             "n_users_est": np.array([round(_fold(df).estimate())], dtype=np.int64)}
         )
+
+    from tsrollup.hashing import fnv1a64_bytes
 
     ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
     partials = ds.map_batches(_partial, batch_format="pyarrow")
-    return map_key_groups(partials, ["source"], _est, batch_format="pandas")
+    # TREE-MERGE: (source, salt)-level combine, then the per-source fold
+    # sees at most 64 rows no matter how many batches the corpus produced
+    combined = map_key_groups(partials, ["source", "g"], _combine, batch_format="pandas")
+    return map_key_groups(combined, ["source"], _est, batch_format="pandas")
 
 
 def q_topk_events_global(sf_dir: str, k: int = 10):
