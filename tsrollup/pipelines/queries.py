@@ -93,6 +93,34 @@ def q_rollup_1d(sf_dir: str):
     )
 
 
+def q_join_native(sf_dir: str, num_partitions: int = 16):
+    """Ray Data's NATIVE hash join (``Dataset.join``, available since
+    Ray 2.4x): each 1m rollup row enriched with its 1h parent aggregate —
+    the engine uses the built-in operator where Ray Data provides one and
+    keeps the custom broadcast/keyed-exchange joins for the semantics it
+    doesn't (as-of, banded range). Exact integers; SQL-verified."""
+    m1 = _rolled_events(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"source": t["source"], "bucket": t["bucket"],
+             "sum_cents": t["sum_tok"],
+             "hour": pa.array(t["bucket"].to_numpy(zero_copy_only=False) // 60)}
+        ),
+        batch_format="pyarrow",
+    )
+    h1 = cascade_tier(_rolled_events(sf_dir), 60).map_batches(
+        lambda t: pa.table(
+            {"source": t["source"], "hour": t["bucket"], "hour_cents": t["sum_tok"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return m1.join(
+        h1, join_type="inner", num_partitions=num_partitions, on=("source", "hour")
+    ).map_batches(
+        lambda t: t.select(["source", "bucket", "sum_cents", "hour", "hour_cents"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_rollup_5m(sf_dir: str, factor: int = 5):
     """Arbitrary-factor continuous aggregate (resample-to-any-frequency):
     the cascade is generic in its bucket factor, not hardwired to 60/24 —
@@ -1887,6 +1915,18 @@ ORACLE_SQL: dict[str, str] = {
                MAX(max_cents) AS max_cents
         FROM ({_ROLLUP_SQL_BODY}) GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    "join_native": f"""
+        WITH r AS ({_ROLLUP_SQL_BODY}),
+        h AS (
+            SELECT source, bucket // 60 AS hour,
+                   CAST(SUM(sum_cents) AS BIGINT) AS hour_cents
+            FROM r GROUP BY 1, 2
+        )
+        SELECT r.source, r.bucket, r.sum_cents, r.bucket // 60 AS hour,
+               h.hour_cents
+        FROM r JOIN h ON h.source = r.source AND h.hour = r.bucket // 60
+        ORDER BY 1, 2
+    """,
     "rollup_5m": f"""
         SELECT source, bucket // 5 AS bucket, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
                CAST(SUM(sum_cents) AS BIGINT) AS sum_cents, MIN(min_cents) AS min_cents,
@@ -2067,6 +2107,7 @@ QUERIES = {
     "rollup_1h": q_rollup_1h,
     "rollup_1d": q_rollup_1d,
     "rollup_5m": q_rollup_5m,
+    "join_native": q_join_native,
     "gapfill_1m_ffill": q_gapfill_1m_ffill,
     "gapfill_1m_linear": q_gapfill_1m_linear,
     "downsample_uniform": q_downsample_uniform,
