@@ -9,9 +9,11 @@ Headline = the full tsrollup engine (read -> validate -> salted rollup ->
 partitioned parquet + lineage) over a deterministic synthetic F1 corpus
 (generated once into /tmp, cached, page-cache warmed by an untimed scan).
 
-`--scaling` runs the headline at num_cpus=8 and num_cpus=32 in FRESH processes
+`--scaling` runs the headline at num_cpus=N and 4N in FRESH processes
 on the SAME input and reports both throughputs + scaling efficiency
 (the sandbox evidence protocol for the N->4N cluster criterion, BASELINE.md).
+Default N=8 (8 -> 32); SCALING_CPUS="2,8" picks the pair — useful when host
+probes show only ~8 genuinely free cores on the time-shared sandbox.
 
 Env: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR (default /root/testdata/sf0.1),
      BENCH_ONLY=engine to skip the per-query section.
@@ -228,7 +230,16 @@ def host_probe(P: int) -> float:
 
 
 def scaling(sf_dir: str) -> int:
-    """Same engine job, same input, fresh processes at 8 and 32 CPUs."""
+    """Same engine job, same input, fresh processes at N and 4N CPUs.
+
+    Default N=8 (8 -> 32). SCALING_CPUS="lo,hi" overrides — e.g. "2,8" when
+    the time-shared host only has ~8 genuinely free cores (probe-verified),
+    which is still a valid N -> 4N two-parallelism-level measurement.
+    """
+    lo_n, hi_n = (
+        int(x) for x in os.environ.get("SCALING_CPUS", "8,32").split(",")
+    )
+    factor = hi_n / lo_n
     # generate + warm once (untimed) so both runs see a hot page cache
     ray = _init_ray(8)
     in_dir = ensure_synth()
@@ -252,31 +263,33 @@ def scaling(sf_dir: str) -> int:
     # (actor spin-up, page-cache state); the best run is the least-noisy
     # estimate of each level's capability. Each level is bracketed by host
     # probes so the record shows what the (time-shared) host itself delivered.
-    probe_8 = host_probe(8)
-    lo = min(run(8), run(8), key=lambda d: d["value"])
-    probe_32 = host_probe(32)
-    hi = min(run(32), run(32), key=lambda d: d["value"])
-    probe_32b = host_probe(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
-    # the hardware's own aggregate-speedup ceiling for 8 -> 32 busy procs:
-    # 4 x probe(8)/probe(32); engine-attributable efficiency divides it out
-    p32 = min(probe_32, probe_32b)
-    ceiling = 4 * probe_8 / p32 if p32 > 0 else 4.0
+    probe_lo = host_probe(lo_n)
+    lo = min(run(lo_n), run(lo_n), key=lambda d: d["value"])
+    probe_hi = host_probe(hi_n)
+    hi = min(run(hi_n), run(hi_n), key=lambda d: d["value"])
+    probe_hi_b = host_probe(hi_n)
+    eff = (lo["value"] / hi["value"]) / factor
+    # the hardware's own aggregate-speedup ceiling for lo -> hi busy procs:
+    # factor x probe(lo)/probe(hi); engine-attributable efficiency divides it out
+    p_hi = min(probe_hi, probe_hi_b)
+    ceiling = factor * probe_lo / p_hi if p_hi > 0 else factor
     out = {
-        "metric": "scaling efficiency, num_cpus 8 -> 32 (N -> 4N evidence)",
+        "metric": (
+            f"scaling efficiency, num_cpus {lo_n} -> {hi_n} (N -> 4N evidence)"
+        ),
         "phase": os.environ.get("BENCH_PHASE", "full-job"),
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "tokens_per_sec_8": lo["tokens_per_sec"],
-        "tokens_per_sec_32": hi["tokens_per_sec"],
-        "rolled_points_per_sec_8": lo["rolled_points_per_sec"],
-        "rolled_points_per_sec_32": hi["rolled_points_per_sec"],
+        f"sec_{lo_n}": lo["value"],
+        f"sec_{hi_n}": hi["value"],
+        f"tokens_per_sec_{lo_n}": lo["tokens_per_sec"],
+        f"tokens_per_sec_{hi_n}": hi["tokens_per_sec"],
+        f"rolled_points_per_sec_{lo_n}": lo["rolled_points_per_sec"],
+        f"rolled_points_per_sec_{hi_n}": hi["rolled_points_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "host_probe_sec_at_8": probe_8,
-        "host_probe_sec_at_32": p32,
-        "host_scaling_ceiling_of_4": round(min(ceiling, 4.0), 2),
+        f"host_probe_sec_at_{lo_n}": probe_lo,
+        f"host_probe_sec_at_{hi_n}": p_hi,
+        f"host_scaling_ceiling_of_{factor:g}": round(min(ceiling, factor), 2),
         "engine_efficiency_vs_host_ceiling": round(
-            min((lo["value"] / hi["value"]) / min(ceiling, 4.0), 1.5), 3
+            min((lo["value"] / hi["value"]) / min(ceiling, factor), 1.5), 3
         ),
     }
     print(json.dumps(out))
