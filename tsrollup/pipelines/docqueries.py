@@ -928,6 +928,132 @@ def q_ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 10, n_planes: int = 8):
 
 
 # ---------------------------------------------------------------------------
+# text cleaning / corpus prep (round 3)
+# ---------------------------------------------------------------------------
+
+def q_normalize_text(sf_dir: str):
+    """Canonical text normalization for a pretraining corpus: lowercase,
+    collapse ASCII whitespace runs to one space, trim edges. All three
+    kernels are Arrow compute calls sharing the regex/case engines DuckDB
+    uses (RE2 + utf8proc), so the oracle compares the normalized STRINGS,
+    not just lengths."""
+    import pyarrow.compute as pc
+
+    def _norm(t: pa.Table) -> pa.Table:
+        x = t.column("text").combine_chunks()
+        x = pc.utf8_lower(x)
+        x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "norm": x,
+             "n_chars_norm": pc.cast(pc.utf8_length(x), pa.int64())}
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(_norm, batch_format="pyarrow")
+
+
+# the oracle SQL is generated from these SAME patterns (both sides are RE2)
+_REDACT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_REDACT_NUM = r"[0-9]{6,}"
+
+
+def q_redact(sf_dir: str):
+    """PII-style pattern redaction (emails, then long digit runs) with
+    per-doc match counts — the scrub-before-training operator. One RE2 pass
+    per pattern per batch; both sides replace email matches FIRST so the
+    digit-run count sees the post-email text."""
+    import pyarrow.compute as pc
+
+    def _redact(t: pa.Table) -> pa.Table:
+        x = t.column("text").combine_chunks()
+        n_email = pc.count_substring_regex(x, _REDACT_EMAIL)
+        x = pc.replace_substring_regex(x, pattern=_REDACT_EMAIL, replacement="<EMAIL>")
+        n_num = pc.count_substring_regex(x, _REDACT_NUM)
+        x = pc.replace_substring_regex(x, pattern=_REDACT_NUM, replacement="<NUM>")
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_email": pc.cast(n_email, pa.int64()),
+             "n_num": pc.cast(n_num, pa.int64()),
+             "redacted": x,
+             "n_chars_red": pc.cast(pc.utf8_length(x), pa.int64())}
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(_redact, batch_format="pyarrow")
+
+
+def q_top_bigrams(sf_dir: str, k: int = 20):
+    """Corpus top-k adjacent token pairs. The bigram strings are built
+    entirely inside Arrow buffers: one whitespace split, one element-wise
+    join of the flat token array against its own shift, a boolean mask for
+    pairs that would cross a document boundary — no per-token Python. The
+    exchange ships per-batch (bigram, count) partials only."""
+    import pyarrow.compute as pc
+
+    from tsrollup.functions import tokens as tk
+
+    def _partial(t: pa.Table) -> pa.Table:
+        tb = tk.TokenBatch(t.column("text"))
+        n = tb.n_tokens
+        if n < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        toks = tb.token_array()
+        joined = pc.binary_join_element_wise(
+            toks.slice(0, n - 1), toks.slice(1, n - 1), " "
+        )
+        # pair i spans tokens (i, i+1); it is invalid when i+1 starts a new
+        # document, i.e. i == doc_start - 1 for any later document's start
+        mask = np.ones(n - 1, dtype=bool)
+        cuts = tb.doc_starts[1:-1]
+        cuts = cuts[(cuts > 0) & (cuts < n)]
+        mask[cuts - 1] = False
+        vc = pc.value_counts(joined.filter(pa.array(mask)))
+        return pa.table(
+            {"bigram": vc.field("values").cast(pa.string()),
+             "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = _docs(sf_dir, ("text",)).map_batches(_partial, batch_format="pyarrow")
+    counts = partials.groupby("bigram").aggregate(Sum("n", alias_name="n"))
+    return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+# Knuth multiplicative hash — exact integer arithmetic on BOTH sides
+# (engine: uint64; oracle: HUGEINT). Valid while doc_id * K < 2^64.
+_SPLIT_K = 2654435761
+_SPLIT_MOD = 1 << 32
+_SPLIT_VAL_FRAC = 0.1
+
+
+def q_sample_split(sf_dir: str):
+    """Deterministic train/val split by multiplicative doc_id hash (the
+    standard reshuffle-free holdout for a training corpus): ~10% of docs land
+    in 'val' purely as a function of doc_id — stable under re-runs, appends
+    and repartitioning. Reports per-(source, split) doc/char totals."""
+    from ray.data.aggregate import Count, Sum
+
+    thresh = int(_SPLIT_VAL_FRAC * _SPLIT_MOD)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(_SPLIT_K)) % np.uint64(_SPLIT_MOD)
+        split = np.where(h < thresh, "val", "train")
+        return pa.table(
+            {"source": t["source"], "split": pa.array(split, pa.string()),
+             "n_chars": t["n_chars"]}
+        )
+
+    ds = _docs(sf_dir, ("doc_id", "source", "n_chars")).map_batches(
+        _assign, batch_format="pyarrow"
+    )
+    return ds.groupby(["source", "split"]).aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -1079,6 +1205,50 @@ DOC_ORACLE_SQL: dict[str, str] = {
         WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.40
         ORDER BY 1, 2
     """,
+    # normalize/redact run on RAW documents text: both sides use RE2 '\s'
+    # (ASCII whitespace) and utf8proc lower(), so no WS-normalized view is
+    # needed — the kernels themselves are engine-identical.
+    "normalize_text": r"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS norm,
+               CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '))
+                   AS BIGINT) AS n_chars_norm
+        FROM documents ORDER BY doc_id
+    """,
+    "redact": """
+        WITH r1 AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '__EMAIL__')) AS BIGINT) AS n_email,
+                   regexp_replace(text, '__EMAIL__', '<EMAIL>', 'g') AS t1
+            FROM documents)
+        SELECT doc_id, n_email,
+               CAST(len(regexp_extract_all(t1, '__NUM__')) AS BIGINT) AS n_num,
+               regexp_replace(t1, '__NUM__', '<NUM>', 'g') AS redacted,
+               CAST(length(regexp_replace(t1, '__NUM__', '<NUM>', 'g')) AS BIGINT) AS n_chars_red
+        FROM r1 ORDER BY doc_id
+    """.replace("__EMAIL__", _REDACT_EMAIL).replace("__NUM__", _REDACT_NUM),
+    "top_bigrams": rf"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+            FROM {_DOCS_WS_NORM}
+        ),
+        b AS (
+            SELECT t[i] || ' ' || t[i + 1] AS bigram
+            FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+            WHERE len(t) >= 2
+        )
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM b GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+    "sample_split": f"""
+        SELECT source,
+               CASE WHEN (CAST(doc_id AS HUGEINT) * {_SPLIT_K}) % {_SPLIT_MOD}
+                         < {int(_SPLIT_VAL_FRAC * _SPLIT_MOD)}
+                    THEN 'val' ELSE 'train' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+    """,
 }
 
 DOC_QUERIES = {
@@ -1099,4 +1269,8 @@ DOC_QUERIES = {
     "ann_ivf": q_ann_ivf,
     "embed_dedup": q_embed_dedup,
     "embed_dedup_lsh": q_embed_dedup_lsh,
+    "normalize_text": q_normalize_text,
+    "redact": q_redact,
+    "top_bigrams": q_top_bigrams,
+    "sample_split": q_sample_split,
 }

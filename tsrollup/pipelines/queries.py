@@ -1758,6 +1758,143 @@ def q_value_histogram(sf_dir: str, bin_cents: int = 500):
     return partials.groupby(["source", "bin"]).aggregate(Sum("n", alias_name="n"))
 
 
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_hour_counts(sf_dir: str):
+    """Wide hourly cross-tab: one count column per event type (conditional
+    aggregation / PIVOT shape). Per-batch indicator partials keep the exchange
+    tiny — only (hours x 6 ints) rows move, never the raw events."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        hour = pa.array(t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // 3_600_000_000)
+        cols = {"hour": hour}
+        for et in _PIVOT_TYPES:
+            cols[f"n_{et}"] = pc.cast(pc.equal(t["event_type"], et), pa.int64())
+        cols["n_total"] = pa.nulls(t.num_rows, pa.int64()).fill_null(1)
+        return (
+            pa.table(cols)
+            .group_by("hour")
+            .aggregate([(c, "sum") for c in cols if c != "hour"])
+            .rename_columns(["hour"] + [f"n_{et}" for et in _PIVOT_TYPES] + ["n_total"])
+        )
+
+    partials = _events(sf_dir, ("ts", "event_type")).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    aggs = [Sum(f"n_{et}", alias_name=f"n_{et}") for et in _PIVOT_TYPES]
+    aggs.append(Sum("n_total", alias_name="n_total"))
+    return partials.groupby("hour").aggregate(*aggs)
+
+
+def q_rank_days(sf_dir: str):
+    """Per-source ranking of days by daily volume (ROW_NUMBER shape, ties ->
+    earlier day): the 1d continuous aggregate re-ranked inside one per-source
+    group — groups are O(days), bounded regardless of input volume."""
+
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"source": pd.Series(dtype=object),
+                                 "day": pd.Series(dtype=np.int64),
+                                 "day_cents": pd.Series(dtype=np.int64),
+                                 "rnk": pd.Series(dtype=np.int64)})
+        cents = df["sum_tok"].to_numpy().astype(np.int64)
+        day = df["bucket"].to_numpy().astype(np.int64)
+        order = np.lexsort((day, -cents))
+        rnk = np.empty(len(df), dtype=np.int64)
+        rnk[order] = np.arange(1, len(df) + 1)
+        return pd.DataFrame(
+            {"source": df["source"].to_numpy(), "day": day,
+             "day_cents": cents, "rnk": rnk}
+        )
+
+    daily = cascade_tier(cascade_tier(_rolled_events(sf_dir), 60), 24)
+    return map_key_groups(daily, ["source"], _rank, batch_format="pandas")
+
+
+_MAD_K = 3.0  # the oracle SQL is generated from this SAME constant
+
+
+def q_outlier_mad(sf_dir: str, k: float = _MAD_K):
+    """Robust outlier detection: flag 1m buckets whose sum deviates from the
+    per-source MEDIAN by more than ``k`` x MAD (median absolute deviation).
+    Median/MAD of integers are exact binary doubles (x.0 / x.5), so the
+    float comparison is bit-identical on both sides."""
+
+    def _mad(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"source": pd.Series(dtype=object),
+                                 "bucket": pd.Series(dtype=np.int64),
+                                 "sum_cents": pd.Series(dtype=np.int64),
+                                 "med": pd.Series(dtype=np.float64),
+                                 "mad": pd.Series(dtype=np.float64)})
+        x = df["sum_tok"].to_numpy().astype(np.int64)
+        med = np.median(x)
+        mad = np.median(np.abs(x - med))
+        keep = np.abs(x - med) > k * mad
+        return pd.DataFrame(
+            {"source": df["source"].to_numpy()[keep],
+             "bucket": df["bucket"].to_numpy()[keep],
+             "sum_cents": x[keep],
+             "med": np.full(int(keep.sum()), med),
+             "mad": np.full(int(keep.sum()), mad)}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _mad, batch_format="pandas")
+
+
+_SAX_BREAKS = (-0.6745, 0.0, 0.6745)  # N(0,1) quartile breakpoints, 4 symbols
+_SAX_WINDOW = 15  # the oracle SQL is generated from this SAME constant
+
+
+def q_sax_1m(sf_dir: str, window: int = _SAX_WINDOW):
+    """SAX symbolization of each source's 1m series (the classic
+    z-normalize -> PAA -> Gaussian-breakpoint pipeline from the time-series
+    representation literature; domain-adjacent to the reference's
+    downsampling, ref core/downsampling_algorithm2.py's normalize step).
+
+    Exactness contract: per-source mean/std come from exact integer sums
+    (znorm recipe); PAA per time window of ``window`` buckets is
+    (S_win/n_win - mean)/std with S_win, n_win exact integers — both sides
+    evaluate the identical float64 expression, so the symbol CASE cut is
+    deterministic."""
+
+    def _sax(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"source": pd.Series(dtype=object),
+                                 "win": pd.Series(dtype=np.int64),
+                                 "n_win": pd.Series(dtype=np.int64),
+                                 "paa": pd.Series(dtype=np.float64),
+                                 "sym": pd.Series(dtype=object)})
+        x = df["sum_tok"].to_numpy().astype(np.int64)
+        n = len(x)
+        s = int(df["sum_tok"].sum())
+        ss = int((df["sum_tok"].astype(object) ** 2).sum())
+        mean = s / n
+        var = (ss - s * s / n) / n
+        std = np.sqrt(var) if var > 0 else 1.0
+        if std == 0:
+            std = 1.0
+        win = df["bucket"].to_numpy().astype(np.int64) // window
+        g = pd.DataFrame({"win": win, "x": x}).groupby("win", sort=True)
+        s_win = g["x"].sum().to_numpy().astype(np.float64)
+        n_win = g["x"].size().to_numpy().astype(np.int64)
+        paa = (s_win / n_win - mean) / std
+        sym = np.array(["a", "b", "c", "d"], dtype=object)[
+            np.searchsorted(np.asarray(_SAX_BREAKS), paa, side="right")
+        ]
+        wins = g["x"].sum().index.to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]] * len(wins),
+             "win": wins, "n_win": n_win,
+             "paa": np.round(paa, 6), "sym": sym}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _sax, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # ORACLE SQL (DuckDB) — keyed identically to QUERIES
 # ---------------------------------------------------------------------------
@@ -2102,6 +2239,65 @@ ORACLE_SQL: dict[str, str] = {
 ORACLE_SQL["asof_join_exchange"] = ORACLE_SQL["asof_join"]
 ORACLE_SQL["range_join_exchange"] = ORACLE_SQL["range_join"]
 
+ORACLE_SQL["pivot_hour_counts"] = """
+    SELECT epoch_ms(ts) // 3600000 AS hour,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["rank_days"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    d AS (SELECT source, bucket // 1440 AS day,
+                 CAST(SUM(sum_cents) AS BIGINT) AS day_cents
+          FROM r GROUP BY 1, 2)
+    SELECT source, day, day_cents,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY day_cents DESC, day ASC) AS BIGINT) AS rnk
+    FROM d ORDER BY 1, 2
+"""
+
+ORACLE_SQL["outlier_mad"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    s AS (SELECT source, median(sum_cents) AS med, mad(sum_cents) AS mad
+          FROM r GROUP BY source)
+    SELECT r.source, r.bucket, r.sum_cents AS sum_cents, s.med, s.mad
+    FROM r JOIN s USING (source)
+    WHERE abs(r.sum_cents - s.med) > {_MAD_K} * s.mad
+    ORDER BY 1, 2
+"""
+
+# SAX: identical float64 expression on both sides — mean/std from exact
+# HUGEINT sums (znorm recipe), PAA from exact per-window integer sums.
+ORACLE_SQL["sax_1m"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    s AS (SELECT source, COUNT(*) AS n, SUM(sum_cents) AS s1,
+                 SUM(sum_cents * sum_cents) AS s2
+          FROM r GROUP BY source),
+    st AS (SELECT source, CAST(s1 AS DOUBLE) / n AS mean,
+                  CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n > 0
+                       THEN SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n)
+                       ELSE 1.0 END AS std
+           FROM s),
+    w AS (SELECT source, bucket // {_SAX_WINDOW} AS win,
+                 CAST(COUNT(*) AS BIGINT) AS n_win,
+                 SUM(sum_cents) AS s_win
+          FROM r GROUP BY 1, 2),
+    p AS (SELECT w.source, w.win, w.n_win,
+                 (CAST(w.s_win AS DOUBLE) / w.n_win - st.mean) / st.std AS paa_raw
+          FROM w JOIN st USING (source))
+    SELECT source, win, n_win, ROUND(paa_raw, 6) AS paa,
+           CASE WHEN paa_raw < {_SAX_BREAKS[0]} THEN 'a'
+                WHEN paa_raw < {_SAX_BREAKS[1]} THEN 'b'
+                WHEN paa_raw < {_SAX_BREAKS[2]} THEN 'c'
+                ELSE 'd' END AS sym
+    FROM p ORDER BY 1, 2
+"""
+
 QUERIES = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
@@ -2131,6 +2327,10 @@ QUERIES = {
     "ewma_1m": q_ewma_1m,
     "funnel_1h": q_funnel_1h,
     "value_histogram": q_value_histogram,
+    "pivot_hour_counts": q_pivot_hour_counts,
+    "rank_days": q_rank_days,
+    "outlier_mad": q_outlier_mad,
+    "sax_1m": q_sax_1m,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
