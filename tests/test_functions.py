@@ -755,3 +755,55 @@ def test_sketch_queries_match_exact(ray_session):
     cms = q_top_tokens_cms(sf_dir_smallest).to_pandas().reset_index(drop=True)
     ex = q_top_tokens(sf_dir_smallest).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(cms, ex, check_dtype=False)
+
+
+def test_kll_accuracy_merge_determinism():
+    from tsrollup.functions import sketch
+
+    rng = np.random.default_rng(11)
+    data = rng.normal(5000, 1200, 150_000).astype(np.int64)
+    sv = np.sort(data)
+    # distributed fold (with serde) == reproducible, small, accurate
+    merged = sketch.KLL(200)
+    for chunk in np.array_split(data, 37):
+        merged.merge(sketch.KLL.from_bytes(sketch.KLL(200).add(chunk).to_bytes()))
+    assert merged.n == len(data)
+    for q in (0.01, 0.5, 0.9, 0.99):
+        est = merged.query([q])[0]
+        true_rank = np.searchsorted(sv, est, side="right") / len(sv)
+        assert abs(true_rank - q) < 0.02, (q, est, true_rank)
+    # deterministic: same input -> byte-identical sketch
+    assert sketch.KLL(200).add(data).to_bytes() == sketch.KLL(200).add(data).to_bytes()
+    # bounded space: O(3k) items regardless of input size
+    assert sum(len(l) for l in merged.levels) < 3 * 200
+    # serde round-trip preserves every level
+    rt = sketch.KLL.from_bytes(merged.to_bytes())
+    assert rt.n == merged.n and len(rt.levels) == len(merged.levels)
+    for a, b in zip(rt.levels, merged.levels):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_quantiles_kll_close_to_exact(ray_session):
+    """Pipeline-level: KLL per-source percentiles land within 2% RANK error
+    of the exact histogram quantiles on the testdata (checked by value
+    bracketing: the KLL estimate must sit between the exact p(q-2%) and
+    p(q+2%) read off the same exact histogram)."""
+    import duckdb
+
+    from tsrollup.pipelines.queries import q_quantiles, q_quantiles_kll
+
+    sf = "/root/testdata/sf0.001"
+    kll = q_quantiles_kll(sf).to_pandas().set_index("source")
+    exact = q_quantiles(sf).to_pandas().set_index("source")
+    assert (kll["n_rows"] == exact["n_rows"]).all()
+    bracket = duckdb.sql(f"""
+        SELECT event_type AS source,
+               quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.48) AS p50_lo,
+               quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.52) AS p50_hi,
+               quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.88) AS p90_lo,
+               quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.92) AS p90_hi
+        FROM read_parquet('{sf}/events.parquet') GROUP BY 1
+    """).df().set_index("source")
+    for src in exact.index:
+        assert bracket.loc[src, "p50_lo"] <= kll.loc[src, "p50"] <= bracket.loc[src, "p50_hi"]
+        assert bracket.loc[src, "p90_lo"] <= kll.loc[src, "p90"] <= bracket.loc[src, "p90_hi"]

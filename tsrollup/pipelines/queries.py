@@ -693,6 +693,73 @@ def q_quantiles(sf_dir: str):
     return map_key_groups(hist, ["source"], _q, batch_format="pandas")
 
 
+def q_quantiles_kll(sf_dir: str, k: int = 200):
+    """Approximate per-source percentiles via mergeable KLL sketches — the
+    100 TB scale path for ``q_quantiles`` when the value domain is UNBOUNDED
+    (the exact histogram ships one row per distinct value; KLL ships O(3k)
+    items per partial regardless of domain). Same (source, salt)-keyed
+    two-level tree-merge fold as the HLL/CMS family. Approximate by nature
+    -> no SQL oracle; rank error vs the exact quantiles is unit-tested."""
+    from tsrollup.functions import sketch
+    from tsrollup.hashing import fnv1a64_bytes, safe_factorize
+
+    def _partial(t: pa.Table) -> pa.Table:
+        d = _derive_events(t)
+        src = d["source"].to_numpy(zero_copy_only=False)
+        cents = d["n_tok"].to_numpy(zero_copy_only=False)
+        codes, uniques = safe_factorize(src)
+        rows_s, rows_b, rows_g = [], [], []
+        for ci, s in enumerate(uniques):
+            kll = sketch.KLL(k).add(cents[codes == ci])
+            b = kll.to_bytes()
+            rows_s.append(s)
+            rows_b.append(b)
+            rows_g.append(int(fnv1a64_bytes(b[:64]) % 64))
+        return pa.table(
+            {"source": pa.array(rows_s, type=pa.string()),
+             "g": pa.array(rows_g, type=pa.int32()),
+             "sk": pa.array(rows_b, type=pa.large_binary())}
+        )
+
+    def _fold(df: pd.DataFrame):
+        from tsrollup.functions import sketch as sk
+
+        kll = sk.KLL(k)
+        for b in df["sk"]:
+            kll.merge(sk.KLL.from_bytes(b))
+        return kll
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # empty-partition probe
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object), "g": pd.Series(dtype=np.int32),
+                 "sk": pd.Series(dtype=object)}
+            )
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]], "g": np.array([0], dtype=np.int32),
+             "sk": [_fold(df).to_bytes()]}
+        )
+
+    def _est(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ("n_rows", "p50", "p90", "p99")
+        if not len(df):  # empty-partition probe
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object),
+                 **{c: pd.Series(dtype=np.int64) for c in cols}}
+            )
+        kll = _fold(df)
+        p = kll.query([0.5, 0.9, 0.99])
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]],
+             "n_rows": np.array([kll.n], dtype=np.int64),
+             "p50": p[:1], "p90": p[1:2], "p99": p[2:3]}
+        )
+
+    partials = _events(sf_dir).map_batches(_partial, batch_format="pyarrow")
+    combined = map_key_groups(partials, ["source", "g"], _combine, batch_format="pandas")
+    return map_key_groups(combined, ["source"], _est, batch_format="pandas")
+
+
 def q_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Event-stream sessionization (the engine's session-window shape:
     partition by key, order by event time inside the group, detect gaps >
@@ -2342,6 +2409,7 @@ QUERIES = {
     "top_tokens": q_top_tokens,
     "distinct_users_hll": q_distinct_users_hll,
     "top_tokens_cms": q_top_tokens_cms,
+    "quantiles_kll": q_quantiles_kll,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_distributed": q_dedup_clusters_distributed,
     "quantiles": q_quantiles,
