@@ -114,3 +114,14 @@ def test_exchange_join_variants_match_broadcast(ray_session):
         b = QUERIES[ex](SF_DIR).to_pandas()
         pd.testing.assert_frame_equal(_canon(a), _canon(b))
         assert len(b) > 0
+
+
+def test_asof_join_auto_routes_above_broadcast_threshold(ray_session):
+    """broadcast_threshold=0 forces the plan selector onto the keyed-exchange
+    path; the result must be identical to the default broadcast plan."""
+    from tsrollup.pipelines.queries import q_asof_join
+
+    bc = q_asof_join(SF_DIR).to_pandas()
+    ex = q_asof_join(SF_DIR, broadcast_threshold=0).to_pandas()
+    pd.testing.assert_frame_equal(_canon(bc), _canon(ex))
+    assert len(ex) > 0
