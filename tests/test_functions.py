@@ -807,3 +807,35 @@ def test_quantiles_kll_close_to_exact(ray_session):
     for src in exact.index:
         assert bracket.loc[src, "p50_lo"] <= kll.loc[src, "p50"] <= bracket.loc[src, "p50_hi"]
         assert bracket.loc[src, "p90_lo"] <= kll.loc[src, "p90"] <= bracket.loc[src, "p90_hi"]
+
+
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=2000),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=60, deadline=None)
+def test_kll_properties(vals, n_chunks):
+    """Invariants on arbitrary int64 data (incl. extremes and dup-heavy):
+    exact weight conservation, bounded rank error, serde identity — under
+    any chunking of the same input."""
+    from tsrollup.functions import sketch
+
+    data = np.array(vals, dtype=np.int64)
+    kll = sketch.KLL(200)
+    for chunk in np.array_split(data, min(n_chunks, len(data))):
+        kll.merge(sketch.KLL(200).add(chunk))
+    # weight conservation: stored weights sum EXACTLY to the item count
+    assert kll.n == len(data)
+    assert sum(len(a) << i for i, a in enumerate(kll.levels)) == len(data)
+    # rank error: each estimate's true rank within 5% of the target
+    sv = np.sort(data)
+    for q in (0.25, 0.5, 0.75):
+        est = kll.query([q])[0]
+        lo = np.searchsorted(sv, est, side="left") / len(sv)
+        hi = np.searchsorted(sv, est, side="right") / len(sv)
+        assert lo - 0.05 <= q <= hi + 0.05, (q, est, lo, hi)
+    # serde identity
+    rt = sketch.KLL.from_bytes(kll.to_bytes())
+    assert rt.n == kll.n
+    for a, b in zip(rt.levels, kll.levels):
+        np.testing.assert_array_equal(a, b)
