@@ -116,12 +116,14 @@ def test_exchange_join_variants_match_broadcast(ray_session):
         assert len(b) > 0
 
 
-def test_asof_join_auto_routes_above_broadcast_threshold(ray_session):
+@pytest.mark.parametrize("qname", ["q_asof_join", "q_range_join"])
+def test_join_auto_routes_above_broadcast_threshold(ray_session, qname):
     """broadcast_threshold=0 forces the plan selector onto the keyed-exchange
     path; the result must be identical to the default broadcast plan."""
-    from tsrollup.pipelines.queries import q_asof_join
+    import tsrollup.pipelines.queries as qmod
 
-    bc = q_asof_join(SF_DIR).to_pandas()
-    ex = q_asof_join(SF_DIR, broadcast_threshold=0).to_pandas()
+    fn = getattr(qmod, qname)
+    bc = fn(SF_DIR).to_pandas()
+    ex = fn(SF_DIR, broadcast_threshold=0).to_pandas()
     pd.testing.assert_frame_equal(_canon(bc), _canon(ex))
     assert len(ex) > 0

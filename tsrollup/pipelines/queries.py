@@ -1246,21 +1246,28 @@ def q_asof_join(sf_dir: str, broadcast_threshold: int = _ASOF_BROADCAST_THRESHOL
 _RANGE_W_LO, _RANGE_W_HI = 1000, 2000  # interval = [day*1440 - 1000, day*1440 + 2000)
 
 
-def q_range_join(sf_dir: str):
+def q_range_join(sf_dir: str, broadcast_threshold: int = _ASOF_BROADCAST_THRESHOLD):
     """Banded range join: each 1d rollup bucket anchors the interval
     ``[day*1440 - 1000, day*1440 + 2000)`` (width 3000 > 1440, so consecutive
     days OVERLAP — genuinely many-to-many); events land in every interval
     containing their 1m bucket, aggregated per (source, lo). Fixed interval
     width is the documented assumption that makes the probe two
     ``searchsorted`` calls per batch (banded join); unbounded widths would
-    need an interval tree or a bucket-keyed exchange."""
+    need an interval tree or a bucket-keyed exchange.
+
+    Plan selection: same selector as ``q_asof_join`` — the anchor side
+    materializes into the object store, and above ``broadcast_threshold``
+    anchors the query routes to ``q_range_join_exchange`` (same oracle)."""
     import ray
 
-    anchors = (
+    anchors_ds = (
         cascade_tier(cascade_tier(_rolled_events(sf_dir), 60), 24)
         .select_columns(["source", "bucket"])
-        .to_pandas()
+        .materialize()
     )  # 1d tier: tiny by construction (86400x reduced)
+    if anchors_ds.count() > broadcast_threshold:
+        return q_range_join_exchange(sf_dir)
+    anchors = anchors_ds.to_pandas()
     lookup = {
         src: np.sort(g["bucket"].to_numpy() * 1440 - _RANGE_W_LO)
         for src, g in anchors.groupby("source", sort=False)
