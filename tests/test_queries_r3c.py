@@ -206,3 +206,66 @@ def test_sample_split_deterministic_and_stratified(ray_session, adv_docs_dir):
     pd.testing.assert_frame_equal(_canon(a), _canon(b))
     # every (source, split) count is positive and totals match the corpus
     assert a["n_docs"].sum() == 11
+
+
+@pytest.fixture(scope="module")
+def pack_docs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("r3c_pack")
+    texts = [
+        " ".join(["t"] * 300),     # p0 doc0: 300 tok
+        " ".join(["u"] * 300),     # p0 doc1: 300 tok -> seq0 spans docs 0-1
+        "   \n\t  ",               # p0 doc2: 0 tok (skipped from packing)
+        " ".join(["v"] * 1124),    # p0 doc3: spans multiple sequences alone
+        " ".join(["w"] * 256),     # p1 doc4: exact-multiple source:
+        " ".join(["x"] * 256),     # p1 doc5: 512 total == exactly one seq
+        "x\nx\nx",                 # p2 doc6: dup lines (frac 2/3 -> flagged)
+        "a\n",                     # p2 doc7: trailing newline -> ['a', '']
+        "",                        # p2 doc8: one empty line, no dups
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["p0"] * 4 + ["p1"] * 2 + ["p2"] * 3),
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["repetition_filter", "pack_sequences"])
+def test_pack_rep_adversarial_matches_oracle(ray_session, pack_docs_dir, name):
+    eng = QUERIES[name](pack_docs_dir).to_pandas()
+    ora = _oracle(name, pack_docs_dir, "documents")
+    assert len(eng)
+    pd.testing.assert_frame_equal(_canon(eng), _canon(ora), check_dtype=False)
+
+
+def test_pack_sequences_layout(ray_session, pack_docs_dir):
+    out = QUERIES["pack_sequences"](pack_docs_dir).to_pandas()
+    p0 = out[out["source"] == "p0"].sort_values("seq").reset_index(drop=True)
+    # p0 total = 300+300+1124 = 1724 -> 4 sequences, tail 188
+    assert list(p0["n_tok_seq"]) == [512, 512, 512, 188]
+    # seq0 spans docs 0-1 (the zero-token doc 2 never appears)
+    assert (p0.loc[0, "first_doc"], p0.loc[0, "last_doc"], p0.loc[0, "n_docs"]) == (0, 1, 2)
+    # seq1 starts inside doc1 and crosses into doc3, skipping doc2
+    assert (p0.loc[1, "first_doc"], p0.loc[1, "last_doc"]) == (1, 3)
+    # seqs 2-3 live entirely inside the giant doc3
+    assert (p0.loc[2, "n_docs"], p0.loc[3, "n_docs"]) == (1, 1)
+    # p1: exactly one full sequence (total is an exact multiple of 512)
+    p1 = out[out["source"] == "p1"]
+    assert len(p1) == 1 and int(p1["n_tok_seq"].iloc[0]) == 512
+    # p2: docs 6/7/8 have 3/1/0 tokens -> one 4-token sequence spanning
+    # docs 6-7 (the empty doc 8 is excluded entirely)
+    p2 = out[out["source"] == "p2"]
+    assert len(p2) == 1 and int(p2["n_tok_seq"].iloc[0]) == 4
+    assert (int(p2["first_doc"].iloc[0]), int(p2["last_doc"].iloc[0])) == (6, 7)
+
+
+def test_repetition_filter_semantics(ray_session, pack_docs_dir):
+    out = QUERIES["repetition_filter"](pack_docs_dir).to_pandas().set_index("doc_id")
+    assert (out.loc[6, "n_lines"], out.loc[6, "n_dup_lines"], out.loc[6, "flagged"]) == (3, 2, 1)
+    assert (out.loc[7, "n_lines"], out.loc[7, "n_dup_lines"]) == (2, 0)
+    assert (out.loc[8, "n_lines"], out.loc[8, "n_dup_lines"]) == (1, 0)

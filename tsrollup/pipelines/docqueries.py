@@ -1053,6 +1053,105 @@ def q_sample_split(sf_dir: str):
     )
 
 
+# duplicate-line-fraction flag threshold; the oracle SQL is generated from
+# this SAME constant
+_REP_THRESHOLD = 0.3
+
+
+def q_repetition_filter(sf_dir: str, threshold: float = _REP_THRESHOLD):
+    """Gopher-style repetition signal: fraction of a document's lines that
+    are duplicates of an earlier line (1 - distinct/total), flagging docs
+    above ``threshold``. Lines hash straight from the flat utf8 child of one
+    ``split_pattern`` call (64-bit FNV; equality-of-hashes stands in for
+    equality-of-strings, same documented collision trade as dedup_ngram);
+    distinct-per-doc is one lexsort + dedup mask — no per-line Python."""
+    import pyarrow.compute as pc
+
+    from tsrollup.hashing import _FNV_BASIS, _utf8_buffer, fnv1a64_update
+
+    def _rep(t: pa.Table) -> pa.Table:
+        sp = pc.split_pattern(t.column("text").combine_chunks(), pattern="\n")
+        lens = pc.list_value_length(sp).to_numpy().astype(np.int64)  # >= 1 always
+        child = sp.flatten()
+        buf, starts, lengths = _utf8_buffer(child)
+        basis = np.full(len(starts), _FNV_BASIS, dtype=np.uint64)
+        h = fnv1a64_update(basis, buf, starts, lengths)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        order = np.lexsort((h, doc_idx))
+        hs, ds = h[order], doc_idx[order]
+        keep = np.ones(len(hs), dtype=bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+        n_distinct = np.bincount(ds[keep], minlength=len(lens)).astype(np.int64)
+        n_dup = lens - n_distinct
+        frac = n_dup / lens
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_lines": pa.array(lens, pa.int64()),
+                "n_dup_lines": pa.array(n_dup, pa.int64()),
+                "dup_frac": pa.array(np.round(frac, 6), pa.float64()),
+                "flagged": pa.array((frac > threshold).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(_rep, batch_format="pyarrow")
+
+
+_SEQ_LEN = 512  # training-sequence length; the oracle SQL shares this constant
+
+
+def q_pack_sequences(sf_dir: str, seq_len: int = _SEQ_LEN):
+    """Sequence packing: concatenate each source's documents (doc_id order,
+    zero-token docs skipped) into fixed ``seq_len``-token training sequences
+    and report each sequence's layout — token count, the doc range it spans,
+    how many docs it crosses. The per-source pack is one cumulative sum +
+    two ``searchsorted`` calls, no per-sequence Python loop.
+
+    Partitioning assumption: one source's doc token-count VECTOR (8 bytes
+    per doc, not the text) fits a partition; the scale path for a single
+    monster source is doc_id-range sub-sharding with boundary carry."""
+    from tsrollup.functions import text as tx
+
+    def _pack(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()), "seq": pa.array([], pa.int64()),
+             "n_tok_seq": pa.array([], pa.int64()), "first_doc": pa.array([], pa.int64()),
+             "last_doc": pa.array([], pa.int64()), "n_docs": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by("doc_id")
+        c = tx.count_tokens_batch(t).to_numpy().astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nz = c > 0
+        c, ids = c[nz], ids[nz]
+        total = int(c.sum())
+        if total == 0:
+            return empty
+        cum = np.concatenate(([0], np.cumsum(c)))
+        n_seqs = -(-total // seq_len)
+        lo = np.arange(n_seqs, dtype=np.int64) * seq_len
+        hi = np.minimum(lo + seq_len, total)
+        # doc i (c>0) overlaps [lo, hi) iff cum[i] < hi and cum[i+1] > lo
+        first = np.searchsorted(cum[1:], lo, side="right")
+        last = np.searchsorted(cum[:-1], hi, side="left") - 1
+        return pa.table(
+            {
+                "source": pa.array([t["source"][0].as_py()] * n_seqs, pa.string()),
+                "seq": pa.array(np.arange(n_seqs), pa.int64()),
+                "n_tok_seq": pa.array(hi - lo, pa.int64()),
+                "first_doc": pa.array(ids[first], pa.int64()),
+                "last_doc": pa.array(ids[last], pa.int64()),
+                "n_docs": pa.array(last - first + 1, pa.int64()),
+            }
+        )
+
+    return map_key_groups(
+        _docs(sf_dir, ("doc_id", "source", "text")), ["source"], _pack,
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -1249,6 +1348,50 @@ DOC_ORACLE_SQL: dict[str, str] = {
                CAST(SUM(n_chars) AS BIGINT) AS n_chars
         FROM documents GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    # line identity is exact strings here vs 64-bit line hashes in the
+    # engine — the same documented collision equivalence as dedup_ngram
+    "repetition_filter": f"""
+        WITH l AS (
+            SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line
+            FROM documents
+        ),
+        a AS (SELECT doc_id, COUNT(*) AS n_lines,
+                     COUNT(DISTINCT line) AS n_distinct
+              FROM l GROUP BY 1)
+        SELECT doc_id,
+               CAST(n_lines AS BIGINT) AS n_lines,
+               CAST(n_lines - n_distinct AS BIGINT) AS n_dup_lines,
+               ROUND(CAST(n_lines - n_distinct AS DOUBLE) / n_lines, 6) AS dup_frac,
+               CAST(CASE WHEN CAST(n_lines - n_distinct AS DOUBLE) / n_lines
+                              > {_REP_THRESHOLD} THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        FROM a ORDER BY doc_id
+    """,
+    "pack_sequences": rf"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   len(regexp_extract_all(text, '\S+')) AS c
+            FROM {_DOCS_WS_NORM}
+        ),
+        nz AS (SELECT * FROM toks WHERE c > 0),
+        w AS (SELECT doc_id, source, c,
+                     SUM(c) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - c AS s
+              FROM nz),
+        tot AS (SELECT source, SUM(c) AS t FROM nz GROUP BY 1),
+        seqs AS (
+            SELECT source, g.j AS seq, g.j * {_SEQ_LEN} AS lo,
+                   LEAST((g.j + 1) * {_SEQ_LEN}, t) AS hi
+            FROM tot,
+                 UNNEST(generate_series(0, CAST(CEIL(t / {_SEQ_LEN}.0) AS BIGINT) - 1)) AS g(j)
+        )
+        SELECT q.source, CAST(q.seq AS BIGINT) AS seq,
+               CAST(q.hi - q.lo AS BIGINT) AS n_tok_seq,
+               MIN(w.doc_id) AS first_doc, MAX(w.doc_id) AS last_doc,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM seqs q JOIN w ON w.source = q.source
+                          AND w.s < q.hi AND w.s + w.c > q.lo
+        GROUP BY 1, 2, 3 ORDER BY 1, 2
+    """,
 }
 
 DOC_QUERIES = {
@@ -1273,4 +1416,6 @@ DOC_QUERIES = {
     "redact": q_redact,
     "top_bigrams": q_top_bigrams,
     "sample_split": q_sample_split,
+    "repetition_filter": q_repetition_filter,
+    "pack_sequences": q_pack_sequences,
 }
