@@ -1017,7 +1017,11 @@ def q_top_bigrams(sf_dir: str, k: int = 20):
 
     partials = _docs(sf_dir, ("text",)).map_batches(_partial, batch_format="pyarrow")
     counts = partials.groupby("bigram").aggregate(Sum("n", alias_name="n"))
-    return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)
+    from tsrollup.shuffle import topk_rows
+
+    # post-groupby rows are key-unique -> per-block prune keeps the final
+    # sort at blocks*k rows instead of the whole bigram space
+    return topk_rows(counts, ["n", "bigram"], [True, False], k)
 
 
 # Knuth multiplicative hash — exact integer arithmetic on BOTH sides

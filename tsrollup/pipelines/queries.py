@@ -436,10 +436,13 @@ def q_distinct_users_hll(sf_dir: str, p: int = 12):
 
 
 def q_topk_events_global(sf_dir: str, k: int = 10):
-    """Global sort + limit (engine §2.8; ties -> lower event_id)."""
+    """Global top-k (engine §2.8; ties -> lower event_id): per-block prune to
+    k rows first, so the exchange carries blocks*k rows, never the corpus
+    (event_id uniqueness makes the prune lossless — shuffle.topk_rows)."""
+    from tsrollup.shuffle import topk_rows
+
     ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
-    top = ds.sort(["value", "event_id"], descending=[True, False]).limit(k)
-    return top
+    return topk_rows(ds, ["value", "event_id"], [True, False], k)
 
 
 def q_join_broadcast(sf_dir: str):
@@ -829,7 +832,11 @@ def q_top_tokens(sf_dir: str, k: int = 20):
     from ray.data.aggregate import Sum
 
     counts = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
-    return counts.sort(["n", "token"], descending=[True, False]).limit(k)
+    from tsrollup.shuffle import topk_rows
+
+    # post-groupby rows are key-unique -> per-block prune keeps the final
+    # sort at blocks*k rows instead of the whole vocabulary
+    return topk_rows(counts, ["n", "token"], [True, False], k)
 
 
 def q_top_tokens_cms(sf_dir: str, k: int = 20, cand: int = 64, width: int = 1 << 15):

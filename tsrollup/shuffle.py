@@ -142,3 +142,31 @@ def map_key_groups(
         return pa.concat_tables(outs, promote_options="default")
 
     return map_key_partitions(ds, keys, _block, num_partitions)
+
+
+def topk_rows(
+    ds: ray.data.Dataset,
+    sort_cols: Sequence[str],
+    descending: Sequence[bool],
+    k: int,
+) -> ray.data.Dataset:
+    """Global top-k with a per-block prune before the sort.
+
+    ``sort(...).limit(k)`` alone is an all-to-all exchange of EVERY row (at a
+    100 TB vocabulary, the whole distinct-key space). Any row outside its own
+    block's top-k cannot be in the global top-k, so each block is first cut
+    to k rows — the final sort then moves at most ``blocks * k`` rows.
+    Requires rows to be globally unique per key (e.g. post-groupby), which is
+    what makes the per-block prune lossless."""
+    order = [
+        (c, "descending" if d else "ascending")
+        for c, d in zip(sort_cols, descending)
+    ]
+
+    def _prune(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        return t.sort_by(order).slice(0, k)
+
+    pruned = ds.map_batches(_prune, batch_format="pyarrow")
+    return pruned.sort(list(sort_cols), descending=list(descending)).limit(k)
