@@ -269,3 +269,42 @@ def test_repetition_filter_semantics(ray_session, pack_docs_dir):
     assert (out.loc[6, "n_lines"], out.loc[6, "n_dup_lines"], out.loc[6, "flagged"]) == (3, 2, 1)
     assert (out.loc[7, "n_lines"], out.loc[7, "n_dup_lines"]) == (2, 0)
     assert (out.loc[8, "n_lines"], out.loc[8, "n_dup_lines"]) == (1, 0)
+
+
+@pytest.fixture(scope="module")
+def dup_docs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("r3c_dup")
+    texts = [
+        "The  Quick Brown Fox Jumps Over It",   # doc0: dup of doc1 after normalize
+        "the quick brown fox jumps over it",    # doc1: loses to doc0 (min doc_id)
+        "THE\tQUICK  brown fox jumps over it",  # doc2: same after ws-collapse+lower
+        "too short",                            # doc3: fails the >=5-token gate
+        "x " * 30,                              # doc4: passes both gates
+        "nb sp one two three four five",   # doc5: NBSP counts as a separator
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["d0", "d0", "d1", "d1", "d0", "d1"]),
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("fixture", ["adv_docs_dir", "pack_docs_dir", "dup_docs_dir"])
+def test_corpus_pipeline_matches_oracle(ray_session, fixture, request):
+    sf_dir = request.getfixturevalue(fixture)
+    eng = QUERIES["corpus_pipeline"](sf_dir).to_pandas()
+    ora = _oracle("corpus_pipeline", sf_dir, "documents")
+    pd.testing.assert_frame_equal(_canon(eng), _canon(ora), check_dtype=False)
+
+
+def test_corpus_pipeline_dedup_keeps_min_doc_id(ray_session, dup_docs_dir):
+    out = QUERIES["corpus_pipeline"](dup_docs_dir).to_pandas()
+    # docs 0/1/2 normalize to the same string -> ONE survivor (doc0);
+    # doc3 gated out; docs 4/5 survive -> 3 docs total across groups
+    assert int(out["n_docs"].sum()) == 3

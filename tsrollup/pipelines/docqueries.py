@@ -1156,6 +1156,90 @@ def q_pack_sequences(sf_dir: str, seq_len: int = _SEQ_LEN):
     )
 
 
+# corpus_pipeline gates; the oracle SQL is generated from these SAME values
+_CP_MIN_TOK = 5
+_CP_MIN_CHARS = 20
+# Unicode-whitespace -> ' ' (exactly the class _DOCS_WS_NORM uses), applied
+# on BOTH sides before lower/collapse so token counts and dedup identity
+# agree on arbitrary input, not just ASCII
+_WS_CLASS = r"[\p{Z}\x{85}\x{1C}-\x{1F}]"
+
+
+def q_corpus_pipeline(sf_dir: str):
+    """Flagship training-corpus prep — the operators composed end-to-end the
+    way a real pretraining pipeline runs them:
+
+      normalize (ws-map -> lower -> collapse -> trim)
+      -> quality gate (>= _CP_MIN_TOK tokens, >= _CP_MIN_CHARS chars after
+         normalize)
+      -> exact dedup on the NORMALIZED text (hash partition, keep min doc_id,
+         collision-guarded by comparing the strings themselves)
+      -> deterministic train/val split (multiplicative doc_id hash)
+      -> per-(source, split) doc/token totals.
+
+    Every stage is the engine's own operator; the whole chain is one lazy
+    streaming pipeline with a single keyed exchange (the dedup) and a tiny
+    final groupby. Fully SQL-verified."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+    from tsrollup.functions import text as tx
+    from tsrollup.shuffle import map_key_partitions
+
+    def _prep(t: pa.Table) -> pa.Table:
+        x = t.column("text").combine_chunks()
+        x = pc.replace_substring_regex(x, pattern=_WS_CLASS, replacement=" ")
+        x = pc.utf8_lower(x)
+        x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+        t2 = pa.table({"doc_id": t["doc_id"], "source": t["source"], "text": x})
+        n_tok = tx.count_tokens_batch(t2).to_numpy().astype(np.int64)
+        n_chars = pc.utf8_length(x).to_numpy(zero_copy_only=False)
+        keep = (n_tok >= _CP_MIN_TOK) & (n_chars >= _CP_MIN_CHARS)
+        t2 = t2.append_column("n_tok", pa.array(n_tok, pa.int64()))
+        return dedup.add_text_hash(t2.filter(pa.array(keep)))
+
+    def _keep_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "source": pa.array([], pa.string()),
+                 "n_tok": pa.array([], pa.int64())}
+            )
+        t = t.sort_by(
+            [("text_hash", "ascending"), ("text", "ascending"), ("doc_id", "ascending")]
+        )
+        n = t.num_rows
+        th = t["text_hash"].to_numpy(zero_copy_only=False)
+        txt = t["text"].combine_chunks()
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            same_hash = th[1:] == th[:-1]
+            same_text = pc.equal(txt.slice(1), txt.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            first[1:] = ~(same_hash & same_text)
+        return t.filter(pa.array(first)).select(["doc_id", "source", "n_tok"])
+
+    def _split(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(_SPLIT_K)) % np.uint64(_SPLIT_MOD)
+        split = np.where(h < int(_SPLIT_VAL_FRAC * _SPLIT_MOD), "val", "train")
+        return pa.table(
+            {"source": t["source"], "split": pa.array(split, pa.string()),
+             "n_tok": t["n_tok"]}
+        )
+
+    prepped = _docs(sf_dir, ("doc_id", "source", "text")).map_batches(
+        _prep, batch_format="pyarrow"
+    )
+    kept = map_key_partitions(prepped, ["text_hash"], _keep_block)
+    return (
+        kept.map_batches(_split, batch_format="pyarrow")
+        .groupby(["source", "split"])
+        .aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="n_tok"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -1396,6 +1480,32 @@ DOC_ORACLE_SQL: dict[str, str] = {
                           AND w.s < q.hi AND w.s + w.c > q.lo
         GROUP BY 1, 2, 3 ORDER BY 1, 2
     """,
+    "corpus_pipeline": rf"""
+        WITH norm AS (
+            SELECT doc_id, source,
+                   trim(regexp_replace(lower(regexp_replace(
+                       text, '{_WS_CLASS}', ' ', 'g')), '\s+', ' ', 'g'), ' ') AS text
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, source, text,
+                   len(regexp_extract_all(text, '\S+')) AS n_tok
+            FROM norm
+            WHERE len(regexp_extract_all(text, '\S+')) >= {_CP_MIN_TOK}
+              AND length(text) >= {_CP_MIN_CHARS}
+        ),
+        d AS (
+            SELECT * FROM q
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        )
+        SELECT source,
+               CASE WHEN (CAST(doc_id AS HUGEINT) * {_SPLIT_K}) % {_SPLIT_MOD}
+                         < {int(_SPLIT_VAL_FRAC * _SPLIT_MOD)}
+                    THEN 'val' ELSE 'train' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tok
+        FROM d GROUP BY 1, 2 ORDER BY 1, 2
+    """,
 }
 
 DOC_QUERIES = {
@@ -1422,4 +1532,5 @@ DOC_QUERIES = {
     "sample_split": q_sample_split,
     "repetition_filter": q_repetition_filter,
     "pack_sequences": q_pack_sequences,
+    "corpus_pipeline": q_corpus_pipeline,
 }
