@@ -839,3 +839,30 @@ def test_kll_properties(vals, n_chunks):
     assert rt.n == kll.n
     for a, b in zip(rt.levels, kll.levels):
         np.testing.assert_array_equal(a, b)
+
+
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=30))
+@settings(max_examples=80, deadline=None)
+def test_normalize_batch_matches_duckdb_on_arbitrary_unicode(texts):
+    """The docstring's claim — Arrow RE2+utf8proc == DuckDB RE2+utf8proc for
+    the whole normalization chain — fuzz-verified over arbitrary Unicode
+    (hypothesis generates every category incl. exotic whitespace, combining
+    marks, CJK, control chars)."""
+    import duckdb
+    import pyarrow as pa
+
+    from tsrollup.functions.text import WS_CLASS, normalize_batch
+
+    eng = normalize_batch(pa.array(texts, type=pa.string())).to_pylist()
+    t = pa.table({"text": pa.array(texts, type=pa.string())})
+    con = duckdb.connect()
+    con.register("t", t)
+    ora = [
+        r[0]
+        for r in con.execute(
+            rf"""SELECT trim(regexp_replace(lower(regexp_replace(
+                     text, '{WS_CLASS}', ' ', 'g')), '\s+', ' ', 'g'), ' ')
+                 FROM t"""
+        ).fetchall()
+    ]
+    assert eng == ora

@@ -67,7 +67,10 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "name", ["token_count", "token_count_by_source", "doc_quality", "langid",
-             "dedup_ngram", "top_tokens"]
+             "dedup_ngram", "top_tokens",
+             # round-3c text operators, same exotic-whitespace contract
+             "normalize_text", "redact", "top_bigrams", "repetition_filter",
+             "pack_sequences", "sample_split", "corpus_pipeline"]
 )
 def test_engine_matches_oracle_on_unicode_whitespace(ray_session, uni_sf_dir, name):
     eng = QUERIES[name](uni_sf_dir)

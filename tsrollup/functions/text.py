@@ -247,3 +247,28 @@ def fingerprint_batch(df: pd.DataFrame, text_col: str = "text") -> pd.Series:
 
     tb = tk.TokenBatch(df[text_col])
     return pd.Series(tk.fingerprint_batch(tb, 8), index=df.index, dtype="uint64")
+
+
+# Unicode-whitespace -> ' ' map shared by the normalization kernel and every
+# oracle that needs DuckDB's ASCII-only RE2 '\s' to agree with the engine's
+# Unicode tokenizer (the class matches pipelines.docqueries._DOCS_WS_NORM)
+WS_CLASS = r"[\p{Z}\x{85}\x{1C}-\x{1F}]"
+
+
+def normalize_batch(texts) -> "pa.Array":
+    """Canonical corpus text normalization, one vectorized chain:
+    Unicode-whitespace map -> lower -> collapse ASCII ws runs -> trim.
+    Arrow's RE2 + utf8proc are the SAME libraries DuckDB uses, so
+    ``trim(regexp_replace(lower(regexp_replace(text, WS_CLASS, ' ', 'g')),
+    '\\s+', ' ', 'g'), ' ')`` reproduces this byte-for-byte (fuzz-tested in
+    tests/test_functions.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tsrollup.functions.tokens import as_string_array
+
+    x = as_string_array(texts)
+    x = pc.replace_substring_regex(x, pattern=WS_CLASS, replacement=" ")
+    x = pc.utf8_lower(x)
+    x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim(x, characters=" ")

@@ -932,18 +932,15 @@ def q_ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 10, n_planes: int = 8):
 # ---------------------------------------------------------------------------
 
 def q_normalize_text(sf_dir: str):
-    """Canonical text normalization for a pretraining corpus: lowercase,
-    collapse ASCII whitespace runs to one space, trim edges. All three
-    kernels are Arrow compute calls sharing the regex/case engines DuckDB
-    uses (RE2 + utf8proc), so the oracle compares the normalized STRINGS,
-    not just lengths."""
+    """Canonical text normalization for a pretraining corpus: map Unicode
+    whitespace to ' ', lowercase, collapse whitespace runs to one space, trim
+    edges (``text.normalize_batch``). Every kernel is an Arrow compute call
+    sharing the regex/case engines DuckDB uses (RE2 + utf8proc), so the
+    oracle compares the normalized STRINGS, not just lengths."""
     import pyarrow.compute as pc
 
     def _norm(t: pa.Table) -> pa.Table:
-        x = t.column("text").combine_chunks()
-        x = pc.utf8_lower(x)
-        x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
-        x = pc.utf8_trim(x, characters=" ")
+        x = text.normalize_batch(t.column("text"))
         return pa.table(
             {"doc_id": t.column("doc_id"), "norm": x,
              "n_chars_norm": pc.cast(pc.utf8_length(x), pa.int64())}
@@ -1162,7 +1159,7 @@ _CP_MIN_CHARS = 20
 # Unicode-whitespace -> ' ' (exactly the class _DOCS_WS_NORM uses), applied
 # on BOTH sides before lower/collapse so token counts and dedup identity
 # agree on arbitrary input, not just ASCII
-_WS_CLASS = r"[\p{Z}\x{85}\x{1C}-\x{1F}]"
+_WS_CLASS = text.WS_CLASS
 
 
 def q_corpus_pipeline(sf_dir: str):
@@ -1187,11 +1184,7 @@ def q_corpus_pipeline(sf_dir: str):
     from tsrollup.shuffle import map_key_partitions
 
     def _prep(t: pa.Table) -> pa.Table:
-        x = t.column("text").combine_chunks()
-        x = pc.replace_substring_regex(x, pattern=_WS_CLASS, replacement=" ")
-        x = pc.utf8_lower(x)
-        x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
-        x = pc.utf8_trim(x, characters=" ")
+        x = tx.normalize_batch(t.column("text"))
         t2 = pa.table({"doc_id": t["doc_id"], "source": t["source"], "text": x})
         n_tok = tx.count_tokens_batch(t2).to_numpy().astype(np.int64)
         n_chars = pc.utf8_length(x).to_numpy(zero_copy_only=False)
@@ -1392,15 +1385,17 @@ DOC_ORACLE_SQL: dict[str, str] = {
         WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.40
         ORDER BY 1, 2
     """,
-    # normalize/redact run on RAW documents text: both sides use RE2 '\s'
-    # (ASCII whitespace) and utf8proc lower(), so no WS-normalized view is
-    # needed — the kernels themselves are engine-identical.
-    "normalize_text": r"""
-        SELECT doc_id,
-               trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS norm,
-               CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '))
-                   AS BIGINT) AS n_chars_norm
-        FROM documents ORDER BY doc_id
+    # normalize/redact use RE2 + utf8proc on BOTH sides (the same libraries),
+    # so the oracles reproduce the full string transform, not just lengths
+    "normalize_text": rf"""
+        WITH n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(regexp_replace(
+                       text, '{text.WS_CLASS}', ' ', 'g')), '\s+', ' ', 'g'), ' ') AS norm
+            FROM documents
+        )
+        SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_norm
+        FROM n ORDER BY doc_id
     """,
     "redact": """
         WITH r1 AS (
