@@ -308,3 +308,24 @@ def test_corpus_pipeline_dedup_keeps_min_doc_id(ray_session, dup_docs_dir):
     # docs 0/1/2 normalize to the same string -> ONE survivor (doc0);
     # doc3 gated out; docs 4/5 survive -> 3 docs total across groups
     assert int(out["n_docs"].sum()) == 3
+
+
+@pytest.mark.parametrize("fixture", ["adv_docs_dir", "pack_docs_dir", "dup_docs_dir"])
+def test_tfidf_topk_matches_oracle(ray_session, fixture, request):
+    sf_dir = request.getfixturevalue(fixture)
+    eng = QUERIES["tfidf_topk"](sf_dir).to_pandas()
+    ora = _oracle("tfidf_topk", sf_dir, "documents")
+    assert len(eng)
+    pd.testing.assert_frame_equal(_canon(eng), _canon(ora), check_dtype=False)
+
+
+def test_tfidf_tf_ties_break_by_token(ray_session, adv_docs_dir):
+    out = QUERIES["tfidf_topk"](adv_docs_dir).to_pandas()
+    # doc 6 is 'a b a b a': tf(a)=3 > tf(b)=2 -> a ranked first
+    d6 = out[out["doc_id"] == 6].sort_values(["tf", "token"], ascending=[False, True])
+    assert list(d6["token"]) == ["a", "b"]
+    assert list(d6["tf"]) == [3, 2]
+    # doc 10 'end with a b': all tf=1 -> top-3 alphabetical among its tokens
+    d10 = out[out["doc_id"] == 10]
+    assert list(sorted(d10["token"])) == ["a", "b", "end"]
+    assert (d10["tf"] == 1).all()

@@ -1233,6 +1233,121 @@ def q_corpus_pipeline(sf_dir: str):
     )
 
 
+# tfidf_topk shape constants; the oracle SQL shares them
+_TFIDF_VOCAB = 100
+_TFIDF_K = 3
+
+
+def q_tfidf_topk(sf_dir: str, vocab_size: int = _TFIDF_VOCAB, k: int = _TFIDF_K):
+    """TF-IDF-style salient terms, the two-pass broadcast pattern:
+
+    pass 1 — document frequency per token from per-batch DISTINCT (doc,
+    token) partials (lexsort+mask, no per-doc Python), folded by a tiny
+    groupby; the top ``vocab_size`` tokens by (df desc, token asc) become the
+    working vocabulary (at 100 TB the vocabulary fold is the only exchange
+    and it carries token counts, not text).
+
+    pass 2 — the vocabulary broadcasts via ``ray.put`` into an actor pool;
+    each batch computes per-doc term frequencies for vocab tokens only (one
+    ``is_in`` + bincount over factorized (doc, vocab-slot) pairs) and keeps
+    each doc's top ``k`` terms by (tf desc, token asc).
+
+    All outputs are exact integers (tf, df) — the idf log is presentation,
+    so the driver hash-compares the full result against SQL."""
+    import ray
+    import pyarrow.compute as pc
+
+    from tsrollup.functions import tokens as tk
+    from tsrollup.shuffle import topk_rows
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        tb = tk.TokenBatch(t.column("text"))
+        if tb.n_tokens == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        toks = tb.token_array()
+        doc_idx = np.repeat(np.arange(len(tb.doc_lens)), tb.doc_lens)
+        # distinct (doc, token) via lexsort+mask on the token hashes, then
+        # count distinct docs per token with Arrow value_counts on the strings
+        order = np.lexsort((tb.hashes, doc_idx))
+        hs, ds = tb.hashes[order], doc_idx[order]
+        keep = np.ones(len(hs), dtype=bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+        vc = pc.value_counts(toks.take(pa.array(order[keep])))
+        return pa.table(
+            {"token": vc.field("values").cast(pa.string()),
+             "df": vc.field("counts").cast(pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    df_counts = (
+        docs.map_batches(_df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    vocab_t = topk_rows(df_counts, ["df", "token"], [True, False], vocab_size).to_pandas()
+    vocab_ref = ray.put(
+        {tok: (slot, int(dfv))
+         for slot, (tok, dfv) in enumerate(zip(vocab_t["token"], vocab_t["df"]))}
+    )
+
+    class TfIdfStage:
+        def __init__(self, ref, k):
+            import ray as _r
+
+            vocab = _r.get(ref)
+            self.k = k
+            toks_np = np.array(list(vocab.keys()), dtype=object)
+            dfs = np.array([d for (_, d) in vocab.values()], dtype=np.int64)
+            # columns pre-sorted by token ascending: a stable argsort on -tf
+            # then breaks tf ties by token order with NO per-row lexsort
+            order = np.argsort(toks_np, kind="stable")
+            self.toks_sorted = toks_np[order]
+            self.dfs_sorted = dfs[order]
+            self.tokens_sorted = pa.array(self.toks_sorted.tolist(), pa.string())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            tb = tk.TokenBatch(t.column("text"))
+            empty = pa.table(
+                {"doc_id": pa.array([], pa.int64()), "token": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64()), "df": pa.array([], pa.int64())}
+            )
+            if tb.n_tokens == 0:
+                return empty
+            V = len(self.toks_sorted)
+            # vectorized vocab-slot assignment straight from Arrow buffers
+            idx = pc.index_in(tb.token_array(), value_set=self.tokens_sorted)
+            slot = pc.fill_null(idx, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+            valid = slot >= 0
+            if not valid.any():
+                return empty
+            n_docs = len(tb.doc_lens)
+            doc_idx = np.repeat(np.arange(n_docs), tb.doc_lens)[valid]
+            tf = np.bincount(doc_idx * V + slot[valid], minlength=n_docs * V).reshape(
+                n_docs, V
+            )
+            top = np.argsort(-tf, axis=1, kind="stable")[:, : self.k]
+            tfv = np.take_along_axis(tf, top, axis=1)
+            keep = tfv > 0
+            doc_rep = np.broadcast_to(
+                t["doc_id"].to_numpy(zero_copy_only=False)[:, None], keep.shape
+            )[keep]
+            sel = top[keep]
+            return pa.table(
+                {"doc_id": pa.array(doc_rep, pa.int64()),
+                 "token": pa.array(self.toks_sorted[sel].tolist(), pa.string()),
+                 "tf": pa.array(tfv[keep], pa.int64()),
+                 "df": pa.array(self.dfs_sorted[sel], pa.int64())}
+            )
+
+    return docs.map_batches(
+        TfIdfStage, fn_constructor_kwargs={"ref": vocab_ref, "k": k},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -1501,6 +1616,22 @@ DOC_ORACLE_SQL: dict[str, str] = {
                CAST(SUM(n_tok) AS BIGINT) AS n_tok
         FROM d GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    "tfidf_topk": rf"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(regexp_extract_all(text, '\S+')) AS tok
+            FROM {_DOCS_WS_NORM}
+        ),
+        tfs AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dfs AS (SELECT tok, COUNT(*) AS df FROM tfs GROUP BY 1),
+        vocab AS (SELECT tok, df FROM dfs ORDER BY df DESC, tok ASC LIMIT {_TFIDF_VOCAB}),
+        j AS (SELECT t.doc_id, t.tok, t.tf, v.df
+              FROM tfs t JOIN vocab v USING (tok))
+        SELECT doc_id, tok AS token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        FROM j
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, tok ASC)
+                <= {_TFIDF_K}
+        ORDER BY 1, 3 DESC, 2
+    """,
 }
 
 DOC_QUERIES = {
@@ -1528,4 +1659,5 @@ DOC_QUERIES = {
     "repetition_filter": q_repetition_filter,
     "pack_sequences": q_pack_sequences,
     "corpus_pipeline": q_corpus_pipeline,
+    "tfidf_topk": q_tfidf_topk,
 }
