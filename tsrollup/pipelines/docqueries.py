@@ -27,7 +27,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from tsrollup.util import read_parquet_clean
+from tsrollup.util import BROADCAST_ACTOR_ARGS, read_parquet_clean
 
 from tsrollup.functions import ann, dedup, text
 from tsrollup.shuffle import map_key_groups
@@ -607,6 +607,7 @@ def q_ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
         fn_constructor_kwargs={"queries_ref": qref, "k": k},
         batch_format="pyarrow",
         concurrency=(1, 4),
+        **BROADCAST_ACTOR_ARGS,
     )
     return map_key_groups(
         partials, ["query_id"], lambda g: ann.rerank_topk(g, k), batch_format="pandas"
@@ -670,6 +671,7 @@ def q_ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10, n_centroids: int = 1
 
     partials = read_parquet_clean(f"{sf_dir}/embeddings.parquet").map_batches(
         ListScore, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow",
+        **BROADCAST_ACTOR_ARGS,
         concurrency=(1, 4),
     )
     return map_key_groups(
@@ -921,6 +923,7 @@ def q_ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 10, n_planes: int = 8):
         fn_constructor_kwargs={"ref": qref, "planes": planes},
         batch_format="pyarrow",
         concurrency=(1, 4),
+        **BROADCAST_ACTOR_ARGS,
     )
     return map_key_groups(
         partials, ["query_id"], lambda g: ann.rerank_topk(g, k), batch_format="pandas"
@@ -1345,6 +1348,7 @@ def q_tfidf_topk(sf_dir: str, vocab_size: int = _TFIDF_VOCAB, k: int = _TFIDF_K)
     return docs.map_batches(
         TfIdfStage, fn_constructor_kwargs={"ref": vocab_ref, "k": k},
         batch_format="pyarrow", concurrency=(1, 4),
+        **BROADCAST_ACTOR_ARGS,
     )
 
 

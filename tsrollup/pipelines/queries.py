@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from tsrollup.util import read_parquet_clean
+from tsrollup.util import BROADCAST_ACTOR_ARGS, read_parquet_clean
 
 from tsrollup.oracle import gapfill_series
 from tsrollup.rollup import cascade_tier, final_rollup, partial_rollup
@@ -472,7 +472,7 @@ def q_join_broadcast(sf_dir: str):
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).map_batches(
         JoinStage, fn_constructor_kwargs={"ref": lookup_ref}, batch_format="pandas",
-        concurrency=(1, 4),
+        concurrency=(1, 4), **BROADCAST_ACTOR_ARGS,
     )
     from ray.data.aggregate import Count, Sum
 
@@ -1243,6 +1243,7 @@ def q_asof_join(sf_dir: str, broadcast_threshold: int = _ASOF_BROADCAST_THRESHOL
     joined = _events(sf_dir).map_batches(
         AsofStage, fn_constructor_kwargs={"ref": lookup_ref},
         batch_format="pyarrow", concurrency=(1, 4),
+        **BROADCAST_ACTOR_ARGS,
     )
     rolled = final_rollup(joined.map_batches(partial_rollup, batch_format="pyarrow"))
     return rolled.select_columns(["source", "bucket", "n_rows", "sum_tok"]).rename_columns(
@@ -1339,6 +1340,7 @@ def q_range_join(sf_dir: str, broadcast_threshold: int = _ASOF_BROADCAST_THRESHO
     pairs = _events(sf_dir).map_batches(
         RangeStage, fn_constructor_kwargs={"ref": lookup_ref},
         batch_format="pyarrow", concurrency=(1, 4),
+        **BROADCAST_ACTOR_ARGS,
     )
     rolled = final_rollup(pairs.map_batches(partial_rollup, batch_format="pyarrow"))
     return rolled.select_columns(["source", "bucket", "n_rows", "sum_tok"]).rename_columns(

@@ -4,6 +4,14 @@ from __future__ import annotations
 
 import logging
 
+#: ray_remote_args for actor pools whose CONSTRUCTOR receives a broadcast
+#: ObjectRef (ray.put once, ray.get in __init__): an actor restart with a
+#: lost constructor ref fails anyway (ray-project/ray#53727), so restarts
+#: are disabled — the autoscaling pool creates FRESH actors (which re-fetch
+#: the ref from its owner) and task retry covers in-flight work. Also keeps
+#: the per-pool core-worker advisory out of bench/driver logs.
+BROADCAST_ACTOR_ARGS = {"max_restarts": 0}
+
 
 def tune_ray_data(quiet: bool = True, hash_shuffle: bool | None = None) -> None:
     """Engine session setup. Call before the first dataset of a pipeline is
