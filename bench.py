@@ -275,7 +275,8 @@ def scaling(sf_dir: str) -> int:
     ceiling = factor * probe_lo / p_hi if p_hi > 0 else factor
     out = {
         "metric": (
-            f"scaling efficiency, num_cpus {lo_n} -> {hi_n} (N -> 4N evidence)"
+            f"scaling efficiency, num_cpus {lo_n} -> {hi_n}"
+            f" (N -> {factor:g}N evidence)"
         ),
         "phase": os.environ.get("BENCH_PHASE", "full-job"),
         f"sec_{lo_n}": lo["value"],

@@ -329,3 +329,43 @@ def test_tfidf_tf_ties_break_by_token(ray_session, adv_docs_dir):
     d10 = out[out["doc_id"] == 10]
     assert list(sorted(d10["token"])) == ["a", "b", "end"]
     assert (d10["tf"] == 1).all()
+
+
+def test_pivot_hour_counts_pre1970_floor(ray_session, tmp_path):
+    """Pre-1970 events floor to NEGATIVE hours on both sides (the oracle uses
+    FLOOR(x / y), never DuckDB's truncating `//`, because pivot derives hours
+    from raw ts with no bucket-range validation upstream)."""
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "ts": pa.array(
+                [-1_800_000_000, -7_200_000_000, 1_800_000_000], pa.timestamp("us")
+            ),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "event_type": pa.array(["click", "view", "click"]),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    eng = QUERIES["pivot_hour_counts"](str(tmp_path)).to_pandas()
+    assert set(eng["hour"]) == {-2, -1, 0}
+    ora = _oracle("pivot_hour_counts", str(tmp_path), "events")
+    pd.testing.assert_frame_equal(_canon(eng), _canon(ora), check_dtype=False)
+
+
+def test_repetition_filter_null_text(ray_session, tmp_path):
+    """A NULL text routes through as '' (one empty line) instead of crashing,
+    matching the sibling operators' null contract."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a\na", None], pa.string()),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([3, 0], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = QUERIES["repetition_filter"](str(tmp_path)).to_pandas().set_index("doc_id")
+    assert (out.loc[0, "n_lines"], out.loc[0, "n_dup_lines"]) == (2, 1)
+    assert (out.loc[1, "n_lines"], out.loc[1, "n_dup_lines"]) == (1, 0)

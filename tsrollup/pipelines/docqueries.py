@@ -1074,7 +1074,11 @@ def q_repetition_filter(sf_dir: str, threshold: float = _REP_THRESHOLD):
     from tsrollup.hashing import _FNV_BASIS, _utf8_buffer, fnv1a64_update
 
     def _rep(t: pa.Table) -> pa.Table:
-        sp = pc.split_pattern(t.column("text").combine_chunks(), pattern="\n")
+        from tsrollup.functions.tokens import as_string_array
+
+        # null text -> '' (one empty line), same null contract as every
+        # sibling text operator
+        sp = pc.split_pattern(as_string_array(t.column("text")), pattern="\n")
         lens = pc.list_value_length(sp).to_numpy().astype(np.int64)  # >= 1 always
         child = sp.flatten()
         buf, starts, lengths = _utf8_buffer(child)
@@ -1291,19 +1295,16 @@ def q_tfidf_topk(sf_dir: str, vocab_size: int = _TFIDF_VOCAB, k: int = _TFIDF_K)
         .aggregate(Sum("df", alias_name="df"))
     )
     vocab_t = topk_rows(df_counts, ["df", "token"], [True, False], vocab_size).to_pandas()
-    vocab_ref = ray.put(
-        {tok: (slot, int(dfv))
-         for slot, (tok, dfv) in enumerate(zip(vocab_t["token"], vocab_t["df"]))}
-    )
+    vocab_ref = ray.put(dict(zip(vocab_t["token"], (int(d) for d in vocab_t["df"]))))
 
     class TfIdfStage:
         def __init__(self, ref, k):
             import ray as _r
 
-            vocab = _r.get(ref)
+            vocab = _r.get(ref)  # {token: df}
             self.k = k
             toks_np = np.array(list(vocab.keys()), dtype=object)
-            dfs = np.array([d for (_, d) in vocab.values()], dtype=np.int64)
+            dfs = np.array(list(vocab.values()), dtype=np.int64)
             # columns pre-sorted by token ascending: a stable argsort on -tf
             # then breaks tf ties by token order with NO per-row lexsort
             order = np.argsort(toks_np, kind="stable")

@@ -1197,7 +1197,9 @@ def q_asof_join(sf_dir: str, broadcast_threshold: int = _ASOF_BROADCAST_THRESHOL
 
     marks_ds = _marks_ds(sf_dir).materialize()
     if marks_ds.count() > broadcast_threshold:
-        return q_asof_join_exchange(sf_dir)
+        # hand the already-materialized marks to the exchange plan so the
+        # scan+rollup that produced them is not repeated
+        return q_asof_join_exchange(sf_dir, marks_ds=marks_ds)
     marks = marks_ds.to_pandas()
     lookup = {
         src: np.sort(g["bucket"].to_numpy())
@@ -1274,7 +1276,8 @@ def q_range_join(sf_dir: str, broadcast_threshold: int = _ASOF_BROADCAST_THRESHO
         .materialize()
     )  # 1d tier: tiny by construction (86400x reduced)
     if anchors_ds.count() > broadcast_threshold:
-        return q_range_join_exchange(sf_dir)
+        # hand the already-materialized anchors to the exchange plan
+        return q_range_join_exchange(sf_dir, anchors_ds=anchors_ds)
     anchors = anchors_ds.to_pandas()
     lookup = {
         src: np.sort(g["bucket"].to_numpy() * 1440 - _RANGE_W_LO)
@@ -1419,13 +1422,15 @@ def _sided_event_partials(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def q_asof_join_exchange(sf_dir: str):
+def q_asof_join_exchange(sf_dir: str, marks_ds: "ray.data.Dataset | None" = None):
     """As-of join, keyed-exchange variant (same result as ``q_asof_join``,
     verified against the SAME DuckDB oracle): instead of broadcasting the
     marks, the union of pre-rolled event partials and marks is hash-exchanged
     by source and merged per partition — the path for UNBOUNDED mark
     cardinality, where a broadcast dict would exceed worker heaps (round-2
-    VERDICT 'What's missing' #2).
+    VERDICT 'What's missing' #2). ``marks_ds`` lets the plan selector hand
+    over its already-materialized (source, bucket) marks instead of
+    re-rolling the events.
 
     Partitioning assumption: one source's marks + rolled partials fit one
     partition. Event volume is bounded by pre-rolling to (source, minute)
@@ -1433,9 +1438,7 @@ def q_asof_join_exchange(sf_dir: str):
     rows, not raw-event rows."""
     from tsrollup.shuffle import map_key_partitions
 
-    def _mark_rows(t: pa.Table) -> pa.Table:
-        b = t["bucket"].to_numpy(zero_copy_only=False)
-        t = t.filter(pa.array(b % 7 == 0)).select(["source", "bucket"])
+    def _side_tag(t: pa.Table) -> pa.Table:
         z = np.zeros(t.num_rows, np.int64)
         return pa.table(
             {
@@ -1447,12 +1450,19 @@ def q_asof_join_exchange(sf_dir: str):
             }
         )
 
-    marks = _rolled_events(sf_dir).map_batches(_mark_rows, batch_format="pyarrow")
+    def _mark_rows(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        return _side_tag(t.filter(pa.array(b % 7 == 0)).select(["source", "bucket"]))
+
+    if marks_ds is None:
+        marks = _rolled_events(sf_dir).map_batches(_mark_rows, batch_format="pyarrow")
+    else:
+        marks = marks_ds.map_batches(_side_tag, batch_format="pyarrow")
     union = _sided_event_partials(sf_dir).union(marks)
     return map_key_partitions(union, ["source"], _asof_exchange_block)
 
 
-def q_range_join_exchange(sf_dir: str):
+def q_range_join_exchange(sf_dir: str, anchors_ds: "ray.data.Dataset | None" = None):
     """Banded range join, keyed-exchange variant (same result + oracle as
     ``q_range_join``): interval anchors exchanged WITH the pre-rolled event
     partials by source instead of broadcast — the unbounded-anchor path.
@@ -1474,11 +1484,15 @@ def q_range_join_exchange(sf_dir: str):
             }
         )
 
+    # anchors_ds: the plan selector's already-materialized 1d tier, if any —
+    # avoids repeating the scan+rollup+cascade that produced it
     anchors = (
-        cascade_tier(cascade_tier(_rolled_events(sf_dir), 60), 24)
-        .select_columns(["source", "bucket"])
-        .map_batches(_anchor_rows, batch_format="pyarrow")
-    )
+        anchors_ds
+        if anchors_ds is not None
+        else cascade_tier(cascade_tier(_rolled_events(sf_dir), 60), 24).select_columns(
+            ["source", "bucket"]
+        )
+    ).map_batches(_anchor_rows, batch_format="pyarrow")
 
     def _block(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -1873,11 +1887,12 @@ def q_pivot_hour_counts(sf_dir: str):
         for et in _PIVOT_TYPES:
             cols[f"n_{et}"] = pc.cast(pc.equal(t["event_type"], et), pa.int64())
         cols["n_total"] = pa.nulls(t.num_rows, pa.int64()).fill_null(1)
-        return (
-            pa.table(cols)
-            .group_by("hour")
-            .aggregate([(c, "sum") for c in cols if c != "hour"])
-            .rename_columns(["hour"] + [f"n_{et}" for et in _PIVOT_TYPES] + ["n_total"])
+        value_cols = [c for c in cols if c != "hour"]
+        g = pa.table(cols).group_by("hour").aggregate([(c, "sum") for c in value_cols])
+        # select BY NAME (aggregate output column order is a pyarrow
+        # implementation detail), then strip the _sum suffixes
+        return g.select(["hour"] + [f"{c}_sum" for c in value_cols]).rename_columns(
+            ["hour"] + value_cols
         )
 
     partials = _events(sf_dir, ("ts", "event_type")).map_batches(
@@ -1978,13 +1993,14 @@ def q_sax_1m(sf_dir: str, window: int = _SAX_WINDOW):
             std = 1.0
         win = df["bucket"].to_numpy().astype(np.int64) // window
         g = pd.DataFrame({"win": win, "x": x}).groupby("win", sort=True)
-        s_win = g["x"].sum().to_numpy().astype(np.float64)
+        gs = g["x"].sum()
+        s_win = gs.to_numpy().astype(np.float64)
         n_win = g["x"].size().to_numpy().astype(np.int64)
         paa = (s_win / n_win - mean) / std
         sym = np.array(["a", "b", "c", "d"], dtype=object)[
             np.searchsorted(np.asarray(_SAX_BREAKS), paa, side="right")
         ]
-        wins = g["x"].sum().index.to_numpy().astype(np.int64)
+        wins = gs.index.to_numpy().astype(np.int64)
         return pd.DataFrame(
             {"source": [df["source"].iloc[0]] * len(wins),
              "win": wins, "n_win": n_win,
@@ -2338,8 +2354,11 @@ ORACLE_SQL: dict[str, str] = {
 ORACLE_SQL["asof_join_exchange"] = ORACLE_SQL["asof_join"]
 ORACLE_SQL["range_join_exchange"] = ORACLE_SQL["range_join"]
 
+# FLOOR division, not DuckDB's truncating `//`: the engine floors, and the
+# hour derives from RAW ts (no rollup bucket-range validation upstream), so
+# pre-1970 events are in-contract here (epoch_ms magnitudes are exact doubles)
 ORACLE_SQL["pivot_hour_counts"] = """
-    SELECT epoch_ms(ts) // 3600000 AS hour,
+    SELECT CAST(FLOOR(epoch_ms(ts) / 3600000.0) AS BIGINT) AS hour,
            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
@@ -2349,6 +2368,9 @@ ORACLE_SQL["pivot_hour_counts"] = """
     FROM events GROUP BY 1 ORDER BY 1
 """
 
+# `bucket // N` below uses DuckDB's truncating division, which equals floor
+# here because rollup buckets are range-validated non-negative (a negative
+# bucket errors loudly in _check_bucket_range before any oracle comparison)
 ORACLE_SQL["rank_days"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     d AS (SELECT source, bucket // 1440 AS day,
