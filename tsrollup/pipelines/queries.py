@@ -2010,6 +2010,309 @@ def q_sax_1m(sf_dir: str, window: int = _SAX_WINDOW):
     return map_key_groups(_rolled_events(sf_dir), ["source"], _sax, batch_format="pandas")
 
 
+# "heavy purchaser" membership threshold for the semi/anti joins; the oracle
+# SQL is generated from this SAME constant (>= 1 would be degenerate on the
+# synthetic tables, where every user has every event type)
+_HEAVY_PURCHASES = 14
+
+
+def _user_purchase_mask(t: pa.Table):
+    """Per-partition helper for the user semi/anti joins: factorize the
+    partition's users, mark which ones have >= ``_HEAVY_PURCHASES``
+    'purchase' events. The exchange partitions by user_id, so every user's
+    events are complete in exactly one invocation — membership is decided
+    locally, no second pass."""
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    cu, uu = pd.factorize(uid)
+    n_pur = np.bincount(cu[et == "purchase"], minlength=len(uu))
+    return cu, uu, n_pur >= _HEAVY_PURCHASES
+
+
+_JOIN_USERS_SCHEMA = pa.schema(
+    [("source", pa.string()), ("n_events", pa.int64()), ("n_users", pa.int64())]
+)
+
+
+def _join_users_partial(t: pa.Table, want_purchaser: bool) -> pa.Table:
+    """One user partition -> per-source (event count, DISTINCT user count)
+    over events whose user does/doesn't have a purchase. Distinct users are
+    countable locally because the exchange gives each partition whole users."""
+    if t.num_rows == 0:
+        return _JOIN_USERS_SCHEMA.empty_table()
+    cu, uu, has = _user_purchase_mask(t)
+    keep = has[cu] == want_purchaser
+    if not keep.any():
+        return _JOIN_USERS_SCHEMA.empty_table()
+    src = t["event_type"].to_numpy(zero_copy_only=False)[keep]
+    cu = cu[keep]
+    cs, us = pd.factorize(src)
+    n_ev = np.bincount(cs, minlength=len(us)).astype(np.int64)
+    # distinct (source, user) pairs via one lexsort + change mask
+    order = np.lexsort((cu, cs))
+    cs_o, cu_o = cs[order], cu[order]
+    first = np.ones(len(cs_o), dtype=bool)
+    first[1:] = (cs_o[1:] != cs_o[:-1]) | (cu_o[1:] != cu_o[:-1])
+    n_us = np.bincount(cs_o[first], minlength=len(us)).astype(np.int64)
+    return pa.table(
+        {"source": pa.array(us, pa.string()), "n_events": pa.array(n_ev),
+         "n_users": pa.array(n_us)}
+    )
+
+
+def _join_users(sf_dir: str, want_purchaser: bool):
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    partials = map_key_partitions(
+        ds, ["user_id"], lambda t: _join_users_partial(t, want_purchaser)
+    )
+    return partials.groupby("source").aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("n_users", alias_name="n_users")
+    )
+
+
+def q_semi_join_users(sf_dir: str):
+    """Semi-join: per-source totals over events whose user is a "heavy
+    purchaser" (>= ``_HEAVY_PURCHASES`` purchase events) — a big-table filter
+    by a big, data-derived key set. Physical plan: ONE keyed exchange on
+    user_id — the membership predicate and the distinct-user count both
+    resolve locally inside each user partition, then a tiny per-source
+    combine. No broadcast (the user set is NOT small at scale) and the raw
+    events move exactly once."""
+    return _join_users(sf_dir, True)
+
+
+def q_anti_join_users(sf_dir: str):
+    """Anti-join sibling of ``semi_join_users``: events whose user is NOT a
+    heavy purchaser. Same single-exchange plan, inverted membership mask."""
+    return _join_users(sf_dir, False)
+
+
+_BURST_MIN_LEN = 3  # the oracle SQL is generated from this SAME constant
+
+
+def q_bursts(sf_dir: str, min_len: int = _BURST_MIN_LEN):
+    """Activity-burst detection (gaps-and-islands): per source, maximal runs
+    of CONSECUTIVE active 1h buckets, keeping runs of >= ``min_len`` hours.
+    Runs inside the hot source never cross partitions (per-source grouping on
+    the ROLLED 1h tier, volume >= 3600x reduced); the island id is the classic
+    ``bucket - rank`` constant — exact integers end to end."""
+
+    def _runs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "run_start": pd.Series(dtype=np.int64),
+             "run_end": pd.Series(dtype=np.int64),
+             "run_len": pd.Series(dtype=np.int64)}
+        )
+        if not len(df):
+            return empty
+        b = np.sort(df["bucket"].to_numpy().astype(np.int64))
+        # island boundaries where the gap to the previous active hour > 1
+        cut = np.flatnonzero(np.diff(b) > 1) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(b)]))
+        ln = (ends - starts).astype(np.int64)
+        keep = ln >= min_len
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]] * int(keep.sum()),
+             "run_start": b[starts[keep]], "run_end": b[ends[keep] - 1],
+             "run_len": ln[keep]}
+        )
+
+    hourly = cascade_tier(_rolled_events(sf_dir), 60)
+    return map_key_groups(hourly, ["source"], _runs, batch_format="pandas")
+
+
+_ACF_MAX_LAG = 5  # the oracle SQL is generated from this SAME constant
+
+
+def q_acf_1m(sf_dir: str, max_lag: int = _ACF_MAX_LAG):
+    """Autocorrelation of the 1m ``sum_cents`` series per source at lags
+    1..``max_lag``, over inner-aligned bucket pairs (both ``bucket`` and
+    ``bucket + lag`` present). Pearson r from exact int64 pair sums — the
+    corr_pairs recipe applied along the time axis — so the float64 result is
+    bit-identical to the oracle's self-join. Group volume is the ROLLED tier
+    (bounded); the per-lag probe is one ``searchsorted`` per lag."""
+
+    def _acf(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object), "lag": pd.Series(dtype=np.int64),
+             "n_pairs": pd.Series(dtype=np.int64), "r": pd.Series(dtype=np.float64)}
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values("bucket")
+        b = df["bucket"].to_numpy().astype(np.int64)
+        x = df["sum_tok"].to_numpy().astype(np.int64)
+        rows = []
+        for lag in range(1, max_lag + 1):
+            idx = np.searchsorted(b, b + lag)
+            ok = (idx < len(b)) & (b[np.minimum(idx, len(b) - 1)] == b + lag)
+            n = int(ok.sum())
+            if n < 2:
+                continue
+            xa, ya = x[ok], x[idx[ok]]
+            sx, sy = int(xa.sum()), int(ya.sum())
+            sxy = int((xa * ya).sum())
+            sxx, syy = int((xa * xa).sum()), int((ya * ya).sum())
+            da, db = n * sxx - sx * sx, n * syy - sy * sy
+            if da <= 0 or db <= 0:
+                continue
+            r = (n * sxy - sx * sy) / (np.sqrt(float(da)) * np.sqrt(float(db)))
+            rows.append((df["source"].iloc[0], lag, n, round(float(r), 6)))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["source", "lag", "n_pairs", "r"])
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _acf, batch_format="pandas")
+
+
+# KMV (k-minimum-values) bottom-k distinct sketch. The hash is the Knuth
+# multiplicative hash mod 2^32 — exact integer arithmetic on BOTH sides
+# (engine: uint64 wraparound then % 2^32, which equals the full product
+# % 2^32 because 2^32 | 2^64; oracle: HUGEINT product % 4294967296). The
+# oracle replays the SKETCH itself, deterministically — not just a tolerance
+# band around the estimate.
+_KMV_K = 12
+_KMV_HASH_SQL = "(CAST(user_id AS HUGEINT) * 2654435761) % 4294967296"
+
+
+def _kmv_hash(uid: np.ndarray) -> np.ndarray:
+    """user_id -> 32-bit multiplicative hash (exact-match contract with
+    ``_KMV_HASH_SQL``; requires non-negative ids — DuckDB's % is sign-of-
+    dividend, so a negative product would diverge from uint64 wraparound)."""
+    if len(uid) and uid.min() < 0:
+        raise ValueError("kmv sketch requires non-negative user ids")
+    u = uid.astype(np.uint64)
+    return ((u * np.uint64(2654435761)) % np.uint64(1 << 32)).astype(np.int64)
+
+
+def _kmv_partials(sf_dir: str):
+    """events -> per-batch per-source bottom-k distinct-hash partials.
+    Mergeable-sketch movement: each batch contributes <= sources*k rows, so
+    the fold is linear in batches regardless of user cardinality."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.schema([("source", pa.string()), ("h", pa.int64())])
+        if t.num_rows == 0:
+            return empty.empty_table()
+        src = t["event_type"].to_numpy(zero_copy_only=False)
+        h = _kmv_hash(t["user_id"].to_numpy(zero_copy_only=False))
+        cs, us = pd.factorize(src)
+        # distinct (source, h), then bottom-k per source: one lexsort does both
+        order = np.lexsort((h, cs))
+        cs_o, h_o = cs[order], h[order]
+        first = np.ones(len(cs_o), dtype=bool)
+        first[1:] = (cs_o[1:] != cs_o[:-1]) | (h_o[1:] != h_o[:-1])
+        cs_d, h_d = cs_o[first], h_o[first]
+        # rank within source (hashes already ascending per source) -> bottom-k
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(cs_d)) + 1))
+        sizes = np.diff(np.concatenate((starts, [len(cs_d)])))
+        rank = np.arange(len(cs_d)) - np.repeat(starts, sizes)
+        keep = rank < _KMV_K
+        return pa.table(
+            {"source": pa.array(us[cs_d[keep]], pa.string()),
+             "h": pa.array(h_d[keep])}
+        )
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return ds.map_batches(_partial, batch_format="pyarrow")
+
+
+def _kmv_sketches(sf_dir: str) -> pd.DataFrame:
+    """Fold the partials into the final per-source bottom-k sketches (tiny:
+    sources x k rows — a sketch is small BY CONSTRUCTION, so the final merge
+    on the driver is the documented pattern, like HLL/CMS registers)."""
+    t = _kmv_partials(sf_dir).to_pandas()
+    if not len(t):
+        return pd.DataFrame({"source": pd.Series(dtype=object),
+                             "h": pd.Series(dtype=np.int64)})
+    t = t.drop_duplicates(["source", "h"]).sort_values(["source", "h"])
+    return t.groupby("source", sort=True).head(_KMV_K).reset_index(drop=True)
+
+
+def q_kmv_distinct(sf_dir: str, k: int = _KMV_K):
+    """Distinct-user estimate per source from a KMV bottom-k sketch: the
+    k-th smallest distinct hash H gives ``est = (k-1) * 2^32 // H`` (exact
+    integer floor on both sides). Completes the mergeable-sketch family
+    (HLL / CMS / KLL) with the one sketch whose oracle is EXACT — the sketch
+    is a deterministic function of the data, so DuckDB replays it verbatim.
+    Sources with < k distinct hashes are dropped (no k-th value), mirrored
+    by the oracle's ``rn = k`` filter."""
+    sk = _kmv_sketches(sf_dir)
+    rows = []
+    for src, g in sk.groupby("source", sort=True):
+        if len(g) < k:
+            continue
+        kth = int(g["h"].to_numpy()[k - 1])
+        rows.append((src, kth, ((k - 1) << 32) // kth))
+    return pd.DataFrame(rows, columns=["source", "kth_hash", "est_distinct"]).astype(
+        {"kth_hash": np.int64, "est_distinct": np.int64}
+    )
+
+
+def q_jaccard_kmv(sf_dir: str, k: int = _KMV_K):
+    """Pairwise user-overlap (Jaccard) estimate between sources from the KMV
+    sketches alone: for each pair, the bottom-k of the UNION of the two
+    sketches is exactly the bottom-k of the union of the full sets (KMV
+    closure property), and membership of those hashes in each side's sketch
+    equals membership in the full set. So ``n_inter / k_eff`` — reported as
+    exact-integer ``jacc_ppm`` — is deterministic and the oracle replays it
+    against the raw table. The estimator never touches raw data: it runs on
+    sources x k rows."""
+    sk = _kmv_sketches(sf_dir)
+    by_src = {s: set(g["h"].tolist()) for s, g in sk.groupby("source", sort=True)}
+    srcs = sorted(by_src)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            union = sorted(by_src[a] | by_src[b])[:k]
+            k_eff = len(union)
+            if not k_eff:
+                continue
+            n_inter = sum(1 for h in union if h in by_src[a] and h in by_src[b])
+            rows.append((a, b, k_eff, n_inter, n_inter * 1_000_000 // k_eff))
+    return pd.DataFrame(
+        rows, columns=["src_a", "src_b", "k_eff", "n_inter", "jacc_ppm"]
+    ).astype({"k_eff": np.int64, "n_inter": np.int64, "jacc_ppm": np.int64})
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """Sink + re-ingest round trip: the 1m rollup is written to partitioned
+    JSONL under /tmp (one file per block — the resumable-output layout), read
+    back through ``read_json``, and returned; the oracle is rollup_1m's SQL,
+    so the round trip is verified value-exact. Integer columns survive JSON
+    exactly (int64 text round trip); the read-back cast restores the rolled
+    tier's exact schema."""
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="tsrollup_jsonl_")
+    try:
+        q_rollup_1m(sf_dir).write_json(out_dir)
+        ds = ray.data.read_json(out_dir)
+        target = pa.schema(
+            [("source", pa.string()), ("bucket", pa.int64()),
+             ("n_rows", pa.int64()), ("sum_cents", pa.int64()),
+             ("min_cents", pa.int32()), ("max_cents", pa.int32())]
+        )
+
+        def _cast(t: pa.Table) -> pa.Table:
+            return t.select(target.names).cast(target)
+
+        return ds.map_batches(_cast, batch_format="pyarrow").materialize()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # ORACLE SQL (DuckDB) — keyed identically to QUERIES
 # ---------------------------------------------------------------------------
@@ -2161,6 +2464,8 @@ ORACLE_SQL: dict[str, str] = {
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "rollup_1m": f"SELECT * FROM ({_ROLLUP_SQL_BODY}) ORDER BY source, bucket",
+    # sink round trip: written JSONL read back must equal the rolled tier
+    "jsonl_roundtrip": f"SELECT * FROM ({_ROLLUP_SQL_BODY}) ORDER BY source, bucket",
     "rollup_1h": f"""
         SELECT source, bucket // 60 AS bucket, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
                CAST(SUM(sum_cents) AS BIGINT) AS sum_cents, MIN(min_cents) AS min_cents,
@@ -2354,6 +2659,95 @@ ORACLE_SQL: dict[str, str] = {
 ORACLE_SQL["asof_join_exchange"] = ORACLE_SQL["asof_join"]
 ORACLE_SQL["range_join_exchange"] = ORACLE_SQL["range_join"]
 
+_HEAVY_SQL = f"""SELECT user_id FROM events WHERE event_type = 'purchase'
+                 GROUP BY 1 HAVING COUNT(*) >= {_HEAVY_PURCHASES}"""
+
+ORACLE_SQL["semi_join_users"] = f"""
+    WITH pu AS ({_HEAVY_SQL})
+    SELECT e.event_type AS source, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN pu USING (user_id)
+    GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["anti_join_users"] = f"""
+    WITH pu AS ({_HEAVY_SQL})
+    SELECT e.event_type AS source, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e
+    WHERE e.user_id NOT IN (SELECT user_id FROM pu)
+    GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["bursts"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    h AS (SELECT source, bucket // 60 AS b FROM r GROUP BY 1, 2),
+    i AS (SELECT source, b,
+                 b - ROW_NUMBER() OVER (PARTITION BY source ORDER BY b) AS isl
+          FROM h)
+    SELECT source, MIN(b) AS run_start, MAX(b) AS run_end,
+           CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM i GROUP BY source, isl
+    HAVING COUNT(*) >= {_BURST_MIN_LEN}
+    ORDER BY 1, 2
+"""
+
+ORACLE_SQL["acf_1m"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    l AS (SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS lag),
+    p AS (SELECT a.source, l.lag, a.sum_cents AS x, b.sum_cents AS y
+          FROM r a CROSS JOIN l
+          JOIN r b ON b.source = a.source AND b.bucket = a.bucket + l.lag),
+    s AS (SELECT source, lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM p GROUP BY 1, 2)
+    SELECT source, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r
+    FROM s
+    WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ORDER BY 1, 2
+"""
+
+# the oracle replays the KMV SKETCH deterministically (not a tolerance band):
+# same multiplicative hash, same bottom-k, same floor-division estimator
+ORACLE_SQL["kmv_distinct"] = f"""
+    WITH h AS (SELECT DISTINCT event_type AS source, {_KMV_HASH_SQL} AS h
+               FROM events),
+    r AS (SELECT source, h,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM h)
+    SELECT source, CAST(h AS BIGINT) AS kth_hash,
+           CAST(({_KMV_K - 1} * 4294967296) // h AS BIGINT) AS est_distinct
+    FROM r WHERE rn = {_KMV_K} ORDER BY 1
+"""
+
+ORACLE_SQL["jaccard_kmv"] = f"""
+    WITH hh AS (SELECT DISTINCT event_type AS source, {_KMV_HASH_SQL} AS h
+                FROM events),
+    srcs AS (SELECT DISTINCT source FROM hh),
+    pr AS (SELECT a.source AS src_a, b.source AS src_b
+           FROM srcs a JOIN srcs b ON a.source < b.source),
+    u AS (SELECT DISTINCT pr.src_a, pr.src_b, hh.h
+          FROM pr JOIN hh ON hh.source = pr.src_a OR hh.source = pr.src_b),
+    rk AS (SELECT src_a, src_b, h,
+                  ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+           FROM u),
+    bk AS (SELECT * FROM rk WHERE rn <= {_KMV_K}),
+    m AS (SELECT bk.src_a, bk.src_b,
+                 CASE WHEN EXISTS (SELECT 1 FROM hh x
+                                   WHERE x.source = bk.src_a AND x.h = bk.h)
+                       AND EXISTS (SELECT 1 FROM hh y
+                                   WHERE y.source = bk.src_b AND y.h = bk.h)
+                      THEN 1 ELSE 0 END AS in_both
+          FROM bk)
+    SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS k_eff,
+           CAST(SUM(in_both) AS BIGINT) AS n_inter,
+           CAST((SUM(in_both) * 1000000) // COUNT(*) AS BIGINT) AS jacc_ppm
+    FROM m GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 # FLOOR division, not DuckDB's truncating `//`: the engine floors, and the
 # hour derives from RAW ts (no rollup bucket-range validation upstream), so
 # pre-1970 events are in-contract here (epoch_ms magnitudes are exact doubles)
@@ -2452,6 +2846,13 @@ QUERIES = {
     "rank_days": q_rank_days,
     "outlier_mad": q_outlier_mad,
     "sax_1m": q_sax_1m,
+    "semi_join_users": q_semi_join_users,
+    "anti_join_users": q_anti_join_users,
+    "bursts": q_bursts,
+    "acf_1m": q_acf_1m,
+    "kmv_distinct": q_kmv_distinct,
+    "jaccard_kmv": q_jaccard_kmv,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
