@@ -169,3 +169,65 @@ def test_kmv_closure_property(ray_session, r3d_events_dir):
 def test_kmv_negative_user_id_rejected():
     with pytest.raises(ValueError):
         _kmv_hash(np.array([-1], dtype=np.int64))
+
+
+@pytest.fixture(scope="module")
+def assoc_docs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("r3d_docs")
+    texts = [
+        # "xx yy" always together (3x): perfect association, highest lift
+        "xx yy filler one", "xx yy filler two", "pad xx yy",
+        # "the cat" 3x but "the" is everywhere: high c_a drags lift down
+        "the cat sat", "the cat ran", "the cat hid",
+        "the dog", "the bird", "the fish", "the cow",
+        # boundary trap: "qq" ends one doc, "rr" starts the next, 3 times —
+        # a concatenating tokenizer would mint a phantom "qq rr" candidate
+        "ends with qq", "rr starts this",
+        "again qq", "rr again here",
+        "third qq", "rr third time",
+        # Unicode NBSP separates -> "uu vv" counted via Unicode-ws parity (3x)
+        "uu\u00a0vv pad", "uu\u00a0vv pad", "uu\u00a0vv tail",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s" + str(i % 2) for i in range(len(texts))]),
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_assoc_bigrams_matches_oracle(ray_session, assoc_docs_dir):
+    from tsrollup.pipelines.docqueries import DOC_ORACLE_SQL, DOC_QUERIES
+    import duckdb
+
+    eng = DOC_QUERIES["assoc_bigrams"](assoc_docs_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{assoc_docs_dir}/documents.parquet')"
+    )
+    ora = con.execute(DOC_ORACLE_SQL["assoc_bigrams"]).df()
+    assert len(eng)
+    pd.testing.assert_frame_equal(_canon(eng), _canon(ora), check_dtype=False)
+
+
+def test_assoc_bigrams_semantics(ray_session, assoc_docs_dir):
+    from tsrollup.pipelines.docqueries import DOC_QUERIES
+
+    out = DOC_QUERIES["assoc_bigrams"](assoc_docs_dir).to_pandas()
+    pairs = set(zip(out["tok_a"], out["tok_b"]))
+    assert ("qq", "rr") not in pairs          # never crosses documents
+    assert ("uu", "vv") in pairs              # NBSP splits like ASCII space
+    # xx/yy and uu/vv are BOTH perfect collocations (c_ab == c_a == c_b == 3)
+    # -> identical maximal lift; ties break on tok_a ascending
+    best = int(out["lift_ppm"].max())
+    top2 = out[out["lift_ppm"] == best]
+    assert set(zip(top2["tok_a"], top2["tok_b"])) == {("xx", "yy"), ("uu", "vv")}
+    # "the cat": frequent left token -> strictly lower lift than the perfect pairs
+    the_cat = out[(out["tok_a"] == "the") & (out["tok_b"] == "cat")]
+    assert len(the_cat) and int(the_cat["lift_ppm"].iloc[0]) < best

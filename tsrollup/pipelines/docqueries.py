@@ -1024,6 +1024,162 @@ def q_top_bigrams(sf_dir: str, k: int = 20):
     return topk_rows(counts, ["n", "bigram"], [True, False], k)
 
 
+# assoc_bigrams constants; the oracle SQL is generated from these SAME values
+_ASSOC_MIN = 3   # minimum bigram count to be a candidate
+_ASSOC_K = 30    # top-k by lift
+
+
+def q_assoc_bigrams(sf_dir: str, min_count: int = _ASSOC_MIN, k: int = _ASSOC_K):
+    """Collocation mining: top-k bigrams by association LIFT
+    ``c_ab * N / (c_a * c_b)`` (the monotone core of PMI — same ranking, no
+    logarithm), reported as the exact integer ``lift_ppm = (c_ab * N * 1e6)
+    // (c_a * c_b)`` so the oracle hash-compares bit for bit (HUGEINT floor
+    division on both sides; a corpus large enough to overflow int64 output
+    fails loudly in the Arrow cast rather than wrapping).
+
+    Physical plan (all counts distributed): bigram partial counts ->
+    groupby-sum -> min-count filter (the candidate cut) -> TWO keyed
+    exchanges on token (tok_a, then tok_b) that union candidates with the
+    unigram-count rows and attach c_a / c_b per partition — a distributed
+    hash join on the vocabulary, never a broadcast of it — then lift + the
+    per-block-pruned global top-k. N comes off the unigram fold as a scalar."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from tsrollup.functions import tokens as tk
+    from tsrollup.shuffle import map_key_partitions, topk_rows
+
+    def _uni_partial(t: pa.Table) -> pa.Table:
+        sp = tk.split_whitespace(t.column("text"))
+        toks = sp.flatten()
+        toks = toks.filter(pc.greater(pc.binary_length(toks), 0))
+        vc = pc.value_counts(toks)
+        return pa.table({"token": vc.field("values").cast(pa.string()),
+                         "c_uni": vc.field("counts").cast(pa.int64())})
+
+    def _bi_partial(t: pa.Table) -> pa.Table:
+        tb = tk.TokenBatch(t.column("text"))
+        n = tb.n_tokens
+        if n < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "c_ab": pa.array([], pa.int64())})
+        toks = tb.token_array()
+        joined = pc.binary_join_element_wise(
+            toks.slice(0, n - 1), toks.slice(1, n - 1), " "
+        )
+        mask = np.ones(n - 1, dtype=bool)
+        cuts = tb.doc_starts[1:-1]
+        cuts = cuts[(cuts > 0) & (cuts < n)]
+        mask[cuts - 1] = False
+        vc = pc.value_counts(joined.filter(pa.array(mask)))
+        return pa.table({"bigram": vc.field("values").cast(pa.string()),
+                         "c_ab": vc.field("counts").cast(pa.int64())})
+
+    docs = _docs(sf_dir, ("text",))
+    uni = docs.map_batches(_uni_partial, batch_format="pyarrow").groupby(
+        "token").aggregate(Sum("c_uni", alias_name="c_uni")).materialize()
+    n_total = int(uni.sum("c_uni") or 0)
+
+    bi = docs.map_batches(_bi_partial, batch_format="pyarrow").groupby(
+        "bigram").aggregate(Sum("c_ab", alias_name="c_ab"))
+    bi = bi.filter(expr=f"c_ab >= {int(min_count)}")
+
+    def _split_bigram(t: pa.Table) -> pa.Table:
+        # tokens are whitespace-split, so the joiner space is unambiguous
+        parts = pc.split_pattern(t["bigram"], " ", max_splits=1)
+        return pa.table({"tok_a": pc.list_element(parts, 0).cast(pa.string()),
+                         "tok_b": pc.list_element(parts, 1).cast(pa.string()),
+                         "c_ab": t["c_ab"]})
+
+    cand = bi.map_batches(_split_bigram, batch_format="pyarrow")
+
+    def _mk_union(side_key: str):
+        def _tag_cand(t: pa.Table) -> pa.Table:
+            cols = {"key": t[side_key], "tok_a": t["tok_a"], "tok_b": t["tok_b"],
+                    "c_ab": t["c_ab"], "c_uni": pa.nulls(t.num_rows, pa.int64())}
+            if "c_a" in t.column_names:
+                cols["c_a"] = t["c_a"]
+            return pa.table(cols)
+
+        def _tag_uni(t: pa.Table, with_ca: bool) -> pa.Table:
+            cols = {"key": t["token"],
+                    "tok_a": pa.nulls(t.num_rows, pa.string()),
+                    "tok_b": pa.nulls(t.num_rows, pa.string()),
+                    "c_ab": pa.nulls(t.num_rows, pa.int64()),
+                    "c_uni": t["c_uni"]}
+            if with_ca:
+                cols["c_a"] = pa.nulls(t.num_rows, pa.int64())
+            return pa.table(cols)
+
+        return _tag_cand, _tag_uni
+
+    def _attach(t: pa.Table, out_col: str) -> pa.Table:
+        """One token partition: map the partition's unigram rows onto its
+        candidate rows (hash join resolved locally — the exchange key is the
+        token on both sides)."""
+        out_fields = [("tok_a", pa.string()), ("tok_b", pa.string()),
+                      ("c_ab", pa.int64())]
+        if out_col == "c_b":
+            out_fields.append(("c_a", pa.int64()))
+        out_fields.append((out_col, pa.int64()))
+        if t.num_rows == 0:
+            return pa.schema(out_fields).empty_table()
+        is_uni = pc.is_valid(t["c_uni"]).to_numpy(zero_copy_only=False)
+        uni_t, cand_t = t.filter(pa.array(is_uni)), t.filter(pa.array(~is_uni))
+        if cand_t.num_rows == 0:
+            return pa.schema(out_fields).empty_table()
+        lookup = pd.Series(
+            uni_t["c_uni"].to_numpy(zero_copy_only=False),
+            index=uni_t["key"].to_numpy(zero_copy_only=False),
+        )
+        vals = lookup.reindex(
+            cand_t["key"].to_numpy(zero_copy_only=False)
+        ).to_numpy()
+        if np.isnan(vals).any():  # every candidate token exists in the corpus
+            raise AssertionError("bigram token missing from unigram counts")
+        cols = {"tok_a": cand_t["tok_a"], "tok_b": cand_t["tok_b"],
+                "c_ab": cand_t["c_ab"]}
+        if out_col == "c_b":
+            cols["c_a"] = cand_t["c_a"]
+        cols[out_col] = pa.array(vals.astype(np.int64))
+        return pa.table(cols)
+
+    # exchange 1: attach c_a (key = tok_a)
+    tag_cand, tag_uni = _mk_union("tok_a")
+    u1 = cand.map_batches(tag_cand, batch_format="pyarrow").union(
+        uni.map_batches(lambda t: tag_uni(t, False), batch_format="pyarrow")
+    )
+    with_ca = map_key_partitions(u1, ["key"], lambda t: _attach(t, "c_a"))
+
+    # exchange 2: attach c_b (key = tok_b)
+    tag_cand2, tag_uni2 = _mk_union("tok_b")
+    u2 = with_ca.map_batches(tag_cand2, batch_format="pyarrow").union(
+        uni.map_batches(lambda t: tag_uni2(t, True), batch_format="pyarrow")
+    )
+    full = map_key_partitions(u2, ["key"], lambda t: _attach(t, "c_b"))
+
+    def _lift(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
+                              ("c_ab", pa.int64()),
+                              ("lift_ppm", pa.int64())]).empty_table()
+        c_ab = t["c_ab"].to_numpy(zero_copy_only=False)
+        c_a = t["c_a"].to_numpy(zero_copy_only=False)
+        c_b = t["c_b"].to_numpy(zero_copy_only=False)
+        # Python-int exact floor division (candidate rows only — bounded by
+        # the min-count cut); pa.array raises on int64 overflow, by design
+        lift = [int(ab) * n_total * 1_000_000 // (int(a) * int(b))
+                for ab, a, b in zip(c_ab, c_a, c_b)]
+        return pa.table({"tok_a": t["tok_a"], "tok_b": t["tok_b"],
+                         "c_ab": t["c_ab"],
+                         "lift_ppm": pa.array(lift, pa.int64())})
+
+    scored = full.map_batches(_lift, batch_format="pyarrow")
+    return topk_rows(scored, ["lift_ppm", "tok_a", "tok_b"],
+                     [True, False, False], k)
+
+
 # Knuth multiplicative hash — exact integer arithmetic on BOTH sides
 # (engine: uint64; oracle: HUGEINT). Valid while doc_id * K < 2^64.
 _SPLIT_K = 2654435761
@@ -1542,6 +1698,29 @@ DOC_ORACLE_SQL: dict[str, str] = {
         SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
         FROM b GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20
     """,
+    "assoc_bigrams": rf"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+            FROM {_DOCS_WS_NORM}
+        ),
+        u AS (SELECT UNNEST(t) AS tok FROM toks),
+        uc AS (SELECT tok, COUNT(*) AS c FROM u GROUP BY 1),
+        nt AS (SELECT COUNT(*) AS n FROM u),
+        b AS (
+            SELECT t[i] AS tok_a, t[i + 1] AS tok_b
+            FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+            WHERE len(t) >= 2
+        ),
+        bc AS (SELECT tok_a, tok_b, COUNT(*) AS c_ab FROM b
+               GROUP BY 1, 2 HAVING COUNT(*) >= {_ASSOC_MIN})
+        SELECT bc.tok_a, bc.tok_b, CAST(bc.c_ab AS BIGINT) AS c_ab,
+               CAST((CAST(bc.c_ab AS HUGEINT) * nt.n * 1000000)
+                    // (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) AS lift_ppm
+        FROM bc, nt
+        JOIN uc ua ON ua.tok = bc.tok_a
+        JOIN uc ub ON ub.tok = bc.tok_b
+        ORDER BY lift_ppm DESC, bc.tok_a, bc.tok_b LIMIT {_ASSOC_K}
+    """,
     "sample_split": f"""
         SELECT source,
                CASE WHEN (CAST(doc_id AS HUGEINT) * {_SPLIT_K}) % {_SPLIT_MOD}
@@ -1660,6 +1839,7 @@ DOC_QUERIES = {
     "normalize_text": q_normalize_text,
     "redact": q_redact,
     "top_bigrams": q_top_bigrams,
+    "assoc_bigrams": q_assoc_bigrams,
     "sample_split": q_sample_split,
     "repetition_filter": q_repetition_filter,
     "pack_sequences": q_pack_sequences,

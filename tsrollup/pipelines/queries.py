@@ -541,7 +541,9 @@ def q_gorilla_compression(sf_dir: str):
                 (t["source"][i].as_py(), 1, len(blk), 16 * len(vals), ok)
             )
         df = pd.DataFrame(rows, columns=["source", "n_blocks", "encoded_bytes", "raw_bytes", "roundtrip_ok"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # metadata-free: pandas schema metadata is unhashable and trips
+        # Ray's block-schema dedup logging
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
 
@@ -665,7 +667,7 @@ def q_quantiles(sf_dir: str):
         g = df.groupby(["source", "cents"], sort=False).size()
         out = g.reset_index(name="n")
         out["n"] = out["n"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
 
@@ -1073,7 +1075,7 @@ def q_baseline_comparison(sf_dir: str, target: int = 40):
         return pa.Table.from_pandas(
             pd.DataFrame(rows, columns=["source", "method", "n_windows", "sum_mse", "sum_kept"]),
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     per_window = map_key_groups(
         _rolled_events(sf_dir).map_batches(
