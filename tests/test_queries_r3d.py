@@ -95,7 +95,7 @@ def r3d_events_dir(tmp_path_factory):
 @pytest.mark.parametrize(
     "name",
     ["semi_join_users", "anti_join_users", "bursts", "acf_1m",
-     "kmv_distinct", "jaccard_kmv", "jsonl_roundtrip"],
+     "kmv_distinct", "jaccard_kmv", "jsonl_roundtrip", "quantiles_1d"],
 )
 def test_r3d_adversarial_matches_oracle(ray_session, r3d_events_dir, name):
     eng = QUERIES[name](r3d_events_dir)
@@ -214,6 +214,27 @@ def test_assoc_bigrams_matches_oracle(ray_session, assoc_docs_dir):
     ora = con.execute(DOC_ORACLE_SQL["assoc_bigrams"]).df()
     assert len(eng)
     pd.testing.assert_frame_equal(_canon(eng), _canon(ora), check_dtype=False)
+
+
+def test_top_tokens_by_source_matches_oracle(ray_session, assoc_docs_dir):
+    import duckdb
+
+    eng = QUERIES["top_tokens_by_source"](assoc_docs_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{assoc_docs_dir}/documents.parquet')"
+    )
+    ora = con.execute(ORACLE_SQL["top_tokens_by_source"]).df()
+    assert len(eng)
+    pd.testing.assert_frame_equal(_canon(eng), _canon(ora), check_dtype=False)
+    # grouped top-k semantics: ranks are 1..k' per source, ties (n desc,
+    # token asc) deterministic
+    for _, g in eng.groupby("source"):
+        g = g.sort_values("rnk")
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        key = list(zip(-g["n"], g["token"]))
+        assert key == sorted(key)
 
 
 def test_assoc_bigrams_semantics(ray_session, assoc_docs_dir):

@@ -2315,6 +2315,125 @@ def q_jsonl_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+_TOPK_PER_SOURCE = 10  # the oracle SQL is generated from this SAME constant
+
+
+def q_top_tokens_by_source(sf_dir: str, k: int = _TOPK_PER_SOURCE):
+    """GROUPED top-k: the k most frequent tokens WITHIN each source (the
+    per-domain vocabulary report). Distinct from the global ``top_tokens``
+    shape: after the (source, token) count fold, every block is pruned to
+    its own per-source top-k (lossless — post-groupby rows are key-unique),
+    so the final per-source exchange moves at most blocks * sources * k rows
+    instead of the whole per-source vocabulary. Ties break (count desc,
+    token asc) on both sides."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        from tsrollup.functions import tokens as tk
+
+        sp = tk.split_whitespace(t.column("text"))
+        lens = sp.value_lengths().fill_null(0).to_numpy(zero_copy_only=False)
+        toks = sp.flatten()
+        # scatter the doc's source to its tokens by INDEX (no Python strings),
+        # mask the edge-empty tokens, count in Arrow (NUL-safe C hash table)
+        idx = pa.array(np.repeat(np.arange(t.num_rows), lens))
+        keep = pc.greater(pc.binary_length(toks), 0)
+        flat = pa.table(
+            {"source": pc.take(t["source"], idx), "token": toks}
+        ).filter(keep)
+        g = flat.group_by(["source", "token"]).aggregate([("token", "count")])
+        return pa.table(
+            {"source": g["source"], "token": g["token"],
+             "n": g["token_count"].cast(pa.int64())}
+        )
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    counts = ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        ["source", "token"]).aggregate(Sum("n", alias_name="n"))
+
+    def _rank_cut(df: pd.DataFrame, with_rank: bool) -> pd.DataFrame:
+        """Per-source (count desc, token asc) rank + cut to k, NUL-safely:
+        boundaries come off the SORTED source column (comparison-based),
+        never a pandas string hash table."""
+        df = df.sort_values(
+            ["source", "n", "token"], ascending=[True, False, True], kind="stable"
+        ).reset_index(drop=True)
+        src = df["source"].to_numpy()
+        new_grp = np.ones(len(df), dtype=bool)
+        new_grp[1:] = src[1:] != src[:-1]
+        grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(len(df)), 0))
+        rank = np.arange(len(df)) - grp_start + 1
+        out = df[rank <= k].copy()
+        if with_rank:
+            out["rnk"] = rank[rank <= k].astype(np.int64)
+        return out
+
+    pruned = counts.map_batches(
+        lambda df: _rank_cut(df, False), batch_format="pandas"
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object), "token": pd.Series(dtype=object),
+                 "n": pd.Series(dtype=np.int64), "rnk": pd.Series(dtype=np.int64)}
+            )
+        return _rank_cut(df, True)
+
+    return map_key_groups(pruned, ["source"], _final, batch_format="pandas")
+
+
+def q_quantiles_1d(sf_dir: str):
+    """Per-(source, day) exact percentiles — the ``quantiles`` mergeable
+    bounded-domain histogram at daily grain (the windowed-percentile report a
+    monitoring stack serves). Partials are (source, day, cents, n) rows; the
+    cumulative read-off runs per (source, day) group, so group count is
+    sources x days regardless of input volume. DuckDB ``quantile_disc``
+    convention (sorted[ceil(q*n)-1]) on both sides."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        d = _derive_events(t)
+        flat = pa.table(
+            {"source": d["source"],
+             "day": pa.array(d["bucket"].to_numpy(zero_copy_only=False) // 1440),
+             "cents": d["n_tok"]}
+        )
+        g = flat.group_by(["source", "day", "cents"]).aggregate([("cents", "count")])
+        return pa.table(
+            {"source": g["source"], "day": g["day"], "cents": g["cents"],
+             "n": g["cents_count"].cast(pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        _events(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "day", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _q(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object), "day": pd.Series(dtype=np.int64),
+                 **{c: pd.Series(dtype=np.int64) for c in ("n_rows", "p50", "p90", "p99")}}
+            )
+        df = df.sort_values("cents")
+        counts = df["n"].to_numpy()
+        vals = df["cents"].to_numpy()
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        out = {"source": df["source"].iloc[0], "day": int(df["day"].iloc[0]),
+               "n_rows": n}
+        for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            rank = max(1, int(np.ceil(q * n)))
+            out[name] = int(vals[np.searchsorted(cum, rank)])
+        return pd.DataFrame([out])
+
+    return map_key_groups(hist, ["source", "day"], _q, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # ORACLE SQL (DuckDB) — keyed identically to QUERIES
 # ---------------------------------------------------------------------------
@@ -2626,6 +2745,36 @@ ORACLE_SQL: dict[str, str] = {
         SELECT token, COUNT(*) AS n FROM toks GROUP BY 1
         ORDER BY n DESC, token ASC LIMIT 20
     """,
+    "top_tokens_by_source": rf"""
+        WITH toks AS (
+            SELECT source, UNNEST(regexp_extract_all(
+                regexp_replace(text, '[\p{{Z}}\x{{85}}\x{{1C}}-\x{{1F}}]', ' ', 'g'),
+                '\S+')) AS token FROM documents),
+        c AS (SELECT source, token, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+        r AS (SELECT source, token, CAST(n AS BIGINT) AS n,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY source ORDER BY n DESC, token ASC) AS rnk
+              FROM c)
+        SELECT source, token, n, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= {_TOPK_PER_SOURCE} ORDER BY 1, 4
+    """,
+    "quantiles_1d": """
+        WITH d AS (
+            -- FLOOR, not truncating //: the day derives from RAW ts (no
+            -- rollup range validation), so pre-1970 events stay in-contract;
+            -- floor(floor(x/60000)/1440) == floor(x/86400000) for positive
+            -- divisors, matching the engine's nested integer floors
+            SELECT event_type AS source,
+                   CAST(FLOOR(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT source, day, COUNT(*) AS n_rows,
+               CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50,
+               CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90,
+               CAST(quantile_disc(cents, 0.99) AS BIGINT) AS p99
+        FROM d GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "json_ingest": f"""
         SELECT source, (1767225600 + CAST(doc_id[-10:] AS BIGINT)) // 60 AS bucket,
                COUNT(*) AS n_rows, CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
@@ -2855,6 +3004,8 @@ QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "jaccard_kmv": q_jaccard_kmv,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "top_tokens_by_source": q_top_tokens_by_source,
+    "quantiles_1d": q_quantiles_1d,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
