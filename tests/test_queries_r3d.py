@@ -166,6 +166,47 @@ def test_kmv_closure_property(ray_session, r3d_events_dir):
     assert int(ve["n_inter"].iloc[0]) > 0
 
 
+@pytest.fixture(scope="module")
+def blob_embed_dir(tmp_path_factory):
+    """3 well-separated Gaussian blobs (orthogonal centers, radius << gap)."""
+    d = tmp_path_factory.mktemp("r3d_blobs")
+    rng = np.random.default_rng(7)
+    centers = np.array([[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0]], float)
+    sizes = [40, 30, 20]
+    vecs, labels = [], []
+    for ci, (c, s) in enumerate(zip(centers, sizes)):
+        vecs.append(c + rng.normal(0, 0.1, size=(s, 4)))
+        labels += [ci] * s
+    m = np.vstack(vecs).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(m)), type=pa.int64()),
+            "embedding": pa.array(list(m), type=pa.list_(pa.float32())),
+            "label": pa.array(labels, type=pa.int32()),
+        }
+    )
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_kmeans_recovers_blobs_and_converges(ray_session, blob_embed_dir):
+    from tsrollup.pipelines.docqueries import q_kmeans_embeddings
+
+    out = q_kmeans_embeddings(blob_embed_dir, n_clusters=3, n_iter=5)
+    assert sorted(out["n"].tolist()) == [20, 30, 40]
+    # tight blobs: per-point SSE ~ d * sigma^2 = 0.04; merged clusters would
+    # be O(100s)
+    assert float(out["inertia"].sum()) < 10.0
+    # more Lloyd iterations never increase total inertia
+    i1 = float(q_kmeans_embeddings(blob_embed_dir, 3, 1)["inertia"].sum())
+    assert float(out["inertia"].sum()) <= i1 + 1e-9
+    # deterministic across runs
+    again = q_kmeans_embeddings(blob_embed_dir, 3, 5)
+    pd.testing.assert_frame_equal(out, again)
+    with pytest.raises(ValueError):
+        q_kmeans_embeddings(blob_embed_dir, 3, 0)
+
+
 def test_kmv_negative_user_id_rejected():
     with pytest.raises(ValueError):
         _kmv_hash(np.array([-1], dtype=np.int64))

@@ -679,6 +679,74 @@ def q_ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10, n_centroids: int = 1
     )
 
 
+def q_kmeans_embeddings(sf_dir: str, n_clusters: int = 8, n_iter: int = 5):
+    """Distributed Lloyd's k-means over the embedding column — the engine's
+    iterative-algorithm shape. Each iteration is ONE streaming pass: the
+    current centroids are broadcast (``ray.put`` once, read in every task),
+    each batch computes assignments and emits K partial rows (vector sum,
+    count, SSE) — a mergeable, fixed-size summary like the sketch family —
+    and the driver folds blocks x K tiny rows into the next centroids
+    (centroid state is K x d floats: legitimate driver state, like HLL
+    registers). The full table is never materialized; at 100 TB each pass
+    re-reads from storage under backpressure. Deterministic seeded init on a
+    bounded streamed sample (the IVF trainer). Iterative and float-ordered
+    -> no SQL oracle; convergence and recovery are unit-tested."""
+    import ray
+
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    path = f"{sf_dir}/embeddings.parquet"
+    sample = ann.sample_rows_parquet(path, ["vec_id", "embedding"], max_rows=4096)
+    cents = ann.ivf_centroids(ann.stack_embeddings(sample), n_clusters)
+    # ivf_centroids returns row-normalized directions; Lloyd here runs plain
+    # L2 on the raw vectors, so the init is just K well-spread seed points
+    K = cents.shape[0]
+
+    def _assign_partials(t: pa.Table, cents_ref) -> pa.Table:
+        import ray as _r
+
+        C = _r.get(cents_ref)
+        m = ann.stack_embeddings(t).astype(np.float64)
+        d2 = (
+            (m * m).sum(axis=1)[:, None]
+            - 2.0 * (m @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
+        sse = d2[np.arange(len(m)), a]
+        sums = np.zeros((K, C.shape[1]), np.float64)
+        np.add.at(sums, a, m)
+        n = np.bincount(a, minlength=K).astype(np.int64)
+        return pa.table(
+            {"cluster": pa.array(np.arange(K, dtype=np.int64)),
+             "n": pa.array(n),
+             "sse": pa.array(np.bincount(a, weights=sse, minlength=K)),
+             "vec_sum": pa.array(list(sums))}
+        )
+
+    for _ in range(n_iter):
+        ref = ray.put(cents.astype(np.float64))
+        parts = read_parquet_clean(path, columns=["embedding"]).map_batches(
+            lambda t, _ref=ref: _assign_partials(t, _ref), batch_format="pyarrow"
+        ).to_pandas()  # blocks x K tiny rows
+        new = cents.astype(np.float64).copy()
+        sizes = np.zeros(K, np.int64)
+        inertia = np.zeros(K, np.float64)
+        # deterministic fold order regardless of block arrival
+        parts = parts.sort_values(["cluster", "n", "sse"], kind="stable")
+        for c, g in parts.groupby("cluster", sort=True):
+            n_c = int(g["n"].sum())
+            sizes[c] = n_c
+            inertia[c] = float(g["sse"].sum())
+            if n_c:  # empty cluster keeps its previous centroid
+                new[c] = np.sum(np.stack(g["vec_sum"].to_numpy()), axis=0) / n_c
+        cents = new
+    return pd.DataFrame(
+        {"cluster": np.arange(K, dtype=np.int64), "n": sizes,
+         "inertia": np.round(inertia, 4)}
+    )
+
+
 def _embedding_chunks(path: str, target_chunk_rows: int = 4096) -> list[dict]:
     """Chunk work-list for the distributed all-pairs join: one chunk per
     parquet row group (the 100 TB layout — many row groups across many
@@ -1834,6 +1902,7 @@ DOC_QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "embed_dedup": q_embed_dedup,
     "embed_dedup_lsh": q_embed_dedup_lsh,
     "normalize_text": q_normalize_text,
