@@ -68,6 +68,11 @@ def r3d_events_dir(tmp_path_factory):
     # dropped entirely; users overlap view's (jaccard n_inter > 0)
     for i in range(5):
         rows.append(("error", BASE_US + i * MIN_US, 7.0, 200 + i))
+    # user 200 returns on days 1 and 2 (constant value keeps ACF dropped):
+    # retention_cohorts gets (cohort 0 -> active 0/1/2) cells
+    DAY_US = 86_400_000_000
+    rows.append(("error", BASE_US + DAY_US, 7.0, 200))
+    rows.append(("error", BASE_US + 2 * DAY_US, 7.0, 200))
 
     # purchase/signup — user 7 EXACTLY at the heavy threshold (kept by >=),
     # user 8 one below (anti side); both also have signup events
@@ -95,7 +100,8 @@ def r3d_events_dir(tmp_path_factory):
 @pytest.mark.parametrize(
     "name",
     ["semi_join_users", "anti_join_users", "bursts", "acf_1m",
-     "kmv_distinct", "jaccard_kmv", "jsonl_roundtrip", "quantiles_1d"],
+     "kmv_distinct", "jaccard_kmv", "jsonl_roundtrip", "quantiles_1d",
+     "retention_cohorts"],
 )
 def test_r3d_adversarial_matches_oracle(ray_session, r3d_events_dir, name):
     eng = QUERIES[name](r3d_events_dir)

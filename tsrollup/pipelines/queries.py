@@ -2315,6 +2315,50 @@ def q_jsonl_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention: users grouped by FIRST-SEEN day; for each (cohort
+    day, active day) cell, how many of that cohort's users were active.
+    The canonical self-derived-dimension analytics query. ONE keyed exchange
+    on user_id — each partition owns whole users, so the cohort day and the
+    distinct (user, day) activity set resolve locally and only per-cell
+    partial counts move to the final combine. Day derives from RAW ts with
+    FLOOR division (pre-1970 in-contract, mirrored by the oracle)."""
+    from ray.data.aggregate import Sum
+
+    _SCHEMA = pa.schema(
+        [("cohort_day", pa.int64()), ("active_day", pa.int64()),
+         ("n_users", pa.int64())]
+    )
+
+    def _cells(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SCHEMA.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        cu, _ = pd.factorize(uid)
+        cohort = np.full(cu.max() + 1, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(cohort, cu, day)
+        # distinct (user, day) via one lexsort, then per-cell counts
+        order = np.lexsort((day, cu))
+        cu_o, day_o = cu[order], day[order]
+        first = np.ones(len(cu_o), dtype=bool)
+        first[1:] = (cu_o[1:] != cu_o[:-1]) | (day_o[1:] != day_o[:-1])
+        g = pa.table(
+            {"cohort_day": pa.array(cohort[cu_o[first]]),
+             "active_day": pa.array(day_o[first])}
+        ).group_by(["cohort_day", "active_day"]).aggregate([("active_day", "count")])
+        return pa.table(
+            {"cohort_day": g["cohort_day"], "active_day": g["active_day"],
+             "n_users": g["active_day_count"].cast(pa.int64())}
+        )
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    cells = map_key_partitions(ds, ["user_id"], _cells)
+    return cells.groupby(["cohort_day", "active_day"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+
 _TOPK_PER_SOURCE = 10  # the oracle SQL is generated from this SAME constant
 
 
@@ -2813,6 +2857,19 @@ ORACLE_SQL["range_join_exchange"] = ORACLE_SQL["range_join"]
 _HEAVY_SQL = f"""SELECT user_id FROM events WHERE event_type = 'purchase'
                  GROUP BY 1 HAVING COUNT(*) >= {_HEAVY_PURCHASES}"""
 
+ORACLE_SQL["retention_cohorts"] = """
+    WITH d AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day
+        FROM events
+    ),
+    c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+    SELECT c.cohort_day, d.day AS active_day,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+    FROM d JOIN c USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 ORACLE_SQL["semi_join_users"] = f"""
     WITH pu AS ({_HEAVY_SQL})
     SELECT e.event_type AS source, CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -3006,6 +3063,7 @@ QUERIES = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "top_tokens_by_source": q_top_tokens_by_source,
     "quantiles_1d": q_quantiles_1d,
+    "retention_cohorts": q_retention_cohorts,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
