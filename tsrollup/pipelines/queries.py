@@ -2479,6 +2479,280 @@ def q_quantiles_1d(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# OHLC bars: mergeable positional (first/last-by-time) aggregate
+# ---------------------------------------------------------------------------
+
+_OHLC_PARTIAL_SCHEMA = pa.schema(
+    [("source", pa.string()), ("bucket", pa.int64()), ("n_rows", pa.int64()),
+     ("open_ts", pa.int64()), ("open_cents", pa.int64()),
+     ("close_ts", pa.int64()), ("close_cents", pa.int64()),
+     ("low_cents", pa.int64()), ("high_cents", pa.int64())]
+)
+
+_OHLC_SCHEMA = pa.schema(
+    [("source", pa.string()), ("bucket", pa.int64()), ("n_rows", pa.int64()),
+     ("open_cents", pa.int64()), ("high_cents", pa.int64()),
+     ("low_cents", pa.int64()), ("close_cents", pa.int64())]
+)
+
+
+def _ohlc_partial(t: pa.Table) -> pa.Table:
+    """Per-batch OHLC partials: ONE row per (source, bucket) present in the
+    batch. open/close carry their own (ts, cents) evidence, so partials merge
+    exactly — open combines by lex-min (ts, cents), close by lex-max, both
+    associative — and batch/block boundaries cannot change the result (same
+    combiner discipline as the rollup partials, SURVEY §2.7). Tie contract:
+    two events at the same timestamp break by cents, mirrored in the oracle's
+    ORDER BY ts_us, cents."""
+    from tsrollup.hashing import safe_factorize
+
+    if t.num_rows == 0:
+        return _OHLC_PARTIAL_SCHEMA.empty_table()
+    ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    cents = pc.cast(
+        pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    bucket = ts // 60_000_000
+    codes, uniq = safe_factorize(
+        np.asarray(t["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+    )
+    order = np.lexsort((cents, ts, bucket, codes))
+    c_s, b_s, t_s, v_s = codes[order], bucket[order], ts[order], cents[order]
+    change = (c_s[1:] != c_s[:-1]) | (b_s[1:] != b_s[:-1])
+    starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+    ends = np.concatenate((starts[1:], [len(c_s)]))
+    return pa.table(
+        {"source": pa.array(uniq[c_s[starts]], pa.string()),
+         "bucket": pa.array(b_s[starts]),
+         "n_rows": pa.array(ends - starts),
+         "open_ts": pa.array(t_s[starts]), "open_cents": pa.array(v_s[starts]),
+         "close_ts": pa.array(t_s[ends - 1]), "close_cents": pa.array(v_s[ends - 1]),
+         "low_cents": pa.array(np.minimum.reduceat(v_s, starts)),
+         "high_cents": pa.array(np.maximum.reduceat(v_s, starts))}
+    )
+
+
+def _ohlc_merge_block(t: pa.Table) -> pa.Table:
+    """Vectorized partition-level merge of OHLC partials: the exchange hands
+    each partition all partials for its (source, bucket) keys; two lexsorts
+    (one per positional end) resolve every group in the block at once — no
+    per-group Python."""
+    from tsrollup.hashing import safe_factorize
+
+    if t.num_rows == 0:
+        return _OHLC_SCHEMA.empty_table()
+    codes, uniq = safe_factorize(
+        np.asarray(t["source"].to_numpy(zero_copy_only=False), dtype=object)
+    )
+    bucket = t["bucket"].to_numpy(zero_copy_only=False)
+    cols = {
+        c: t[c].to_numpy(zero_copy_only=False)
+        for c in ("n_rows", "open_ts", "open_cents", "close_ts", "close_cents",
+                  "low_cents", "high_cents")
+    }
+    o1 = np.lexsort((cols["open_cents"], cols["open_ts"], bucket, codes))
+    o2 = np.lexsort((cols["close_cents"], cols["close_ts"], bucket, codes))
+    c1, b1 = codes[o1], bucket[o1]
+    change = (c1[1:] != c1[:-1]) | (b1[1:] != b1[:-1])
+    starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+    ends = np.concatenate((starts[1:], [len(c1)]))
+    return pa.table(
+        {"source": pa.array(uniq[c1[starts]], pa.string()),
+         "bucket": pa.array(b1[starts]),
+         "n_rows": pa.array(np.add.reduceat(cols["n_rows"][o1], starts)),
+         "open_cents": pa.array(cols["open_cents"][o1][starts]),
+         "high_cents": pa.array(np.maximum.reduceat(cols["high_cents"][o1], starts)),
+         "low_cents": pa.array(np.minimum.reduceat(cols["low_cents"][o1], starts)),
+         "close_cents": pa.array(cols["close_cents"][o2][ends - 1])}
+    )
+
+
+def q_ohlc_1m(sf_dir: str):
+    """OHLC bars per (source, 1m bucket): open/close are FIRST/LAST value by
+    event time — positional aggregates Ray Data's built-ins don't provide,
+    expressed as the engine's partial+merge combiner (domain: the classic
+    financial/monitoring resample the reference's rollup tier feeds,
+    ref core/data_processing.py's window aggregation). Exchange moves only
+    bucket-level partial rows, never raw events."""
+    partials = _events(sf_dir).map_batches(_ohlc_partial, batch_format="pyarrow")
+    return map_key_partitions(partials, ["source", "bucket"], _ohlc_merge_block)
+
+
+# ---------------------------------------------------------------------------
+# hour-of-day seasonal profile
+# ---------------------------------------------------------------------------
+
+def q_seasonal_hod(sf_dir: str):
+    """Hour-of-day seasonal profile per source over the 1m tier: bucket count,
+    exact integer sum, and mean cents per 1m bucket in that hour-of-day slot.
+    The mean is ONE division of exact integers (identical float64 expression
+    on both sides — the znorm recipe)."""
+    from ray.data.aggregate import Count, Sum
+
+    def _hod(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"source": t["source"], "hod": pa.array((b // 60) % 24),
+             "sum_cents": t["sum_tok"]}
+        )
+
+    agg = (
+        _rolled_events(sf_dir)
+        .map_batches(_hod, batch_format="pyarrow")
+        .groupby(["source", "hod"])
+        .aggregate(Count(alias_name="n_buckets"),
+                   Sum("sum_cents", alias_name="sum_cents"))
+    )
+
+    def _avg(t: pa.Table) -> pa.Table:
+        s = t["sum_cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n_buckets"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"source": t["source"], "hod": t["hod"],
+             "n_buckets": pc.cast(t["n_buckets"], pa.int64()),
+             "sum_cents": t["sum_cents"],
+             "avg_cents": pa.array(s / n)}
+        )
+
+    return agg.map_batches(_avg, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# NTILE window function over daily volumes
+# ---------------------------------------------------------------------------
+
+_NTILE_T = 4  # the oracle SQL is generated from this SAME constant
+
+
+def q_ntile_days(sf_dir: str, tiles: int = _NTILE_T):
+    """NTILE(t) of each source's days by daily volume (the quartile-bucketing
+    window function; ties -> earlier day, mirroring rank_days). Standard SQL
+    NTILE distribution: with n rows and q, r = divmod(n, t), the first r
+    tiles hold q+1 rows, the rest q."""
+
+    def _ntile(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object),
+                 "day": pd.Series(dtype=np.int64),
+                 "day_cents": pd.Series(dtype=np.int64),
+                 "tile": pd.Series(dtype=np.int64)}
+            )
+        cents = df["sum_tok"].to_numpy().astype(np.int64)
+        day = df["bucket"].to_numpy().astype(np.int64)
+        order = np.lexsort((day, -cents))
+        n = len(df)
+        q, r = divmod(n, tiles)
+        pos = np.arange(n)
+        if q == 0:
+            tile_sorted = pos + 1
+        else:
+            head = (q + 1) * r
+            tile_sorted = np.where(
+                pos < head, pos // (q + 1) + 1, r + (pos - head) // q + 1
+            )
+        tile = np.empty(n, dtype=np.int64)
+        tile[order] = tile_sorted
+        return pd.DataFrame(
+            {"source": df["source"].to_numpy(), "day": day,
+             "day_cents": cents, "tile": tile}
+        )
+
+    daily = cascade_tier(cascade_tier(_rolled_events(sf_dir), 60), 24)
+    return map_key_groups(daily, ["source"], _ntile, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# per-source mode (most frequent 1m volume)
+# ---------------------------------------------------------------------------
+
+def q_mode_1m(sf_dir: str):
+    """Statistical MODE of the per-source 1m volumes (tie -> smallest value).
+    Partials are (source, cents) -> count rows off each rolled block (Arrow's
+    NUL-safe C hash table); the per-source argmax runs over the merged count
+    rows — the exchange never moves bucket rows, only distinct-value counts."""
+    from ray.data.aggregate import Sum
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"source": t["source"], "cents": t["sum_tok"]}
+        ).group_by(["source", "cents"]).aggregate([("cents", "count")])
+        return pa.table(
+            {"source": g["source"], "cents": g["cents"],
+             "n": g["cents_count"].cast(pa.int64())}
+        )
+
+    counts = (
+        _rolled_events(sf_dir)
+        .map_batches(_cnt, batch_format="pyarrow")
+        .groupby(["source", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _mode(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object),
+                 "mode_cents": pd.Series(dtype=np.int64),
+                 "n_buckets": pd.Series(dtype=np.int64)}
+            )
+        vals = df["cents"].to_numpy().astype(np.int64)
+        ns = df["n"].to_numpy().astype(np.int64)
+        i = np.lexsort((vals, -ns))[0]
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]], "mode_cents": [vals[i]],
+             "n_buckets": [ns[i]]}
+        )
+
+    return map_key_groups(counts, ["source"], _mode, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ROLLUP: multi-granularity aggregate in one pass
+# ---------------------------------------------------------------------------
+
+def q_rollup_grouping(sf_dir: str):
+    """GROUP BY ROLLUP(source, day) in ONE pass + ONE exchange: every daily
+    block emits pre-combined partials for all three grouping levels (detail /
+    per-source / grand total, tagged with the SQL GROUPING() bitmask) and a
+    single groupby-sum finalizes. Multi-granularity continuous aggregates
+    without rescanning — NULL grouping keys are sentinel-encoded ('' / -1)
+    identically on both sides so the driver's value-hash is null-free."""
+    from ray.data.aggregate import Sum
+
+    def _emit(t: pa.Table) -> pa.Table:
+        day = t["bucket"]
+        cents = t["sum_tok"]
+        lvl0 = pa.table(
+            {"src": t["source"], "day": day, "sum_cents": cents,
+             "lvl": pa.nulls(t.num_rows, pa.int64()).fill_null(0)}
+        )
+        g1 = pa.table({"src": t["source"], "sum_cents": cents}).group_by(
+            "src").aggregate([("sum_cents", "sum")])
+        lvl1 = pa.table(
+            {"src": g1["src"],
+             "day": pa.nulls(g1.num_rows, pa.int64()).fill_null(-1),
+             "sum_cents": g1["sum_cents_sum"],
+             "lvl": pa.nulls(g1.num_rows, pa.int64()).fill_null(1)}
+        )
+        total = pc.sum(cents).as_py() or 0
+        lvl3 = pa.table(
+            {"src": pa.array([""], pa.string()), "day": pa.array([-1], pa.int64()),
+             "sum_cents": pa.array([total], pa.int64()),
+             "lvl": pa.array([3], pa.int64())}
+        )
+        return pa.concat_tables([lvl0, lvl1, lvl3])
+
+    daily = cascade_tier(cascade_tier(_rolled_events(sf_dir), 60), 24)
+    out = daily.map_batches(_emit, batch_format="pyarrow").groupby(
+        ["src", "day", "lvl"]).aggregate(Sum("sum_cents", alias_name="sum_cents"))
+    return out.map_batches(
+        lambda t: t.select(["src", "day", "sum_cents", "lvl"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
 # ORACLE SQL (DuckDB) — keyed identically to QUERIES
 # ---------------------------------------------------------------------------
 
@@ -3021,6 +3295,70 @@ ORACLE_SQL["sax_1m"] = f"""
     FROM p ORDER BY 1, 2
 """
 
+ORACLE_SQL["ohlc_1m"] = """
+    WITH e AS (SELECT event_type AS source,
+                      epoch_ms(ts) // 60000 AS bucket,
+                      epoch_us(ts) AS ts_us,
+                      CAST(FLOOR(value * 100) AS BIGINT) AS cents
+               FROM events),
+    w AS (SELECT source, bucket, cents,
+                 FIRST_VALUE(cents) OVER (
+                     PARTITION BY source, bucket ORDER BY ts_us, cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING) AS o,
+                 LAST_VALUE(cents) OVER (
+                     PARTITION BY source, bucket ORDER BY ts_us, cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING) AS c
+          FROM e)
+    SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o) AS open_cents, MAX(cents) AS high_cents,
+           MIN(cents) AS low_cents, MIN(c) AS close_cents
+    FROM w GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["seasonal_hod"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY})
+    SELECT source, (bucket // 60) % 24 AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(sum_cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(sum_cents) AS DOUBLE) / COUNT(*) AS avg_cents
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["ntile_days"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    d AS (SELECT source, bucket // 1440 AS day,
+                 CAST(SUM(sum_cents) AS BIGINT) AS day_cents
+          FROM r GROUP BY 1, 2)
+    SELECT source, day, day_cents,
+           CAST(NTILE({_NTILE_T}) OVER (
+               PARTITION BY source ORDER BY day_cents DESC, day ASC) AS BIGINT) AS tile
+    FROM d ORDER BY 1, 2
+"""
+
+ORACLE_SQL["mode_1m"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    c AS (SELECT source, sum_cents AS cents, COUNT(*) AS n
+          FROM r GROUP BY 1, 2)
+    SELECT source, cents AS mode_cents, CAST(n AS BIGINT) AS n_buckets
+    FROM c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, cents) = 1
+    ORDER BY 1
+"""
+
+ORACLE_SQL["rollup_grouping"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    d AS (SELECT source, bucket // 1440 AS day,
+                 CAST(SUM(sum_cents) AS BIGINT) AS c
+          FROM r GROUP BY 1, 2)
+    SELECT COALESCE(source, '') AS src,
+           COALESCE(day, -1) AS day,
+           CAST(SUM(c) AS BIGINT) AS sum_cents,
+           CAST(GROUPING(source, day) AS BIGINT) AS lvl
+    FROM d GROUP BY ROLLUP(source, day) ORDER BY 4, 1, 2
+"""
+
 QUERIES = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
@@ -3064,6 +3402,11 @@ QUERIES = {
     "top_tokens_by_source": q_top_tokens_by_source,
     "quantiles_1d": q_quantiles_1d,
     "retention_cohorts": q_retention_cohorts,
+    "ohlc_1m": q_ohlc_1m,
+    "seasonal_hod": q_seasonal_hod,
+    "ntile_days": q_ntile_days,
+    "mode_1m": q_mode_1m,
+    "rollup_grouping": q_rollup_grouping,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
