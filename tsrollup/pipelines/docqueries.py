@@ -1886,6 +1886,285 @@ DOC_ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+# ---------------------------------------------------------------------------
+# corpus curation: decontamination / percentile quality gate / mixture rebalance
+# ---------------------------------------------------------------------------
+
+_DECON_MOD = 23   # doc_id % MOD == 0 -> "benchmark/eval" side
+_DECON_N = 5      # n-gram window; the oracle SQL shares BOTH constants
+
+
+def q_decontaminate(sf_dir: str, n: int = _DECON_N, mod: int = _DECON_MOD):
+    """Benchmark decontamination: flag every TRAINING document sharing at
+    least one ``n``-token n-gram with the EVAL side (here the deterministic
+    ``doc_id % mod == 0`` slice, standing in for an external benchmark
+    table). The canonical pretraining hygiene operator (the reference has
+    no text ops; this extends SURVEY §2.9's dedup family to cross-set
+    overlap).
+
+    Physical plan: each batch emits its DISTINCT (doc, gram) rows — gram
+    strings built from Arrow token buffers with one ``take`` per window slot
+    and one ``binary_join_element_wise`` (no per-gram Python) — then ONE
+    exchange keyed on the gram string puts every occurrence of a gram in one
+    partition, where eval membership is an exact Arrow ``is_in`` (string
+    equality; no hash-collision exposure). Per-doc hit counts fold in a tiny
+    final groupby. Scale note: the exchange ships gram STRINGS for exactness;
+    the documented scale path prefilters by a 64-bit gram-hash exchange and
+    re-verifies only colliding buckets (same discipline as MinHash verify).
+    """
+    import pyarrow.compute as pc
+
+    from tsrollup.functions import tokens as tk
+    from tsrollup.shuffle import map_key_partitions
+
+    _PART = pa.schema(
+        [("gram", pa.string()), ("doc_id", pa.int64()),
+         ("source", pa.string()), ("is_eval", pa.int64())]
+    )
+
+    def _grams(t: pa.Table) -> pa.Table:
+        tb = tk.TokenBatch(t.column("text"))
+        gcounts = np.maximum(tb.doc_lens - n + 1, 0)
+        total = int(gcounts.sum())
+        if total == 0:
+            return _PART.empty_table()
+        toks = tb.token_array()
+        gdoc = np.repeat(np.arange(len(tb.doc_lens)), gcounts)
+        offs = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(gcounts[:-1]))), gcounts
+        )
+        gstart = tb.doc_starts[gdoc] + offs
+        cols = [toks.take(pa.array(gstart + j)) for j in range(n)]
+        grams = pc.binary_join_element_wise(*cols, " ")
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        flat = pa.table(
+            {"gram": grams, "doc_id": pa.array(ids[gdoc]),
+             "source": pc.take(t["source"], pa.array(gdoc)),
+             "is_eval": pa.array(((ids[gdoc] % mod) == 0).astype(np.int64))}
+        )
+        # DISTINCT (doc, gram) inside the batch: Arrow group_by (NUL-safe,
+        # exact string keys) — cross-batch duplicates are impossible because
+        # a doc's text lives in one row
+        return flat.group_by(
+            ["gram", "doc_id", "source", "is_eval"]).aggregate([])
+
+    def _hits(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("doc_id", pa.int64()), ("source", pa.string()),
+             ("n_hits", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        eval_grams = t.filter(pc.equal(t["is_eval"], 1))["gram"]
+        train = t.filter(pc.equal(t["is_eval"], 0))
+        if train.num_rows == 0 or len(eval_grams) == 0:
+            return out_schema.empty_table()
+        hit = train.filter(pc.is_in(train["gram"], value_set=eval_grams.combine_chunks().unique()))
+        if hit.num_rows == 0:
+            return out_schema.empty_table()
+        g = hit.group_by(["doc_id", "source"]).aggregate([("gram", "count")])
+        return pa.table(
+            {"doc_id": g["doc_id"], "source": g["source"],
+             "n_hits": g["gram_count"].cast(pa.int64())}
+        )
+
+    def _fold(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("doc_id", pa.int64()), ("source", pa.string()),
+             ("n_hits", pa.int64())]
+        )
+        if t.num_rows == 0:  # empty partitions still pin the output schema
+            return out_schema.empty_table()
+        g = t.group_by(["doc_id", "source"]).aggregate([("n_hits", "sum")])
+        return pa.table(
+            {"doc_id": g["doc_id"], "source": g["source"],
+             "n_hits": g["n_hits_sum"].cast(pa.int64())}
+        )
+
+    rows = _docs(sf_dir, ("doc_id", "source", "text")).map_batches(
+        _grams, batch_format="pyarrow"
+    )
+    partials = map_key_partitions(rows, ["gram"], _hits)
+    return map_key_partitions(partials, ["doc_id"], _fold)
+
+
+_QF_Q = 0.9  # percentile cut; the oracle SQL shares this constant
+
+
+def q_quality_filter(sf_dir: str, q: float = _QF_Q):
+    """Percentile quality gate: keep each source's top-decile documents by
+    alpha-density (exact integer score, parts-per-million). Unlike
+    corpus_pipeline's FIXED threshold, the cutoff is DATA-DERIVED per
+    source — the two-pass broadcast shape: pass 1 folds an exact
+    (source, score) histogram (the mergeable bounded-domain quantile
+    pattern), the per-source discrete quantile cut broadcasts via
+    ``ray.put``, pass 2 re-streams documents and keeps survivors, reporting
+    per-source totals. DuckDB ``quantile_disc`` convention
+    (sorted[ceil(q*n)-1]) on both sides."""
+    import ray
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+    from tsrollup.functions import tokens as tk
+
+    def _score(t: pa.Table) -> np.ndarray:
+        x = tk.as_string_array(t.column("text"))
+        n_chars = pc.utf8_length(x).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_alpha = np.subtract(
+            n_chars,
+            pc.utf8_length(
+                pc.replace_substring_regex(x, pattern="[A-Za-z]", replacement="")
+            ).to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return (n_alpha * 1_000_000) // np.maximum(n_chars, 1)
+
+    def _hist(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"source": t["source"], "score_pm": pa.array(_score(t))}
+        ).group_by(["source", "score_pm"]).aggregate([("score_pm", "count")])
+        return pa.table(
+            {"source": g["source"], "score_pm": g["score_pm"],
+             "n": g["score_pm_count"].cast(pa.int64())}
+        )
+
+    hist = (
+        _docs(sf_dir, ("source", "text"))
+        .map_batches(_hist, batch_format="pyarrow")
+        .groupby(["source", "score_pm"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # sources x distinct scores — tiny by construction
+    )
+    cut: dict[str, tuple[int, int]] = {}
+    for src, g in hist.groupby("source", sort=False):
+        g = g.sort_values("score_pm")
+        cum = g["n"].to_numpy().cumsum()
+        n_docs = int(cum[-1])
+        rank = max(1, int(np.ceil(q * n_docs)))
+        cutoff = int(g["score_pm"].to_numpy()[np.searchsorted(cum, rank)])
+        cut[str(src)] = (cutoff, n_docs)
+    cut_ref = ray.put(cut)
+
+    class KeepStage:
+        def __init__(self, ref):
+            import ray as _r
+
+            self.cut = _r.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            score = _score(t)
+            x = tk.as_string_array(t.column("text"))
+            n_chars = pc.utf8_length(x).to_numpy(zero_copy_only=False).astype(np.int64)
+            src = t["source"].to_numpy(zero_copy_only=False)
+            cutoff = np.fromiter(
+                (self.cut[s][0] for s in src), dtype=np.int64, count=len(src)
+            )
+            keep = score >= cutoff
+            g = pa.table(
+                {"source": pa.array(src[keep]),
+                 "n_chars": pa.array(n_chars[keep]),
+                 "one": pa.array(np.ones(int(keep.sum()), dtype=np.int64))}
+            ).group_by("source").aggregate([("one", "sum"), ("n_chars", "sum")])
+            return pa.table(
+                {"source": g["source"], "n_kept": g["one_sum"],
+                 "chars_kept": g["n_chars_sum"]}
+            )
+
+    kept = (
+        _docs(sf_dir, ("source", "text"))
+        .map_batches(
+            KeepStage, fn_constructor_args=(cut_ref,), batch_format="pyarrow",
+            concurrency=(1, 4), **BROADCAST_ACTOR_ARGS,
+        )
+        .groupby("source")
+        .aggregate(Sum("n_kept", alias_name="n_kept"),
+                   Sum("chars_kept", alias_name="chars_kept"))
+        .to_pandas()
+    )
+    kept["cutoff_pm"] = kept["source"].map(lambda s: cut[s][0]).astype(np.int64)
+    kept["n_docs"] = kept["source"].map(lambda s: cut[s][1]).astype(np.int64)
+    return kept[["source", "cutoff_pm", "n_docs", "n_kept", "chars_kept"]]
+
+
+_MIX_K = 2654435761  # Knuth multiplicative hash; shared with the oracle SQL
+_MIX_MOD = 1 << 32
+
+
+def q_mix_rebalance(sf_dir: str):
+    """Mixture rebalancing: deterministically downsample every source to the
+    size of the SMALLEST source (equal-mix target), the reshuffle-free way —
+    keep a doc iff its multiplicative doc_id hash falls under the source's
+    integer threshold ``(n_min * 2^32) // n_src``. Stable under re-runs,
+    appends and repartitioning (same contract as sample_split); the KMV
+    uint64-wraparound hash is bit-identical to the oracle's HUGEINT replay
+    because 2^32 divides 2^64. Pass 1 is a tiny per-source count fold;
+    pass 2 streams with the broadcast threshold table."""
+    import ray
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _docs(sf_dir, ("source",))
+        .map_batches(
+            lambda t: (lambda g: pa.table(
+                {"source": g["source"],
+                 "n": g["source_count"].cast(pa.int64())}
+            ))(pa.table({"source": t["source"]}).group_by("source").aggregate(
+                [("source", "count")])),
+            batch_format="pyarrow",
+        )
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n_min = int(counts["n"].min())
+    thr = {
+        str(s): (n_min * _MIX_MOD) // int(nn)
+        for s, nn in zip(counts["source"], counts["n"])
+    }
+    thr_ref = ray.put(thr)
+
+    class MixStage:
+        def __init__(self, ref):
+            import ray as _r
+
+            self.thr = _r.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            if len(ids) and ids.min() < 0:
+                raise ValueError("mix_rebalance requires non-negative doc_id")
+            with np.errstate(over="ignore"):
+                h = (ids.astype(np.uint64) * np.uint64(_MIX_K)) % np.uint64(_MIX_MOD)
+            src = t["source"].to_numpy(zero_copy_only=False)
+            lim = np.fromiter(
+                (self.thr[s] for s in src), dtype=np.uint64, count=len(src)
+            )
+            keep = (h < lim).astype(np.int64)
+            g = pa.table(
+                {"source": t["source"], "kept": pa.array(keep)}
+            ).group_by("source").aggregate([("kept", "sum")])
+            return pa.table(
+                {"source": g["source"], "n_kept": g["kept_sum"].cast(pa.int64())}
+            )
+
+    kept = (
+        _docs(sf_dir, ("doc_id", "source"))
+        .map_batches(
+            MixStage, fn_constructor_args=(thr_ref,), batch_format="pyarrow",
+            concurrency=(1, 4), **BROADCAST_ACTOR_ARGS,
+        )
+        .groupby("source")
+        .aggregate(Sum("n_kept", alias_name="n_kept"))
+        .to_pandas()
+    )
+    kept["n_docs"] = kept["source"].map(
+        dict(zip(counts["source"].astype(str), counts["n"].astype(int)))
+    ).astype(np.int64)
+    kept["thr"] = kept["source"].map(thr).astype(np.int64)
+    return kept[["source", "n_docs", "thr", "n_kept"]]
+
+
 DOC_QUERIES = {
     "token_count": q_token_count,
     "token_count_by_source": q_token_count_by_source,
@@ -1914,4 +2193,57 @@ DOC_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "corpus_pipeline": q_corpus_pipeline,
     "tfidf_topk": q_tfidf_topk,
+    "decontaminate": q_decontaminate,
+    "quality_filter": q_quality_filter,
+    "mix_rebalance": q_mix_rebalance,
 }
+
+DOC_ORACLE_SQL["decontaminate"] = f"""
+    WITH toks AS (SELECT doc_id, source,
+                         regexp_extract_all(coalesce(text, ''), '\\S+') AS t
+                  FROM documents),
+    pos AS (SELECT doc_id, source, t,
+                   unnest(range(1, len(t) - {_DECON_N - 2})) AS i
+            FROM toks),
+    g AS (SELECT DISTINCT doc_id, source,
+                 array_to_string(t[i:i+{_DECON_N - 1}], ' ') AS gram
+          FROM pos),
+    e AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_MOD} = 0)
+    SELECT g.doc_id, g.source, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM g JOIN e USING (gram)
+    WHERE g.doc_id % {_DECON_MOD} <> 0
+    GROUP BY 1, 2 ORDER BY 1
+"""
+
+DOC_ORACLE_SQL["quality_filter"] = f"""
+    WITH s AS (SELECT source, length(coalesce(text, '')) AS n_chars,
+                      (CAST(length(coalesce(text, ''))
+                            - length(regexp_replace(coalesce(text, ''),
+                                                    '[A-Za-z]', '', 'g')) AS BIGINT)
+                       * 1000000)
+                      // GREATEST(length(coalesce(text, '')), 1) AS score_pm
+               FROM documents),
+    c AS (SELECT source, quantile_disc(score_pm, {_QF_Q}) AS cutoff_pm,
+                 COUNT(*) AS n_docs
+          FROM s GROUP BY 1)
+    SELECT s.source, CAST(c.cutoff_pm AS BIGINT) AS cutoff_pm,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(s.n_chars) AS BIGINT) AS chars_kept
+    FROM s JOIN c USING (source)
+    WHERE s.score_pm >= c.cutoff_pm
+    GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+DOC_ORACLE_SQL["mix_rebalance"] = f"""
+    WITH n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    m AS (SELECT MIN(n) AS n_min FROM n),
+    t AS (SELECT source, n, (n_min * {_MIX_MOD}) // n AS thr FROM n, m),
+    k AS (SELECT d.source, COUNT(*) AS n_kept
+          FROM documents d JOIN t USING (source)
+          WHERE (CAST(d.doc_id AS HUGEINT) * {_MIX_K}) % {_MIX_MOD} < t.thr
+          GROUP BY 1)
+    SELECT t.source, CAST(t.n AS BIGINT) AS n_docs, CAST(t.thr AS BIGINT) AS thr,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM t LEFT JOIN k USING (source) ORDER BY 1
+"""
