@@ -2671,7 +2671,6 @@ def q_mode_1m(sf_dir: str):
     Partials are (source, cents) -> count rows off each rolled block (Arrow's
     NUL-safe C hash table); the per-source argmax runs over the merged count
     rows — the exchange never moves bucket rows, only distinct-value counts."""
-    from ray.data.aggregate import Sum
 
     def _cnt(t: pa.Table) -> pa.Table:
         g = pa.table(
@@ -2682,29 +2681,37 @@ def q_mode_1m(sf_dir: str):
              "n": g["cents_count"].cast(pa.int64())}
         )
 
-    counts = (
-        _rolled_events(sf_dir)
-        .map_batches(_cnt, batch_format="pyarrow")
-        .groupby(["source", "cents"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    def _fold(t: pa.Table) -> pa.Table:
+        """Merge the per-block counts and pick each source's mode in ONE
+        vectorized pass — a single keyed exchange end to end (no separate
+        groupby round trip)."""
+        from tsrollup.hashing import safe_factorize
 
-    def _mode(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"source": pd.Series(dtype=object),
-                 "mode_cents": pd.Series(dtype=np.int64),
-                 "n_buckets": pd.Series(dtype=np.int64)}
-            )
-        vals = df["cents"].to_numpy().astype(np.int64)
-        ns = df["n"].to_numpy().astype(np.int64)
-        i = np.lexsort((vals, -ns))[0]
-        return pd.DataFrame(
-            {"source": [df["source"].iloc[0]], "mode_cents": [vals[i]],
-             "n_buckets": [ns[i]]}
+        out_schema = pa.schema(
+            [("source", pa.string()), ("mode_cents", pa.int64()),
+             ("n_buckets", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        g = t.group_by(["source", "cents"]).aggregate([("n", "sum")])
+        codes, uniq = safe_factorize(
+            np.asarray(g["source"].to_numpy(zero_copy_only=False), dtype=object)
+        )
+        vals = g["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((vals, -ns, codes))
+        c_o = codes[order]
+        first = np.ones(len(c_o), dtype=bool)
+        first[1:] = c_o[1:] != c_o[:-1]
+        pick = order[first]
+        return pa.table(
+            {"source": pa.array(uniq[codes[pick]], pa.string()),
+             "mode_cents": pa.array(vals[pick]),
+             "n_buckets": pa.array(ns[pick])}
         )
 
-    return map_key_groups(counts, ["source"], _mode, batch_format="pandas")
+    counts = _rolled_events(sf_dir).map_batches(_cnt, batch_format="pyarrow")
+    return map_key_partitions(counts, ["source"], _fold)
 
 
 # ---------------------------------------------------------------------------
