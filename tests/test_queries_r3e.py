@@ -170,6 +170,47 @@ def test_mode_tie_prefers_smaller_value(ray_session, r3e_events_dir):
     assert int(out.loc["signup", "n_buckets"]) == 2
 
 
+@pytest.fixture(scope="module")
+def planner_events_dir(tmp_path_factory):
+    """One source per planner branch: 'a' fits at 1m, 'b' overflows 1m but
+    fits at 1h, 'c' overflows EVERY tier (1500 sparse days) and must be
+    uniform-cut to the budget."""
+    from tsrollup.pipelines.queries import _AR_BUDGET
+
+    d = tmp_path_factory.mktemp("planner_events")
+    rows = []
+    for i in range(10):                        # 'a': 10 one-minute buckets
+        rows.append(("a", BASE_US + i * MIN_US, float(i)))
+    for i in range(_AR_BUDGET + 100):          # 'b': consecutive minutes
+        rows.append(("b", BASE_US + i * MIN_US, 1.0))
+    for i in range(_AR_BUDGET + 800):          # 'c': one bucket per day
+        rows.append(("c", BASE_US + i * DAY_US, 2.0))
+    t = pa.table(
+        {"event_id": pa.array(np.arange(len(rows)), pa.int64()),
+         "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+         "user_id": pa.array(np.zeros(len(rows)), pa.int64()),
+         "event_type": pa.array([r[0] for r in rows]),
+         "value": pa.array([r[2] for r in rows], pa.float64())}
+    )
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_auto_resolution_branches_and_oracle(ray_session, planner_events_dir):
+    from tsrollup.pipelines.queries import _AR_BUDGET
+
+    out = QUERIES["auto_resolution"](planner_events_dir).to_pandas()
+    ora = _oracle("auto_resolution", planner_events_dir)
+    pd.testing.assert_frame_equal(_canon(out), _canon(ora), check_dtype=False)
+    tiers = out.groupby("source")["tier"].agg(["min", "max", "size"])
+    assert (tiers["min"] == tiers["max"]).all()  # one tier per source
+    assert tiers.loc["a", "min"] == "1m" and tiers.loc["a", "size"] == 10
+    assert tiers.loc["b", "min"] == "1h"
+    assert tiers.loc["c", "min"] == "1d"
+    assert tiers.loc["c", "size"] == _AR_BUDGET  # overflow -> uniform cut
+    assert (out.groupby("source").size() <= _AR_BUDGET).all()
+
+
 def test_rollup_grouping_levels_are_consistent(ray_session, r3e_events_dir):
     out = QUERIES["rollup_grouping"](r3e_events_dir).to_pandas()
     lvl0 = out[out["lvl"] == 0]

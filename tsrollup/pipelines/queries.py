@@ -2760,6 +2760,62 @@ def q_rollup_grouping(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# auto-resolution planner: serve each source from the finest tier that fits
+# ---------------------------------------------------------------------------
+
+_AR_BUDGET = 700  # points per source; the oracle SQL shares this constant
+
+
+def q_auto_resolution(sf_dir: str, budget: int = _AR_BUDGET):
+    """Resolution auto-selection — the query-planner face of the retention
+    tiers (what a Grafana/M3-style dashboard range query does): per source,
+    serve the FINEST tier (1m -> 1h -> 1d) whose point count fits ``budget``,
+    uniform-cutting the coarsest tier if even 1d overflows. The coarser
+    tiers derive LOCALLY inside the per-source group from the 1m rows (a
+    source's rolled series is small by construction), so the whole planner
+    is one scan + one keyed exchange — no per-tier rescan."""
+
+    def _coarsen(bucket: np.ndarray, cents: np.ndarray, f: int):
+        cb = bucket // f
+        first = np.ones(len(cb), dtype=bool)
+        first[1:] = cb[1:] != cb[:-1]
+        starts = np.flatnonzero(first)
+        return cb[starts], np.add.reduceat(cents, starts)
+
+    def _resolve(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object),
+                 "tier": pd.Series(dtype=object),
+                 "bucket": pd.Series(dtype=np.int64),
+                 "sum_cents": pd.Series(dtype=np.int64)}
+            )
+        df = df.sort_values("bucket")
+        bucket = df["bucket"].to_numpy().astype(np.int64)
+        cents = df["sum_tok"].to_numpy().astype(np.int64)
+        if len(bucket) <= budget:
+            tier = "1m"
+        else:
+            hb, hc = _coarsen(bucket, cents, 60)
+            if len(hb) <= budget:
+                tier, bucket, cents = "1h", hb, hc
+            else:
+                tier, (bucket, cents) = "1d", _coarsen(bucket, cents, 1440)
+        n = len(bucket)
+        step = max(1, n // budget)
+        idx = np.arange(0, n, step)[:budget]
+        return pd.DataFrame(
+            {"source": np.repeat(df["source"].iloc[0], len(idx)),
+             "tier": np.repeat(tier, len(idx)),
+             "bucket": bucket[idx], "sum_cents": cents[idx]}
+        )
+
+    return map_key_groups(
+        _rolled_events(sf_dir), ["source"], _resolve, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
 # ORACLE SQL (DuckDB) — keyed identically to QUERIES
 # ---------------------------------------------------------------------------
 
@@ -3302,6 +3358,37 @@ ORACLE_SQL["sax_1m"] = f"""
     FROM p ORDER BY 1, 2
 """
 
+ORACLE_SQL["auto_resolution"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    n AS (SELECT source, COUNT(*) AS n1m,
+                 COUNT(DISTINCT bucket // 60) AS n1h
+          FROM r GROUP BY 1),
+    pick AS (SELECT source,
+                    CASE WHEN n1m <= {_AR_BUDGET} THEN '1m'
+                         WHEN n1h <= {_AR_BUDGET} THEN '1h'
+                         ELSE '1d' END AS tier
+             FROM n),
+    m1 AS (SELECT source, '1m' AS tier, bucket,
+                  sum_cents FROM r),
+    h1 AS (SELECT source, '1h' AS tier, bucket // 60 AS bucket,
+                  CAST(SUM(sum_cents) AS BIGINT) AS sum_cents
+           FROM r GROUP BY 1, 3),
+    d1 AS (SELECT source, '1d' AS tier, bucket // 1440 AS bucket,
+                  CAST(SUM(sum_cents) AS BIGINT) AS sum_cents
+           FROM r GROUP BY 1, 3),
+    u AS (SELECT m1.* FROM m1 JOIN pick USING (source, tier)
+          UNION ALL SELECT h1.* FROM h1 JOIN pick USING (source, tier)
+          UNION ALL SELECT d1.* FROM d1 JOIN pick USING (source, tier)),
+    o AS (SELECT source, tier, bucket, sum_cents,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY bucket) - 1 AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS nn
+          FROM u)
+    SELECT source, tier, bucket, sum_cents FROM o
+    WHERE rn % GREATEST(nn // {_AR_BUDGET}, 1) = 0
+      AND rn // GREATEST(nn // {_AR_BUDGET}, 1) < {_AR_BUDGET}
+    ORDER BY 1, 3
+"""
+
 ORACLE_SQL["ohlc_1m"] = """
     WITH e AS (SELECT event_type AS source,
                       epoch_ms(ts) // 60000 AS bucket,
@@ -3414,6 +3501,7 @@ QUERIES = {
     "ntile_days": q_ntile_days,
     "mode_1m": q_mode_1m,
     "rollup_grouping": q_rollup_grouping,
+    "auto_resolution": q_auto_resolution,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
