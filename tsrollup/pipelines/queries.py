@@ -2760,6 +2760,132 @@ def q_rollup_grouping(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# M4 downsampling / CUSUM changepoint / OLS trend
+# ---------------------------------------------------------------------------
+
+_M4_WINDOW = 10  # the oracle SQL shares this constant
+
+
+def q_downsample_m4(sf_dir: str, window: int = _M4_WINDOW):
+    """M4 downsampling (Jugel et al., VLDB 2014): per rank-window of each
+    source's 1m series keep the DISTINCT union of first, last, min and max
+    points — the pixel-exact line-chart reduction. Completes the downsample
+    family (B1/B2/B6 + LTTB/PIP/wavelet) with the canonical visualization
+    operator; min/max ties resolve to the earliest bucket, matching the
+    oracle's window ORDER BY. Window argmin/argmax/first/last are THREE
+    lexsorts over the whole group — no per-window Python loop."""
+
+    def _m4(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "bucket": pa.array([], pa.int64()),
+                 "sum_cents": pa.array([], pa.int64())}
+            )
+        order = pc.sort_indices(t["bucket"])
+        buckets = t["bucket"].take(order).to_numpy(zero_copy_only=False)
+        vals = t["sum_tok"].take(order).to_numpy(zero_copy_only=False)
+        n = len(buckets)
+        win = np.arange(n) // window
+        starts = np.flatnonzero(np.concatenate(([True], win[1:] != win[:-1])))
+        ends = np.concatenate((starts[1:], [n])) - 1
+        pos = np.arange(n)
+        lo = np.lexsort((pos, vals, win))   # per-window argmin, tie earliest
+        hi = np.lexsort((pos, -vals, win))  # per-window argmax, tie earliest
+        idx = np.unique(np.concatenate(
+            (starts, ends, lo[starts], hi[starts])
+        ))
+        return pa.table(
+            {"source": pa.array([t["source"][0].as_py()] * len(idx)),
+             "bucket": pa.array(buckets[idx]),
+             "sum_cents": pa.array(vals[idx])}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _m4)
+
+
+def q_cusum(sf_dir: str):
+    """CUSUM changepoint (Page's cumulative-sum statistic): the 1m bucket
+    where each source's cumulative deviation from its own mean peaks.
+    Exactness: the statistic is computed SCALED BY n — S'_k = n*prefix_k -
+    k*total — so both sides compare exact integers and the argmax (tie ->
+    earliest bucket) is deterministic; Python ints on the per-source
+    reduction make the products overflow-free at any scale (the oracle uses
+    HUGEINT)."""
+
+    def _cusum(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "cp_bucket": pd.Series(dtype=np.int64),
+             "k": pd.Series(dtype=np.int64),
+             "s_abs": pd.Series(dtype=np.float64),
+             "n": pd.Series(dtype=np.int64)}
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values("bucket")
+        x = df["sum_tok"].to_numpy().astype(np.int64)
+        n = len(x)
+        total = int(x.sum())
+        if 0 <= n * total < 2**62:  # |n*pre - k*tot| <= n*tot: int64-safe
+            s = np.abs(n * np.cumsum(x) - np.arange(1, n + 1) * total)
+            best_i = int(np.argmax(s))  # first occurrence == earliest bucket
+            best_s = int(s[best_i])
+        else:  # exact big-int fallback (negative or huge totals)
+            best_s, best_i, pre = -1, 0, 0
+            for i, v in enumerate(x.tolist()):
+                pre += v
+                sv = abs(n * pre - (i + 1) * total)
+                if sv > best_s:
+                    best_s, best_i = sv, i
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]],
+             "cp_bucket": [int(df["bucket"].iloc[best_i])],
+             "k": [best_i + 1], "s_abs": [float(best_s)], "n": [n]}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _cusum,
+                          batch_format="pandas")
+
+
+def q_trend_ols(sf_dir: str):
+    """Per-source OLS trend of the 1m series (slope in cents per minute,
+    intercept at the source's first bucket): closed-form least squares from
+    exact integer sums over x = bucket - min_bucket (shift-invariant), the
+    acf/corr float discipline — Python-int products (oracle: HUGEINT), ONE
+    float division per coefficient, rounded 6dp on both sides."""
+
+    def _ols(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object), "n": pd.Series(dtype=np.int64),
+             "slope": pd.Series(dtype=np.float64),
+             "intercept": pd.Series(dtype=np.float64)}
+        )
+        if len(df) < 2:
+            return empty
+        df = df.sort_values("bucket")
+        b = df["bucket"].to_numpy().astype(np.int64)
+        xv = b - b[0]
+        yv = df["sum_tok"].to_numpy().astype(np.int64)
+        n = len(xv)
+        sx, sy = int(xv.sum()), int(yv.sum())
+        sxy = int((xv.astype(object) * yv.astype(object)).sum())
+        sxx = int((xv.astype(object) ** 2).sum())
+        den = n * sxx - sx * sx
+        if den == 0:
+            return empty
+        slope = float(n * sxy - sx * sy) / float(den)
+        intercept = (sy - slope * sx) / n
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]], "n": [n],
+             "slope": [round(slope, 6)], "intercept": [round(intercept, 6)]}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _ols,
+                          batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # auto-resolution planner: serve each source from the finest tier that fits
 # ---------------------------------------------------------------------------
 
@@ -3441,6 +3567,72 @@ ORACLE_SQL["mode_1m"] = f"""
     ORDER BY 1
 """
 
+# M4: window = contiguous rank-decile of each source's bucket-sorted series;
+# keep the distinct union of {first, last, argmin, argmax} per window, value
+# ties resolving to the earliest bucket on both sides (rn ASC tie-break)
+ORACLE_SQL["downsample_m4"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    o AS (SELECT source, bucket, sum_cents,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY bucket) - 1 AS rn
+          FROM r),
+    w AS (SELECT source, bucket, sum_cents, rn, rn // {_M4_WINDOW} AS win FROM o),
+    k AS (SELECT source, bucket, sum_cents,
+                 ROW_NUMBER() OVER (PARTITION BY source, win ORDER BY rn) AS r_first,
+                 ROW_NUMBER() OVER (PARTITION BY source, win ORDER BY rn DESC) AS r_last,
+                 ROW_NUMBER() OVER (PARTITION BY source, win ORDER BY sum_cents ASC, rn) AS r_min,
+                 ROW_NUMBER() OVER (PARTITION BY source, win ORDER BY sum_cents DESC, rn) AS r_max
+          FROM w)
+    SELECT source, bucket, sum_cents FROM k
+    WHERE r_first = 1 OR r_last = 1 OR r_min = 1 OR r_max = 1
+    ORDER BY 1, 2
+"""
+
+# CUSUM: statistic scaled by n (S'_k = n*pre_k - k*tot) so both sides compare
+# exact integers (HUGEINT here, Python int in the engine); argmax tie -> the
+# earliest bucket; the double cast of the exact integer rounds identically
+ORACLE_SQL["cusum"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    o AS (SELECT source, bucket,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY bucket) AS k,
+                 SUM(CAST(sum_cents AS HUGEINT)) OVER (
+                     PARTITION BY source ORDER BY bucket) AS pre,
+                 SUM(CAST(sum_cents AS HUGEINT)) OVER (PARTITION BY source) AS tot,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM r),
+    s AS (SELECT source, bucket, k, n, ABS(n * pre - k * tot) AS sv FROM o)
+    SELECT source, bucket AS cp_bucket, CAST(k AS BIGINT) AS k,
+           CAST(sv AS DOUBLE) AS s_abs, CAST(n AS BIGINT) AS n
+    FROM s
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY sv DESC, k ASC) = 1
+    ORDER BY 1
+"""
+
+# OLS: closed-form coefficients from exact HUGEINT sums over x = bucket -
+# min(bucket); the engine evaluates the SAME float expression (one double
+# division per coefficient) from the same exact integers, then both round 6dp
+ORACLE_SQL["trend_ols"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    b AS (SELECT source,
+                 bucket - MIN(bucket) OVER (PARTITION BY source) AS x,
+                 sum_cents AS y
+          FROM r),
+    s AS (SELECT source, COUNT(*) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx
+          FROM b GROUP BY 1)
+    SELECT source, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / n, 6) AS intercept
+    FROM s
+    WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    ORDER BY 1
+"""
+
 ORACLE_SQL["rollup_grouping"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     d AS (SELECT source, bucket // 1440 AS day,
@@ -3502,6 +3694,9 @@ QUERIES = {
     "mode_1m": q_mode_1m,
     "rollup_grouping": q_rollup_grouping,
     "auto_resolution": q_auto_resolution,
+    "downsample_m4": q_downsample_m4,
+    "cusum": q_cusum,
+    "trend_ols": q_trend_ols,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
