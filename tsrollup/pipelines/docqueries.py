@@ -1329,6 +1329,142 @@ def q_repetition_filter(sf_dir: str, threshold: float = _REP_THRESHOLD):
     return _docs(sf_dir, ("doc_id", "text")).map_batches(_rep, batch_format="pyarrow")
 
 
+_LINE_FLAG_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("side", pa.int32()),
+     ("text", pa.string()), ("idx", pa.int64())]
+)
+
+
+def q_line_dedup(sf_dir: str):
+    """CORPUS-level exact line dedup with document reassembly (the C4 recipe:
+    Raffel et al. 2020 drop every repeated line corpus-wide, keeping one
+    occurrence). Winner per distinct line = the minimal (doc_id, idx)
+    occurrence; each document is rebuilt from its surviving lines in order.
+
+    Two linear keyed exchanges, no driver materialization:
+      1. explode docs into (line_hash, line, doc_id, idx) rows — ONE
+         ``split_pattern`` call, lines hashed straight from the flat utf8
+         child; exchange on line_hash; per partition one Arrow sort_by
+         (h, line, doc_id, idx) + run-boundary mask picks winners — the
+         string comparison guards hash collisions (dedup_exact contract).
+      2. winners return as 17-byte (doc_id, idx) FLAG rows — not line text —
+         unioned with the original docs in one doc_id-keyed exchange; per
+         partition the doc re-splits, inner-merges flags, and
+         ``pc.binary_join`` stitches kept lines back with newline.
+    Unlike ``repetition_filter`` (within-doc), duplicates here are global:
+    the bytes crossing exchange 2 are flags + each doc once, so exchange
+    volume stays ~1x corpus even when duplication is rampant."""
+    import pyarrow.compute as pc
+
+    from tsrollup.functions.tokens import as_string_array
+    from tsrollup.hashing import _FNV_BASIS, _utf8_buffer, fnv1a64_update
+    from tsrollup.shuffle import map_key_partitions
+
+    def _explode(t: pa.Table) -> pa.Table:
+        sp = pc.split_pattern(as_string_array(t.column("text")), pattern="\n")
+        lens = pc.list_value_length(sp).to_numpy().astype(np.int64)
+        child = sp.flatten()
+        buf, starts, lengths = _utf8_buffer(child)
+        basis = np.full(len(starts), _FNV_BASIS, dtype=np.uint64)
+        h = fnv1a64_update(basis, buf, starts, lengths)
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        total = int(lens.sum())
+        # 1-based position within each doc (shared convention with the oracle)
+        offs = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        idx = np.arange(total, dtype=np.int64) - np.repeat(offs, lens) + 1
+        return pa.table(
+            {"h": pa.array(h.view(np.int64)), "line": child,
+             "doc_id": pa.array(np.repeat(doc_ids, lens)), "idx": pa.array(idx)}
+        )
+
+    def _winners(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _LINE_FLAG_SCHEMA.empty_table()
+        t = t.sort_by(
+            [("h", "ascending"), ("line", "ascending"),
+             ("doc_id", "ascending"), ("idx", "ascending")]
+        )
+        n = t.num_rows
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            h = t.column("h").to_numpy(zero_copy_only=False)
+            line = t.column("line").combine_chunks()
+            same_line = pc.equal(line.slice(1), line.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            first[1:] = (h[1:] != h[:-1]) | ~same_line
+        w = t.filter(pa.array(first))
+        return pa.table(
+            {"doc_id": w.column("doc_id"),
+             "side": pa.array(np.ones(w.num_rows, np.int32)),
+             "text": pa.array([None] * w.num_rows, pa.string()),
+             "idx": w.column("idx")}
+        )
+
+    lines = _docs(sf_dir, ("doc_id", "text")).map_batches(_explode, batch_format="pyarrow")
+    flags = map_key_partitions(lines, ["h"], _winners)
+
+    def _doc_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("doc_id").cast(pa.int64()),
+             "side": pa.array(np.zeros(t.num_rows, np.int32)),
+             "text": as_string_array(t.column("text")),
+             "idx": pa.array(np.full(t.num_rows, -1, np.int64))}
+        )
+
+    docs = _docs(sf_dir, ("doc_id", "text")).map_batches(_doc_side, batch_format="pyarrow")
+
+    def _reassemble(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "n_lines": pa.array([], pa.int64()),
+             "n_kept": pa.array([], pa.int64()),
+             "text_dedup": pa.array([], pa.string())}
+        )
+        if t.num_rows == 0:
+            return empty
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        d = t.filter(pa.array(side == 0)).sort_by("doc_id")
+        if d.num_rows == 0:
+            return empty
+        f = t.filter(pa.array(side == 1))
+        sp = pc.split_pattern(d.column("text").combine_chunks(), pattern="\n")
+        lens = pc.list_value_length(sp).to_numpy().astype(np.int64)
+        child = sp.flatten()
+        doc_ids = d.column("doc_id").to_numpy(zero_copy_only=False)
+        total = int(lens.sum())
+        offs = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        idx = np.arange(total, dtype=np.int64) - np.repeat(offs, lens) + 1
+        left = pd.DataFrame(
+            {"doc_id": np.repeat(doc_ids, lens), "idx": idx,
+             "pos": np.arange(total, dtype=np.int64)}
+        )
+        kept_pairs = pd.DataFrame(
+            {"doc_id": f.column("doc_id").to_numpy(zero_copy_only=False),
+             "idx": f.column("idx").to_numpy(zero_copy_only=False)}
+        )
+        hit = left.merge(kept_pairs, on=["doc_id", "idx"], how="inner")
+        mask = np.zeros(total, dtype=bool)
+        mask[hit["pos"].to_numpy()] = True
+        doc_pos = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        n_kept = np.bincount(doc_pos[mask], minlength=len(lens)).astype(np.int64)
+        # child is doc-major / idx-ascending, so a mask filter preserves
+        # exactly the per-doc line order the join needs
+        kept_lines = child.filter(pa.array(mask))
+        k_offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(n_kept, out=k_offs[1:])
+        la = pa.ListArray.from_arrays(pa.array(k_offs.astype(np.int32)), kept_lines)
+        return pa.table(
+            {"doc_id": d.column("doc_id"),
+             "n_lines": pa.array(lens),
+             "n_kept": pa.array(n_kept),
+             "text_dedup": pc.binary_join(la, "\n")}
+        )
+
+    return map_key_partitions(docs.union(flags), ["doc_id"], _reassemble)
+
+
 _SEQ_LEN = 512  # training-sequence length; the oracle SQL shares this constant
 
 
@@ -2196,6 +2332,7 @@ DOC_QUERIES = {
     "decontaminate": q_decontaminate,
     "quality_filter": q_quality_filter,
     "mix_rebalance": q_mix_rebalance,
+    "line_dedup": q_line_dedup,
 }
 
 DOC_ORACLE_SQL["decontaminate"] = f"""
@@ -2246,4 +2383,26 @@ DOC_ORACLE_SQL["mix_rebalance"] = f"""
     SELECT t.source, CAST(t.n AS BIGINT) AS n_docs, CAST(t.thr AS BIGINT) AS thr,
            CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
     FROM t LEFT JOIN k USING (source) ORDER BY 1
+"""
+
+# corpus-level line dedup: the engine's winner rule (min (doc_id, idx) per
+# distinct line string) is exactly ROW_NUMBER() = 1 below; Arrow
+# split_pattern(text, '\n') == DuckDB string_split(text, chr(10)) including
+# the ['']-for-empty edge, and nulls are '' on both sides
+DOC_ORACLE_SQL["line_dedup"] = """
+    WITH d AS (SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS lines
+               FROM documents),
+    l0 AS (SELECT doc_id, lines,
+                  unnest(generate_series(1, len(lines))) AS idx
+           FROM d),
+    l AS (SELECT doc_id, idx, lines[idx] AS line FROM l0),
+    k AS (SELECT doc_id, idx, line,
+                 ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+          FROM l)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY idx),
+                    '') AS text_dedup
+    FROM k GROUP BY doc_id ORDER BY doc_id
 """
