@@ -2885,6 +2885,80 @@ def q_trend_ols(sf_dir: str):
                           batch_format="pandas")
 
 
+_RMED_W = 7  # trailing rolling-median window; the oracle SQL shares this
+
+
+def q_rolling_median(sf_dir: str, window: int = _RMED_W):
+    """Per-source trailing rolling median over the 1m series (robust smoother
+    — the windowed sibling of ``outlier_mad``). Integer inputs make every
+    median an exact binary double (x.0 or x.5) on both sides. Full windows
+    are ONE vectorized ``sliding_window_view`` median; only the first
+    ``window-1`` warm-up positions per source are computed individually."""
+
+    def _rm(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()), "bucket": pa.array([], pa.int64()),
+             "med": pa.array([], pa.float64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        order = pc.sort_indices(t["bucket"])
+        buckets = t["bucket"].take(order).to_numpy(zero_copy_only=False)
+        x = t["sum_tok"].take(order).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(x)
+        med = np.empty(n, dtype=np.float64)
+        warm = min(window - 1, n)
+        for i in range(warm):
+            med[i] = np.median(x[: i + 1])
+        if n >= window:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            med[window - 1:] = np.median(sliding_window_view(x, window), axis=1)
+        return pa.table(
+            {"source": pa.array([t["source"][0].as_py()] * n),
+             "bucket": pa.array(buckets), "med": pa.array(med)}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _rm)
+
+
+_WINS_LO, _WINS_HI = 0.05, 0.95  # winsorize percentiles; shared with the SQL
+
+
+def q_winsorize_1m(sf_dir: str, lo_q: float = _WINS_LO, hi_q: float = _WINS_HI):
+    """Per-source winsorization: clamp each 1m value to that source's
+    [p05, p95] (``quantile_disc`` convention, sorted[ceil(q*n)-1] — the
+    ``quantiles_1d`` contract). Outlier-robust normalization before model
+    ingestion; the group is one sort + two index reads + one clip.
+    Partitioning assumption: one source's rolled 1m series fits a partition
+    (bounded by time range, not corpus size); the unbounded-series scale
+    path is the mergeable bounded-domain histogram used by ``quantiles``."""
+    import math
+
+    def _w(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()), "bucket": pa.array([], pa.int64()),
+             "cents_w": pa.array([], pa.int64()), "lo": pa.array([], pa.int64()),
+             "hi": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        x = t["sum_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.sort(x)
+        n = len(s)
+        lo = int(s[max(math.ceil(lo_q * n) - 1, 0)])
+        hi = int(s[max(math.ceil(hi_q * n) - 1, 0)])
+        return pa.table(
+            {"source": pa.array([t["source"][0].as_py()] * n),
+             "bucket": t["bucket"],
+             "cents_w": pa.array(np.clip(x, lo, hi)),
+             "lo": pa.array(np.full(n, lo, np.int64)),
+             "hi": pa.array(np.full(n, hi, np.int64))}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _w)
+
+
 # ---------------------------------------------------------------------------
 # auto-resolution planner: serve each source from the finest tier that fits
 # ---------------------------------------------------------------------------
@@ -3633,6 +3707,26 @@ ORACLE_SQL["trend_ols"] = f"""
     ORDER BY 1
 """
 
+ORACLE_SQL["rolling_median"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY})
+    SELECT source, bucket,
+           median(sum_cents) OVER (
+               PARTITION BY source ORDER BY bucket
+               ROWS BETWEEN {_RMED_W - 1} PRECEDING AND CURRENT ROW) AS med
+    FROM r ORDER BY 1, 2
+"""
+
+ORACLE_SQL["winsorize_1m"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    q AS (SELECT source,
+                 CAST(quantile_disc(sum_cents, {_WINS_LO}) AS BIGINT) AS lo,
+                 CAST(quantile_disc(sum_cents, {_WINS_HI}) AS BIGINT) AS hi
+          FROM r GROUP BY 1)
+    SELECT r.source, r.bucket,
+           LEAST(GREATEST(r.sum_cents, q.lo), q.hi) AS cents_w, q.lo, q.hi
+    FROM r JOIN q USING (source) ORDER BY 1, 2
+"""
+
 ORACLE_SQL["rollup_grouping"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     d AS (SELECT source, bucket // 1440 AS day,
@@ -3697,6 +3791,8 @@ QUERIES = {
     "downsample_m4": q_downsample_m4,
     "cusum": q_cusum,
     "trend_ols": q_trend_ols,
+    "rolling_median": q_rolling_median,
+    "winsorize_1m": q_winsorize_1m,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
