@@ -1465,6 +1465,116 @@ def q_line_dedup(sf_dir: str):
     return map_key_partitions(docs.union(flags), ["doc_id"], _reassemble)
 
 
+def q_vocab_overlap(sf_dir: str):
+    """Pairwise SOURCE-vocabulary overlap: |A∩B|, |A|, |B| and exact Jaccard
+    (ppm floor) over each source pair's distinct whitespace-token sets — the
+    corpus-mixture diagnostic (how much does `web` share with `books`?).
+
+    Shape: per-batch distinct (source, token) rows -> ONE token-keyed
+    exchange -> per partition a sort + adjacent-dedup, then every token run
+    emits its source pairs VECTORIZED (repeat/arange construction, no
+    per-token Python; a token appearing in s sources emits C(s,2) pair rows,
+    bounded by the source-domain size, not the corpus). Pair/source partial
+    counts fold through one tiny groupby; the final Jaccard join runs on the
+    driver over at most |sources|^2 rows. Tokens travel as strings (exact
+    contract with the SQL oracle — no hash-collision caveat)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from tsrollup.shuffle import map_key_partitions
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        from tsrollup.functions import tokens as tk
+
+        sp = tk.split_whitespace(t.column("text"))
+        lens = sp.value_lengths().fill_null(0).to_numpy(zero_copy_only=False)
+        toks = sp.flatten()
+        idx = pa.array(np.repeat(np.arange(t.num_rows), lens))
+        keep = pc.greater(pc.binary_length(toks), 0)
+        flat = pa.table({"source": pc.take(t["source"], idx), "token": toks}).filter(keep)
+        return flat.group_by(["source", "token"]).aggregate([])
+
+    _PART_SCHEMA = pa.schema(
+        [("kind", pa.int32()), ("src_a", pa.string()),
+         ("src_b", pa.string()), ("n", pa.int64())]
+    )
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART_SCHEMA.empty_table()
+        t = t.sort_by([("token", "ascending"), ("source", "ascending")])
+        n = t.num_rows
+        tok = t.column("token").combine_chunks()
+        src = t.column("source").combine_chunks()
+        same_tok = np.zeros(n, dtype=bool)
+        dup = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_tok[1:] = pc.equal(tok.slice(1), tok.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            dup[1:] = same_tok[1:] & pc.equal(
+                src.slice(1), src.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        keep = ~dup  # cross-block duplicate (source, token) rows
+        t = t.filter(pa.array(keep))
+        tok, src = t.column("token").combine_chunks(), t.column("source").combine_chunks()
+        n = t.num_rows
+        new_run = np.ones(n, dtype=bool)
+        if n > 1:
+            new_run[1:] = ~pc.equal(tok.slice(1), tok.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        pos = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new_run, pos, 0))
+        within = pos - run_start  # 0-based rank inside the token's run
+        total = int(within.sum())
+        # element p pairs (as the LATER side) with run_start[p]..p-1
+        b_idx = np.repeat(pos, within)
+        excl = np.concatenate(([0], np.cumsum(within)[:-1]))
+        a_idx = np.repeat(run_start, within) + (
+            np.arange(total, dtype=np.int64) - np.repeat(excl, within)
+        )
+        pair_rows = pa.table(
+            {"kind": pa.array(np.ones(total, np.int32)),
+             "src_a": src.take(pa.array(a_idx)),
+             "src_b": src.take(pa.array(b_idx)),
+             "n": pa.array(np.ones(total, np.int64))}
+        ).group_by(["kind", "src_a", "src_b"]).aggregate([("n", "sum")])
+        pair_rows = pair_rows.rename_columns(["kind", "src_a", "src_b", "n"])
+        cnt = t.group_by(["source"]).aggregate([("token", "count")])
+        cnt_rows = pa.table(
+            {"kind": pa.array(np.zeros(cnt.num_rows, np.int32)),
+             "src_a": cnt["source"],
+             "src_b": pa.array([""] * cnt.num_rows, pa.string()),
+             "n": cnt["token_count"].cast(pa.int64())}
+        )
+        return pa.concat_tables(
+            [pair_rows.select(_PART_SCHEMA.names).cast(_PART_SCHEMA), cnt_rows]
+        )
+
+    ds = _docs(sf_dir, ("source", "text")).map_batches(_distinct, batch_format="pyarrow")
+    folded = map_key_partitions(ds, ["token"], _pairs).groupby(
+        ["kind", "src_a", "src_b"]
+    ).aggregate(Sum("n", alias_name="n"))
+
+    # bounded driver step: |sources| + |sources|^2 rows (verified-pairs precedent)
+    df = folded.to_pandas()
+    counts = {
+        r.src_a: int(r.n) for r in df[df["kind"] == 0].itertuples()
+    }
+    p = df[df["kind"] == 1].sort_values(["src_a", "src_b"])
+    inter = p["n"].to_numpy().astype(np.int64)
+    n_a = np.array([counts[s] for s in p["src_a"]], np.int64)
+    n_b = np.array([counts[s] for s in p["src_b"]], np.int64)
+    return pa.table(
+        {"src_a": pa.array(p["src_a"], pa.string()),
+         "src_b": pa.array(p["src_b"], pa.string()),
+         "n_inter": pa.array(inter), "n_a": pa.array(n_a), "n_b": pa.array(n_b),
+         "jacc_ppm": pa.array(inter * 1_000_000 // (n_a + n_b - inter))}
+    )
+
+
 _SEQ_LEN = 512  # training-sequence length; the oracle SQL shares this constant
 
 
@@ -2333,6 +2443,7 @@ DOC_QUERIES = {
     "quality_filter": q_quality_filter,
     "mix_rebalance": q_mix_rebalance,
     "line_dedup": q_line_dedup,
+    "vocab_overlap": q_vocab_overlap,
 }
 
 DOC_ORACLE_SQL["decontaminate"] = f"""
@@ -2405,4 +2516,25 @@ DOC_ORACLE_SQL["line_dedup"] = """
            COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY idx),
                     '') AS text_dedup
     FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+# vocab overlap: DISTINCT whitespace tokens per source (same Unicode-ws
+# normalization contract as top_tokens), pairwise intersection via self-join,
+# Jaccard as exact ppm floor (positive ints: truncating // == floor)
+DOC_ORACLE_SQL["vocab_overlap"] = r"""
+    WITH toks AS (
+        SELECT DISTINCT source, token FROM (
+            SELECT source, UNNEST(regexp_extract_all(
+                regexp_replace(text, '[\p{Z}\x{85}\x{1C}-\x{1F}]', ' ', 'g'),
+                '\S+')) AS token FROM documents)),
+    c AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY 1),
+    i AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+          FROM toks a JOIN toks b ON a.token = b.token AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT i.src_a, i.src_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+           CAST((i.n_inter * 1000000) // (ca.n + cb.n - i.n_inter) AS BIGINT)
+               AS jacc_ppm
+    FROM i JOIN c ca ON ca.source = i.src_a JOIN c cb ON cb.source = i.src_b
+    ORDER BY 1, 2
 """
