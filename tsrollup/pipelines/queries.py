@@ -2959,6 +2959,55 @@ def q_winsorize_1m(sf_dir: str, lo_q: float = _WINS_LO, hi_q: float = _WINS_HI):
     return map_key_groups(_rolled_events(sf_dir), ["source"], _w)
 
 
+_SD_W = 121  # centered moving-average trend window (2h: sf0.001 series are
+# ~200 buckets/source, and a full-window requirement must leave rows at EVERY
+# test scale — a 0-row Dataset loses its schema through to_pandas)
+
+
+def q_seasonal_detrend(sf_dir: str, window: int = _SD_W):
+    """Classical seasonal decomposition (moving-average detrend, the
+    textbook additive recipe): trend = centered ``window``-row moving
+    average of the 1m series; the seasonal profile is the hour-of-day mean
+    of the detrended residual. Exactness: the residual is kept SCALED BY
+    the window — d = W*x - window_sum — so every comparison is exact
+    integers until one final double division (sum_d/n evaluates identically
+    on both sides). Rows without a full centered window are excluded
+    (wn == W), matching the oracle; a source shorter than W emits nothing.
+    One cumsum + one bincount per source group — no per-window Python."""
+    half = window // 2
+
+    def _sd(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()), "hod": pa.array([], pa.int64()),
+             "n_win": pa.array([], pa.int64()), "sum_d": pa.array([], pa.int64()),
+             "avg_d": pa.array([], pa.float64())}
+        )
+        if t.num_rows < window:
+            return empty
+        order = pc.sort_indices(t["bucket"])
+        buckets = t["bucket"].take(order).to_numpy(zero_copy_only=False)
+        x = t["sum_tok"].take(order).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(x)
+        csum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(x, out=csum[1:])
+        wsum = csum[window:] - csum[:-window]          # centers half..n-half-1
+        d = window * x[half : n - half] - wsum
+        hod = ((buckets[half : n - half] // 60) % 24).astype(np.int64)
+        n_win = np.bincount(hod, minlength=24).astype(np.int64)
+        sum_d = np.zeros(24, dtype=np.int64)
+        np.add.at(sum_d, hod, d)                       # exact int64 reduce
+        m = n_win > 0
+        hods = np.flatnonzero(m).astype(np.int64)
+        return pa.table(
+            {"source": pa.array([t["source"][0].as_py()] * len(hods)),
+             "hod": pa.array(hods), "n_win": pa.array(n_win[m]),
+             "sum_d": pa.array(sum_d[m]),
+             "avg_d": pa.array(sum_d[m].astype(np.float64) / n_win[m])}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _sd)
+
+
 # ---------------------------------------------------------------------------
 # auto-resolution planner: serve each source from the finest tier that fits
 # ---------------------------------------------------------------------------
@@ -3707,6 +3756,27 @@ ORACLE_SQL["trend_ols"] = f"""
     ORDER BY 1
 """
 
+ORACLE_SQL["seasonal_detrend"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    w AS (SELECT source, bucket, sum_cents,
+                 SUM(CAST(sum_cents AS HUGEINT)) OVER (
+                     PARTITION BY source ORDER BY bucket
+                     ROWS BETWEEN {_SD_W // 2} PRECEDING
+                              AND {_SD_W // 2} FOLLOWING) AS wsum,
+                 COUNT(*) OVER (
+                     PARTITION BY source ORDER BY bucket
+                     ROWS BETWEEN {_SD_W // 2} PRECEDING
+                              AND {_SD_W // 2} FOLLOWING) AS wn
+          FROM r),
+    d AS (SELECT source, (bucket // 60) % 24 AS hod,
+                 {_SD_W} * CAST(sum_cents AS HUGEINT) - wsum AS ds
+          FROM w WHERE wn = {_SD_W})
+    SELECT source, hod, CAST(COUNT(*) AS BIGINT) AS n_win,
+           CAST(SUM(ds) AS BIGINT) AS sum_d,
+           CAST(SUM(ds) AS DOUBLE) / COUNT(*) AS avg_d
+    FROM d GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 ORACLE_SQL["rolling_median"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY})
     SELECT source, bucket,
@@ -3792,6 +3862,7 @@ QUERIES = {
     "cusum": q_cusum,
     "trend_ols": q_trend_ols,
     "rolling_median": q_rolling_median,
+    "seasonal_detrend": q_seasonal_detrend,
     "winsorize_1m": q_winsorize_1m,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
