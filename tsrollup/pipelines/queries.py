@@ -3008,6 +3008,125 @@ def q_seasonal_detrend(sf_dir: str, window: int = _SD_W):
     return map_key_groups(_rolled_events(sf_dir), ["source"], _sd)
 
 
+_CCF_MAX_LAG = 3  # lags -3..3; the oracle SQL shares this constant
+
+
+def q_ccf_pairs(sf_dir: str, max_lag: int = _CCF_MAX_LAG):
+    """Cross-correlation function: Pearson r of per-bucket counts for every
+    source pair at every lag in ±``max_lag`` (lead/lag co-activity — which
+    source's traffic PRECEDES another's). ``corr_pairs`` is the lag-0 slice.
+
+    Shape: lagged alignment cannot ride a plain bucket exchange (x_b pairs
+    with y_{b+lag} in another partition), so each rolled row ships once as
+    an x row keyed at its bucket and once per lag as a y row keyed at
+    bucket - lag — constant 1 + (2*max_lag + 1) duplication, one exchange.
+    Per partition a pivot to key x source count matrices (x, and y per lag)
+    reduces each (pair, lag) to one exact-int64 partial-sums row; the tiny
+    (pair, lag) fold computes r with the corr_pairs float discipline
+    (identical expression, identical parenthesisation, round 6dp)."""
+    lags = np.arange(-max_lag, max_lag + 1, dtype=np.int64)
+
+    _CCF_SCHEMA = pa.schema(
+        [("key", pa.int64()), ("side", pa.int32()), ("lag", pa.int64()),
+         ("source", pa.string()), ("cnt", pa.int64())]
+    )
+
+    def _expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _CCF_SCHEMA.empty_table()
+        b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["n_rows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = t["source"].combine_chunks() if isinstance(
+            t["source"], pa.ChunkedArray) else t["source"]
+        reps = len(lags)
+        tile = np.tile(np.arange(n, dtype=np.int64), reps)
+        return pa.table(
+            {"key": pa.array(np.concatenate([b, np.concatenate([b - l for l in lags])])),
+             "side": pa.array(np.concatenate(
+                 [np.zeros(n, np.int32), np.ones(n * reps, np.int32)])),
+             "lag": pa.array(np.concatenate(
+                 [np.zeros(n, np.int64), np.repeat(lags, n)])),
+             "source": pa.concat_arrays([src] * (reps + 1)),
+             "cnt": pa.array(np.concatenate([cnt, cnt[tile]]))}
+        )
+
+    _PART_SCHEMA = pa.schema(
+        [("src_a", pa.string()), ("src_b", pa.string()), ("lag", pa.int64()),
+         ("n", pa.int64()), ("sx", pa.int64()), ("sy", pa.int64()),
+         ("sxy", pa.int64()), ("sxx", pa.int64()), ("syy", pa.int64())]
+    )
+
+    def _partials(t: pa.Table) -> pa.Table:
+        from tsrollup.hashing import safe_factorize
+
+        if t.num_rows == 0:
+            return _PART_SCHEMA.empty_table()
+        side = t["side"].to_numpy(zero_copy_only=False)
+        lag = t["lag"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        cs, us = safe_factorize(t["source"].to_numpy(zero_copy_only=False))
+        ck, _ = pd.factorize(t["key"].to_numpy(zero_copy_only=False))
+        S, K = len(us), int(ck.max()) + 1
+        xm = side == 0
+        X = np.zeros((K, S), np.int64)
+        PX = np.zeros((K, S), bool)
+        X[ck[xm], cs[xm]] = cnt[xm]
+        PX[ck[xm], cs[xm]] = True
+        order = np.argsort(us)
+        rows = []
+        for l in lags:
+            ym = (side == 1) & (lag == l)
+            Y = np.zeros((K, S), np.int64)
+            PY = np.zeros((K, S), bool)
+            Y[ck[ym], cs[ym]] = cnt[ym]
+            PY[ck[ym], cs[ym]] = True
+            for i in range(S):
+                for j in range(i + 1, S):
+                    ai, bi = order[i], order[j]
+                    mask = PX[:, ai] & PY[:, bi]
+                    if not mask.any():
+                        continue
+                    x, y = X[mask, ai], Y[mask, bi]
+                    rows.append(
+                        (us[ai], us[bi], int(l), int(mask.sum()),
+                         int(x.sum()), int(y.sum()), int((x * y).sum()),
+                         int((x * x).sum()), int((y * y).sum()))
+                    )
+        if not rows:
+            return _PART_SCHEMA.empty_table()
+        cols = list(zip(*rows))
+        return pa.table(
+            {f.name: pa.array(list(c), type=f.type)
+             for f, c in zip(_PART_SCHEMA, cols)}
+        )
+
+    def _r(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"src_a": pd.Series(dtype=object), "src_b": pd.Series(dtype=object),
+             "lag": pd.Series(dtype=np.int64),
+             "n_buckets": pd.Series(dtype=np.int64), "r": pd.Series(dtype=np.float64)}
+        )
+        if not len(g):
+            return empty
+        n = int(g["n"].sum())
+        sx, sy = int(g["sx"].sum()), int(g["sy"].sum())
+        sxy, sxx, syy = int(g["sxy"].sum()), int(g["sxx"].sum()), int(g["syy"].sum())
+        da, db = n * sxx - sx * sx, n * syy - sy * sy
+        if n < 2 or da <= 0 or db <= 0:
+            return empty
+        r = (n * sxy - sx * sy) / (np.sqrt(float(da)) * np.sqrt(float(db)))
+        return pd.DataFrame(
+            {"src_a": [g["src_a"].iloc[0]], "src_b": [g["src_b"].iloc[0]],
+             "lag": np.array([g["lag"].iloc[0]], dtype=np.int64),
+             "n_buckets": np.array([n], dtype=np.int64), "r": [round(float(r), 6)]}
+        )
+
+    expanded = _rolled_events(sf_dir).map_batches(_expand, batch_format="pyarrow")
+    parts = map_key_partitions(expanded, ["key"], _partials)
+    return map_key_groups(parts, ["src_a", "src_b", "lag"], _r, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # auto-resolution planner: serve each source from the finest tier that fits
 # ---------------------------------------------------------------------------
@@ -3756,6 +3875,27 @@ ORACLE_SQL["trend_ols"] = f"""
     ORDER BY 1
 """
 
+ORACLE_SQL["ccf_pairs"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    l AS (SELECT UNNEST(range(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG} + 1)) AS lag),
+    p AS (SELECT a.source AS src_a, b.source AS src_b, l.lag,
+                 a.n_rows AS x, b.n_rows AS y
+          FROM r a CROSS JOIN l
+          JOIN r b ON b.bucket = a.bucket + l.lag AND a.source < b.source),
+    s AS (SELECT src_a, src_b, lag, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM p GROUP BY 1, 2, 3)
+    SELECT src_a, src_b, CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_buckets,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r
+    FROM s
+    WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ORDER BY 1, 2, 3
+"""
+
 ORACLE_SQL["seasonal_detrend"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     w AS (SELECT source, bucket, sum_cents,
@@ -3863,6 +4003,7 @@ QUERIES = {
     "trend_ols": q_trend_ols,
     "rolling_median": q_rolling_median,
     "seasonal_detrend": q_seasonal_detrend,
+    "ccf_pairs": q_ccf_pairs,
     "winsorize_1m": q_winsorize_1m,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
