@@ -151,6 +151,35 @@ def q_langid(sf_dir: str):
     )
 
 
+def q_langid_confusion(sf_dir: str):
+    """Full label x prediction confusion matrix for the heuristic language
+    ID (which true languages leak into which predictions — the evaluation
+    view ``langid``'s per-label accuracy can't show). Same actor-pool stage
+    and decision procedure; the oracle is the langid SQL with its final
+    accuracy SELECT swapped for a (lang, lang_pred) rollup."""
+    ds = _docs(sf_dir, ("doc_id", "text", "lang")).map_batches(
+        text.LangIdStage, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+    def _cm(t: pa.Table) -> pa.Table:
+        tmp = pa.table(
+            {"lang_true": t.column("lang"), "lang_pred": t.column("lang_pred")}
+        )
+        g = tmp.group_by(["lang_true", "lang_pred"]).aggregate([("lang_pred", "count")])
+        return pa.table(
+            {"lang_true": g["lang_true"], "lang_pred": g["lang_pred"],
+             "n": g["lang_pred_count"].cast(pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(_cm, batch_format="pyarrow")
+        .groupby(["lang_true", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def q_fingerprint(sf_dir: str):
     """Winnowing-style document fingerprints (rows-only; deterministic)."""
 
@@ -2538,3 +2567,16 @@ DOC_ORACLE_SQL["vocab_overlap"] = r"""
     FROM i JOIN c ca ON ca.source = i.src_a JOIN c cb ON cb.source = i.src_b
     ORDER BY 1, 2
 """
+
+# confusion matrix = the langid oracle with its accuracy SELECT swapped for a
+# (lang, lang_pred) rollup; built FROM the same string so the decision
+# procedure can never drift between the two oracles
+DOC_QUERIES["langid_confusion"] = q_langid_confusion
+_LANGID_TAIL = "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+assert _LANGID_TAIL in DOC_ORACLE_SQL["langid"]
+DOC_ORACLE_SQL["langid_confusion"] = (
+    DOC_ORACLE_SQL["langid"].split(_LANGID_TAIL)[0]
+    + """SELECT lang AS lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """
+)

@@ -3127,6 +3127,37 @@ def q_ccf_pairs(sf_dir: str, max_lag: int = _CCF_MAX_LAG):
     return map_key_groups(parts, ["src_a", "src_b", "lag"], _r, batch_format="pandas")
 
 
+def q_peak_detect(sf_dir: str):
+    """Strict local maxima of each source's 1m series (x[i] > both
+    neighbours in bucket order; plateaus and endpoints excluded — the same
+    contract as SQL LAG/LEAD with NULL comparisons). ``peak_gap`` is the
+    integer height over the taller neighbour; one vectorized mask per
+    source group."""
+
+    def _pk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()), "bucket": pa.array([], pa.int64()),
+             "sum_cents": pa.array([], pa.int64()), "peak_gap": pa.array([], pa.int64())}
+        )
+        if t.num_rows < 3:
+            return empty
+        order = pc.sort_indices(t["bucket"])
+        buckets = t["bucket"].take(order).to_numpy(zero_copy_only=False)
+        x = t["sum_tok"].take(order).to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = (x[1:-1] > x[:-2]) & (x[1:-1] > x[2:])
+        if not mask.any():
+            return empty
+        gap = x[1:-1] - np.maximum(x[:-2], x[2:])
+        idx = np.flatnonzero(mask) + 1
+        return pa.table(
+            {"source": pa.array([t["source"][0].as_py()] * len(idx)),
+             "bucket": pa.array(buckets[idx]), "sum_cents": pa.array(x[idx]),
+             "peak_gap": pa.array(gap[mask])}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _pk)
+
+
 # ---------------------------------------------------------------------------
 # auto-resolution planner: serve each source from the finest tier that fits
 # ---------------------------------------------------------------------------
@@ -3896,6 +3927,17 @@ ORACLE_SQL["ccf_pairs"] = f"""
     ORDER BY 1, 2, 3
 """
 
+ORACLE_SQL["peak_detect"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    w AS (SELECT source, bucket, sum_cents,
+                 LAG(sum_cents) OVER (PARTITION BY source ORDER BY bucket) AS prv,
+                 LEAD(sum_cents) OVER (PARTITION BY source ORDER BY bucket) AS nxt
+          FROM r)
+    SELECT source, bucket, sum_cents,
+           sum_cents - GREATEST(prv, nxt) AS peak_gap
+    FROM w WHERE sum_cents > prv AND sum_cents > nxt ORDER BY 1, 2
+"""
+
 ORACLE_SQL["seasonal_detrend"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     w AS (SELECT source, bucket, sum_cents,
@@ -4004,6 +4046,7 @@ QUERIES = {
     "rolling_median": q_rolling_median,
     "seasonal_detrend": q_seasonal_detrend,
     "ccf_pairs": q_ccf_pairs,
+    "peak_detect": q_peak_detect,
     "winsorize_1m": q_winsorize_1m,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
