@@ -3127,6 +3127,47 @@ def q_ccf_pairs(sf_dir: str, max_lag: int = _CCF_MAX_LAG):
     return map_key_groups(parts, ["src_a", "src_b", "lag"], _r, batch_format="pandas")
 
 
+_HOLT_A, _HOLT_C = 3, 4  # level / trend shifts; the oracle SQL shares these
+
+
+def q_holt_1m(sf_dir: str, a_shift: int = _HOLT_A, c_shift: int = _HOLT_C):
+    """Fixed-point HOLT double exponential smoothing per source (EWMA's
+    sibling with a trend state): with d = floor((x_i - (l+b)) / 2^a),
+    l_i = l + b + d and b_i = b + floor(d / 2^c); l_0 = x_0, b_0 = 0.
+    Same exactness contract as ``ewma_1m``: integer floor arithmetic with
+    power-of-two divisors, so the oracle's FLOOR(../8.0) / FLOOR(../16.0)
+    matches Python ``//`` bit for bit (negatives included). Inherently
+    sequential two-variable state — the per-row loop runs on ROLLED volumes
+    inside the per-source group worker (the engine's accepted shape,
+    cf. ewma/Gorilla)."""
+    da, dc = 1 << a_shift, 1 << c_shift
+
+    def _holt(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object), "bucket": pd.Series(dtype=np.int64),
+                 "lvl": pd.Series(dtype=np.int64), "trd": pd.Series(dtype=np.int64)}
+            )
+        df = df.sort_values("bucket")
+        x = df["sum_tok"].to_numpy().astype(np.int64).tolist()
+        lvl = np.empty(len(x), dtype=np.int64)
+        trd = np.empty(len(x), dtype=np.int64)
+        l, b = x[0], 0
+        lvl[0], trd[0] = l, b
+        for i in range(1, len(x)):
+            d = (x[i] - (l + b)) // da
+            l = l + b + d
+            b = b + d // dc
+            lvl[i], trd[i] = l, b
+        return pd.DataFrame(
+            {"source": df["source"].to_numpy(), "bucket": df["bucket"].to_numpy(),
+             "lvl": lvl, "trd": trd}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _holt,
+                          batch_format="pandas")
+
+
 def q_peak_detect(sf_dir: str):
     """Strict local maxima of each source's 1m series (x[i] > both
     neighbours in bucket order; plateaus and endpoints excluded — the same
@@ -3927,6 +3968,29 @@ ORACLE_SQL["ccf_pairs"] = f"""
     ORDER BY 1, 2, 3
 """
 
+ORACLE_SQL["holt_1m"] = f"""
+    WITH RECURSIVE r AS ({_ROLLUP_SQL_BODY}),
+    o AS (SELECT source, bucket, sum_cents,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY bucket) AS rn
+          FROM r),
+    h AS (
+        SELECT source, bucket, rn, sum_cents AS lvl, CAST(0 AS BIGINT) AS trd
+        FROM o WHERE rn = 1
+      UNION ALL
+        SELECT o.source, o.bucket, o.rn,
+               h.lvl + h.trd
+                   + CAST(FLOOR((o.sum_cents - h.lvl - h.trd)
+                                / {1 << _HOLT_A}.0) AS BIGINT) AS lvl,
+               h.trd + CAST(FLOOR(
+                   CAST(FLOOR((o.sum_cents - h.lvl - h.trd)
+                              / {1 << _HOLT_A}.0) AS BIGINT)
+                   / {1 << _HOLT_C}.0) AS BIGINT) AS trd
+        FROM h JOIN o ON o.source = h.source AND o.rn = h.rn + 1
+    )
+    SELECT source, bucket, CAST(lvl AS BIGINT) AS lvl, CAST(trd AS BIGINT) AS trd
+    FROM h ORDER BY 1, 2
+"""
+
 ORACLE_SQL["peak_detect"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     w AS (SELECT source, bucket, sum_cents,
@@ -4047,6 +4111,7 @@ QUERIES = {
     "seasonal_detrend": q_seasonal_detrend,
     "ccf_pairs": q_ccf_pairs,
     "peak_detect": q_peak_detect,
+    "holt_1m": q_holt_1m,
     "winsorize_1m": q_winsorize_1m,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
