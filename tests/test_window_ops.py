@@ -88,7 +88,13 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize(
     "name",
     ["anomaly_zscore", "increase_1h", "corr_pairs", "ewma_1m", "funnel_1h",
-     "value_histogram", "moving_avg", "delta_1m"],
+     "value_histogram", "moving_avg", "delta_1m",
+     # round-3 analytics family: negative values hit cusum's exact big-int
+     # fallback (total < 0), floor-division edges hit m4/trend/holt, the
+     # constant run hits rolling_median/winsorize ties, and the two-source
+     # overlap exercises every ccf lag
+     "downsample_m4", "cusum", "trend_ols", "rolling_median", "winsorize_1m",
+     "seasonal_detrend", "ccf_pairs", "peak_detect", "holt_1m"],
 )
 def test_adversarial_fixture_matches_oracle(ray_session, adversarial_events_dir, name):
     eng = QUERIES[name](adversarial_events_dir)
