@@ -80,3 +80,41 @@ def test_line_dedup_semantics(ray_session, r3g_docs_dir):
     assert got.loc[5, "n_kept"] == 0
     assert got.loc[6, "text_dedup"] == "trailing"
     assert got.loc[6, "n_lines"] == 2
+
+
+@pytest.fixture(scope="module")
+def r3g_dups_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("r3g_dups")
+    texts = ["same"] * 4 + ["other"] * 2 + ["uniq1", "uniq2", "uniq3", None, None]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["web"] * len(texts)),
+            "n_chars": pa.array([len(x) if x else 0 for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, d / "documents.parquet")
+    return str(d)
+
+
+def test_dup_cluster_sizes_counts_real_clusters(ray_session, r3g_dups_dir):
+    """4x'same' + 2x'other' + 3 singletons + 2 nulls (null == '' cluster):
+    sizes {1:3, 2:2, 4:1} — and the engine matches its oracle."""
+    import duckdb
+
+    got = (
+        DOC_QUERIES["dup_cluster_sizes"](r3g_dups_dir)
+        .to_pandas()
+        .set_index("cluster_size")["n_clusters"]
+        .to_dict()
+    )
+    assert got == {1: 3, 2: 2, 4: 1}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{r3g_dups_dir}/documents.parquet')"
+    )
+    want = con.execute(DOC_ORACLE_SQL["dup_cluster_sizes"]).df()
+    assert {int(r.cluster_size): int(r.n_clusters) for r in want.itertuples()} == got

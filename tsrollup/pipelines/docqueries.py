@@ -225,6 +225,39 @@ def q_dedup_exact(sf_dir: str):
     return map_key_partitions(ds, ["text_hash"], _keep_block)
 
 
+def q_dup_cluster_sizes(sf_dir: str):
+    """Histogram of EXACT-duplicate cluster sizes (how concentrated is the
+    corpus's duplication — the diagnostic that decides whether dedup is
+    worth a pass). Same hash-partitioned exchange as ``dedup_exact``; each
+    partition reduces to (cluster_size, n_clusters) partials — output is
+    bounded by the distinct sizes, not the corpus."""
+    from ray.data.aggregate import Sum
+    from tsrollup.shuffle import map_key_partitions
+
+    ds = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        dedup.add_text_hash, batch_format="pyarrow"
+    )
+
+    def _sizes(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"cluster_size": pa.array([], pa.int64()), "n_clusters": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["text_hash", "text"]).aggregate([("doc_id", "count")])
+        h = pa.table({"sz": g["doc_id_count"].cast(pa.int64())}).group_by(
+            ["sz"]).aggregate([("sz", "count")])
+        return pa.table(
+            {"cluster_size": h["sz"], "n_clusters": h["sz_count"].cast(pa.int64())}
+        )
+
+    return (
+        map_key_partitions(ds, ["text_hash"], _sizes)
+        .groupby("cluster_size")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+    )
+
+
 _JOIN_SCHEMA = pa.schema(
     [
         ("key", pa.int64()),
@@ -2580,3 +2613,14 @@ DOC_ORACLE_SQL["langid_confusion"] = (
     FROM pred GROUP BY 1, 2 ORDER BY 1, 2
     """
 )
+
+# exact-dup cluster-size histogram; COALESCE matches the engine's null->''
+# text contract (add_text_hash); a text in one cluster counts once per size
+DOC_QUERIES["dup_cluster_sizes"] = q_dup_cluster_sizes
+DOC_ORACLE_SQL["dup_cluster_sizes"] = """
+    WITH c AS (SELECT COALESCE(text, '') AS t, COUNT(*) AS sz
+               FROM documents GROUP BY 1)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM c GROUP BY 1 ORDER BY 1
+"""

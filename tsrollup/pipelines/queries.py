@@ -3127,6 +3127,51 @@ def q_ccf_pairs(sf_dir: str, max_lag: int = _CCF_MAX_LAG):
     return map_key_groups(parts, ["src_a", "src_b", "lag"], _r, batch_format="pandas")
 
 
+def q_user_transitions(sf_dir: str):
+    """First-order Markov transition counts between event types along each
+    user's time-ordered stream (the behavioural-graph edge list). One
+    user-keyed exchange; per partition ONE sort over every user in the
+    block + an adjacent same-user mask + an Arrow (prev, next) group count
+    — no per-user Python (sessionize's partition-block discipline).
+    Timestamp ties break by event_id on both sides."""
+    from tsrollup.shuffle import map_key_partitions
+
+    _T_SCHEMA = pa.schema(
+        [("prev_type", pa.string()), ("next_type", pa.string()), ("n", pa.int64())]
+    )
+
+    def _trans(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return _T_SCHEMA.empty_table()
+        t = t.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].combine_chunks()
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return _T_SCHEMA.empty_table()
+        pairs = pa.table(
+            {"prev_type": et.slice(0, n - 1).filter(pa.array(same)),
+             "next_type": et.slice(1).filter(pa.array(same))}
+        )
+        g = pairs.group_by(["prev_type", "next_type"]).aggregate([("next_type", "count")])
+        return pa.table(
+            {"prev_type": g["prev_type"], "next_type": g["next_type"],
+             "n": g["next_type_count"].cast(pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    ev = _events(sf_dir, ("event_id", "user_id", "ts", "event_type"))
+    return (
+        map_key_partitions(ev, ["user_id"], _trans)
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 _HOLT_A, _HOLT_C = 3, 4  # level / trend shifts; the oracle SQL shares these
 
 
@@ -3968,6 +4013,16 @@ ORACLE_SQL["ccf_pairs"] = f"""
     ORDER BY 1, 2, 3
 """
 
+ORACLE_SQL["user_transitions"] = """
+    WITH o AS (SELECT user_id, event_type,
+                      LAG(event_type) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events)
+    SELECT prev AS prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM o WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 ORACLE_SQL["holt_1m"] = f"""
     WITH RECURSIVE r AS ({_ROLLUP_SQL_BODY}),
     o AS (SELECT source, bucket, sum_cents,
@@ -4112,6 +4167,7 @@ QUERIES = {
     "ccf_pairs": q_ccf_pairs,
     "peak_detect": q_peak_detect,
     "holt_1m": q_holt_1m,
+    "user_transitions": q_user_transitions,
     "winsorize_1m": q_winsorize_1m,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
