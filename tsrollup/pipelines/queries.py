@@ -3127,6 +3127,82 @@ def q_ccf_pairs(sf_dir: str, max_lag: int = _CCF_MAX_LAG):
     return map_key_groups(parts, ["src_a", "src_b", "lag"], _r, batch_format="pandas")
 
 
+def q_moments_1m(sf_dir: str):
+    """Per-source mean / variance / skewness / excess kurtosis of the 1m
+    series from EXACT integer power sums (s1..s4 as Python ints; the oracle
+    uses HUGEINT): the standardized central moments are single float
+    expressions of those sums, evaluated with identical parenthesisation
+    and rounded 6dp on both sides — the znorm/acf float discipline extended
+    to 3rd/4th order."""
+
+    def _mo(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object), "n": pd.Series(dtype=np.int64),
+             **{c: pd.Series(dtype=np.float64)
+                for c in ("mean", "var", "skew", "kurt")}}
+        )
+        if not len(df):
+            return empty
+        x = [int(v) for v in df["sum_tok"].to_numpy()]
+        n = len(x)
+        s1 = sum(x)
+        s2 = sum(v * v for v in x)
+        s3 = sum(v ** 3 for v in x)
+        s4 = sum(v ** 4 for v in x)
+        # exact integer central-moment numerators (times n^k)
+        m2n = n * s2 - s1 * s1                       # n^2 * var
+        if n < 2 or m2n <= 0:
+            return empty
+        m3n = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3          # n^3 * m3
+        m4n = (n ** 3 * s4 - 4 * n * n * s1 * s3
+               + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)              # n^4 * m4
+        import math
+
+        # float discipline: cast-then-divide like the SQL (never exact-int
+        # division), and var*sqrt(var) instead of **1.5 (sqrt is IEEE-exact
+        # everywhere; libm pow is not)
+        mean = float(s1) / n
+        var = float(m2n) / (n * n)
+        skew = float(m3n) / (n ** 3) / (var * math.sqrt(var))
+        kurt = float(m4n) / (n ** 4) / (var * var) - 3.0
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]], "n": np.array([n], np.int64),
+             "mean": [round(mean, 6)], "var": [round(var, 6)],
+             "skew": [round(skew, 6)], "kurt": [round(kurt, 6)]}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _mo,
+                          batch_format="pandas")
+
+
+def q_source_skew(sf_dir: str):
+    """Key-skew diagnostic: Gini coefficient + top-key share of the
+    per-source row-count distribution — the number that decides whether the
+    rollup needs salting (the engine's own salted-repartition knob). One
+    tiny groupby; Gini from the exact integer identity
+    (2*Σ i*x_(i) - (k+1)*Σx) / (k*Σx) over rank-sorted counts (tie order
+    cancels), one float division rounded 6dp."""
+    from ray.data.aggregate import Count
+
+    counts = (
+        _events(sf_dir, ("event_type",))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+    df = counts.to_pandas()  # bounded: one row per source
+    x = sorted(int(v) for v in df["n"])
+    k = len(x)
+    tot = sum(x)
+    wsum = sum((i + 1) * v for i, v in enumerate(x))
+    gini = float(2 * wsum - (k + 1) * tot) / float(k * tot)
+    return pa.table(
+        {"n_sources": pa.array([k], pa.int64()),
+         "total_rows": pa.array([tot], pa.int64()),
+         "gini": pa.array([round(gini, 6)], pa.float64()),
+         "top_share_ppm": pa.array([x[-1] * 1_000_000 // tot], pa.int64())}
+    )
+
+
 def q_user_transitions(sf_dir: str):
     """First-order Markov transition counts between event types along each
     user's time-ordered stream (the behavioural-graph edge list). One
@@ -4013,6 +4089,48 @@ ORACLE_SQL["ccf_pairs"] = f"""
     ORDER BY 1, 2, 3
 """
 
+ORACLE_SQL["source_skew"] = """
+    WITH c AS (SELECT event_type AS source, COUNT(*) AS n FROM events GROUP BY 1),
+    o AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS i FROM c),
+    s AS (SELECT COUNT(*) AS k, SUM(CAST(n AS HUGEINT)) AS tot,
+                 SUM(CAST(i AS HUGEINT) * n) AS wsum, MAX(n) AS mx
+          FROM o)
+    SELECT CAST(k AS BIGINT) AS n_sources, CAST(tot AS BIGINT) AS total_rows,
+           ROUND(CAST(2 * wsum - (k + 1) * tot AS DOUBLE)
+                 / CAST(k * tot AS DOUBLE), 6) AS gini,
+           CAST((mx * 1000000) // tot AS BIGINT) AS top_share_ppm
+    FROM s
+"""
+
+ORACLE_SQL["moments_1m"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    s AS (SELECT source, COUNT(*) AS n,
+                 SUM(CAST(sum_cents AS HUGEINT)) AS s1,
+                 SUM(CAST(sum_cents AS HUGEINT) * sum_cents) AS s2,
+                 SUM(CAST(sum_cents AS HUGEINT) * sum_cents * sum_cents) AS s3,
+                 SUM(CAST(sum_cents AS HUGEINT) * sum_cents * sum_cents
+                     * sum_cents) AS s4
+          FROM r GROUP BY 1),
+    m AS (SELECT source, n,
+                 n * s2 - s1 * s1 AS m2n,
+                 n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3n,
+                 n * n * n * s4 - 4 * n * n * s1 * s3
+                     + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4n,
+                 s1
+          FROM s),
+    v AS (SELECT source, n, s1, m3n, m4n,
+                 CAST(m2n AS DOUBLE) / (n * n) AS var
+          FROM m WHERE n >= 2 AND m2n > 0)
+    SELECT source, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+           ROUND(var, 6) AS var,
+           ROUND(CAST(m3n AS DOUBLE) / (n * n * n) / (var * sqrt(var)), 6)
+               AS skew,
+           ROUND(CAST(m4n AS DOUBLE) / (n * n * n * n) / (var * var) - 3.0, 6)
+               AS kurt
+    FROM v ORDER BY 1
+"""
+
 ORACLE_SQL["user_transitions"] = """
     WITH o AS (SELECT user_id, event_type,
                       LAG(event_type) OVER (
@@ -4168,6 +4286,8 @@ QUERIES = {
     "peak_detect": q_peak_detect,
     "holt_1m": q_holt_1m,
     "user_transitions": q_user_transitions,
+    "moments_1m": q_moments_1m,
+    "source_skew": q_source_skew,
     "winsorize_1m": q_winsorize_1m,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
