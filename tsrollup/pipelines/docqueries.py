@@ -1885,6 +1885,219 @@ def q_tfidf_topk(sf_dir: str, vocab_size: int = _TFIDF_VOCAB, k: int = _TFIDF_K)
     )
 
 
+def q_ttr_quality(sf_dir: str):
+    """Type-token ratio per document — the cheapest repetitive-document
+    signal a corpus filter runs (low TTR = boilerplate / keyword stuffing;
+    cf. Gopher rules, Rae et al. 2021). One Arrow tokenize per batch, then
+    distinct-(doc, token) via the same lexsort+mask shape as tfidf's df
+    pass — no per-doc Python, no exchange at all (embarrassingly parallel
+    per batch). ``ttr_ppm`` is an exact integer floor, so the whole row is
+    integer-exact against SQL ``COUNT(DISTINCT)``."""
+    from tsrollup.functions import tokens as tk
+
+    _SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("n_tok", pa.int64()),
+         ("n_distinct", pa.int64()), ("ttr_ppm", pa.int64())]
+    )
+
+    def _ttr(t: pa.Table) -> pa.Table:
+        tb = tk.TokenBatch(t.column("text"))
+        if tb.n_tokens == 0:
+            return _SCHEMA.empty_table()
+        n_docs = len(tb.doc_lens)
+        doc_idx = np.repeat(np.arange(n_docs), tb.doc_lens)
+        order = np.lexsort((tb.hashes, doc_idx))
+        hs, ds = tb.hashes[order], doc_idx[order]
+        keep = np.ones(len(hs), dtype=bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+        n_distinct = np.bincount(ds[keep], minlength=n_docs).astype(np.int64)
+        n_tok = tb.doc_lens.astype(np.int64)
+        m = n_tok > 0
+        nd, nt = n_distinct[m], n_tok[m]
+        return pa.table(
+            {"doc_id": pa.array(t["doc_id"].to_numpy(zero_copy_only=False)[m]),
+             "n_tok": pa.array(nt), "n_distinct": pa.array(nd),
+             "ttr_ppm": pa.array(nd * 1_000_000 // nt)}
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(_ttr, batch_format="pyarrow")
+
+
+# fixed-point scale shared by the entropy / unigram-LM operators and their
+# oracle SQL: F(x) = floor(ln(x) * 1e9) as int64. floor (not round) so there
+# is no half-way tie to disagree on; CPython math.log and DuckDB LN call the
+# same libm on this host (the gate verifies end-to-end).
+_FP_SCALE = 1_000_000_000
+
+
+def _ln_fp(x: int) -> int:
+    import math
+
+    return math.floor(math.log(x) * _FP_SCALE)
+
+
+def q_token_entropy(sf_dir: str):
+    """Shannon entropy of each source's token distribution — the corpus
+    diversity number a data-mixing dashboard tracks per source/domain.
+    H = ln N − (1/N)·Σ c·ln c over per-(source, token) counts c.
+
+    Exactness: the only float-sensitive piece, Σ c·ln c, is computed in
+    shared fixed point (``_FP_SCALE``): ent_fp = N·F(N) − Σ c·F(c) is an
+    order-free exact integer sum on both sides, and the presentational
+    ``entropy`` is ONE division of that integer. Distribution: per-batch
+    Arrow (source, token) partial counts → one keyed count fold (the same
+    exchange vocab_overlap pays) → per-batch fixed-point partials → a
+    sources-sized groupby."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        from tsrollup.functions import tokens as tk
+
+        tb = tk.TokenBatch(t.column("text"))
+        if tb.n_tokens == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        src = t["source"].take(
+            pa.array(np.repeat(np.arange(t.num_rows), tb.doc_lens))
+        )
+        pairs = pa.table({"source": src, "token": tb.token_array()})
+        g = pairs.group_by(["source", "token"]).aggregate([("token", "count")])
+        return pa.table({"source": g["source"], "token": g["token"],
+                         "c": g["token_count"].cast(pa.int64())})
+
+    counts = (
+        _docs(sf_dir, ("source", "text"))
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def _fp_partial(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(c, return_inverse=True)
+        fp = np.array([_ln_fp(int(v)) for v in uniq], dtype=np.int64)
+        return pa.table(
+            {"source": t["source"], "n_tok": pa.array(c),
+             "n_distinct": pa.array(np.ones(len(c), np.int64)),
+             "cfp": pa.array(c * fp[inv])}
+        )
+
+    folded = (
+        counts.map_batches(_fp_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_tok", alias_name="n_tok"),
+                   Sum("n_distinct", alias_name="n_distinct"),
+                   Sum("cfp", alias_name="cfp"))
+    )
+
+    def _final(t: pa.Table) -> pa.Table:  # rows == sources (tiny)
+        n = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cfp = t["cfp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ent_fp = np.array(
+            [int(nn) * _ln_fp(int(nn)) - int(s) for nn, s in zip(n, cfp)],
+            dtype=np.int64,
+        )
+        entropy = np.round(ent_fp.astype(np.float64) / (n.astype(np.float64) * _FP_SCALE), 6)
+        return pa.table(
+            {"source": t["source"], "n_tok": t["n_tok"],
+             "n_distinct": t["n_distinct"],
+             "ent_fp": pa.array(ent_fp), "entropy": pa.array(entropy)}
+        )
+
+    return folded.map_batches(_final, batch_format="pyarrow")
+
+
+_ULP_V = 4096  # unigram-LM vocabulary size; the oracle SQL shares this
+
+
+def q_unigram_logprob(sf_dir: str, vocab_size: int = _ULP_V):
+    """Unigram language-model log-probability per document — the
+    perplexity-style corpus filter (CCNet / Wenzek et al. 2020) reduced to
+    an exactly-verifiable unigram model: score(doc) = Σ_t ln p̂(t) with
+    Laplace-smoothed p̂(t) = (c_t + 1) / (N + D), where c_t is the corpus
+    count of token t (0 outside the top-``vocab_size`` vocabulary), N the
+    corpus token total and D the distinct-token count. Low scores flag
+    gibberish; implausibly high scores flag boilerplate.
+
+    Two-pass broadcast (tfidf's shape): pass 1 folds per-batch token counts
+    into the global vocabulary — the only exchange, carrying (token, count)
+    rows; pass 2 broadcasts the fixed-point table via ``ray.put`` into an
+    actor pool and scores every batch with one ``index_in`` + int64
+    scatter-add. All compared numbers are exact integers in the shared
+    ``_FP_SCALE`` fixed point: logprob_fp = Σ F(c_t+1) − n_tok·F(N+D)."""
+    import ray
+
+    from tsrollup.functions import tokens as tk
+    from tsrollup.shuffle import topk_rows
+
+    def _tc_partial(t: pa.Table) -> pa.Table:
+        tb = tk.TokenBatch(t.column("text"))
+        if tb.n_tokens == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        vc = pc.value_counts(tb.token_array())
+        return pa.table({"token": vc.field("values").cast(pa.string()),
+                         "c": vc.field("counts").cast(pa.int64())})
+
+    from ray.data.aggregate import Count, Sum
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    counts = (
+        docs.map_batches(_tc_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    tot = counts.aggregate(Sum("c", alias_name="n"), Count(alias_name="d"))
+    n_total, d_distinct = int(tot["n"]), int(tot["d"])
+    vocab_t = topk_rows(counts, ["c", "token"], [True, False], vocab_size).to_pandas()
+    fp_map = {
+        tok: _ln_fp(int(c) + 1) for tok, c in zip(vocab_t["token"], vocab_t["c"])
+    }
+    base_fp = _ln_fp(n_total + d_distinct)
+    vocab_ref = ray.put(fp_map)
+
+    class ScoreStage:
+        def __init__(self, ref, base):
+            import ray as _r
+
+            fp = _r.get(ref)
+            self.base = base
+            toks = np.array(list(fp.keys()), dtype=object)
+            vals = np.array(list(fp.values()), dtype=np.int64)
+            self.tokens = pa.array(toks.tolist(), pa.string())
+            self.fp = vals
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_tok": pa.array([], pa.int64()),
+                 "logprob_fp": pa.array([], pa.int64())}
+            )
+            tb = tk.TokenBatch(t.column("text"))
+            if tb.n_tokens == 0:
+                return empty
+            n_docs = len(tb.doc_lens)
+            idx = pc.index_in(tb.token_array(), value_set=self.tokens)
+            slot = pc.fill_null(idx, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_idx = np.repeat(np.arange(n_docs), tb.doc_lens)
+            acc = np.zeros(n_docs, dtype=np.int64)
+            valid = slot >= 0
+            np.add.at(acc, doc_idx[valid], self.fp[slot[valid]])
+            n_tok = tb.doc_lens.astype(np.int64)
+            m = n_tok > 0
+            return pa.table(
+                {"doc_id": pa.array(t["doc_id"].to_numpy(zero_copy_only=False)[m]),
+                 "n_tok": pa.array(n_tok[m]),
+                 "logprob_fp": pa.array(acc[m] - n_tok[m] * self.base)}
+            )
+
+    return docs.map_batches(
+        ScoreStage, fn_constructor_kwargs={"ref": vocab_ref, "base": base_fp},
+        batch_format="pyarrow", concurrency=(1, 4),
+        **BROADCAST_ACTOR_ARGS,
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------

@@ -53,9 +53,32 @@ def _derive_events(t: pa.Table) -> pa.Table:
     )
 
 
+_ROLLED_CACHE: dict = {}
+
+
 def _rolled_events(sf_dir: str) -> ray.data.Dataset:
+    """The 1m continuous-aggregate tier every downstream analytics query
+    serves from. Memoized per (path, file identity, Ray job) as a
+    MATERIALIZED dataset — the engine's own committed-tier architecture
+    (compute the rollup once, serve many queries from it) applied in-process:
+    one scan+rollup instead of one per query. Rolled volume is ~1/60 of the
+    input and bounded by sources x minutes, so pinning it in the object
+    store is safe; the (size, mtime) key keeps a regenerated corpus from
+    being served stale, and the job-id key drops refs from a dead Ray
+    session."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
     derived = _events(sf_dir).map_batches(_derive_events, batch_format="pyarrow")
-    return final_rollup(derived.map_batches(partial_rollup, batch_format="pyarrow"))
+    rolled = final_rollup(derived.map_batches(partial_rollup, batch_format="pyarrow"))
+    if not ray.is_initialized():
+        return rolled  # driver owns session startup; first call stays lazy
+    job = ray.get_runtime_context().get_job_id()
+    key = (os.path.realpath(sf_dir), st.st_size, st.st_mtime_ns, job)
+    ds = _ROLLED_CACHE.get(key)
+    if ds is None:
+        ds = _ROLLED_CACHE[key] = rolled.materialize()
+    return ds
 
 
 def _rename_cents(t: pa.Table) -> pa.Table:
@@ -3376,6 +3399,99 @@ def q_auto_resolution(sf_dir: str, budget: int = _AR_BUDGET):
     )
 
 
+def q_twa_1m(sf_dir: str):
+    """Time-weighted average of each source's 1m series (the irregular-
+    sampling mean every timeseries store exposes — TimescaleDB's
+    ``time_weight``): each point holds its value until the NEXT point, so
+    gaps weight by their true duration instead of skewing a plain AVG.
+
+    Exactness: numerator Σ x_i·(b_{i+1}−b_i) and denominator b_max−b_min
+    are exact integer sums (order-free), and the final double is ONE
+    division of those two integers — same expression in the SQL, rounded
+    6dp on both sides. One keyed exchange on rolled volume."""
+
+    def _twa(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "n_points": pd.Series(dtype=np.int64),
+             "twa_num": pd.Series(dtype=np.int64),
+             "twa_den": pd.Series(dtype=np.int64),
+             "twa": pd.Series(dtype=np.float64)}
+        )
+        if len(df) < 2:
+            return empty
+        df = df.sort_values("bucket")
+        b = df["bucket"].to_numpy().astype(np.int64)
+        x = [int(v) for v in df["sum_tok"].to_numpy()]
+        num = sum(v * int(dt) for v, dt in zip(x[:-1], b[1:] - b[:-1]))
+        den = int(b[-1] - b[0])
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]],
+             "n_points": np.array([len(df)], np.int64),
+             "twa_num": np.array([num], np.int64),
+             "twa_den": np.array([den], np.int64),
+             "twa": [round(float(num) / den, 6)]}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _twa,
+                          batch_format="pandas")
+
+
+# motif window length / start stride; the oracle SQL shares these constants
+_MOTIF_W, _MOTIF_STRIDE = 8, 4
+
+
+def q_motif_1m(sf_dir: str, w: int = _MOTIF_W, stride: int = _MOTIF_STRIDE):
+    """Matrix-profile-style motif discovery: per source, the pair of
+    NON-OVERLAPPING length-``w`` windows of the 1m series (row positions,
+    starts strided by ``stride`` to bound the pair count) with minimum
+    integer squared Euclidean distance — the classic repeated-pattern
+    primitive (Yeh et al., "Matrix Profile I", ICDM'16) re-grounded to an
+    exact integer contract the SQL self-join can replicate.
+
+    All distances are exact int64 sums of squared integer diffs; ties
+    break lexicographically on (d2, rn_a, rn_b). The O(S²·w) kernel runs
+    per-source on ROLLED volume (S = minutes/stride), inside the group
+    worker — at 100 TB the series per source is bounded by retention, and
+    the strided start set keeps the pair count quadratic in S/stride, not
+    raw minutes."""
+
+    def _motif(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "rn_a": pd.Series(dtype=np.int64), "rn_b": pd.Series(dtype=np.int64),
+             "d2": pd.Series(dtype=np.int64)}
+        )
+        n = len(df)
+        if n < 2 * w:
+            return empty
+        df = df.sort_values("bucket")
+        x = df["sum_tok"].to_numpy().astype(np.int64)
+        starts = np.arange(0, n - w + 1, stride, dtype=np.int64)
+        if len(starts) < 2:
+            return empty
+        win = x[starts[:, None] + np.arange(w)[None, :]]        # (S, w) int64
+        diff = win[:, None, :] - win[None, :, :]                # (S, S, w)
+        d2 = np.einsum("ijk,ijk->ij", diff, diff)               # exact int64
+        ii, jj = np.meshgrid(starts, starts, indexing="ij")
+        valid = jj - ii >= w                                    # i<j non-overlap
+        if not valid.any():
+            return empty
+        d2v = np.where(valid, d2, np.iinfo(np.int64).max)
+        best = d2v.min()
+        cand = np.argwhere(d2v == best)                          # lexmin (i, j)
+        i, j = cand[0]
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]],
+             "rn_a": np.array([starts[i] + 1], np.int64),
+             "rn_b": np.array([starts[j] + 1], np.int64),
+             "d2": np.array([int(best)], np.int64)}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _motif,
+                          batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # ORACLE SQL (DuckDB) — keyed identically to QUERIES
 # ---------------------------------------------------------------------------
@@ -4205,6 +4321,50 @@ ORACLE_SQL["rolling_median"] = f"""
     FROM r ORDER BY 1, 2
 """
 
+ORACLE_SQL["twa_1m"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    w AS (SELECT source, bucket, sum_cents,
+                 LEAD(bucket) OVER (PARTITION BY source ORDER BY bucket) AS nb
+          FROM r),
+    s AS (SELECT source,
+                 SUM(CAST(sum_cents AS HUGEINT) * (nb - bucket)) AS num
+          FROM w WHERE nb IS NOT NULL GROUP BY 1),
+    d AS (SELECT source, COUNT(*) AS n,
+                 MAX(bucket) - MIN(bucket) AS den
+          FROM r GROUP BY 1)
+    SELECT d.source, CAST(d.n AS BIGINT) AS n_points,
+           CAST(s.num AS BIGINT) AS twa_num, CAST(d.den AS BIGINT) AS twa_den,
+           ROUND(CAST(s.num AS DOUBLE) / d.den, 6) AS twa
+    FROM d JOIN s USING (source) WHERE d.n >= 2 ORDER BY 1
+"""
+
+ORACLE_SQL["motif_1m"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    s AS (SELECT source, sum_cents,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY bucket) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM r),
+    st AS (SELECT source, rn FROM s
+           WHERE (rn - 1) % {_MOTIF_STRIDE} = 0 AND rn + {_MOTIF_W - 1} <= n),
+    p AS (SELECT a.source, a.rn AS ra, b.rn AS rb
+          FROM st a JOIN st b
+            ON b.source = a.source AND b.rn >= a.rn + {_MOTIF_W}),
+    d AS (SELECT p.source, p.ra, p.rb,
+                 SUM(CAST(xa.sum_cents - xb.sum_cents AS BIGINT)
+                     * (xa.sum_cents - xb.sum_cents)) AS d2
+          FROM p
+          JOIN s xa ON xa.source = p.source
+                   AND xa.rn BETWEEN p.ra AND p.ra + {_MOTIF_W - 1}
+          JOIN s xb ON xb.source = p.source
+                   AND xb.rn = p.rb + (xa.rn - p.ra)
+          GROUP BY 1, 2, 3)
+    SELECT source, CAST(ra AS BIGINT) AS rn_a, CAST(rb AS BIGINT) AS rn_b,
+           CAST(d2 AS BIGINT) AS d2
+    FROM d
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY d2, ra, rb) = 1
+    ORDER BY 1
+"""
+
 ORACLE_SQL["winsorize_1m"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     q AS (SELECT source,
@@ -4289,6 +4449,8 @@ QUERIES = {
     "moments_1m": q_moments_1m,
     "source_skew": q_source_skew,
     "winsorize_1m": q_winsorize_1m,
+    "twa_1m": q_twa_1m,
+    "motif_1m": q_motif_1m,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
