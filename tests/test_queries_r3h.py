@@ -1,0 +1,212 @@
+"""Round-3h: the unigram-LM / entropy / TTR corpus-quality family and the
+twa_1m / motif_1m timeseries pair, each on an adversarial fixture run
+against the SAME DuckDB oracle SQL that ships with the query, plus
+hand-computed semantic asserts (fixed-point values recomputed from first
+principles with math.log/math.floor — the exactness contract itself)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tsrollup.pipelines.docqueries import (
+    DOC_ORACLE_SQL,
+    DOC_QUERIES,
+    _FP_SCALE,
+    _ln_fp,
+)
+from tsrollup.pipelines.queries import ORACLE_SQL, QUERIES
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _oracle(sql: str, view: str, path: str) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW {view} AS SELECT * FROM read_parquet('{path}')")
+    return con.execute(sql).df()
+
+
+# ---------------------------------------------------------------------------
+# documents fixture: repeats, singletons, null/empty text, NUL bytes,
+# Unicode whitespace (NBSP must split like the engine's tokenizer)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def r3h_docs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("r3h_docs")
+    rows = [
+        (0, "a a a a", "web"),            # TTR 1/4; heavy-token doc
+        (1, "a b c d", "web"),            # TTR 1
+        (2, "", "web"),                   # empty -> excluded everywhere
+        (3, None, "web"),                 # null  -> excluded everywhere
+        (4, "x\x00y x\x00z x\x00y", "web"),  # NUL tokens differ past the NUL
+        (5, "a b  c", "wiki"),       # NBSP is whitespace to the engine
+        (6, "q", "wiki"),                 # singleton token, ln(c)=0 branch
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array([r[2] for r in rows]),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] else 0 for r in rows], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(t, d / "documents.parquet")
+    return str(d)
+
+
+def test_ttr_quality_matches_oracle(ray_session, r3h_docs_dir):
+    got = DOC_QUERIES["ttr_quality"](r3h_docs_dir).to_pandas()
+    want = _oracle(DOC_ORACLE_SQL["ttr_quality"], "documents",
+                   f"{r3h_docs_dir}/documents.parquet")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[0, "ttr_ppm"] == 250_000          # 1 distinct / 4
+    assert by_id.loc[1, "ttr_ppm"] == 1_000_000
+    assert by_id.loc[4, "n_distinct"] == 2             # NUL tokens NOT collapsed
+    assert by_id.loc[5, "n_tok"] == 3                  # NBSP split
+    assert 2 not in by_id.index and 3 not in by_id.index
+
+
+def test_token_entropy_matches_oracle(ray_session, r3h_docs_dir):
+    got = DOC_QUERIES["token_entropy"](r3h_docs_dir).to_pandas()
+    want = _oracle(DOC_ORACLE_SQL["token_entropy"], "documents",
+                   f"{r3h_docs_dir}/documents.parquet")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    # wiki from first principles: tokens a b c q -> 4 singletons,
+    # H = ln 4 exactly; ent_fp = 4*F(4) - 4*1*F(1) = 4*F(4)
+    wiki = got.set_index("source").loc["wiki"]
+    assert int(wiki["n_tok"]) == 4 and int(wiki["n_distinct"]) == 4
+    assert int(wiki["ent_fp"]) == 4 * _ln_fp(4)
+    assert wiki["entropy"] == pytest.approx(math.log(4), abs=2e-6)
+
+
+def test_unigram_logprob_matches_oracle(ray_session, r3h_docs_dir):
+    got = DOC_QUERIES["unigram_logprob"](r3h_docs_dir).to_pandas()
+    want = _oracle(DOC_ORACLE_SQL["unigram_logprob"], "documents",
+                   f"{r3h_docs_dir}/documents.parquet")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    # doc 1 = "a b c d" from first principles over the whole-corpus counts:
+    # c(a)=6 (docs 0,1,5), c(b)=2, c(c)=2, c(d)=1; N=15 tokens, D=7 distinct
+    by_id = got.set_index("doc_id")
+    base = _ln_fp(15 + 7)
+    exp = _ln_fp(7) + _ln_fp(3) + _ln_fp(3) + _ln_fp(2) - 4 * base
+    assert int(by_id.loc[1, "logprob_fp"]) == exp
+    # repeated-token doc scores HIGHER per token than the rare-token doc
+    assert (by_id.loc[0, "logprob_fp"] / by_id.loc[0, "n_tok"]
+            > by_id.loc[1, "logprob_fp"] / by_id.loc[1, "n_tok"])
+
+
+def test_unigram_vocab_cutoff(ray_session, r3h_docs_dir):
+    # vocab_size=1 keeps only the most frequent token ('a'); every other
+    # token is out-of-vocab and contributes F(1) = 0
+    got = DOC_QUERIES["unigram_logprob"](r3h_docs_dir, vocab_size=1).to_pandas()
+    by_id = got.set_index("doc_id")
+    base = _ln_fp(15 + 7)
+    assert int(by_id.loc[1, "logprob_fp"]) == _ln_fp(7) - 4 * base
+    assert int(by_id.loc[6, "logprob_fp"]) == -base
+
+
+def test_ln_fp_matches_duckdb_ln():
+    """The fixed-point contract's only cross-engine assumption: CPython
+    math.log and DuckDB LN produce the same double for integer inputs.
+    Probe the full small-count range plus large magnitudes."""
+    import duckdb
+
+    xs = list(range(1, 20_000)) + [10**6 + 7, 10**9 + 7, 10**12 + 7]
+    con = duckdb.connect()
+    df = con.execute(
+        "SELECT x, CAST(FLOOR(LN(x) * 1000000000) AS BIGINT) AS fp "
+        "FROM (SELECT UNNEST(?) AS x)", [xs]
+    ).df()
+    theirs = dict(zip(df["x"], df["fp"]))
+    for x in xs:
+        assert _ln_fp(x) == theirs[x], x
+
+
+# ---------------------------------------------------------------------------
+# events fixture for twa / motif: irregular gaps, a repeated motif planted
+# twice, sources too short for any window
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def r3h_events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("r3h_events")
+    rows = []  # (source, minute, cents)
+
+    def add(src, minute, cents):
+        rows.append((src, minute, cents))
+
+    # src "m": 40 minutes; the 8-long pattern at rows 1..8 repeats at 25..32
+    pattern = [10, 50, 20, 70, 30, 90, 40, 60]
+    series = list(range(100, 140))
+    series[0:8] = pattern
+    series[24:32] = pattern
+    for i, v in enumerate(series):
+        add("m", i, v)
+    # src "gap": irregular spacing for the time-weighted average
+    for minute, v in [(0, 10), (1, 20), (5, 30), (15, 40)]:
+        add("gap", minute, v)
+    # src "tiny": below every window/segment minimum
+    add("tiny", 0, 5)
+
+    ts = pa.array(
+        [m * 60_000_000 for _, m, _ in rows], pa.timestamp("us")
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[0] for r in rows]),
+            "value": pa.array([r[2] / 100.0 for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, d / "events.parquet")
+    return str(d)
+
+
+def test_twa_matches_oracle_and_hand_value(ray_session, r3h_events_dir):
+    got = QUERIES["twa_1m"](r3h_events_dir).to_pandas()
+    want = _oracle(ORACLE_SQL["twa_1m"], "events",
+                   f"{r3h_events_dir}/events.parquet")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    g = got.set_index("source").loc["gap"]
+    # segments: 10*1 + 20*4 + 30*10 over span 15
+    assert int(g["twa_num"]) == 10 * 1 + 20 * 4 + 30 * 10
+    assert int(g["twa_den"]) == 15
+    assert g["twa"] == round(390 / 15, 6)
+    assert "tiny" not in got["source"].values  # single point: no segment
+
+
+def test_motif_finds_planted_repeat(ray_session, r3h_events_dir):
+    got = QUERIES["motif_1m"](r3h_events_dir).to_pandas()
+    want = _oracle(ORACLE_SQL["motif_1m"], "events",
+                   f"{r3h_events_dir}/events.parquet")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    m = got.set_index("source").loc["m"]
+    # planted copies start at 0-based rows 0 and 24 -> strided starts hit
+    # both (stride 4), distance exactly 0
+    assert int(m["d2"]) == 0
+    assert int(m["rn_a"]) == 1 and int(m["rn_b"]) == 25
+    assert "tiny" not in got["source"].values
+    assert "gap" not in got["source"].values  # 4 points < 2*w

@@ -2032,6 +2032,8 @@ def q_unigram_logprob(sf_dir: str, vocab_size: int = _ULP_V):
     from tsrollup.shuffle import topk_rows
 
     def _tc_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         tb = tk.TokenBatch(t.column("text"))
         if tb.n_tokens == 0:
             return pa.table({"token": pa.array([], pa.string()),
@@ -2069,6 +2071,8 @@ def q_unigram_logprob(sf_dir: str, vocab_size: int = _ULP_V):
             self.fp = vals
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             empty = pa.table(
                 {"doc_id": pa.array([], pa.int64()), "n_tok": pa.array([], pa.int64()),
                  "logprob_fp": pa.array([], pa.int64())}
@@ -2826,6 +2830,60 @@ DOC_ORACLE_SQL["langid_confusion"] = (
     FROM pred GROUP BY 1, 2 ORDER BY 1, 2
     """
 )
+
+# type-token ratio: COUNT(DISTINCT token) == the engine's 64-bit-FNV
+# distinct-(doc, token) mask absent collisions (tfidf's df precedent);
+# ttr_ppm is an exact positive-integer floor on both sides
+DOC_QUERIES["ttr_quality"] = q_ttr_quality
+DOC_ORACLE_SQL["ttr_quality"] = rf"""
+    WITH toks AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\S+')) AS token
+                  FROM {_DOCS_WS_NORM}),
+    s AS (SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT token) AS n_distinct
+          FROM toks GROUP BY 1)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST((n_distinct * 1000000) // n_tok AS BIGINT) AS ttr_ppm
+    FROM s ORDER BY 1
+"""
+
+# per-source token entropy in shared fixed point: ent_fp = N*F(N) - SUM(c*F(c))
+# with F(x) = FLOOR(LN(x)*1e9) -- order-free integer sums on both sides; the
+# presentational `entropy` is one division of those integers, rounded 6dp
+DOC_QUERIES["token_entropy"] = q_token_entropy
+DOC_ORACLE_SQL["token_entropy"] = rf"""
+    WITH toks AS (SELECT source, UNNEST(regexp_extract_all(text, '\S+')) AS token
+                  FROM {_DOCS_WS_NORM}),
+    c AS (SELECT source, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    s AS (SELECT source, SUM(c) AS n, COUNT(*) AS d,
+                 SUM(c * CAST(FLOOR(LN(c) * {_FP_SCALE}) AS BIGINT)) AS sfp
+          FROM c GROUP BY 1)
+    SELECT source, CAST(n AS BIGINT) AS n_tok, CAST(d AS BIGINT) AS n_distinct,
+           CAST(n * CAST(FLOOR(LN(n) * {_FP_SCALE}) AS BIGINT) - sfp AS BIGINT)
+               AS ent_fp,
+           ROUND(CAST(n * CAST(FLOOR(LN(n) * {_FP_SCALE}) AS BIGINT) - sfp
+                      AS DOUBLE) / (n * {_FP_SCALE}.0), 6) AS entropy
+    FROM s ORDER BY 1
+"""
+
+# unigram-LM logprob: vocabulary = top-V corpus tokens by (count desc, token
+# asc); logprob_fp = SUM(F(c_t+1)) - n_tok*F(N+D), all exact int64 in the
+# shared fixed point; out-of-vocab tokens contribute F(0+1) = 0 via COALESCE
+DOC_QUERIES["unigram_logprob"] = q_unigram_logprob
+DOC_ORACLE_SQL["unigram_logprob"] = rf"""
+    WITH toks AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\S+')) AS token
+                  FROM {_DOCS_WS_NORM}),
+    cnt AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS d FROM cnt),
+    vocab AS (SELECT token, CAST(FLOOR(LN(c + 1) * {_FP_SCALE}) AS BIGINT) AS fp
+              FROM cnt ORDER BY c DESC, token LIMIT {_ULP_V}),
+    base AS (SELECT CAST(FLOOR(LN(n + d) * {_FP_SCALE}) AS BIGINT) AS bfp
+             FROM tot)
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(COALESCE(v.fp, 0)) - COUNT(*) * ANY_VALUE(b.bfp) AS BIGINT)
+               AS logprob_fp
+    FROM toks t LEFT JOIN vocab v USING (token) CROSS JOIN base b
+    GROUP BY 1 ORDER BY 1
+"""
 
 # exact-dup cluster-size histogram; COALESCE matches the engine's null->''
 # text contract (add_text_hash); a text in one cluster counts once per size
