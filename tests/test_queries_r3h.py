@@ -198,6 +198,49 @@ def test_twa_matches_oracle_and_hand_value(ray_session, r3h_events_dir):
     assert "tiny" not in got["source"].values  # single point: no segment
 
 
+def test_zipf_fit_matches_oracle(ray_session, r3h_docs_dir):
+    got = DOC_QUERIES["zipf_fit"](r3h_docs_dir).to_pandas()
+    want = _oracle(DOC_ORACLE_SQL["zipf_fit"], "documents",
+                   f"{r3h_docs_dir}/documents.parquet")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    by_src = got.set_index("source")
+    # web: a=5, x\0y=2, four singletons -> decaying counts, negative slope
+    assert int(by_src.loc["web", "n_ranks"]) == 6
+    assert by_src.loc["web", "zipf_slope"] < 0
+    # wiki: four singletons -> y = F(1) = 0 everywhere -> slope exactly 0
+    assert by_src.loc["wiki", "zipf_slope"] == 0.0
+
+
+def test_compression_ratio_semantics(ray_session, tmp_path):
+    rep = "spam " * 400                     # highly compressible
+    nat = " ".join(f"w{i}x{i * 7 % 13}" for i in range(400))  # varied
+    t = pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()),
+         "text": pa.array([rep, nat, None], pa.string()),
+         "lang": pa.array(["en"] * 3), "source": pa.array(["web"] * 3),
+         "n_chars": pa.array([len(rep), len(nat), 0], pa.int64())}
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = DOC_QUERIES["compression_ratio"](str(tmp_path)).to_pandas()
+    again = DOC_QUERIES["compression_ratio"](str(tmp_path)).to_pandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(again))  # deterministic
+    by_id = got.set_index("doc_id")
+    assert int(by_id.loc[0, "n_bytes"]) == len(rep.encode())
+    assert by_id.loc[0, "ratio_ppm"] < by_id.loc[1, "ratio_ppm"] / 5
+    assert int(by_id.loc[2, "n_bytes"]) == 0  # null -> '' -> denominator guard
+
+
+def test_coverage_1h_matches_oracle(ray_session, r3h_events_dir):
+    got = QUERIES["coverage_1h"](r3h_events_dir).to_pandas()
+    want = _oracle(ORACLE_SQL["coverage_1h"], "events",
+                   f"{r3h_events_dir}/events.parquet")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    by = got.set_index(["source", "hour"])
+    assert int(by.loc[("m", 0), "n_minutes"]) == 40
+    assert int(by.loc[("m", 0), "coverage_ppm"]) == 40 * 1_000_000 // 60
+    assert int(by.loc[("gap", 0), "n_minutes"]) == 4
+
+
 def test_motif_finds_planted_repeat(ray_session, r3h_events_dir):
     got = QUERIES["motif_1m"](r3h_events_dir).to_pandas()
     want = _oracle(ORACLE_SQL["motif_1m"], "events",

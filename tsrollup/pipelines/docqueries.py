@@ -1936,18 +1936,10 @@ def _ln_fp(x: int) -> int:
     return math.floor(math.log(x) * _FP_SCALE)
 
 
-def q_token_entropy(sf_dir: str):
-    """Shannon entropy of each source's token distribution — the corpus
-    diversity number a data-mixing dashboard tracks per source/domain.
-    H = ln N − (1/N)·Σ c·ln c over per-(source, token) counts c.
-
-    Exactness: the only float-sensitive piece, Σ c·ln c, is computed in
-    shared fixed point (``_FP_SCALE``): ent_fp = N·F(N) − Σ c·F(c) is an
-    order-free exact integer sum on both sides, and the presentational
-    ``entropy`` is ONE division of that integer. Distribution: per-batch
-    Arrow (source, token) partial counts → one keyed count fold (the same
-    exchange vocab_overlap pays) → per-batch fixed-point partials → a
-    sources-sized groupby."""
+def _source_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-(source, token) counts: per-batch Arrow group partials →
+    one keyed count fold (the same exchange vocab_overlap pays). Shared by
+    the entropy / Zipf analytics."""
     from ray.data.aggregate import Sum
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -1966,12 +1958,28 @@ def q_token_entropy(sf_dir: str):
         return pa.table({"source": g["source"], "token": g["token"],
                          "c": g["token_count"].cast(pa.int64())})
 
-    counts = (
+    return (
         _docs(sf_dir, ("source", "text"))
         .map_batches(_partial, batch_format="pyarrow")
         .groupby(["source", "token"])
         .aggregate(Sum("c", alias_name="c"))
     )
+
+
+def q_token_entropy(sf_dir: str):
+    """Shannon entropy of each source's token distribution — the corpus
+    diversity number a data-mixing dashboard tracks per source/domain.
+    H = ln N − (1/N)·Σ c·ln c over per-(source, token) counts c.
+
+    Exactness: the only float-sensitive piece, Σ c·ln c, is computed in
+    shared fixed point (``_FP_SCALE``): ent_fp = N·F(N) − Σ c·F(c) is an
+    order-free exact integer sum on both sides, and the presentational
+    ``entropy`` is ONE division of that integer. Distribution: the shared
+    (source, token) count exchange → per-batch fixed-point partials → a
+    sources-sized groupby."""
+    from ray.data.aggregate import Sum
+
+    counts = _source_token_counts(sf_dir)
 
     def _fp_partial(t: pa.Table) -> pa.Table:
         c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2100,6 +2108,79 @@ def q_unigram_logprob(sf_dir: str, vocab_size: int = _ULP_V):
         batch_format="pyarrow", concurrency=(1, 4),
         **BROADCAST_ACTOR_ARGS,
     )
+
+
+_ZIPF_K = 256  # ranks fitted per source; the oracle SQL shares this
+
+
+def q_zipf_fit(sf_dir: str, k: int = _ZIPF_K):
+    """Zipf exponent per source: OLS slope of ln(count) on ln(rank) over
+    the top-``k`` token ranks — natural text sits near −1, so a source far
+    off flags machine-generated or templated data (a standard corpus-audit
+    diagnostic). Ranks order by (count desc, token asc).
+
+    Exactness: x = F(rank), y = F(count) in the shared fixed point; the
+    OLS numerator/denominator k·Σxy − Σx·Σy and k·Σxx − (Σx)² are exact
+    Python-int / HUGEINT sums, and the slope is ONE division of those two
+    integers cast to double. Rides the shared (source, token) count
+    exchange; the per-source fit touches only k rows."""
+
+    def _fit(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "n_ranks": pd.Series(dtype=np.int64),
+             "zipf_slope": pd.Series(dtype=np.float64)}
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values(["c", "token"], ascending=[False, True]).head(k)
+        n = len(df)
+        if n < 2:
+            return empty
+        xs = [_ln_fp(i + 1) for i in range(n)]
+        ys = [_ln_fp(int(c)) for c in df["c"]]
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        den = n * sxx - sx * sx
+        if den <= 0:
+            return empty
+        slope = round(float(n * sxy - sx * sy) / float(den), 6)
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]],
+             "n_ranks": np.array([n], np.int64), "zipf_slope": [slope]}
+        )
+
+    return map_key_groups(_source_token_counts(sf_dir), ["source"], _fit,
+                          batch_format="pandas")
+
+
+def q_compression_ratio(sf_dir: str, level: int = 6):
+    """Compressibility quality signal (the Gopher-rules cousin of
+    repetition_filter): per document, DEFLATE-compressed size over raw
+    UTF-8 size — boilerplate and stuffed pages compress far below natural
+    text. The per-doc ``zlib.compress`` is one C call on the whole payload
+    (the engine's accepted per-element-inference shape, cf. SURVEY M6);
+    embarrassingly parallel, no exchange. No SQL oracle exists (DuckDB has
+    no DEFLATE scalar) — determinism is pinned by unit tests instead."""
+    import zlib
+
+    def _cr(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_bytes = np.empty(len(texts), np.int64)
+        n_comp = np.empty(len(texts), np.int64)
+        for i, s in enumerate(texts):
+            raw = (s or "").encode("utf-8")
+            n_bytes[i] = len(raw)
+            n_comp[i] = len(zlib.compress(raw, level))
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_bytes": pa.array(n_bytes),
+             "n_comp": pa.array(n_comp),
+             "ratio_ppm": pa.array(n_comp * 1_000_000 //
+                                   np.maximum(n_bytes, 1))}
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(_cr, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -2884,6 +2965,32 @@ DOC_ORACLE_SQL["unigram_logprob"] = rf"""
     FROM toks t LEFT JOIN vocab v USING (token) CROSS JOIN base b
     GROUP BY 1 ORDER BY 1
 """
+
+# Zipf fit: ranks by (count desc, token asc); x/y in the shared fixed point
+# as HUGEINT so k*sxy and sx*sy stay exact; ONE int->double division
+DOC_QUERIES["zipf_fit"] = q_zipf_fit
+DOC_ORACLE_SQL["zipf_fit"] = rf"""
+    WITH toks AS (SELECT source, UNNEST(regexp_extract_all(text, '\S+')) AS token
+                  FROM {_DOCS_WS_NORM}),
+    c AS (SELECT source, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    r AS (SELECT source, c,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY c DESC, token) AS rnk
+          FROM c QUALIFY rnk <= {_ZIPF_K}),
+    f AS (SELECT source,
+                 CAST(CAST(FLOOR(LN(rnk) * {_FP_SCALE}) AS BIGINT) AS HUGEINT) AS x,
+                 CAST(CAST(FLOOR(LN(c) * {_FP_SCALE}) AS BIGINT) AS HUGEINT) AS y
+          FROM r),
+    s AS (SELECT source, COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM f GROUP BY 1)
+    SELECT source, CAST(k AS BIGINT) AS n_ranks,
+           ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+    FROM s WHERE k >= 2 AND k * sxx - sx * sx > 0 ORDER BY 1
+"""
+
+DOC_QUERIES["compression_ratio"] = q_compression_ratio  # no_oracle: no SQL DEFLATE
 
 # exact-dup cluster-size histogram; COALESCE matches the engine's null->''
 # text contract (add_text_hash); a text in one cluster counts once per size

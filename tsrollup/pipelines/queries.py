@@ -3437,6 +3437,36 @@ def q_twa_1m(sf_dir: str):
                           batch_format="pandas")
 
 
+def q_coverage_1h(sf_dir: str):
+    """Data-completeness monitor: minutes-with-data per (source, hour) and
+    the coverage fraction — the SLA number a retention/ingest dashboard
+    alerts on (a gap-fill's upstream diagnostic). Partial per-batch counts
+    over the ROLLED 1m tier fold through one small (source, hour) groupby;
+    coverage_ppm is an exact positive-integer floor."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        hours = pc.divide(t["bucket"], 60)  # int64 floor: buckets >= 0 validated
+        g = pa.table({"source": t["source"], "hour": hours}).group_by(
+            ["source", "hour"]
+        ).aggregate([("hour", "count")])
+        return pa.table({"source": g["source"], "hour": g["hour"],
+                         "n_minutes": g["hour_count"].cast(pa.int64())})
+
+    folded = (
+        _rolled_events(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "hour"])
+        .aggregate(Sum("n_minutes", alias_name="n_minutes"))
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        n = t["n_minutes"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("coverage_ppm", pa.array(n * 1_000_000 // 60))
+
+    return folded.map_batches(_final, batch_format="pyarrow")
+
+
 # motif window length / start stride; the oracle SQL shares these constants
 _MOTIF_W, _MOTIF_STRIDE = 8, 4
 
@@ -4321,6 +4351,14 @@ ORACLE_SQL["rolling_median"] = f"""
     FROM r ORDER BY 1, 2
 """
 
+ORACLE_SQL["coverage_1h"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY})
+    SELECT source, bucket // 60 AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_minutes,
+           CAST((COUNT(*) * 1000000) // 60 AS BIGINT) AS coverage_ppm
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 ORACLE_SQL["twa_1m"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     w AS (SELECT source, bucket, sum_cents,
@@ -4451,6 +4489,7 @@ QUERIES = {
     "winsorize_1m": q_winsorize_1m,
     "twa_1m": q_twa_1m,
     "motif_1m": q_motif_1m,
+    "coverage_1h": q_coverage_1h,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
