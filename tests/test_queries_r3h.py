@@ -241,6 +241,31 @@ def test_coverage_1h_matches_oracle(ray_session, r3h_events_dir):
     assert int(by.loc[("gap", 0), "n_minutes"]) == 4
 
 
+def test_wau_7d_chain_boundaries(ray_session, tmp_path):
+    # user 1: days 0 and 6 (gap 6 -> ONE chain, covers 0..12)
+    # user 2: days 0 and 7 (gap 7 -> TWO chains, covers 0..6 and 7..13)
+    # user 3: day 20 only (isolated; also the only activity on day 20)
+    rows = [(1, 0), (1, 6), (2, 0), (2, 7), (3, 20)]
+    t = pa.table(
+        {"event_id": pa.array(range(len(rows)), pa.int64()),
+         "ts": pa.array([d * 86_400_000_000 for _, d in rows], pa.timestamp("us")),
+         "user_id": pa.array([u for u, _ in rows], pa.int64()),
+         "event_type": pa.array(["s"] * len(rows)),
+         "value": pa.array([1.0] * len(rows), pa.float64()),
+         "props": pa.array(["{}"] * len(rows))}
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = QUERIES["wau_7d"](str(tmp_path)).to_pandas()
+    want = _oracle(ORACLE_SQL["wau_7d"], "events", f"{tmp_path}/events.parquet")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    by_day = got.set_index("day")["wau"]
+    assert by_day.loc[0] == 2          # users 1 and 2 active day 0
+    assert by_day.loc[6] == 2          # u1 (day 6 or chain), u2 (day 0 in window)
+    assert by_day.loc[7] == 2          # u1 chain covers 7..12, u2 second chain
+    assert by_day.loc[20] == 1         # only user 3; u1 coverage ended day 12
+    assert set(got["day"]) == {0, 6, 7, 20}  # only days with actual activity
+
+
 def test_motif_finds_planted_repeat(ray_session, r3h_events_dir):
     got = QUERIES["motif_1m"](r3h_events_dir).to_pandas()
     want = _oracle(ORACLE_SQL["motif_1m"], "events",

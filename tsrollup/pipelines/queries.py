@@ -3437,6 +3437,106 @@ def q_twa_1m(sf_dir: str):
                           batch_format="pandas")
 
 
+_WAU_W = 7  # trailing window in days; the oracle SQL shares this
+
+
+def q_wau_7d(sf_dir: str, window: int = _WAU_W):
+    """Rolling 7-day active users per (source, day) — the WAU growth metric,
+    i.e. windowed EXACT cardinality, which no mergeable sketch-free
+    aggregate expresses directly. Three-stage shape with NO per-user data
+    ever leaving its partition:
+
+    1. one (source, user) keyed exchange; each partition merges every
+       owned user's distinct activity days into maximal chains with
+       gaps < ``window`` (vectorized masks, no per-user Python). A chain
+       [s, e] covers exactly the target days [s, e+window-1], so it emits
+       two difference marks (+1 at s, −1 at e+window) — windowed
+       cardinality becomes an order-free integer sum.
+    2. the marks and the distinct (source, day) presence rows fold through
+       ONE tiny (source, day) groupby (rows bounded by sources × days).
+    3. a per-source prefix sum over that folded table evaluates the count
+       at each present day.
+
+    At 100 TB stage 1 carries the big data exactly once and the fold is
+    sketch-small; ties/duplicates cancel inside the integer marks."""
+    from ray.data.aggregate import Sum
+    from tsrollup.shuffle import map_key_partitions
+
+    _M_SCHEMA = pa.schema(
+        [("source", pa.string()), ("day", pa.int64()),
+         ("delta", pa.int64()), ("present", pa.int64())]
+    )
+
+    def _marks(t: pa.Table) -> pa.Table:
+        from tsrollup.hashing import safe_factorize
+
+        if t.num_rows == 0:
+            return _M_SCHEMA.empty_table()
+        src = t["event_type"].combine_chunks()
+        day = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        sc, _ = safe_factorize(src.to_numpy(zero_copy_only=False))  # NUL-safe
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid, sc))
+        sc_o, uid_o, day_o = sc[order], uid[order], day[order]
+        first = np.ones(len(sc_o), dtype=bool)   # distinct (source, user, day)
+        first[1:] = ((sc_o[1:] != sc_o[:-1]) | (uid_o[1:] != uid_o[:-1])
+                     | (day_o[1:] != day_o[:-1]))
+        su_d = np.stack([sc_o[first], uid_o[first]])
+        day_d, oi = day_o[first], order[first]
+        new_chain = np.ones(su_d.shape[1], dtype=bool)
+        new_chain[1:] = ((su_d[0, 1:] != su_d[0, :-1])
+                         | (su_d[1, 1:] != su_d[1, :-1])
+                         | (day_d[1:] - day_d[:-1] >= window))
+        starts = np.flatnonzero(new_chain)
+        ends = np.r_[starts[1:], su_d.shape[1]] - 1
+        chain_src = src.take(pa.array(oi[starts]))
+        # per-chain +1 at chain start day, -1 one past its covered range
+        mark_src = pa.concat_arrays([chain_src, chain_src])
+        mark_day = np.r_[day_d[starts], day_d[ends] + window]
+        mark_delta = np.r_[np.ones(len(starts), np.int64),
+                           -np.ones(len(starts), np.int64)]
+        marks = pa.table(
+            {"source": mark_src, "day": pa.array(mark_day),
+             "delta": pa.array(mark_delta),
+             "present": pa.array(np.zeros(2 * len(starts), np.int64))}
+        )
+        # distinct (source, day) presence rows from this partition
+        pres = pa.table(
+            {"source": src.take(pa.array(oi)), "day": pa.array(day_d)}
+        ).group_by(["source", "day"]).aggregate([])
+        pres = pa.table(
+            {"source": pres["source"], "day": pres["day"],
+             "delta": pa.nulls(pres.num_rows, pa.int64()).fill_null(0),
+             "present": pa.nulls(pres.num_rows, pa.int64()).fill_null(1)}
+        )
+        return pa.concat_tables([marks, pres])
+
+    ev = _events(sf_dir, ("event_type", "user_id", "ts"))
+    folded = (
+        map_key_partitions(ev, ["event_type", "user_id"], _marks)
+        .groupby(["source", "day"])
+        .aggregate(Sum("delta", alias_name="delta"),
+                   Sum("present", alias_name="present"))
+    )
+
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object),
+                 "day": pd.Series(dtype=np.int64),
+                 "wau": pd.Series(dtype=np.int64)}
+            )
+        df = df.sort_values("day")
+        cum = df["delta"].to_numpy().astype(np.int64).cumsum()
+        m = df["present"].to_numpy() > 0
+        return pd.DataFrame(
+            {"source": df["source"].to_numpy()[m],
+             "day": df["day"].to_numpy()[m].astype(np.int64), "wau": cum[m]}
+        )
+
+    return map_key_groups(folded, ["source"], _scan, batch_format="pandas")
+
+
 def q_coverage_1h(sf_dir: str):
     """Data-completeness monitor: minutes-with-data per (source, hour) and
     the coverage fraction — the SLA number a retention/ingest dashboard
@@ -4351,6 +4451,17 @@ ORACLE_SQL["rolling_median"] = f"""
     FROM r ORDER BY 1, 2
 """
 
+ORACLE_SQL["wau_7d"] = f"""
+    WITH act AS (SELECT DISTINCT event_type AS source, user_id,
+                        epoch_ms(ts) // 86400000 AS day
+                 FROM events),
+    days AS (SELECT DISTINCT source, day FROM act)
+    SELECT d.source, d.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+    FROM days d JOIN act a
+      ON a.source = d.source AND a.day BETWEEN d.day - {_WAU_W - 1} AND d.day
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 ORACLE_SQL["coverage_1h"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY})
     SELECT source, bucket // 60 AS hour,
@@ -4490,6 +4601,7 @@ QUERIES = {
     "twa_1m": q_twa_1m,
     "motif_1m": q_motif_1m,
     "coverage_1h": q_coverage_1h,
+    "wau_7d": q_wau_7d,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
