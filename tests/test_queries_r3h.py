@@ -266,6 +266,33 @@ def test_wau_7d_chain_boundaries(ray_session, tmp_path):
     assert set(got["day"]) == {0, 6, 7, 20}  # only days with actual activity
 
 
+def test_pagerank_types_matches_oracle(ray_session, tmp_path):
+    # user 1 walks a->b->c->b->c (b<->c cycle absorbs rank; 'a' only leaks)
+    # user 2 walks a->b; type 'd' appears with no transitions (dangling node)
+    walks = [(1, ["a", "b", "c", "b", "c"]), (2, ["a", "b"]), (3, ["d"])]
+    uid, et, ts = [], [], []
+    for u, walk in walks:
+        for i, e in enumerate(walk):
+            uid.append(u); et.append(e); ts.append((u * 100 + i) * 60_000_000)
+    t = pa.table(
+        {"event_id": pa.array(range(len(uid)), pa.int64()),
+         "ts": pa.array(ts, pa.timestamp("us")),
+         "user_id": pa.array(uid, pa.int64()),
+         "event_type": pa.array(et),
+         "value": pa.array([1.0] * len(uid), pa.float64()),
+         "props": pa.array(["{}"] * len(uid))}
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = QUERIES["pagerank_types"](str(tmp_path)).to_pandas()
+    want = _oracle(ORACLE_SQL["pagerank_types"], "events",
+                   f"{tmp_path}/events.parquet")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    pr = got.set_index("source")["pr_fp"]
+    assert set(pr.index) == {"a", "b", "c", "d"}   # dangling node present
+    assert pr["b"] > pr["a"] and pr["c"] > pr["a"]  # the cycle holds the rank
+    assert pr["d"] == pr["a"]  # both receive only the teleport term
+
+
 def test_motif_finds_planted_repeat(ray_session, r3h_events_dir):
     got = QUERIES["motif_1m"](r3h_events_dir).to_pandas()
     want = _oracle(ORACLE_SQL["motif_1m"], "events",

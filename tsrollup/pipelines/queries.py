@@ -3437,6 +3437,83 @@ def q_twa_1m(sf_dir: str):
                           batch_format="pandas")
 
 
+# PageRank fixed point: scale / iteration count / damping numerator — the
+# oracle SQL is GENERATED from these same constants (unrolled CTE chain)
+_PR_SCALE, _PR_K, _PR_D = 10**12, 8, 85
+
+
+def q_pagerank_types(sf_dir: str):
+    """PageRank over the event-type transition graph — 'which state do user
+    journeys concentrate in' (the behavioural-graph centrality a funnel
+    dashboard ranks states by). The heavy lift is the DISTRIBUTED edge
+    extraction (q_user_transitions' one user-keyed exchange); the power
+    iteration then runs on the AGGREGATED graph, whose size is event-type²
+    — driver-side by design, like source_skew.
+
+    Exactness: all-integer fixed point, r' = (15·S)//(100·N) +
+    (85·Σ_u (r_u·c_uv)//out_u)//100 for ``_PR_K`` iterations from
+    r_0 = S//N — positive-integer floor divisions only, replicated by an
+    unrolled CTE chain in the generated oracle. Dangling mass decays (a
+    diagnostic ranking, not a stochastic-matrix guarantee), identically on
+    both sides."""
+    from ray.data.aggregate import Count
+
+    edges = q_user_transitions(sf_dir).to_pandas()  # tiny: |types|^2 rows
+    nodes_df = (
+        _events(sf_dir, ("event_type",))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+    )
+    nodes = sorted(nodes_df["event_type"])
+    n = len(nodes)
+    out = edges.groupby("prev_type")["n"].sum().to_dict()
+    inc: dict[str, list] = {v: [] for v in nodes}
+    for prev, nxt, c in edges.itertuples(index=False):
+        inc[nxt].append((prev, int(c)))
+    r = {v: _PR_SCALE // n for v in nodes}
+    for _ in range(_PR_K):
+        r = {
+            v: (100 - _PR_D) * _PR_SCALE // (100 * n)
+            + _PR_D * sum(r[u] * c // int(out[u]) for u, c in inc[v]) // 100
+            for v in nodes
+        }
+    return pa.table(
+        {"source": pa.array(nodes, pa.string()),
+         "pr_fp": pa.array([r[v] for v in nodes], pa.int64())}
+    )
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled-CTE replica of q_pagerank_types at the module constants
+    (recursive CTEs can't aggregate per step, so the ``_PR_K`` iterations
+    unroll as it0..it{K} — each a correlated edge-sum over the previous)."""
+    base = f"({100 - _PR_D} * {_PR_SCALE}) // (100 * (SELECT n FROM nn))"
+    its = [f"it0 AS (SELECT v, {_PR_SCALE} // (SELECT n FROM nn) AS r FROM nodes)"]
+    for k in range(_PR_K):
+        its.append(f"""it{k + 1} AS (
+        SELECT nd.v, {base}
+               + ({_PR_D} * COALESCE((SELECT SUM((i.r * e.n) // o.o)
+                                      FROM e JOIN outd o ON o.prev = e.prev
+                                      JOIN it{k} i ON i.v = e.prev
+                                      WHERE e.next = nd.v), 0)) // 100 AS r
+        FROM nodes nd)""")
+    return f"""
+    WITH t AS (SELECT user_id, event_type,
+                      LAG(event_type) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events),
+    e AS (SELECT prev, event_type AS next, COUNT(*) AS n
+          FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+    outd AS (SELECT prev, SUM(n) AS o FROM e GROUP BY 1),
+    nodes AS (SELECT DISTINCT event_type AS v FROM events),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    {', '.join(its)}
+    SELECT v AS source, CAST(r AS BIGINT) AS pr_fp
+    FROM it{_PR_K} ORDER BY 1
+    """
+
+
 _WAU_W = 7  # trailing window in days; the oracle SQL shares this
 
 
@@ -3909,17 +3986,18 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1 ORDER BY 1
     """,
+    # gap compares at FULL µs precision (epoch_us), matching the engine's
+    # int64-µs diff — an epoch_ms floor would misclassify sub-ms gap edges
     "sessionize": """
-        WITH o AS (
-            SELECT user_id, ts, event_id,
-                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-            FROM events),
-        m AS (SELECT user_id,
-                     CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
-                          THEN 1 ELSE 0 END AS new_s
-              FROM o)
-        SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
-        FROM m GROUP BY 1 ORDER BY 1
+        WITH d AS (SELECT user_id, epoch_us(ts) AS t,
+                          LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                              AS prev
+                   FROM events)
+        SELECT user_id,
+               CAST(SUM(CASE WHEN prev IS NULL OR t - prev > 1800000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM d GROUP BY 1 ORDER BY 1
     """,
     # RE2 '\S' is ASCII-only: normalize Unicode whitespace to ' ' first so
     # the oracle tokenizer agrees with the engine's pc.utf8_split_whitespace
@@ -4451,6 +4529,8 @@ ORACLE_SQL["rolling_median"] = f"""
     FROM r ORDER BY 1, 2
 """
 
+ORACLE_SQL["pagerank_types"] = _pagerank_oracle_sql()
+
 ORACLE_SQL["wau_7d"] = f"""
     WITH act AS (SELECT DISTINCT event_type AS source, user_id,
                         epoch_ms(ts) // 86400000 AS day
@@ -4602,6 +4682,8 @@ QUERIES = {
     "motif_1m": q_motif_1m,
     "coverage_1h": q_coverage_1h,
     "wau_7d": q_wau_7d,
+    "sessionize": q_sessionize,
+    "pagerank_types": q_pagerank_types,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
@@ -4609,7 +4691,6 @@ QUERIES = {
     "downsample_random": q_downsample_random,
     "reconstruct_error": q_reconstruct_error,
     "baseline_comparison": q_baseline_comparison,
-    "sessionize": q_sessionize,
     "top_tokens": q_top_tokens,
     "distinct_users_hll": q_distinct_users_hll,
     "top_tokens_cms": q_top_tokens_cms,
