@@ -266,6 +266,69 @@ def test_wau_7d_chain_boundaries(ray_session, tmp_path):
     assert set(got["day"]) == {0, 6, 7, 20}  # only days with actual activity
 
 
+def test_bigram_entropy_matches_oracle(ray_session, r3h_docs_dir):
+    got = DOC_QUERIES["bigram_entropy"](r3h_docs_dir).to_pandas()
+    want = _oracle(DOC_ORACLE_SQL["bigram_entropy"], "documents",
+                   f"{r3h_docs_dir}/documents.parquet")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    by = got.set_index("source")
+    # web doc 0 "a a a a": bigram (a,a)x3; doc 1 adds (a,b),(b,c),(c,d);
+    # doc 4 adds (x0y,x0z),(x0z,x0y). 'a'-continuations: aa=3, ab=1 -> cu=4
+    assert int(by.loc["web", "n_bigrams"]) == 8
+    # wiki doc 5 "a b c" + doc 6 "q": 2 bigrams, all prefixes unique ->
+    # every continuation is deterministic EXCEPT none repeat: cu==c -> H = 0
+    assert int(by.loc["wiki", "ent_fp"]) == 0
+    assert by.loc["wiki", "cond_entropy"] == 0.0
+
+
+def test_token_drift_semantics(ray_session, tmp_path):
+    # craft doc_ids whose _SPLIT_K hash lands in each half; identical token
+    # distributions in both halves -> drift 0 for 'same', disjoint -> 1e6/2*2
+    from tsrollup.pipelines.docqueries import _SPLIT_K, _SPLIT_MOD
+
+    a_ids = [i for i in range(100) if (i * _SPLIT_K) % _SPLIT_MOD < _SPLIT_MOD // 2]
+    b_ids = [i for i in range(100) if (i * _SPLIT_K) % _SPLIT_MOD >= _SPLIT_MOD // 2]
+    rows = [(a_ids[0], "x y", "same"), (b_ids[0], "x y", "same"),
+            (a_ids[1], "p p", "disj"), (b_ids[1], "q q", "disj"),
+            (a_ids[2], "only half a", "onehalf")]
+    t = pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows], pa.string()),
+         "lang": pa.array(["en"] * len(rows)),
+         "source": pa.array([r[2] for r in rows]),
+         "n_chars": pa.array([len(r[1]) for r in rows], pa.int64())}
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = DOC_QUERIES["token_drift"](str(tmp_path)).to_pandas()
+    want = _oracle(DOC_ORACLE_SQL["token_drift"], "documents",
+                   f"{tmp_path}/documents.parquet")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    by = got.set_index("source")["drift_ppm"]
+    assert by.loc["same"] == 0           # identical halves
+    assert by.loc["disj"] == 1_000_000   # fully disjoint vocabularies
+    assert "onehalf" not in by.index     # missing half excluded
+
+
+def test_props_extract_matches_oracle(ray_session, tmp_path):
+    props = ['{"k": 7}', '{"k": 7}', '{"k": -3}', '{"j": 1}', None, 'garbage']
+    t = pa.table(
+        {"event_id": pa.array(range(6), pa.int64()),
+         "ts": pa.array([i * 60_000_000 for i in range(6)], pa.timestamp("us")),
+         "user_id": pa.array([1] * 6, pa.int64()),
+         "event_type": pa.array(["s"] * 6),
+         "value": pa.array([1.0] * 6, pa.float64()),
+         "props": pa.array(props, pa.string())}
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = QUERIES["props_extract"](str(tmp_path)).to_pandas()
+    want = _oracle(ORACLE_SQL["props_extract"], "events",
+                   f"{tmp_path}/events.parquet")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    by = got.set_index("k")["n"]
+    assert by.loc[7] == 2 and by.loc[-3] == 1
+    assert len(got) == 2                 # no-match / null rows dropped
+
+
 def test_pagerank_types_matches_oracle(ray_session, tmp_path):
     # user 1 walks a->b->c->b->c (b<->c cycle absorbs rank; 'a' only leaks)
     # user 2 walks a->b; type 'd' appears with no transitions (dangling node)

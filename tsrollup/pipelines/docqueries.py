@@ -2155,6 +2155,197 @@ def q_zipf_fit(sf_dir: str, k: int = _ZIPF_K):
                           batch_format="pandas")
 
 
+def q_bigram_entropy(sf_dir: str):
+    """Conditional bigram entropy H(next | prev) per source — how
+    predictable each source's token stream is (templated/boilerplate
+    sources sit near 0; natural text is high). The Markov-order-1 sibling
+    of ``token_entropy``: H = (1/N)·Σ_uv c_uv·(ln c_u· − ln c_uv).
+
+    Exactness: ent_fp = Σ c_uv·(F(c_u·) − F(c_uv)) in the shared fixed
+    point — order-free integer sums. Distribution: per-batch Arrow
+    (source, u, v) partials → one keyed count fold → a (source, u)-keyed
+    partition pass where each partition owns every continuation of its
+    (source, prev) pairs, so c_u· resolves locally — no second global
+    pass."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from tsrollup.functions import tokens as tk
+    from tsrollup.shuffle import map_key_partitions
+
+    def _bg_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()), "u": pa.array([], pa.string()),
+             "v": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+        )
+        tb = tk.TokenBatch(t.column("text"))
+        n = tb.n_tokens
+        if n < 2:
+            return empty
+        toks = tb.token_array()
+        mask = np.ones(n - 1, dtype=bool)     # drop pairs crossing doc bounds
+        cuts = tb.doc_starts[1:-1]
+        cuts = cuts[(cuts > 0) & (cuts < n)]
+        mask[cuts - 1] = False
+        if not mask.any():
+            return empty
+        doc_idx = np.repeat(np.arange(len(tb.doc_lens)), tb.doc_lens)[:-1][mask]
+        am = pa.array(mask)
+        pairs = pa.table(
+            {"source": t["source"].take(pa.array(doc_idx)),
+             "u": toks.slice(0, n - 1).filter(am),
+             "v": toks.slice(1, n - 1).filter(am)}
+        )
+        g = pairs.group_by(["source", "u", "v"]).aggregate([("v", "count")])
+        return pa.table({"source": g["source"], "u": g["u"], "v": g["v"],
+                         "c": g["v_count"].cast(pa.int64())})
+
+    counts = (
+        _docs(sf_dir, ("source", "text"))
+        .map_batches(_bg_partial, batch_format="pyarrow")
+        .groupby(["source", "u", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    _P_SCHEMA = pa.schema(
+        [("source", pa.string()), ("n_bigrams", pa.int64()),
+         ("n_pairs", pa.int64()), ("ent_fp", pa.int64())]
+    )
+
+    def _cond(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _P_SCHEMA.empty_table()
+        t = t.sort_by([("source", "ascending"), ("u", "ascending")])
+        src = t["source"].to_numpy(zero_copy_only=False)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = (src[1:] != src[:-1]) | (u[1:] != u[:-1])
+        starts = np.flatnonzero(first)
+        seg = np.cumsum(first) - 1
+        cu = np.add.reduceat(c, starts)[seg]          # c_u. broadcast per row
+        fvals = {int(x): _ln_fp(int(x)) for x in np.unique(np.r_[c, cu])}
+        fc = np.array([fvals[int(x)] for x in c], np.int64)
+        fcu = np.array([fvals[int(x)] for x in cu], np.int64)
+        part = pa.table(
+            {"source": t["source"], "n_bigrams": pa.array(c),
+             "n_pairs": pa.array(np.ones(len(c), np.int64)),
+             "ent_fp": pa.array(c * (fcu - fc))}
+        )
+        return part.group_by(["source"]).aggregate(
+            [("n_bigrams", "sum"), ("n_pairs", "sum"), ("ent_fp", "sum")]
+        ).rename_columns(["source", "n_bigrams", "n_pairs", "ent_fp"])
+
+    folded = (
+        map_key_partitions(counts, ["source", "u"], _cond)
+        .groupby("source")
+        .aggregate(Sum("n_bigrams", alias_name="n_bigrams"),
+                   Sum("n_pairs", alias_name="n_pairs"),
+                   Sum("ent_fp", alias_name="ent_fp"))
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        n = t["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        e = t["ent_fp"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column(
+            "cond_entropy", pa.array(np.round(e / (n * _FP_SCALE), 6))
+        )
+
+    return folded.map_batches(_final, batch_format="pyarrow")
+
+
+def q_token_drift(sf_dir: str):
+    """Distribution-shift detector between two corpus halves (the
+    multiplicative doc_id hash — sample_split's _SPLIT_K — stands in for
+    'snapshot A vs snapshot B'; raw doc_id parity would alias the source
+    striping of the synth corpus): per source, the L1 distance between the
+    halves' token distributions — the number a data-quality gate alerts on
+    when a new crawl drifts from the last one.
+
+    Exactness: drift = (1/2)·Σ_t |c_A/N_A − c_B/N_B| is computed as the
+    exact integer Σ|c_A·N_B − c_B·N_A| (bignum in Python, HUGEINT in SQL)
+    over one (source)-keyed partition pass that owns each source's whole
+    vocabulary, then ONE floor division to ppm. The exchange carries
+    (source, token, c_A, c_B) count rows only."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from tsrollup.functions import tokens as tk
+    from tsrollup.shuffle import map_key_partitions
+
+    def _tc_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()), "token": pa.array([], pa.string()),
+             "c_a": pa.array([], pa.int64()), "c_b": pa.array([], pa.int64())}
+        )
+        tb = tk.TokenBatch(t.column("text"))
+        if tb.n_tokens == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(len(tb.doc_lens)), tb.doc_lens)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(_SPLIT_K)) % np.uint64(_SPLIT_MOD)
+        half = (h >= np.uint64(_SPLIT_MOD // 2)).astype(np.int64)[doc_idx]
+        tbl = pa.table(
+            {"source": t["source"].take(pa.array(doc_idx)),
+             "token": tb.token_array(),
+             "a": pa.array((half == 0).astype(np.int64)),
+             "b": pa.array((half == 1).astype(np.int64))}
+        )
+        g = tbl.group_by(["source", "token"]).aggregate([("a", "sum"), ("b", "sum")])
+        return pa.table({"source": g["source"], "token": g["token"],
+                         "c_a": g["a_sum"].cast(pa.int64()),
+                         "c_b": g["b_sum"].cast(pa.int64())})
+
+    counts = (
+        _docs(sf_dir, ("doc_id", "source", "text"))
+        .map_batches(_tc_partial, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("c_a", alias_name="c_a"), Sum("c_b", alias_name="c_b"))
+    )
+
+    _D_SCHEMA = pa.schema(
+        [("source", pa.string()), ("n_a", pa.int64()), ("n_b", pa.int64()),
+         ("drift_ppm", pa.int64())]
+    )
+
+    def _drift(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _D_SCHEMA.empty_table()
+        out_src, out_na, out_nb, out_d = [], [], [], []
+        t = t.sort_by([("source", "ascending")])
+        src = t["source"].to_numpy(zero_copy_only=False)
+        ca = t["c_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = t["c_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        first = np.ones(len(src), dtype=bool)
+        first[1:] = src[1:] != src[:-1]
+        bounds = np.r_[np.flatnonzero(first), len(src)]
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            na, nb = int(ca[lo:hi].sum()), int(cb[lo:hi].sum())
+            if na == 0 or nb == 0:
+                continue
+            # exact |c_a*N_B - c_b*N_A| summed, then one floor div; int64
+            # fast path while the products provably fit, bignum otherwise
+            if (int(hi - lo) * max(na, nb)
+                    * max(int(ca[lo:hi].max()), int(cb[lo:hi].max())) < 2**62):
+                num = int(np.abs(ca[lo:hi] * nb - cb[lo:hi] * na).sum())
+            else:
+                num = int(np.abs(ca[lo:hi].astype(object) * nb
+                                 - cb[lo:hi].astype(object) * na).sum())
+            out_src.append(src[lo])
+            out_na.append(na)
+            out_nb.append(nb)
+            out_d.append(num * 1_000_000 // (2 * na * nb))
+        return pa.table(
+            {"source": pa.array(out_src, pa.string()),
+             "n_a": pa.array(out_na, pa.int64()),
+             "n_b": pa.array(out_nb, pa.int64()),
+             "drift_ppm": pa.array(out_d, pa.int64())}
+        )
+
+    return map_key_partitions(counts, ["source"], _drift)
+
+
 def q_compression_ratio(sf_dir: str, level: int = 6):
     """Compressibility quality signal (the Gopher-rules cousin of
     repetition_filter): per document, DEFLATE-compressed size over raw
@@ -2991,6 +3182,53 @@ DOC_ORACLE_SQL["zipf_fit"] = rf"""
 """
 
 DOC_QUERIES["compression_ratio"] = q_compression_ratio  # no_oracle: no SQL DEFLATE
+
+# conditional bigram entropy in the shared fixed point; bigrams never cross
+# document boundaries on either side (UNNEST over 1..len-1 within each doc)
+DOC_QUERIES["bigram_entropy"] = q_bigram_entropy
+DOC_ORACLE_SQL["bigram_entropy"] = rf"""
+    WITH toks AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS t
+                  FROM {_DOCS_WS_NORM}),
+    bg AS (SELECT source, t[i] AS u, t[i + 1] AS v
+           FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+    c AS (SELECT source, u, v, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+    cu AS (SELECT source, u, SUM(c) AS cu FROM c GROUP BY 1, 2),
+    s AS (SELECT c.source, SUM(c.c) AS n, COUNT(*) AS n_pairs,
+                 SUM(c.c * (CAST(FLOOR(LN(cu.cu) * {_FP_SCALE}) AS BIGINT)
+                            - CAST(FLOOR(LN(c.c) * {_FP_SCALE}) AS BIGINT)))
+                     AS efp
+          FROM c JOIN cu ON cu.source = c.source AND cu.u = c.u
+          GROUP BY 1)
+    SELECT source, CAST(n AS BIGINT) AS n_bigrams,
+           CAST(n_pairs AS BIGINT) AS n_pairs, CAST(efp AS BIGINT) AS ent_fp,
+           ROUND(CAST(efp AS DOUBLE) / (n * {_FP_SCALE}.0), 6) AS cond_entropy
+    FROM s ORDER BY 1
+"""
+
+# L1 drift between doc_id-parity halves: HUGEINT-exact cross products, one
+# ppm floor division; sources missing either half are excluded on both sides
+DOC_QUERIES["token_drift"] = q_token_drift
+DOC_ORACLE_SQL["token_drift"] = rf"""
+    WITH toks AS (SELECT (CAST(doc_id AS HUGEINT) * {_SPLIT_K}) % {_SPLIT_MOD}
+                             >= {_SPLIT_MOD // 2} AS h,
+                         source,
+                         UNNEST(regexp_extract_all(text, '\S+')) AS token
+                  FROM {_DOCS_WS_NORM}),
+    c AS (SELECT source, token,
+                 SUM(CASE WHEN NOT h THEN 1 ELSE 0 END) AS c_a,
+                 SUM(CASE WHEN h THEN 1 ELSE 0 END) AS c_b
+          FROM toks GROUP BY 1, 2),
+    n AS (SELECT source, SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM c GROUP BY 1),
+    s AS (SELECT c.source,
+                 SUM(ABS(CAST(c.c_a AS HUGEINT) * n.n_b
+                         - CAST(c.c_b AS HUGEINT) * n.n_a)) AS num
+          FROM c JOIN n USING (source) GROUP BY 1)
+    SELECT n.source, CAST(n.n_a AS BIGINT) AS n_a, CAST(n.n_b AS BIGINT) AS n_b,
+           CAST((s.num * 1000000) // (2 * CAST(n.n_a AS HUGEINT) * n.n_b)
+                AS BIGINT) AS drift_ppm
+    FROM n JOIN s USING (source)
+    WHERE n.n_a > 0 AND n.n_b > 0 ORDER BY 1
+"""
 
 # exact-dup cluster-size histogram; COALESCE matches the engine's null->''
 # text contract (add_text_hash); a text in one cluster counts once per size

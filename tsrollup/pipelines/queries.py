@@ -3437,6 +3437,36 @@ def q_twa_1m(sf_dir: str):
                           batch_format="pandas")
 
 
+def q_props_extract(sf_dir: str):
+    """Semi-structured field extraction from the JSON ``props`` column:
+    pull the integer field ``k`` with ONE vectorized RE2 extract (Arrow
+    ``extract_regex``) and histogram it per (source, k). The contract is
+    the regex — '"k": <int>' anywhere in the payload — applied by the SAME
+    RE2 engine in DuckDB's regexp_extract, so arbitrary (even malformed)
+    payloads agree; rows with no match drop on both sides. Per-batch
+    partial counts fold through one small (source, k) groupby."""
+    from ray.data.aggregate import Sum
+
+    _PAT = r'"k":\s*(?P<k>-?\d+)'
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], _PAT)
+        k = pc.struct_field(ex, 0).cast(pa.int64())
+        tbl = pa.table({"source": t["event_type"], "k": k}).filter(
+            pc.is_valid(k)
+        )
+        g = tbl.group_by(["source", "k"]).aggregate([("k", "count")])
+        return pa.table({"source": g["source"], "k": g["k"],
+                         "n": g["k_count"].cast(pa.int64())})
+
+    return (
+        _events(sf_dir, ("event_type", "props"))
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "k"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 # PageRank fixed point: scale / iteration count / damping numerator — the
 # oracle SQL is GENERATED from these same constants (unrolled CTE chain)
 _PR_SCALE, _PR_K, _PR_D = 10**12, 8, 85
@@ -4531,6 +4561,18 @@ ORACLE_SQL["rolling_median"] = f"""
 
 ORACLE_SQL["pagerank_types"] = _pagerank_oracle_sql()
 
+# the same RE2 pattern is the contract on both sides; no-match rows drop
+# (DuckDB regexp_extract returns '' for no match -> NULLIF guards the cast)
+ORACLE_SQL["props_extract"] = r"""
+    SELECT event_type AS source,
+           CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+                AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 ORACLE_SQL["wau_7d"] = f"""
     WITH act AS (SELECT DISTINCT event_type AS source, user_id,
                         epoch_ms(ts) // 86400000 AS day
@@ -4684,6 +4726,7 @@ QUERIES = {
     "wau_7d": q_wau_7d,
     "sessionize": q_sessionize,
     "pagerank_types": q_pagerank_types,
+    "props_extract": q_props_extract,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
