@@ -329,6 +329,40 @@ def test_props_extract_matches_oracle(ray_session, tmp_path):
     assert len(got) == 2                 # no-match / null rows dropped
 
 
+def test_window_funnel_strict_order(ray_session, tmp_path):
+    MIN = 60_000_000
+    # u1 completes all 3 in order within a day; u2 clicks BEFORE its view
+    # (strict order -> level 1); u3 clicks after view but purchase precedes
+    # the click (level 2); u4 views only; u5 has no view at all (excluded);
+    # u6 clicks after the 1-day window (level 1)
+    rows = [
+        (1, "view", 0), (1, "click", 10), (1, "purchase", 20),
+        (2, "click", 0), (2, "view", 10), (2, "purchase", 20),
+        (3, "view", 0), (3, "purchase", 5), (3, "click", 10),
+        (4, "view", 0),
+        (5, "purchase", 0),
+        (6, "view", 0), (6, "click", 60 * 25),
+    ]
+    t = pa.table(
+        {"event_id": pa.array(range(len(rows)), pa.int64()),
+         "ts": pa.array([m * MIN for _, _, m in rows], pa.timestamp("us")),
+         "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+         "event_type": pa.array([e for _, e, _ in rows]),
+         "value": pa.array([1.0] * len(rows), pa.float64()),
+         "props": pa.array(["{}"] * len(rows))}
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = QUERIES["window_funnel"](str(tmp_path)).to_pandas()
+    want = _oracle(ORACLE_SQL["window_funnel"], "events",
+                   f"{tmp_path}/events.parquet")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    by = got.set_index("level")["n_users"]
+    assert by.loc[1] == 3   # u2 (click precedes view), u4, u6 (late click)
+    assert by.loc[2] == 1   # u3: purchase before click doesn't count
+    assert by.loc[3] == 1   # u1
+    assert by.sum() == 5    # u5 never viewed -> excluded entirely
+
+
 def test_pagerank_types_matches_oracle(ray_session, tmp_path):
     # user 1 walks a->b->c->b->c (b<->c cycle absorbs rank; 'a' only leaks)
     # user 2 walks a->b; type 'd' appears with no transitions (dangling node)

@@ -3437,6 +3437,63 @@ def q_twa_1m(sf_dir: str):
                           batch_format="pandas")
 
 
+# window_funnel: ordered stages and window (µs); the oracle SQL shares these
+_WF_STAGES = ("view", "click", "purchase")
+_WF_W_US = 86_400_000_000  # 1 day
+
+
+def q_window_funnel(sf_dir: str, window_us: int = _WF_W_US):
+    """ClickHouse-style strict-order window funnel: how far along
+    view → click → purchase each user gets, where every later stage must
+    occur STRICTLY after the previous stage's earliest qualifying event
+    and within ``window_us`` of the FIRST view. Returns user counts per
+    reached level — the conversion curve.
+
+    One user-keyed exchange; inside each partition every stage is a
+    vectorized factorize + masked ``np.minimum.at`` over all owned users
+    at once (funnel_1h's discipline, extended to a stage chain) — no
+    per-user Python. Exact int64 µs arithmetic mirrored by the oracle's
+    epoch_us chain of MIN-joins."""
+    from ray.data.aggregate import Sum
+    from tsrollup.shuffle import map_key_partitions
+
+    NOMAX = np.iinfo(np.int64).max
+    s1, s2, s3 = _WF_STAGES
+
+    def _f(t: pa.Table) -> pa.Table:
+        empty = pa.schema([("level", pa.int64()), ("n_users", pa.int64())])
+        if t.num_rows == 0:
+            return empty.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cu, uu = pd.factorize(uid)
+
+        def stage_min(mask: np.ndarray) -> np.ndarray:
+            m = np.full(len(uu), NOMAX, dtype=np.int64)
+            np.minimum.at(m, cu[mask], us[mask])
+            return m
+
+        tv = stage_min(et == s1)
+        deadline = np.where(tv == NOMAX, np.int64(NOMAX - 1),
+                            tv + np.int64(window_us))
+        tc = stage_min((et == s2) & (us > tv[cu]) & (us <= deadline[cu]))
+        tp = stage_min((et == s3) & (us > tc[cu]) & (us <= deadline[cu]))
+        level = np.where(tp != NOMAX, 3, np.where(tc != NOMAX, 2, 1))
+        level = level[tv != NOMAX]
+        lvl, n = np.unique(level, return_counts=True)
+        return pa.table({"level": pa.array(lvl.astype(np.int64)),
+                         "n_users": pa.array(n.astype(np.int64))})
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+    return (
+        map_key_partitions(ds, ["user_id"], _f)
+        .groupby("level")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
 def q_props_extract(sf_dir: str):
     """Semi-structured field extraction from the JSON ``props`` column:
     pull the integer field ``k`` with ONE vectorized RE2 extract (Arrow
@@ -4561,6 +4618,31 @@ ORACLE_SQL["rolling_median"] = f"""
 
 ORACLE_SQL["pagerank_types"] = _pagerank_oracle_sql()
 
+ORACLE_SQL["window_funnel"] = f"""
+    WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS tv
+               FROM events WHERE event_type = '{_WF_STAGES[0]}' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS tc
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = '{_WF_STAGES[1]}'
+            AND epoch_us(e.ts) > v.tv
+            AND epoch_us(e.ts) <= v.tv + {_WF_W_US}
+          GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS tp
+          FROM events e
+          JOIN c ON c.user_id = e.user_id
+          JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = '{_WF_STAGES[2]}'
+            AND epoch_us(e.ts) > c.tc
+            AND epoch_us(e.ts) <= v.tv + {_WF_W_US}
+          GROUP BY 1)
+    SELECT CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    GROUP BY 1 ORDER BY 1
+"""
+
 # the same RE2 pattern is the contract on both sides; no-match rows drop
 # (DuckDB regexp_extract returns '' for no match -> NULLIF guards the cast)
 ORACLE_SQL["props_extract"] = r"""
@@ -4727,6 +4809,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "pagerank_types": q_pagerank_types,
     "props_extract": q_props_extract,
+    "window_funnel": q_window_funnel,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
