@@ -363,6 +363,43 @@ def test_window_funnel_strict_order(ray_session, tmp_path):
     assert by.sum() == 5    # u5 never viewed -> excluded entirely
 
 
+def test_attribution_last_touch(ray_session, tmp_path):
+    MIN = 60_000_000
+    # u1: view -> click -> purchase (credit: click, the LATEST prior touch)
+    # u2: purchase with no prior touch -> organic; a LATER view must not count
+    # u3: view -> purchase -> purchase (both purchases credit the same view)
+    rows = [
+        (1, "view", 0), (1, "click", 5), (1, "purchase", 9),
+        (2, "purchase", 0), (2, "view", 5),
+        (3, "view", 0), (3, "purchase", 1), (3, "purchase", 2),
+    ]
+    t = pa.table(
+        {"event_id": pa.array(range(len(rows)), pa.int64()),
+         "ts": pa.array([m * MIN for _, _, m in rows], pa.timestamp("us")),
+         "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+         "event_type": pa.array([e for _, e, _ in rows]),
+         "value": pa.array([1.0] * len(rows), pa.float64()),
+         "props": pa.array(["{}"] * len(rows))}
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = QUERIES["attribution_last_touch"](str(tmp_path)).to_pandas()
+    want = _oracle(ORACLE_SQL["attribution_last_touch"], "events",
+                   f"{tmp_path}/events.parquet")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    by = got.set_index("touch")["n_conv"]
+    assert by.loc["click"] == 1 and by.loc["organic"] == 1 and by.loc["view"] == 2
+
+
+def test_retention_curve_matches_oracle(ray_session, r3h_events_dir):
+    got = QUERIES["retention_curve"](r3h_events_dir).to_pandas()
+    want = _oracle(ORACLE_SQL["retention_curve"], "events",
+                   f"{r3h_events_dir}/events.parquet")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    # the single user's first day is day 0 and it IS active on day 0
+    d0 = got.set_index("day_offset").loc[0]
+    assert int(d0["n_retained"]) >= 1 and int(d0["rate_ppm"]) == 1_000_000
+
+
 def test_pagerank_types_matches_oracle(ray_session, tmp_path):
     # user 1 walks a->b->c->b->c (b<->c cycle absorbs rank; 'a' only leaks)
     # user 2 walks a->b; type 'd' appears with no transitions (dangling node)

@@ -3437,6 +3437,105 @@ def q_twa_1m(sf_dir: str):
                           batch_format="pandas")
 
 
+def q_retention_curve(sf_dir: str):
+    """Day-N retention curve — the cohort matrix collapsed to one row per
+    day offset: how many users are still active N days after their first
+    day, over how many COULD be (cohorts whose day-N lies inside the
+    observed range). The growth chart every product dashboard draws.
+
+    Rides q_retention_cohorts' distributed exchange; the collapse runs on
+    the cohort matrix itself (≤ days² cells, retention-bounded — the
+    source_skew precedent for post-aggregate driver math). rate_ppm is an
+    exact integer floor of two exact sums."""
+    cells = q_retention_cohorts(sf_dir).to_pandas()  # ≤ days^2 rows
+    cells["offset"] = cells["active_day"] - cells["cohort_day"]
+    max_day = int(cells["active_day"].max())
+    size0 = (
+        cells[cells["offset"] == 0]
+        .set_index("cohort_day")["n_users"]
+        .astype(np.int64)
+    )
+    out = []
+    for off, grp in cells.groupby("offset"):
+        ret = int(grp["n_users"].sum())
+        eligible = int(size0[size0.index + off <= max_day].sum())
+        out.append((int(off), ret, eligible,
+                    ret * 1_000_000 // eligible if eligible else 0))
+    out.sort()
+    return pa.table(
+        {"day_offset": pa.array([o for o, *_ in out], pa.int64()),
+         "n_retained": pa.array([r for _, r, *_ in out], pa.int64()),
+         "n_eligible": pa.array([e for _, _, e, _ in out], pa.int64()),
+         "rate_ppm": pa.array([p for *_, p in out], pa.int64())}
+    )
+
+
+# last-touch attribution: marketing touch types and conversion event; the
+# oracle SQL shares these (argmax via ts*4+code packing on both sides)
+_ATTR_TOUCHES = ("view", "click")
+_ATTR_CONV = "purchase"
+
+
+def q_attribution_last_touch(sf_dir: str):
+    """Last-touch attribution: every conversion ('purchase') credits the
+    user's most recent PRECEDING marketing touch ('view'/'click', strictly
+    earlier in (ts, event_id) order); conversions with no prior touch fall
+    into the 'organic' bucket. The canonical marketing-analytics operator.
+
+    One user-keyed exchange; per partition, touches pack into
+    ts·4 + code (code 1/2, exact — µs ts stays far below 2⁶⁰) and a
+    per-user ``np.maximum.accumulate`` carry-forward over the (user, ts,
+    event_id)-sorted block yields each conversion's latest prior touch
+    with zero per-user Python. The SQL mirror is a windowed MAX over the
+    same packed integer."""
+    from ray.data.aggregate import Sum
+    from tsrollup.shuffle import map_key_partitions
+
+    def _att(t: pa.Table) -> pa.Table:
+        empty = pa.schema([("touch", pa.string()), ("n_conv", pa.int64())])
+        if t.num_rows == 0:
+            return empty.empty_table()
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        code = np.zeros(len(et), dtype=np.int64)
+        for i, touch in enumerate(_ATTR_TOUCHES):
+            code[et == touch] = i + 1
+        packed = np.where(code > 0, us * 4 + code, np.int64(-1))
+        # carry the latest touch forward WITHIN each user run (segment
+        # cummax — a bare maximum.accumulate would bleed one user's touch
+        # into the next), then shift by one so a conversion sees only
+        # STRICTLY earlier rows
+        user_start = np.ones(len(uid), dtype=bool)
+        user_start[1:] = uid[1:] != uid[:-1]
+        seg = np.cumsum(user_start) - 1
+        carry = pd.Series(packed).groupby(seg).cummax().to_numpy()
+        prev = np.empty_like(carry)
+        prev[1:] = carry[:-1]
+        prev[user_start] = -1
+        conv = et == _ATTR_CONV
+        prev_conv = prev[conv]
+        touch = np.where(
+            prev_conv < 0, "organic",
+            np.array(("organic",) + _ATTR_TOUCHES, dtype=object)[
+                np.where(prev_conv < 0, 0, prev_conv % 4)
+            ],
+        )
+        vals, counts = np.unique(touch.astype(str), return_counts=True)
+        return pa.table({"touch": pa.array(vals, pa.string()),
+                         "n_conv": pa.array(counts.astype(np.int64))})
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id", "event_type"])
+    return (
+        map_key_partitions(ds, ["user_id"], _att)
+        .groupby("touch")
+        .aggregate(Sum("n_conv", alias_name="n_conv"))
+    )
+
+
 # window_funnel: ordered stages and window (µs); the oracle SQL shares these
 _WF_STAGES = ("view", "click", "purchase")
 _WF_W_US = 86_400_000_000  # 1 day
@@ -4618,6 +4717,51 @@ ORACLE_SQL["rolling_median"] = f"""
 
 ORACLE_SQL["pagerank_types"] = _pagerank_oracle_sql()
 
+ORACLE_SQL["retention_curve"] = """
+    WITH d AS (SELECT user_id,
+                      CAST(FLOOR(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day
+               FROM events),
+    c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1),
+    cells AS (SELECT c.cohort_day, d.day AS active_day,
+                     COUNT(DISTINCT d.user_id) AS n
+              FROM d JOIN c USING (user_id) GROUP BY 1, 2),
+    mx AS (SELECT MAX(active_day) AS m FROM cells),
+    sz AS (SELECT cohort_day, n AS size0 FROM cells
+           WHERE active_day = cohort_day),
+    agg AS (SELECT active_day - cohort_day AS off, SUM(n) AS ret
+            FROM cells GROUP BY 1),
+    elig AS (SELECT a.off, SUM(s.size0) AS el
+             FROM (SELECT DISTINCT off FROM agg) a
+             JOIN sz s ON s.cohort_day + a.off <= (SELECT m FROM mx)
+             GROUP BY 1)
+    SELECT a.off AS day_offset, CAST(a.ret AS BIGINT) AS n_retained,
+           CAST(COALESCE(e.el, 0) AS BIGINT) AS n_eligible,
+           CAST(CASE WHEN COALESCE(e.el, 0) > 0
+                     THEN (a.ret * 1000000) // e.el ELSE 0 END AS BIGINT)
+               AS rate_ppm
+    FROM agg a LEFT JOIN elig e ON e.off = a.off ORDER BY 1
+"""
+
+ORACLE_SQL["attribution_last_touch"] = f"""
+    WITH o AS (
+        SELECT user_id, event_type,
+               MAX(CASE WHEN event_type = '{_ATTR_TOUCHES[0]}'
+                        THEN epoch_us(ts) * 4 + 1
+                        WHEN event_type = '{_ATTR_TOUCHES[1]}'
+                        THEN epoch_us(ts) * 4 + 2
+                        ELSE -1 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev
+        FROM events),
+    conv AS (SELECT CASE WHEN prev IS NULL OR prev < 0 THEN 'organic'
+                         WHEN prev % 4 = 1 THEN '{_ATTR_TOUCHES[0]}'
+                         ELSE '{_ATTR_TOUCHES[1]}' END AS touch
+             FROM o WHERE event_type = '{_ATTR_CONV}')
+    SELECT touch, CAST(COUNT(*) AS BIGINT) AS n_conv
+    FROM conv GROUP BY 1 ORDER BY 1
+"""
+
 ORACLE_SQL["window_funnel"] = f"""
     WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS tv
                FROM events WHERE event_type = '{_WF_STAGES[0]}' GROUP BY 1),
@@ -4810,6 +4954,8 @@ QUERIES = {
     "pagerank_types": q_pagerank_types,
     "props_extract": q_props_extract,
     "window_funnel": q_window_funnel,
+    "retention_curve": q_retention_curve,
+    "attribution_last_touch": q_attribution_last_touch,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
