@@ -512,8 +512,14 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     p = argparse.ArgumentParser(description="tsrollup: rollup+downsample+retention engine")
-    p.add_argument("--input", required=True, help="input parquet file/dir (F1 schema)")
+    p.add_argument("--input", default=None, help="input parquet file/dir (F1 schema)")
     p.add_argument("--out", required=True, help="output root (tiers + manifest)")
+    p.add_argument("--compact", action="store_true",
+                   help="maintenance mode: merge small per-fragment files in "
+                        "committed tiers (no --input needed); provenance and "
+                        "row content are preserved verbatim")
+    p.add_argument("--target-mb", type=int, default=128,
+                   help="compaction target file size (MiB)")
     p.add_argument("--tiers", default="1m,1h,1d")
     p.add_argument("--gapfill", default="linear", choices=["linear", "ffill", "zero"])
     p.add_argument("--window-len", type=int, default=200)
@@ -526,6 +532,16 @@ def main(argv: list[str] | None = None) -> int:
                         "incrementally merging newly appended parquet fragments")
     p.add_argument("--poll-seconds", type=float, default=5.0)
     args = p.parse_args(argv)
+
+    if args.compact:  # pure filesystem maintenance: no Ray, no input scan
+        from tsrollup.compact import compact
+
+        tiers = args.tiers.split(",") if args.tiers != "1m,1h,1d" else None
+        print(_json.dumps(compact(args.out, tiers=tiers,
+                                  target_bytes=args.target_mb << 20), indent=1))
+        return 0
+    if not args.input:
+        p.error("--input is required (unless --compact)")
 
     if args.config:
         from dataclasses import replace
