@@ -363,6 +363,41 @@ def test_window_funnel_strict_order(ray_session, tmp_path):
     assert by.sum() == 5    # u5 never viewed -> excluded entirely
 
 
+def test_hod_anomaly_flags_planted_spike(ray_session, tmp_path):
+    # source "s": 12 days, one event per hour-0 with cents 100 ... except
+    # day 9's hour 0 carries 100x the volume -> the only 3-sigma breach
+    # (a single outlier among n equal values has z = sqrt(n-1), so n must
+    # exceed 10: at exactly 10 the strict > 3-sigma test is a tie and both
+    # sides correctly flag nothing)
+    rows = []
+    for day in range(12):
+        v = 100_00 if day == 9 else 100
+        rows.append((day * 1440, v))          # minute bucket of hour 0
+        rows.append((day * 1440 + 60, 100))   # hour 1 stays flat (no flag)
+    t = pa.table(
+        {"event_id": pa.array(range(len(rows)), pa.int64()),
+         "ts": pa.array([m * 60_000_000 for m, _ in rows], pa.timestamp("us")),
+         "user_id": pa.array([1] * len(rows), pa.int64()),
+         "event_type": pa.array(["s"] * len(rows)),
+         "value": pa.array([c / 100.0 for _, c in rows], pa.float64()),
+         "props": pa.array(["{}"] * len(rows))}
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = QUERIES["hod_anomaly"](str(tmp_path)).to_pandas()
+    want = _oracle(ORACLE_SQL["hod_anomaly"], "events",
+                   f"{tmp_path}/events.parquet")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    assert len(got) == 1
+    assert int(got.iloc[0]["bucket_h"]) == 9 * 24   # day 9, hour 0
+    assert got.iloc[0]["z"] > 2.9
+
+
+def test_ipc_roundtrip_equals_rollup(ray_session, r3h_events_dir):
+    rolled = QUERIES["rollup_1m"](r3h_events_dir).to_pandas()
+    trip = QUERIES["ipc_roundtrip"](r3h_events_dir).to_pandas()
+    pd.testing.assert_frame_equal(_canon(rolled), _canon(trip))
+
+
 def test_attribution_last_touch(ray_session, tmp_path):
     MIN = 60_000_000
     # u1: view -> click -> purchase (credit: click, the LATEST prior touch)

@@ -3437,6 +3437,111 @@ def q_twa_1m(sf_dir: str):
                           batch_format="pandas")
 
 
+def q_hod_anomaly(sf_dir: str):
+    """Seasonality-aware anomaly detection: hours whose volume deviates
+    more than 3σ from their OWN (source, hour-of-day) baseline — the alert
+    a plain rolling z-score (anomaly_zscore) can't express because a quiet
+    3 AM spike is invisible against a whole-day window.
+
+    Exact contract: z² > 9 rewrites to the all-integer comparison
+    (n·x − S)² > 9·(n·S2 − S²) over per-hod population sums, evaluated in
+    Python bignums (the squares exceed int64 by design), so the flag set
+    is deterministic; the reported z is one float expression of the same
+    integers. One per-source group kernel — the hourly series and its
+    24-slot profile both live inside the group (retention-bounded), no
+    broadcast or second pass."""
+    import math
+
+    def _an(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "bucket_h": pd.Series(dtype=np.int64),
+             "sum_cents": pd.Series(dtype=np.int64),
+             "dev": pd.Series(dtype=np.int64),
+             "z": pd.Series(dtype=np.float64)}
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values("bucket")
+        b = df["bucket"].to_numpy().astype(np.int64)
+        c = df["sum_tok"].to_numpy().astype(np.int64)
+        hb = b // 60
+        first = np.ones(len(hb), dtype=bool)
+        first[1:] = hb[1:] != hb[:-1]
+        starts = np.flatnonzero(first)
+        hb_u = hb[starts]
+        x = np.add.reduceat(c, starts)
+        hod = hb_u % 24
+        rows = []
+        for h in range(24):
+            xs = [int(v) for v in x[hod == h]]
+            n = len(xs)
+            if n < 2:
+                continue
+            S, S2 = sum(xs), sum(v * v for v in xs)
+            var_n2 = n * S2 - S * S  # n^2 * sigma^2, exact
+            if var_n2 <= 0:
+                continue
+            for bh, xv in zip(hb_u[hod == h], xs):
+                a = n * xv - S
+                if a * a > 9 * var_n2:
+                    rows.append((int(bh), xv, a,
+                                 round(float(a) / math.sqrt(float(var_n2)), 6)))
+        if not rows:
+            return empty
+        rows.sort()
+        return pd.DataFrame(
+            {"source": np.repeat(df["source"].iloc[0], len(rows)),
+             "bucket_h": np.array([r[0] for r in rows], np.int64),
+             "sum_cents": np.array([r[1] for r in rows], np.int64),
+             "dev": np.array([r[2] for r in rows], np.int64),
+             "z": [r[3] for r in rows]}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _an,
+                          batch_format="pandas")
+
+
+def q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather) sink + re-ingest round trip: the 1m rollup is
+    written to partitioned .arrow files under /tmp and read back through
+    ``ray.data.read_binary_files`` + the IPC reader — the zero-copy
+    interchange format every Arrow-native system speaks (jsonl_roundtrip's
+    sibling; columnar types survive EXACTLY, no text casts needed). The
+    oracle is rollup_1m's SQL, so the trip is verified value-exact."""
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="tsrollup_ipc_")
+    try:
+        import pyarrow.feather as feather
+
+        def _write(t: pa.Table) -> pa.Table:
+            import os
+            import uuid
+
+            path = os.path.join(out_dir, f"{uuid.uuid4().hex}.arrow")
+            feather.write_feather(t, path)
+            return pa.table({"path": pa.array([path], pa.string())})
+
+        q_rollup_1m(sf_dir).map_batches(_write, batch_format="pyarrow").materialize()
+
+        def _read(t: pa.Table) -> pa.Table:
+            tabs = [feather.read_table(p) for p in t["path"].to_pylist()]
+            return pa.concat_tables(tabs)
+
+        import glob
+
+        paths = sorted(glob.glob(f"{out_dir}/*.arrow"))
+        return (
+            ray.data.from_items([{"path": p} for p in paths])
+            .map_batches(_read, batch_format="pyarrow")
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_retention_curve(sf_dir: str):
     """Day-N retention curve — the cohort matrix collapsed to one row per
     day offset: how many users are still active N days after their first
@@ -4717,6 +4822,27 @@ ORACLE_SQL["rolling_median"] = f"""
 
 ORACLE_SQL["pagerank_types"] = _pagerank_oracle_sql()
 
+ORACLE_SQL["ipc_roundtrip"] = ORACLE_SQL["rollup_1m"]
+
+ORACLE_SQL["hod_anomaly"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    h AS (SELECT source, bucket // 60 AS hb, SUM(sum_cents) AS x
+          FROM r GROUP BY 1, 2),
+    p AS (SELECT source, hb % 24 AS hod, COUNT(*) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS s,
+                 SUM(CAST(x AS HUGEINT) * x) AS s2
+          FROM h GROUP BY 1, 2)
+    SELECT h.source, h.hb AS bucket_h, CAST(h.x AS BIGINT) AS sum_cents,
+           CAST(p.n * h.x - p.s AS BIGINT) AS dev,
+           ROUND(CAST(p.n * h.x - p.s AS DOUBLE)
+                 / sqrt(CAST(p.n * p.s2 - p.s * p.s AS DOUBLE)), 6) AS z
+    FROM h JOIN p ON p.source = h.source AND p.hod = h.hb % 24
+    WHERE p.n >= 2 AND p.n * p.s2 - p.s * p.s > 0
+      AND (p.n * h.x - p.s) * (p.n * h.x - p.s)
+          > 9 * (p.n * p.s2 - p.s * p.s)
+    ORDER BY 1, 2
+"""
+
 ORACLE_SQL["retention_curve"] = """
     WITH d AS (SELECT user_id,
                       CAST(FLOOR(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day
@@ -4956,6 +5082,8 @@ QUERIES = {
     "window_funnel": q_window_funnel,
     "retention_curve": q_retention_curve,
     "attribution_last_touch": q_attribution_last_touch,
+    "hod_anomaly": q_hod_anomaly,
+    "ipc_roundtrip": q_ipc_roundtrip,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
