@@ -363,6 +363,42 @@ def test_window_funnel_strict_order(ray_session, tmp_path):
     assert by.sum() == 5    # u5 never viewed -> excluded entirely
 
 
+def test_audience_overlap_and_log2_histogram(ray_session, tmp_path):
+    MIN = 60_000_000
+    # sources a/b share users {1,2}; c is disjoint; values hit exact
+    # power-of-two cents boundaries (255/256/257 -> buckets 7/8/8)
+    rows = [("a", 1, 2.55), ("a", 2, 2.56), ("a", 3, 2.57),
+            ("b", 1, 0.01), ("b", 2, 0.01),
+            ("c", 9, 0.00)]
+    t = pa.table(
+        {"event_id": pa.array(range(len(rows)), pa.int64()),
+         "ts": pa.array([i * MIN for i in range(len(rows))], pa.timestamp("us")),
+         "user_id": pa.array([u for _, u, _ in rows], pa.int64()),
+         "event_type": pa.array([s for s, _, _ in rows]),
+         "value": pa.array([v for _, _, v in rows], pa.float64()),
+         "props": pa.array(["{}"] * len(rows))}
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    ov = QUERIES["audience_overlap"](str(tmp_path))
+    ov = ov.to_pandas() if hasattr(ov, "to_pandas") else ov
+    want = _oracle(ORACLE_SQL["audience_overlap"], "events",
+                   f"{tmp_path}/events.parquet")
+    pd.testing.assert_frame_equal(_canon(ov), _canon(want), check_dtype=False)
+    ab = ov.set_index(["src_a", "src_b"]).loc[("a", "b")]
+    assert int(ab["n_inter"]) == 2 and int(ab["n_a"]) == 3 and int(ab["n_b"]) == 2
+    assert int(ab["jacc_ppm"]) == 2 * 1_000_000 // 3
+    assert ("a", "c") not in ov.set_index(["src_a", "src_b"]).index
+
+    h = QUERIES["log2_histogram"](str(tmp_path)).to_pandas()
+    want_h = _oracle(ORACLE_SQL["log2_histogram"], "events",
+                     f"{tmp_path}/events.parquet")
+    pd.testing.assert_frame_equal(_canon(h), _canon(want_h), check_dtype=False)
+    a = h[h["source"] == "a"].set_index("log2_bucket")["n"]
+    assert a.loc[7] == 1 and a.loc[8] == 2     # 255 | 256, 257 (exact edge)
+    c = h[h["source"] == "c"].set_index("log2_bucket")["n"]
+    assert c.loc[-1] == 1                      # zero cents -> bucket -1
+
+
 def test_hod_anomaly_flags_planted_spike(ray_session, tmp_path):
     # source "s": 12 days, one event per hour-0 with cents 100 ... except
     # day 9's hour 0 carries 100x the volume -> the only 3-sigma breach

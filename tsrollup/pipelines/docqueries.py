@@ -1527,35 +1527,24 @@ def q_line_dedup(sf_dir: str):
     return map_key_partitions(docs.union(flags), ["doc_id"], _reassemble)
 
 
-def q_vocab_overlap(sf_dir: str):
-    """Pairwise SOURCE-vocabulary overlap: |A∩B|, |A|, |B| and exact Jaccard
-    (ppm floor) over each source pair's distinct whitespace-token sets — the
-    corpus-mixture diagnostic (how much does `web` share with `books`?).
+def _set_overlap(ds: ray.data.Dataset, item_col: str) -> pa.Table:
+    """Generic pairwise set-overlap engine: given a dataset of PER-BATCH
+    distinct (source, item) rows, compute |A∩B|, |A|, |B| and exact Jaccard
+    (ppm floor) for every source pair.
 
-    Shape: per-batch distinct (source, token) rows -> ONE token-keyed
-    exchange -> per partition a sort + adjacent-dedup, then every token run
-    emits its source pairs VECTORIZED (repeat/arange construction, no
-    per-token Python; a token appearing in s sources emits C(s,2) pair rows,
-    bounded by the source-domain size, not the corpus). Pair/source partial
-    counts fold through one tiny groupby; the final Jaccard join runs on the
-    driver over at most |sources|^2 rows. Tokens travel as strings (exact
-    contract with the SQL oracle — no hash-collision caveat)."""
+    Shape: ONE item-keyed exchange -> per partition a sort + adjacent-dedup
+    (cross-block duplicates cancel), then every item run emits its source
+    pairs VECTORIZED (repeat/arange construction, no per-item Python; an
+    item appearing in s sources emits C(s,2) pair rows, bounded by the
+    source-domain size, not the corpus). Pair/source partial counts fold
+    through one tiny groupby; the final Jaccard join runs on the driver
+    over at most |sources|^2 rows. Items travel as their exact values
+    (string or int — exact contract with SQL, no hash-collision caveat)."""
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Sum
 
     from tsrollup.shuffle import map_key_partitions
-
-    def _distinct(t: pa.Table) -> pa.Table:
-        from tsrollup.functions import tokens as tk
-
-        sp = tk.split_whitespace(t.column("text"))
-        lens = sp.value_lengths().fill_null(0).to_numpy(zero_copy_only=False)
-        toks = sp.flatten()
-        idx = pa.array(np.repeat(np.arange(t.num_rows), lens))
-        keep = pc.greater(pc.binary_length(toks), 0)
-        flat = pa.table({"source": pc.take(t["source"], idx), "token": toks}).filter(keep)
-        return flat.group_by(["source", "token"]).aggregate([])
 
     _PART_SCHEMA = pa.schema(
         [("kind", pa.int32()), ("src_a", pa.string()),
@@ -1565,31 +1554,32 @@ def q_vocab_overlap(sf_dir: str):
     def _pairs(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _PART_SCHEMA.empty_table()
-        t = t.sort_by([("token", "ascending"), ("source", "ascending")])
+        t = t.sort_by([(item_col, "ascending"), ("source", "ascending")])
         n = t.num_rows
-        tok = t.column("token").combine_chunks()
+        item = t.column(item_col).combine_chunks()
         src = t.column("source").combine_chunks()
-        same_tok = np.zeros(n, dtype=bool)
+        same_item = np.zeros(n, dtype=bool)
         dup = np.zeros(n, dtype=bool)
         if n > 1:
-            same_tok[1:] = pc.equal(tok.slice(1), tok.slice(0, n - 1)).to_numpy(
+            same_item[1:] = pc.equal(item.slice(1), item.slice(0, n - 1)).to_numpy(
                 zero_copy_only=False
             )
-            dup[1:] = same_tok[1:] & pc.equal(
+            dup[1:] = same_item[1:] & pc.equal(
                 src.slice(1), src.slice(0, n - 1)
             ).to_numpy(zero_copy_only=False)
-        keep = ~dup  # cross-block duplicate (source, token) rows
+        keep = ~dup  # cross-block duplicate (source, item) rows
         t = t.filter(pa.array(keep))
-        tok, src = t.column("token").combine_chunks(), t.column("source").combine_chunks()
+        item = t.column(item_col).combine_chunks()
+        src = t.column("source").combine_chunks()
         n = t.num_rows
         new_run = np.ones(n, dtype=bool)
         if n > 1:
-            new_run[1:] = ~pc.equal(tok.slice(1), tok.slice(0, n - 1)).to_numpy(
+            new_run[1:] = ~pc.equal(item.slice(1), item.slice(0, n - 1)).to_numpy(
                 zero_copy_only=False
             )
         pos = np.arange(n, dtype=np.int64)
         run_start = np.maximum.accumulate(np.where(new_run, pos, 0))
-        within = pos - run_start  # 0-based rank inside the token's run
+        within = pos - run_start  # 0-based rank inside the item's run
         total = int(within.sum())
         # element p pairs (as the LATER side) with run_start[p]..p-1
         b_idx = np.repeat(pos, within)
@@ -1604,19 +1594,18 @@ def q_vocab_overlap(sf_dir: str):
              "n": pa.array(np.ones(total, np.int64))}
         ).group_by(["kind", "src_a", "src_b"]).aggregate([("n", "sum")])
         pair_rows = pair_rows.rename_columns(["kind", "src_a", "src_b", "n"])
-        cnt = t.group_by(["source"]).aggregate([("token", "count")])
+        cnt = t.group_by(["source"]).aggregate([(item_col, "count")])
         cnt_rows = pa.table(
             {"kind": pa.array(np.zeros(cnt.num_rows, np.int32)),
              "src_a": cnt["source"],
              "src_b": pa.array([""] * cnt.num_rows, pa.string()),
-             "n": cnt["token_count"].cast(pa.int64())}
+             "n": cnt[f"{item_col}_count"].cast(pa.int64())}
         )
         return pa.concat_tables(
             [pair_rows.select(_PART_SCHEMA.names).cast(_PART_SCHEMA), cnt_rows]
         )
 
-    ds = _docs(sf_dir, ("source", "text")).map_batches(_distinct, batch_format="pyarrow")
-    folded = map_key_partitions(ds, ["token"], _pairs).groupby(
+    folded = map_key_partitions(ds, [item_col], _pairs).groupby(
         ["kind", "src_a", "src_b"]
     ).aggregate(Sum("n", alias_name="n"))
 
@@ -1635,6 +1624,28 @@ def q_vocab_overlap(sf_dir: str):
          "n_inter": pa.array(inter), "n_a": pa.array(n_a), "n_b": pa.array(n_b),
          "jacc_ppm": pa.array(inter * 1_000_000 // (n_a + n_b - inter))}
     )
+
+
+def q_vocab_overlap(sf_dir: str):
+    """Pairwise SOURCE-vocabulary overlap: each source pair's distinct
+    whitespace-token sets through the generic ``_set_overlap`` engine —
+    the corpus-mixture diagnostic (how much does `web` share with
+    `books`?)."""
+    import pyarrow.compute as pc
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        from tsrollup.functions import tokens as tk
+
+        sp = tk.split_whitespace(t.column("text"))
+        lens = sp.value_lengths().fill_null(0).to_numpy(zero_copy_only=False)
+        toks = sp.flatten()
+        idx = pa.array(np.repeat(np.arange(t.num_rows), lens))
+        keep = pc.greater(pc.binary_length(toks), 0)
+        flat = pa.table({"source": pc.take(t["source"], idx), "token": toks}).filter(keep)
+        return flat.group_by(["source", "token"]).aggregate([])
+
+    ds = _docs(sf_dir, ("source", "text")).map_batches(_distinct, batch_format="pyarrow")
+    return _set_overlap(ds, "token")
 
 
 _SEQ_LEN = 512  # training-sequence length; the oracle SQL shares this constant

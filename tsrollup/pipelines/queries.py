@@ -3437,6 +3437,56 @@ def q_twa_1m(sf_dir: str):
                           batch_format="pandas")
 
 
+def q_audience_overlap(sf_dir: str):
+    """Pairwise audience overlap between sources: |users(A) ∩ users(B)|
+    and exact Jaccard for every source pair — the cross-product analytics
+    question ('do click users also purchase?') as a set operation. Reuses
+    the generic distributed set-overlap engine (docqueries._set_overlap):
+    per-batch distinct (source, user) rows -> one user-keyed exchange ->
+    vectorized per-run pair emission -> tiny pair fold."""
+    from tsrollup.pipelines.docqueries import _set_overlap
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"source": t["event_type"], "user_id": t["user_id"]}
+        ).group_by(["source", "user_id"]).aggregate([])
+
+    ds = _events(sf_dir, ("event_type", "user_id")).map_batches(
+        _distinct, batch_format="pyarrow"
+    )
+    return _set_overlap(ds, "user_id")
+
+
+def q_log2_histogram(sf_dir: str):
+    """HdrHistogram-style log₂-bucketed volume distribution per source:
+    each 1m value lands in bucket floor(log₂(x)) — the latency-histogram
+    shape for heavy-tailed volumes, where equi-width buckets (cf.
+    ``value_histogram``) waste resolution. The bucket index is EXACT
+    integer bit-length arithmetic on both sides (numpy bit twiddling here,
+    ``length(printf('%b', x))`` in the oracle — no float log anywhere),
+    so boundary values can't disagree. Nonpositive values bucket at -1.
+    Per-batch partial counts fold through one tiny groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    from tsrollup.gorilla import _bit_length_u64
+
+    def _b(t: pa.Table) -> pa.Table:
+        x = t["sum_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = np.where(x > 0,
+                          _bit_length_u64(np.maximum(x, 1).astype(np.uint64)) - 1,
+                          np.int64(-1))
+        return pa.table({"source": t["source"],
+                         "log2_bucket": pa.array(bucket.astype(np.int64)),
+                         "sum_cents": t["sum_tok"]})
+
+    return (
+        _rolled_events(sf_dir)
+        .map_batches(_b, batch_format="pyarrow")
+        .groupby(["source", "log2_bucket"])
+        .aggregate(Count(alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    )
+
+
 def q_hod_anomaly(sf_dir: str):
     """Seasonality-aware anomaly detection: hours whose volume deviates
     more than 3σ from their OWN (source, hour-of-day) baseline — the alert
@@ -4824,6 +4874,36 @@ ORACLE_SQL["pagerank_types"] = _pagerank_oracle_sql()
 
 ORACLE_SQL["ipc_roundtrip"] = ORACLE_SQL["rollup_1m"]
 
+ORACLE_SQL["audience_overlap"] = """
+    WITH a AS (SELECT DISTINCT event_type AS source, user_id FROM events),
+    c AS (SELECT source, COUNT(*) AS n FROM a GROUP BY 1),
+    i AS (SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS n_inter
+          FROM a x JOIN a y
+            ON x.user_id = y.user_id AND x.source < y.source
+          GROUP BY 1, 2)
+    SELECT i.src_a, i.src_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+           CAST((i.n_inter * 1000000) // (ca.n + cb.n - i.n_inter) AS BIGINT)
+               AS jacc_ppm
+    FROM i JOIN c ca ON ca.source = i.src_a JOIN c cb ON cb.source = i.src_b
+    ORDER BY 1, 2
+"""
+
+# bucket = floor(log2(x)) via BINARY STRING LENGTH (bit-length - 1): exact
+# integer arithmetic, no float log2 at power-of-two boundaries
+ORACLE_SQL["log2_histogram"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    b AS (SELECT source,
+                 CASE WHEN sum_cents > 0
+                      THEN CAST(length(printf('%b', sum_cents)) AS BIGINT) - 1
+                      ELSE -1 END AS log2_bucket,
+                 sum_cents
+          FROM r)
+    SELECT source, log2_bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(sum_cents) AS BIGINT) AS sum_cents
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 ORACLE_SQL["hod_anomaly"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     h AS (SELECT source, bucket // 60 AS hb, SUM(sum_cents) AS x
@@ -5084,6 +5164,8 @@ QUERIES = {
     "attribution_last_touch": q_attribution_last_touch,
     "hod_anomaly": q_hod_anomaly,
     "ipc_roundtrip": q_ipc_roundtrip,
+    "audience_overlap": q_audience_overlap,
+    "log2_histogram": q_log2_histogram,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
