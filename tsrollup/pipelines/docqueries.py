@@ -2068,6 +2068,7 @@ def q_unigram_logprob(sf_dir: str, vocab_size: int = _ULP_V):
         docs.map_batches(_tc_partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("c", alias_name="c"))
+        .materialize()  # consumed twice (totals + top-V): tokenize ONCE
     )
     tot = counts.aggregate(Sum("c", alias_name="n"), Count(alias_name="d"))
     n_total, d_distinct = int(tot["n"]), int(tot["d"])

@@ -4019,16 +4019,39 @@ def q_motif_1m(sf_dir: str, w: int = _MOTIF_W, stride: int = _MOTIF_STRIDE):
         if len(starts) < 2:
             return empty
         win = x[starts[:, None] + np.arange(w)[None, :]]        # (S, w) int64
-        diff = win[:, None, :] - win[None, :, :]                # (S, S, w)
-        d2 = np.einsum("ijk,ijk->ij", diff, diff)               # exact int64
-        ii, jj = np.meshgrid(starts, starts, indexing="ij")
-        valid = jj - ii >= w                                    # i<j non-overlap
-        if not valid.any():
+        # d2 via the Gram identity — one (S,w)x(w,S) BLAS matmul instead of
+        # the (S,S,w) broadcast diff (1.6 GB at S=5000). float64 stays EXACT
+        # while every dot product < 2^53, i.e. |x| < sqrt(2^53/w); otherwise
+        # fall back to a w-step int64 accumulation ((S,S) temps only).
+        amax = int(np.abs(win).max()) if win.size else 0
+        # 2^51 headroom so sq_i + sq_j + 2g stays exactly representable
+        if w * amax * amax < 2**51:
+            wf = win.astype(np.float64)
+            g = wf @ wf.T
+            sq = np.einsum("ij,ij->i", wf, wf)
+            d2 = sq[:, None] + sq[None, :] - 2.0 * g  # exact integer floats
+        else:
+            d2 = np.zeros((len(starts), len(starts)), dtype=np.int64)
+            for k in range(w):
+                dk = win[:, k, None] - win[None, :, k]
+                d2 += dk * dk
+        # uniform stride => non-overlap (starts[j]-starts[i] >= w) is just
+        # j - i >= ceil(w/stride): scan the upper triangle row-wise instead
+        # of materializing meshgrid/where masks (2 fewer S^2 temps); row
+        # argmin returns the FIRST minimum, so ascending i preserves the
+        # lexicographic (d2, rn_a, rn_b) tie-break
+        off = -(-w // stride)
+        if len(starts) <= off:
             return empty
-        d2v = np.where(valid, d2, np.iinfo(np.int64).max)
-        best = d2v.min()
-        cand = np.argwhere(d2v == best)                          # lexmin (i, j)
-        i, j = cand[0]
+        best = None
+        for i2 in range(len(starts) - off):
+            row = d2[i2, i2 + off:]
+            j2 = int(np.argmin(row))
+            v = row[j2]
+            if best is None or v < best[0]:
+                best = (v, i2, i2 + off + j2)
+        i, j = best[1], best[2]
+        best = int(best[0])
         return pd.DataFrame(
             {"source": [df["source"].iloc[0]],
              "rn_a": np.array([starts[i] + 1], np.int64),
