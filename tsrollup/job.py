@@ -83,12 +83,15 @@ def downsample_windows(
         # not reserve (and warn about) an 8-actor pool it can never feed
         est_batches = -(-max(est_rows, 1) // (cfg.window_batch_size or 512))
         max_pool = max(1, min(max_pool, est_batches))
+    # min = 1: the pool autoscales up as input blocks queue; a floor above 1
+    # trips Ray's under-utilization warning whenever an upstream union or
+    # incremental filter delivers fewer blocks than the floor
     return wins.map_batches(
         cls,
         fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=cfg.window_batch_size,
-        concurrency=(max(1, max_pool // 2), max_pool),
+        concurrency=(1, max_pool),
     )
 
 
