@@ -198,6 +198,27 @@ def test_twa_matches_oracle_and_hand_value(ray_session, r3h_events_dir):
     assert "tiny" not in got["source"].values  # single point: no segment
 
 
+def test_bpe_pairs_ascii_alignment(ray_session, tmp_path):
+    # 'xéyz' exercises the UTF-8 alignment contract: its only ASCII pair is
+    # 'yz' — every pair touching é's two bytes must drop on BOTH sides
+    rows = [(0, "abab ab"), (1, "xéyz"), (2, None)]
+    t = pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows], pa.string()),
+         "lang": pa.array(["en"] * 3), "source": pa.array(["web"] * 3),
+         "n_chars": pa.array([len(r[1]) if r[1] else 0 for r in rows], pa.int64())}
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = DOC_QUERIES["bpe_pairs"](str(tmp_path)).to_pandas()
+    want = _oracle(DOC_ORACLE_SQL["bpe_pairs"], "documents",
+                   f"{tmp_path}/documents.parquet")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    by = got.set_index("pair")["n"]
+    assert by.loc["ab"] == 3 and by.loc["ba"] == 1   # 'abab'+'ab'
+    assert by.loc["yz"] == 1
+    assert not any("é" in p for p in got["pair"])
+
+
 def test_zipf_fit_matches_oracle(ray_session, r3h_docs_dir):
     got = DOC_QUERIES["zipf_fit"](r3h_docs_dir).to_pandas()
     want = _oracle(DOC_ORACLE_SQL["zipf_fit"], "documents",

@@ -2358,6 +2358,62 @@ def q_token_drift(sf_dir: str):
     return map_key_partitions(counts, ["source"], _drift)
 
 
+_BPE_K = 50  # top-k pairs; the oracle SQL shares this
+
+
+def q_bpe_pairs(sf_dir: str, k: int = _BPE_K):
+    """Tokenizer-training prep: the top-``k`` adjacent ASCII character
+    pairs inside whitespace tokens — the statistic BPE's first merge round
+    ranks on. The count runs straight off the flat utf8 token buffer:
+    vectorized position arithmetic + ONE ``np.bincount(65536)`` per batch,
+    zero per-token Python; partials fold as 65k-slot count rows.
+
+    Exactness contract: pairs where BOTH bytes are ASCII (< 0x80). Because
+    an ASCII byte pair is always a char-aligned char pair in UTF-8, the
+    engine's byte positions and the oracle's character positions agree on
+    ARBITRARY input — non-ASCII neighbourhoods drop identically on both
+    sides (the oracle's ``octet_length(pair) = 2`` test is exactly
+    'both chars ASCII')."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from tsrollup.functions import tokens as tk
+    from tsrollup.shuffle import topk_rows
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"pair": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        tb = tk.TokenBatch(t.column("text"))
+        if tb.n_tokens == 0:
+            return empty
+        npair = np.maximum(tb.lengths - 1, 0)
+        total = int(npair.sum())
+        if total == 0:
+            return empty
+        excl = np.concatenate(([0], np.cumsum(npair)[:-1]))
+        pos = np.repeat(tb.starts, npair) + (
+            np.arange(total, dtype=np.int64) - np.repeat(excl, npair)
+        )
+        b0 = tb.buf[pos].astype(np.int64)
+        b1 = tb.buf[pos + 1].astype(np.int64)
+        m = (b0 < 128) & (b1 < 128)
+        if not m.any():
+            return empty
+        counts = np.bincount(b0[m] * 128 + b1[m], minlength=128 * 128)
+        nz = np.flatnonzero(counts)
+        pairs = [chr(int(p) // 128) + chr(int(p) % 128) for p in nz]
+        return pa.table({"pair": pa.array(pairs, pa.string()),
+                         "n": pa.array(counts[nz].astype(np.int64))})
+
+    folded = (
+        _docs(sf_dir, ("text",))
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return topk_rows(folded, ["n", "pair"], [True, False], k)
+
+
 def q_compression_ratio(sf_dir: str, level: int = 6):
     """Compressibility quality signal (the Gopher-rules cousin of
     repetition_filter): per document, DEFLATE-compressed size over raw
@@ -3194,6 +3250,20 @@ DOC_ORACLE_SQL["zipf_fit"] = rf"""
 """
 
 DOC_QUERIES["compression_ratio"] = q_compression_ratio  # no_oracle: no SQL DEFLATE
+
+# ASCII pairs only (octet_length = 2 <=> both chars one-byte), so the
+# engine's byte positions == the oracle's char positions on arbitrary input
+DOC_QUERIES["bpe_pairs"] = q_bpe_pairs
+DOC_ORACLE_SQL["bpe_pairs"] = rf"""
+    WITH toks AS (SELECT UNNEST(regexp_extract_all(text, '\S+')) AS t
+                  FROM {_DOCS_WS_NORM}),
+    p AS (SELECT substr(t, i, 2) AS pair
+          FROM toks, UNNEST(generate_series(1, length(t) - 1)) AS g(i)),
+    a AS (SELECT pair, COUNT(*) AS n FROM p
+          WHERE octet_length(encode(pair)) = 2 GROUP BY 1)
+    SELECT pair, CAST(n AS BIGINT) AS n FROM a
+    ORDER BY n DESC, pair ASC LIMIT {_BPE_K}
+"""
 
 # conditional bigram entropy in the shared fixed point; bigrams never cross
 # document boundaries on either side (UNNEST over 1..len-1 within each doc)
