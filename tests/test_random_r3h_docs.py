@@ -15,11 +15,11 @@ from tsrollup.pipelines.docqueries import DOC_ORACLE_SQL, DOC_QUERIES
 
 SWEEP = [
     "ttr_quality", "token_entropy", "unigram_logprob", "zipf_fit",
-    "token_drift", "bigram_entropy", "bpe_pairs",
+    "token_drift", "bigram_entropy", "bpe_pairs", "utf8_profile",
 ]
 
 _WORDS = ["a", "ab", "the", "x\x00y", "x\x00z", "Zürich", "ému", "q1",
-          "longer_token_here", "0"]
+          "longer_token_here", "0", "中文字", "🦀go", "日本語テスト"]
 _WS = [" ", "  ", "\t", " ", " ", "", "\n"]
 
 

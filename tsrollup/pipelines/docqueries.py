@@ -2358,6 +2358,55 @@ def q_token_drift(sf_dir: str):
     return map_key_partitions(counts, ["source"], _drift)
 
 
+def q_utf8_profile(sf_dir: str):
+    """Per-document script-width profile: how many characters encode as
+    1/2/3/4 UTF-8 bytes — the cheap 'what writing system is this' signal
+    an international corpus triages on (ASCII ≈ Latin, 2-byte ≈ European/
+    Middle-Eastern scripts, 3-byte ≈ CJK, 4-byte ≈ emoji/rare planes).
+
+    Engine: ONE vectorized lead-byte classification over the batch's flat
+    utf8 buffer (continuation bytes 0x80-0xBF excluded by range masks;
+    per-doc totals via two reduceat-free bincounts) — zero per-char
+    Python. Oracle: RE2 codepoint-class counts, an independent decision
+    procedure over the same contract. Null/empty docs report zero rows of
+    each class (n_chars 0)."""
+    import pyarrow.compute as pc
+
+    from tsrollup.hashing import _utf8_buffer
+
+    def _prof(t: pa.Table) -> pa.Table:
+        buf, starts, lengths = _utf8_buffer(t.column("text"))
+        n_docs = t.num_rows
+        total = int(lengths.sum())
+        if total:
+            excl = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            pos = np.repeat(starts, lengths) + (
+                np.arange(total, dtype=np.int64) - np.repeat(excl, lengths)
+            )
+            b = buf[pos]
+            cls = np.zeros(total, dtype=np.int64)  # 0 = continuation byte
+            cls[b < 0x80] = 1
+            cls[(b >= 0xC0) & (b < 0xE0)] = 2
+            cls[(b >= 0xE0) & (b < 0xF0)] = 3
+            cls[b >= 0xF0] = 4
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+            counts = np.bincount(
+                doc_of * 5 + cls, minlength=n_docs * 5
+            ).reshape(n_docs, 5)
+        else:
+            counts = np.zeros((n_docs, 5), dtype=np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "n_chars": pa.array(counts[:, 1:].sum(axis=1).astype(np.int64)),
+             "n_1b": pa.array(counts[:, 1].astype(np.int64)),
+             "n_2b": pa.array(counts[:, 2].astype(np.int64)),
+             "n_3b": pa.array(counts[:, 3].astype(np.int64)),
+             "n_4b": pa.array(counts[:, 4].astype(np.int64))}
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(_prof, batch_format="pyarrow")
+
+
 _BPE_K = 50  # top-k pairs; the oracle SQL shares this
 
 
@@ -3250,6 +3299,24 @@ DOC_ORACLE_SQL["zipf_fit"] = rf"""
 """
 
 DOC_QUERIES["compression_ratio"] = q_compression_ratio  # no_oracle: no SQL DEFLATE
+
+# UTF-8 width classes via RE2 codepoint ranges — an independent decision
+# procedure over the same contract as the engine's lead-byte masks; null
+# texts report all-zero counts on both sides (COALESCE)
+DOC_QUERIES["utf8_profile"] = q_utf8_profile
+DOC_ORACLE_SQL["utf8_profile"] = r"""
+    SELECT doc_id,
+           CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+           CAST(length(regexp_replace(COALESCE(text, ''),
+                '[^\x{00}-\x{7F}]', '', 'g')) AS BIGINT) AS n_1b,
+           CAST(length(regexp_replace(COALESCE(text, ''),
+                '[^\x{80}-\x{7FF}]', '', 'g')) AS BIGINT) AS n_2b,
+           CAST(length(regexp_replace(COALESCE(text, ''),
+                '[^\x{800}-\x{FFFF}]', '', 'g')) AS BIGINT) AS n_3b,
+           CAST(length(regexp_replace(COALESCE(text, ''),
+                '[^\x{10000}-\x{10FFFF}]', '', 'g')) AS BIGINT) AS n_4b
+    FROM documents ORDER BY doc_id
+"""
 
 # ASCII pairs only (octet_length = 2 <=> both chars one-byte), so the
 # engine's byte positions == the oracle's char positions on arbitrary input
