@@ -198,6 +198,27 @@ def test_twa_matches_oracle_and_hand_value(ray_session, r3h_events_dir):
     assert "tiny" not in got["source"].values  # single point: no segment
 
 
+def test_embed_dim_stats(ray_session, tmp_path):
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(0, 1, size=(40, 8)).astype(np.float32)
+    vecs[3, 2] = np.float32(7.25)    # exact-representable planted extremes
+    vecs[9, 2] = np.float32(-7.25)
+    t = pa.table(
+        {"vec_id": pa.array(range(40), pa.int64()),
+         "embedding": pa.array([list(map(float, v)) for v in vecs],
+                               pa.list_(pa.float32())),
+         "label": pa.array([0] * 40, pa.int32())}
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    got = DOC_QUERIES["embed_dim_stats"](str(tmp_path)).to_pandas()
+    want = _oracle(DOC_ORACLE_SQL["embed_dim_stats"], "embeddings",
+                   f"{tmp_path}/embeddings.parquet")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    d3 = got.set_index("dim").loc[3]
+    assert d3["dim_max"] == 7.25 and d3["dim_min"] == -7.25
+    assert int(d3["n"]) == 40
+
+
 def test_bpe_pairs_ascii_alignment(ray_session, tmp_path):
     # 'xéyz' exercises the UTF-8 alignment contract: its only ASCII pair is
     # 'yz' — every pair touching é's two bytes must drop on BOTH sides

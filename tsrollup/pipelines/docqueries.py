@@ -2358,6 +2358,46 @@ def q_token_drift(sf_dir: str):
     return map_key_partitions(counts, ["source"], _drift)
 
 
+def q_embed_dim_stats(sf_dir: str):
+    """Per-dimension embedding statistics — the calibration pass scalar
+    (int8) quantization runs before shipping vectors to an ANN index:
+    min / max / count per dimension over the whole corpus. Per-batch
+    vectorized partials (one reshape + axis-0 min/max per batch) fold
+    through a ``dim``-keyed groupby; min/max of floats are EXACT (no
+    accumulated arithmetic), so the SQL UNNEST-with-ordinality oracle
+    hash-matches bit for bit."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        lens = emb.value_lengths().to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "dim_min": pa.array([], pa.float64()),
+                             "dim_max": pa.array([], pa.float64())})
+        d = int(lens[0])
+        if not (lens == d).all():
+            raise ValueError("ragged embedding column")  # contract: fixed dim
+        m = flat.reshape(-1, d).astype(np.float64)
+        return pa.table(
+            {"dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+             "n": pa.array(np.full(d, m.shape[0], np.int64)),
+             "dim_min": pa.array(m.min(axis=0)),
+             "dim_max": pa.array(m.max(axis=0))}
+        )
+
+    return (
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Sum("n", alias_name="n"),
+                   Min("dim_min", alias_name="dim_min"),
+                   Max("dim_max", alias_name="dim_max"))
+    )
+
+
 def q_utf8_profile(sf_dir: str):
     """Per-document script-width profile: how many characters encode as
     1/2/3/4 UTF-8 bytes — the cheap 'what writing system is this' signal
@@ -3299,6 +3339,18 @@ DOC_ORACLE_SQL["zipf_fit"] = rf"""
 """
 
 DOC_QUERIES["compression_ratio"] = q_compression_ratio  # no_oracle: no SQL DEFLATE
+
+# min/max of the same float32 values widened to float64 — exact on both
+# sides (no accumulated arithmetic anywhere)
+DOC_QUERIES["embed_dim_stats"] = q_embed_dim_stats
+DOC_ORACLE_SQL["embed_dim_stats"] = """
+    WITH e AS (SELECT embedding AS emb FROM embeddings),
+    x AS (SELECT i AS dim, CAST(emb[i] AS DOUBLE) AS v
+          FROM e, UNNEST(generate_series(1, len(emb))) AS g(i))
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(v) AS dim_min, MAX(v) AS dim_max
+    FROM x GROUP BY 1 ORDER BY 1
+"""
 
 # UTF-8 width classes via RE2 codepoint ranges — an independent decision
 # procedure over the same contract as the engine's lead-byte masks; null
