@@ -219,6 +219,32 @@ def test_embed_dim_stats(ray_session, tmp_path):
     assert int(d3["n"]) == 40
 
 
+def test_embed_pca_recovers_planted_direction(ray_session, tmp_path):
+    rng = np.random.default_rng(7)
+    d = 16
+    direction = np.zeros(d); direction[3] = 1.0
+    coef = rng.normal(0, 10, size=(300, 1))          # dominant variance on dim 3
+    noise = rng.normal(0, 0.1, size=(300, d))
+    vecs = (coef * direction[None, :] + noise).astype(np.float32)
+    t = pa.table(
+        {"vec_id": pa.array(range(300), pa.int64()),
+         "embedding": pa.array([list(map(float, v)) for v in vecs],
+                               pa.list_(pa.float32())),
+         "label": pa.array([0] * 300, pa.int32())}
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    got = DOC_QUERIES["embed_pca"](str(tmp_path)).to_pandas()
+    c0 = got[got["component"] == 0].sort_values("dim")
+    vec = c0["loading"].to_numpy()
+    assert abs(vec[3]) > 0.99                         # planted axis recovered
+    ev = got.groupby("component")["explained_var"].first().to_numpy()
+    assert (np.diff(ev) <= 1e-9).all()                # descending variance
+    assert ev[0] > 50 and ev[1] < 1                   # ~10^2 vs noise 0.1^2
+    # deterministic orientation: rerun produces identical loadings
+    again = DOC_QUERIES["embed_pca"](str(tmp_path)).to_pandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(again))
+
+
 def test_bpe_pairs_ascii_alignment(ray_session, tmp_path):
     # 'xéyz' exercises the UTF-8 alignment contract: its only ASCII pair is
     # 'yz' — every pair touching é's two bytes must drop on BOTH sides

@@ -2398,6 +2398,77 @@ def q_embed_dim_stats(sf_dir: str):
     )
 
 
+def q_embed_pca(sf_dir: str, n_components: int = 8):
+    """Distributed PCA over the embedding column — the dimensionality
+    reduction an ANN/quantization pipeline runs before indexing. The data
+    never leaves the cluster: each batch contributes its EXACT sufficient
+    statistics (n, Σx, Σxᵀx) as (i, j, value) rows, one tiny groupby folds
+    them (D² + D + 1 rows total, D = embedding dim), and the driver
+    eigendecomposes the D×D covariance — the classic
+    sufficient-statistics shape, same as moments_1m one rank up.
+
+    Rows-only (no SQL eigensolver): unit tests assert the planted
+    principal direction is recovered and explained variances decrease.
+    Sign convention: each component's largest-|loading| entry is made
+    positive, so output is orientation-stable."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        lens = emb.value_lengths().to_numpy(zero_copy_only=False)
+        empty = pa.table({"i": pa.array([], pa.int64()),
+                          "j": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.float64())})
+        if len(flat) == 0:
+            return empty
+        d = int(lens[0])
+        m = flat.reshape(-1, d).astype(np.float64)
+        cov = m.T @ m                       # (D, D) second moment
+        s = m.sum(axis=0)                   # (D,)
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        return pa.table(
+            {"i": pa.array(np.r_[ii.ravel(), np.arange(d), [-1]].astype(np.int64)),
+             "j": pa.array(np.r_[jj.ravel(), np.full(d, -1), [-1]].astype(np.int64)),
+             "v": pa.array(np.r_[cov.ravel(), s, [float(m.shape[0])]])}
+        )
+
+    folded = (
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("v", alias_name="v"))
+        .to_pandas()  # D^2 + D + 1 rows
+    )
+    n = float(folded[(folded["i"] == -1) & (folded["j"] == -1)]["v"].iloc[0])
+    d = int(folded["i"].max()) + 1
+    s = np.zeros(d)
+    sub = folded[(folded["j"] == -1) & (folded["i"] >= 0)]
+    s[sub["i"].to_numpy()] = sub["v"].to_numpy()
+    cov2 = np.zeros((d, d))
+    sub = folded[folded["j"] >= 0]
+    cov2[sub["i"].to_numpy(), sub["j"].to_numpy()] = sub["v"].to_numpy()
+    mean = s / n
+    cov = cov2 / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)      # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps, out_i, out_d, load, ev = [], [], [], [], []
+    for ci, k in enumerate(order):
+        vec = evecs[:, k]
+        if vec[np.argmax(np.abs(vec))] < 0:  # orientation-stable sign
+            vec = -vec
+        out_i += [ci] * d
+        out_d += list(range(d))
+        load += [round(float(x), 6) for x in vec]
+        ev += [round(float(max(evals[k], 0.0)), 6)] * d
+    return pa.table(
+        {"component": pa.array(out_i, pa.int64()),
+         "dim": pa.array(out_d, pa.int64()),
+         "loading": pa.array(load, pa.float64()),
+         "explained_var": pa.array(ev, pa.float64())}
+    )
+
+
 def q_utf8_profile(sf_dir: str):
     """Per-document script-width profile: how many characters encode as
     1/2/3/4 UTF-8 bytes — the cheap 'what writing system is this' signal
@@ -3343,6 +3414,7 @@ DOC_QUERIES["compression_ratio"] = q_compression_ratio  # no_oracle: no SQL DEFL
 # min/max of the same float32 values widened to float64 — exact on both
 # sides (no accumulated arithmetic anywhere)
 DOC_QUERIES["embed_dim_stats"] = q_embed_dim_stats
+DOC_QUERIES["embed_pca"] = q_embed_pca  # no_oracle: no SQL eigensolver
 DOC_ORACLE_SQL["embed_dim_stats"] = """
     WITH e AS (SELECT embedding AS emb FROM embeddings),
     x AS (SELECT i AS dim, CAST(emb[i] AS DOUBLE) AS v
