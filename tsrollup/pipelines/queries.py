@@ -3691,6 +3691,88 @@ def q_attribution_last_touch(sf_dir: str):
     )
 
 
+def q_conversion_lag(sf_dir: str):
+    """Time-to-convert distribution: for every user whose first 'purchase'
+    follows their first 'signup', the lag in whole minutes — summarized as
+    exact discrete percentiles (p50/p90/p99, DuckDB ``quantile_disc``
+    convention). funnel_1h tells you IF users convert; this tells you how
+    long the funnel takes.
+
+    Shape: the user-keyed exchange emits one (lag_min, 1) histogram row
+    per converting user, pre-bucketed per partition — the mergeable
+    bounded-domain histogram q_quantiles established (lag domain bounded
+    by retention) — then one tiny fold + a cumulative read-off."""
+    from ray.data.aggregate import Sum
+    from tsrollup.shuffle import map_key_partitions
+
+    NOMAX = np.iinfo(np.int64).max
+
+    def _lags(t: pa.Table) -> pa.Table:
+        empty = pa.schema([("lag_min", pa.int64()), ("n", pa.int64())])
+        if t.num_rows == 0:
+            return empty.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cu, uu = pd.factorize(uid)
+        ts_sig = np.full(len(uu), NOMAX, dtype=np.int64)
+        np.minimum.at(ts_sig, cu[et == "signup"], us[et == "signup"])
+        ts_conv = np.full(len(uu), NOMAX, dtype=np.int64)
+        m = (et == "purchase") & (us >= ts_sig[cu]) & (ts_sig[cu] != NOMAX)
+        np.minimum.at(ts_conv, cu[m], us[m])
+        ok = ts_conv != NOMAX
+        if not ok.any():
+            return empty.empty_table()
+        lag = (ts_conv[ok] - ts_sig[ok]) // 60_000_000
+        v, c = np.unique(lag, return_counts=True)
+        return pa.table({"lag_min": pa.array(v), "n": pa.array(c.astype(np.int64))})
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+    hist = (
+        map_key_partitions(ev, ["user_id"], _lags)
+        .groupby("lag_min")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: distinct lag minutes <= retention span
+    )
+    if not len(hist):
+        return pa.table({"n_converted": pa.array([], pa.int64()),
+                         **{p: pa.array([], pa.int64())
+                            for p in ("p50", "p90", "p99")}})
+    hist = hist.sort_values("lag_min")
+    vals = hist["lag_min"].to_numpy().astype(np.int64)
+    counts = hist["n"].to_numpy().astype(np.int64)
+    cum = counts.cumsum()
+    n = int(cum[-1])
+    out = {"n_converted": pa.array([n], pa.int64())}
+    for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        rank = int(np.ceil(q * n))  # quantile_disc: sorted[ceil(q*n)-1]
+        out[name] = pa.array([int(vals[np.searchsorted(cum, rank)])], pa.int64())
+    return pa.table(out)
+
+
+def q_unpivot_stats(sf_dir: str):
+    """UNPIVOT / melt: the 1m rollup's four stat columns unpivoted to
+    (source, bucket, stat, value) rows — the long-format reshape every BI
+    export wants, done with one column-concat per batch (no per-row
+    Python)."""
+
+    def _melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        parts = []
+        for stat in ("n_rows", "sum_cents", "min_cents", "max_cents"):
+            src_col = {"sum_cents": "sum_tok", "min_cents": "min_tok",
+                       "max_cents": "max_tok", "n_rows": "n_rows"}[stat]
+            parts.append(pa.table(
+                {"source": t["source"], "bucket": t["bucket"],
+                 "stat": pa.array([stat] * n, pa.string()),
+                 "value": t[src_col].cast(pa.int64())}
+            ))
+        return pa.concat_tables(parts)
+
+    return _rolled_events(sf_dir).map_batches(_melt, batch_format="pyarrow")
+
+
 # window_funnel: ordered stages and window (µs); the oracle SQL shares these
 _WF_STAGES = ("view", "click", "purchase")
 _WF_W_US = 86_400_000_000  # 1 day
@@ -4991,6 +5073,35 @@ ORACLE_SQL["attribution_last_touch"] = f"""
     FROM conv GROUP BY 1 ORDER BY 1
 """
 
+ORACLE_SQL["conversion_lag"] = """
+    WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
+          FROM events e JOIN s USING (user_id)
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t0
+          GROUP BY 1),
+    l AS (SELECT (c.t1 - s.t0) // 60000000 AS lag
+          FROM c JOIN s USING (user_id))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(quantile_disc(lag, 0.5) AS BIGINT) AS p50,
+           CAST(quantile_disc(lag, 0.9) AS BIGINT) AS p90,
+           CAST(quantile_disc(lag, 0.99) AS BIGINT) AS p99
+    FROM l HAVING COUNT(*) > 0
+"""
+
+ORACLE_SQL["unpivot_stats"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY})
+    SELECT source, bucket, 'n_rows' AS stat, CAST(n_rows AS BIGINT) AS value
+    FROM r
+    UNION ALL
+    SELECT source, bucket, 'sum_cents', CAST(sum_cents AS BIGINT) FROM r
+    UNION ALL
+    SELECT source, bucket, 'min_cents', CAST(min_cents AS BIGINT) FROM r
+    UNION ALL
+    SELECT source, bucket, 'max_cents', CAST(max_cents AS BIGINT) FROM r
+    ORDER BY 1, 2, 3
+"""
+
 ORACLE_SQL["window_funnel"] = f"""
     WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS tv
                FROM events WHERE event_type = '{_WF_STAGES[0]}' GROUP BY 1),
@@ -5189,6 +5300,8 @@ QUERIES = {
     "ipc_roundtrip": q_ipc_roundtrip,
     "audience_overlap": q_audience_overlap,
     "log2_histogram": q_log2_histogram,
+    "conversion_lag": q_conversion_lag,
+    "unpivot_stats": q_unpivot_stats,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
