@@ -447,12 +447,70 @@ def run(
     return results
 
 
+def emit_alerts(out_root: str, hi_water: int = -1) -> tuple[list[dict], int]:
+    """Continuous monitoring over the committed 1m tier: flag hours whose
+    volume breaches 3σ against their own (source, hour-of-day) baseline —
+    q_hod_anomaly's exact integer contract ((n·x−S)² > 9·(n·S2−S²), Python
+    bignums) applied incrementally. Only hours STRICTLY above ``hi_water``
+    (the previous high-water hour) emit, so a re-poll never re-alerts;
+    returns (alerts, new_hi_water). Runs on rolled volume (≥60× reduced) —
+    the live analog of the reference's monitor consumer (SURVEY S9)."""
+    import math
+
+    import pandas as pd
+
+    t = read_tier(out_root, "1m", "rolled")
+    if t.num_rows == 0:
+        return [], hi_water
+    src = t["source"].to_numpy(zero_copy_only=False)
+    bucket = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cents = t["sum_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    alerts: list[dict] = []
+    new_hi = hi_water
+    for s in pd.unique(src):
+        m = src == s
+        if str(s) == "__quarantine__":
+            continue
+        hb = bucket[m] // 60
+        order = np.argsort(hb, kind="stable")
+        hb_s, c_s = hb[order], cents[m][order]
+        first = np.ones(len(hb_s), dtype=bool)
+        first[1:] = hb_s[1:] != hb_s[:-1]
+        starts = np.flatnonzero(first)
+        hb_u = hb_s[starts]
+        x = np.add.reduceat(c_s, starts)
+        hod = hb_u % 24
+        for h in range(24):
+            sel = hod == h
+            xs = [int(v) for v in x[sel]]
+            n = len(xs)
+            if n < 2:
+                continue
+            S, S2 = sum(xs), sum(v * v for v in xs)
+            var_n2 = n * S2 - S * S
+            if var_n2 <= 0:
+                continue
+            for bh, xv in zip(hb_u[sel], xs):
+                a = n * xv - S
+                if int(bh) > hi_water and a * a > 9 * var_n2:
+                    alerts.append(
+                        {"source": str(s), "bucket_h": int(bh), "sum_tok": xv,
+                         "dev": a,
+                         "z": round(float(a) / math.sqrt(float(var_n2)), 6)}
+                    )
+        if len(hb_u):
+            new_hi = max(new_hi, int(hb_u.max()))
+    alerts.sort(key=lambda r: (r["source"], r["bucket_h"]))
+    return alerts, new_hi
+
+
 def watch(
     input_path: str | list[str],
     cfg: RollupConfig | None = None,
     iterations: int | None = None,
     poll_seconds: float = 5.0,
     on_result=None,
+    alerts: bool = False,
 ) -> dict | None:
     """Micro-batch streaming mode: poll the input for new parquet fragments
     and fold them in via the per-fragment incremental path — the engine's
@@ -472,11 +530,20 @@ def watch(
     last_fp: str | None = None
     results: dict | None = None
     n = 0
+    hi_water = -1
     while iterations is None or n < iterations:
         fp = lin.input_fingerprint(paths)
         if fp != last_fp:
             results = run(input_path, cfg, resume=True)
             last_fp = fp
+            if alerts:
+                new_alerts, hi_water = emit_alerts(cfg.out_root, hi_water)
+                if new_alerts:
+                    import json as _json
+
+                    with open(os.path.join(cfg.out_root, "alerts.jsonl"), "a") as f:
+                        for rec in new_alerts:
+                            f.write(_json.dumps(rec) + "\n")
             if on_result is not None:
                 on_result(results)
         n += 1
@@ -534,6 +601,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="micro-batch streaming: poll the input N times (0 = forever), "
                         "incrementally merging newly appended parquet fragments")
     p.add_argument("--poll-seconds", type=float, default=5.0)
+    p.add_argument("--alerts", action="store_true",
+                   help="with --watch: after each committed tick, flag hours "
+                        "breaching 3-sigma vs their (source, hour-of-day) "
+                        "baseline into <out>/alerts.jsonl (idempotent per hour)")
     args = p.parse_args(argv)
 
     if args.compact:  # pure filesystem maintenance: no Ray, no input scan
@@ -582,6 +653,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.input, cfg,
                 iterations=None if args.watch == 0 else args.watch,
                 poll_seconds=args.poll_seconds,
+                alerts=args.alerts,
             )
         else:
             results = run(args.input, cfg, resume=not args.no_resume)
