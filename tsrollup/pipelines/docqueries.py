@@ -2358,6 +2358,50 @@ def q_token_drift(sf_dir: str):
     return map_key_partitions(counts, ["source"], _drift)
 
 
+def q_doclen_quantiles(sf_dir: str):
+    """Per-source document-length percentiles (p10/p50/p90/p99, DuckDB
+    ``quantile_disc`` convention) — the length-filter calibration every
+    corpus gate starts from. Mergeable bounded-domain histogram shape
+    (q_quantiles'): per-batch (source, n_chars, count) partials, one tiny
+    fold, cumulative read-off per source."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"source": t["source"], "len": t["n_chars"]}
+        ).group_by(["source", "len"]).aggregate([("len", "count")])
+        return pa.table({"source": g["source"], "len": g["len"],
+                         "n": g["len_count"].cast(pa.int64())})
+
+    hist = (
+        _docs(sf_dir, ("source", "n_chars"))
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "len"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _q(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             **{c: pd.Series(dtype=np.int64)
+                for c in ("n_docs", "p10", "p50", "p90", "p99")}}
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values("len")
+        cum = df["n"].to_numpy().astype(np.int64).cumsum()
+        vals = df["len"].to_numpy().astype(np.int64)
+        n = int(cum[-1])
+        row = {"source": [df["source"].iloc[0]],
+               "n_docs": np.array([n], np.int64)}
+        for name, q in (("p10", 0.1), ("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            rank = int(np.ceil(q * n))
+            row[name] = np.array([vals[np.searchsorted(cum, rank)]], np.int64)
+        return pd.DataFrame(row)
+
+    return map_key_groups(hist, ["source"], _q, batch_format="pandas")
+
+
 def q_embed_dim_stats(sf_dir: str):
     """Per-dimension embedding statistics — the calibration pass scalar
     (int8) quantization runs before shipping vectors to an ANN index:
@@ -3413,6 +3457,16 @@ DOC_QUERIES["compression_ratio"] = q_compression_ratio  # no_oracle: no SQL DEFL
 
 # min/max of the same float32 values widened to float64 — exact on both
 # sides (no accumulated arithmetic anywhere)
+DOC_QUERIES["doclen_quantiles"] = q_doclen_quantiles
+DOC_ORACLE_SQL["doclen_quantiles"] = """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(quantile_disc(n_chars, 0.1) AS BIGINT) AS p10,
+           CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+           CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+           CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+    FROM documents GROUP BY 1 ORDER BY 1
+"""
+
 DOC_QUERIES["embed_dim_stats"] = q_embed_dim_stats
 DOC_QUERIES["embed_pca"] = q_embed_pca  # no_oracle: no SQL eigensolver
 DOC_ORACLE_SQL["embed_dim_stats"] = """

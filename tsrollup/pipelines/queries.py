@@ -3487,6 +3487,44 @@ def q_log2_histogram(sf_dir: str):
     )
 
 
+def q_dow_hod_profile(sf_dir: str):
+    """Day-of-week × hour-of-day traffic matrix per source — the weekly
+    seasonality heatmap (seasonal_hod's second axis). One partial-count
+    pass over the rolled tier, one tiny (source, dow, hod) fold; the mean
+    is ONE exact-integer division (znorm discipline)."""
+    from ray.data.aggregate import Count, Sum
+
+    def _cell(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hb = b // 60
+        # epoch day 0 (1970-01-01) was a Thursday -> dow 0 = Monday
+        dow = ((hb // 24) + 3) % 7
+        return pa.table(
+            {"source": t["source"], "dow": pa.array(dow),
+             "hod": pa.array(hb % 24), "sum_cents": t["sum_tok"]}
+        )
+
+    agg = (
+        _rolled_events(sf_dir)
+        .map_batches(_cell, batch_format="pyarrow")
+        .groupby(["source", "dow", "hod"])
+        .aggregate(Count(alias_name="n_buckets"),
+                   Sum("sum_cents", alias_name="sum_cents"))
+    )
+
+    def _avg(t: pa.Table) -> pa.Table:
+        s = t["sum_cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n_buckets"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"source": t["source"], "dow": t["dow"], "hod": t["hod"],
+             "n_buckets": pc.cast(t["n_buckets"], pa.int64()),
+             "sum_cents": t["sum_cents"],
+             "avg_cents": pa.array(np.round(s / n, 6))}
+        )
+
+    return agg.map_batches(_avg, batch_format="pyarrow")
+
+
 def q_hod_anomaly(sf_dir: str):
     """Seasonality-aware anomaly detection: hours whose volume deviates
     more than 3σ from their OWN (source, hour-of-day) baseline — the alert
@@ -5009,6 +5047,20 @@ ORACLE_SQL["log2_histogram"] = f"""
     FROM b GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+ORACLE_SQL["dow_hod_profile"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    c AS (SELECT source,
+                 ((bucket // 60 // 24) + 3) % 7 AS dow,
+                 (bucket // 60) % 24 AS hod,
+                 sum_cents
+          FROM r)
+    SELECT source, CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(sum_cents) AS BIGINT) AS sum_cents,
+           ROUND(CAST(SUM(sum_cents) AS DOUBLE) / COUNT(*), 6) AS avg_cents
+    FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
 ORACLE_SQL["hod_anomaly"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     h AS (SELECT source, bucket // 60 AS hb, SUM(sum_cents) AS x
@@ -5302,6 +5354,7 @@ QUERIES = {
     "log2_histogram": q_log2_histogram,
     "conversion_lag": q_conversion_lag,
     "unpivot_stats": q_unpivot_stats,
+    "dow_hod_profile": q_dow_hod_profile,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
