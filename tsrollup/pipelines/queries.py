@@ -3487,6 +3487,39 @@ def q_log2_histogram(sf_dir: str):
     )
 
 
+def q_gap_stats(sf_dir: str):
+    """Missing-minute profile per source — gap-fill's upstream diagnostic:
+    how much is missing (n_missing over the [min, max] span), the worst
+    single outage (max_gap), and how many distinct outages (n_gaps). All
+    exact integer arithmetic over consecutive bucket diffs in one
+    per-source group kernel on rolled volume; the oracle is a LEAD
+    window over the same rollup."""
+
+    def _g(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             **{c: pd.Series(dtype=np.int64)
+                for c in ("n_present", "span", "n_missing", "n_gaps", "max_gap")}}
+        )
+        if len(df) < 1:
+            return empty
+        b = np.sort(df["bucket"].to_numpy().astype(np.int64))
+        d = np.diff(b)
+        span = int(b[-1] - b[0] + 1)
+        gaps = d - 1
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]],
+             "n_present": np.array([len(b)], np.int64),
+             "span": np.array([span], np.int64),
+             "n_missing": np.array([int(gaps.sum())], np.int64),
+             "n_gaps": np.array([int((gaps > 0).sum())], np.int64),
+             "max_gap": np.array([int(gaps.max()) if len(gaps) else 0], np.int64)}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _g,
+                          batch_format="pandas")
+
+
 def q_dow_hod_profile(sf_dir: str):
     """Day-of-week × hour-of-day traffic matrix per source — the weekly
     seasonality heatmap (seasonal_hod's second axis). One partial-count
@@ -5047,6 +5080,21 @@ ORACLE_SQL["log2_histogram"] = f"""
     FROM b GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+ORACLE_SQL["gap_stats"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    d AS (SELECT source, bucket,
+                 LEAD(bucket) OVER (PARTITION BY source ORDER BY bucket)
+                     - bucket - 1 AS gap
+          FROM r)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_present,
+           CAST(MAX(bucket) - MIN(bucket) + 1 AS BIGINT) AS span,
+           CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS n_missing,
+           CAST(COALESCE(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_gaps,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap
+    FROM d GROUP BY 1 ORDER BY 1
+"""
+
 ORACLE_SQL["dow_hod_profile"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     c AS (SELECT source,
@@ -5355,6 +5403,7 @@ QUERIES = {
     "conversion_lag": q_conversion_lag,
     "unpivot_stats": q_unpivot_stats,
     "dow_hod_profile": q_dow_hod_profile,
+    "gap_stats": q_gap_stats,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
