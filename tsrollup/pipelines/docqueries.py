@@ -1950,7 +1950,21 @@ def _ln_fp(x: int) -> int:
 def _source_token_counts(sf_dir: str) -> ray.data.Dataset:
     """Exact per-(source, token) counts: per-batch Arrow group partials →
     one keyed count fold (the same exchange vocab_overlap pays). Shared by
-    the entropy / Zipf analytics."""
+    the entropy / Zipf analytics and MEMOIZED per (corpus, session) — the
+    fold's output is vocabulary-bounded, so pinning it is safe and every
+    consumer after the first pays zero tokenize cost."""
+    import os
+
+    from tsrollup.util import memoized_dataset
+
+    return memoized_dataset(
+        os.path.join(sf_dir, "documents.parquet"),
+        "source_token_counts",
+        lambda: _source_token_counts_build(sf_dir),
+    )
+
+
+def _source_token_counts_build(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Sum
 
     def _partial(t: pa.Table) -> pa.Table:

@@ -3263,11 +3263,22 @@ def q_user_transitions(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    ev = _events(sf_dir, ("event_id", "user_id", "ts", "event_type"))
-    return (
-        map_key_partitions(ev, ["user_id"], _trans)
-        .groupby(["prev_type", "next_type"])
-        .aggregate(Sum("n", alias_name="n"))
+    from tsrollup.util import memoized_dataset
+
+    def _build():
+        ev = _events(sf_dir, ("event_id", "user_id", "ts", "event_type"))
+        return (
+            map_key_partitions(ev, ["user_id"], _trans)
+            .groupby(["prev_type", "next_type"])
+            .aggregate(Sum("n", alias_name="n"))
+        )
+
+    # |types|^2-bounded result shared with pagerank_types: memoize per
+    # (corpus, session) like the rolled tier
+    import os
+
+    return memoized_dataset(
+        os.path.join(sf_dir, "events.parquet"), "user_transitions", _build
     )
 
 

@@ -48,6 +48,33 @@ def tune_ray_data(quiet: bool = True, hash_shuffle: bool | None = None) -> None:
         logging.getLogger("ray.data").setLevel(logging.ERROR)
 
 
+_DS_MEMO: dict = {}
+
+
+def memoized_dataset(src_file: str, tag: str, build):
+    """In-session materialized-dataset memo (the committed-tier idea
+    in-process): ``build()`` runs once per (source-file identity, tag, Ray
+    job) and later callers share the pinned result. Safe only for
+    AGGREGATED intermediates whose volume is bounded (rolled tiers, token
+    count folds) — never memoize data-scale datasets. Keys include file
+    (size, mtime) so a regenerated corpus is never served stale, and the
+    job id so refs from a dead Ray session are dropped."""
+    import os
+
+    import ray
+
+    ds = build()
+    if not ray.is_initialized():
+        return ds  # driver owns session startup; stay lazy
+    st = os.stat(src_file)
+    key = (os.path.realpath(src_file), st.st_size, st.st_mtime_ns,
+           tag, ray.get_runtime_context().get_job_id())
+    hit = _DS_MEMO.get(key)
+    if hit is None:
+        hit = _DS_MEMO[key] = ds.materialize()
+    return hit
+
+
 def read_parquet_clean(paths, **kwargs):
     """``ray.data.read_parquet`` with schema METADATA stripped. Parquet written
     by pandas carries a ``pandas`` metadata blob that makes pa.Schema
