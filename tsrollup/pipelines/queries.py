@@ -53,32 +53,27 @@ def _derive_events(t: pa.Table) -> pa.Table:
     )
 
 
-_ROLLED_CACHE: dict = {}
-
-
 def _rolled_events(sf_dir: str) -> ray.data.Dataset:
     """The 1m continuous-aggregate tier every downstream analytics query
-    serves from. Memoized per (path, file identity, Ray job) as a
-    MATERIALIZED dataset — the engine's own committed-tier architecture
-    (compute the rollup once, serve many queries from it) applied in-process:
-    one scan+rollup instead of one per query. Rolled volume is ~1/60 of the
-    input and bounded by sources x minutes, so pinning it in the object
-    store is safe; the (size, mtime) key keeps a regenerated corpus from
-    being served stale, and the job-id key drops refs from a dead Ray
-    session."""
+    serves from. Memoized per (corpus identity, Ray job) as a MATERIALIZED
+    dataset — the engine's own committed-tier architecture (compute the
+    rollup once, serve many queries from it) applied in-process: one
+    scan+rollup instead of one per query. Rolled volume is ~1/60 of the
+    input and bounded by sources x minutes, so pinning it is safe (see
+    util.memoized_dataset for the staleness/session keying)."""
     import os
 
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    derived = _events(sf_dir).map_batches(_derive_events, batch_format="pyarrow")
-    rolled = final_rollup(derived.map_batches(partial_rollup, batch_format="pyarrow"))
-    if not ray.is_initialized():
-        return rolled  # driver owns session startup; first call stays lazy
-    job = ray.get_runtime_context().get_job_id()
-    key = (os.path.realpath(sf_dir), st.st_size, st.st_mtime_ns, job)
-    ds = _ROLLED_CACHE.get(key)
-    if ds is None:
-        ds = _ROLLED_CACHE[key] = rolled.materialize()
-    return ds
+    from tsrollup.util import memoized_dataset
+
+    def _build():
+        derived = _events(sf_dir).map_batches(_derive_events, batch_format="pyarrow")
+        return final_rollup(
+            derived.map_batches(partial_rollup, batch_format="pyarrow")
+        )
+
+    return memoized_dataset(
+        os.path.join(sf_dir, "events.parquet"), "rolled_1m", _build
+    )
 
 
 def _rename_cents(t: pa.Table) -> pa.Table:
