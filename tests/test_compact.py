@@ -62,8 +62,19 @@ def test_compact_preserves_rows_lineage_provenance(appended_out):
         "hive_partitioning=true) ORDER BY source, bucket"
     ).df()
 
+    # sidecar files anywhere in the tree must travel verbatim
+    part_dir = os.path.join(tier_dir, "rolled",
+                            sorted(os.listdir(os.path.join(tier_dir, "rolled")))[0])
+    with open(os.path.join(part_dir, "_sidecar.txt"), "w") as f:
+        f.write("keep me")
+    with open(os.path.join(tier_dir, "rolled", "_kind_meta"), "w") as f:
+        f.write("keep me too")
+
     rep = compact_tier(out, "1m", target_bytes=1 << 30)
     assert rep["changed"] is True
+    assert open(os.path.join(tier_dir, "rolled", os.path.basename(part_dir),
+                             "_sidecar.txt")).read() == "keep me"
+    assert open(os.path.join(tier_dir, "rolled", "_kind_meta")).read() == "keep me too"
     assert rep["kinds"]["rolled"]["files_after"] < rep["kinds"]["rolled"]["files_before"]
 
     after = con.execute(

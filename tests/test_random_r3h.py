@@ -68,6 +68,8 @@ def test_random_events_sweep(ray_session, tmp_path_factory, seed):
         want = con.execute(ORACLE_SQL[name]).df()
         if len(got) == 0 and len(want) == 0:
             continue  # empty matches empty regardless of schema inference
-        pd.testing.assert_frame_equal(
-            _canon(got), _canon(want), check_dtype=False,
-        ), name
+        try:
+            pd.testing.assert_frame_equal(
+                _canon(got), _canon(want), check_dtype=False)
+        except AssertionError as e:
+            raise AssertionError(f"query {name!r} diverged from oracle") from e

@@ -49,6 +49,38 @@ def test_watch_emits_alerts_idempotently(ray_session, tmp_path):
     assert len(recs) == 1, recs
     assert recs[0]["source"] == "s" and recs[0]["sum_tok"] == 10_000
     assert recs[0]["z"] > 3
+    # RESTART the watcher: the high-water recovers from alerts.jsonl, so the
+    # recorded spike must not re-emit
+    job.watch(str(d), cfg, iterations=1, poll_seconds=0.05, alerts=True)
+    with open(alerts_path) as f:
+        assert len(f.readlines()) == 1
+    hi = job.load_alert_hi_water(cfg.out_root)
+    assert hi == {"s": recs[0]["bucket_h"]}
+
+
+def test_alert_hi_water_is_per_source(ray_session, tmp_path):
+    """A lagging source must not be silenced by a leading one: source A is
+    committed far ahead; B's spike arrives later but in B's own new hours."""
+    d = tmp_path / "in"
+    d.mkdir()
+    rows = [("A", day * 1440, 100 + 2 * (day % 2)) for day in range(21)]
+    rows += [("B", day * 1440 + 60, 100 + 2 * (day % 2)) for day in range(12)]
+    pq.write_table(_frag(rows), str(d / "a.parquet"))
+    cfg = RollupConfig(out_root=str(tmp_path / "out"), tiers=("1m",))
+    ticks = []
+
+    def _cb(res):
+        ticks.append(True)
+        if len(ticks) == 1:  # B's day-12 spike: behind A's hours, new for B
+            pq.write_table(_frag([("B", 12 * 1440 + 60, 10_000)]),
+                           str(d / "b.parquet"))
+
+    job.watch(str(d), cfg, iterations=2, poll_seconds=0.05,
+              on_result=_cb, alerts=True)
+    with open(os.path.join(cfg.out_root, "alerts.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    assert [r["source"] for r in recs] == ["B"]
+    assert recs[0]["sum_tok"] == 10_000
 
 
 def test_emit_alerts_empty_and_quarantine_safe(ray_session, tmp_path):
@@ -57,9 +89,9 @@ def test_emit_alerts_empty_and_quarantine_safe(ray_session, tmp_path):
     pq.write_table(_frag([("s", 0, 5)]), str(d / "a.parquet"))
     cfg = RollupConfig(out_root=str(tmp_path / "out"), tiers=("1m",))
     job.run(str(d), cfg)
-    alerts, hi = job.emit_alerts(cfg.out_root, -1)
-    assert alerts == []               # single hour: n < 2 per hod cell
-    assert hi == 1767225600 // 3600   # high-water = absolute epoch hour 0
+    alerts, hi = job.emit_alerts(cfg.out_root)
+    assert alerts == []                       # single hour: n < 2 per hod cell
+    assert hi == {"s": 1767225600 // 3600}    # per-source absolute epoch hour
     # re-poll with the same high-water stays silent
     alerts2, hi2 = job.emit_alerts(cfg.out_root, hi)
     assert alerts2 == [] and hi2 == hi

@@ -71,6 +71,10 @@ def _compact_partition(src_dir: str, dst_dir: str, target: int) -> tuple[int, in
     (files_before, files_after). Singleton runs hardlink; multi-file runs
     merge into one parquet file each."""
     os.makedirs(dst_dir, exist_ok=True)
+    for entry in sorted(os.listdir(src_dir)):  # sidecars travel verbatim
+        p = os.path.join(src_dir, entry)
+        if os.path.isfile(p) and not entry.endswith(".parquet"):
+            os.link(p, os.path.join(dst_dir, entry))
     files = sorted(
         (os.path.join(src_dir, f), os.path.getsize(os.path.join(src_dir, f)))
         for f in os.listdir(src_dir)
@@ -124,12 +128,27 @@ def compact_tier(
         if not report["changed"]:
             shutil.rmtree(tmp_dir)
             return report
-        # provenance travels verbatim — append/resume semantics unchanged
-        shutil.copyfile(os.path.join(tier_dir, PROVENANCE),
-                        os.path.join(tmp_dir, PROVENANCE))
+        # any file the tier carries beyond the partition dirs (provenance,
+        # sidecar metadata a future writer might add) travels VERBATIM —
+        # compaction only ever merges partition parquet files
+        for kind in sorted(os.listdir(tier_dir)):
+            src_kind = os.path.join(tier_dir, kind)
+            if os.path.isfile(src_kind):
+                shutil.copyfile(src_kind, os.path.join(tmp_dir, kind))
+            else:
+                for entry in sorted(os.listdir(src_kind)):
+                    p = os.path.join(src_kind, entry)
+                    if os.path.isfile(p):
+                        os.link(p, os.path.join(tmp_dir, kind, entry))
         old_dir = os.path.join(out_root, f".old-{tier}-{uuid.uuid4().hex[:8]}")
         os.rename(tier_dir, old_dir)
-        os.rename(tmp_dir, tier_dir)
+        try:
+            os.rename(tmp_dir, tier_dir)
+        except BaseException:
+            # restore the original tier before propagating: a failed swap
+            # must never leave the canonical path empty
+            os.rename(old_dir, tier_dir)
+            raise
         shutil.rmtree(old_dir)
     except BaseException:
         shutil.rmtree(tmp_dir, ignore_errors=True)

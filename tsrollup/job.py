@@ -447,18 +447,47 @@ def run(
     return results
 
 
-def emit_alerts(out_root: str, hi_water: int = -1) -> tuple[list[dict], int]:
+def load_alert_hi_water(out_root: str) -> dict[str, int]:
+    """Recover each source's last-ALERTED hour from alerts.jsonl so a
+    restarted --watch --alerts process never re-emits a recorded alert
+    (hours after it re-evaluate, which is safe: same data → same verdict,
+    and an hour that newly breaches as its baseline evolves emits once)."""
+    import json as _json
+
+    hi: dict[str, int] = {}
+    path = os.path.join(out_root, "alerts.jsonl")
+    try:
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = _json.loads(line)
+                except ValueError:
+                    continue  # torn tail write: ignore, never crash the watcher
+                s, bh = rec.get("source"), rec.get("bucket_h")
+                if isinstance(s, str) and isinstance(bh, int):
+                    hi[s] = max(hi.get(s, -1), bh)
+    except OSError:
+        pass
+    return hi
+
+
+def emit_alerts(
+    out_root: str, hi_water: dict[str, int] | None = None
+) -> tuple[list[dict], dict[str, int]]:
     """Continuous monitoring over the committed 1m tier: flag hours whose
     volume breaches 3σ against their own (source, hour-of-day) baseline —
-    q_hod_anomaly's exact integer contract ((n·x−S)² > 9·(n·S2−S²), Python
-    bignums) applied incrementally. Only hours STRICTLY above ``hi_water``
-    (the previous high-water hour) emit, so a re-poll never re-alerts;
-    returns (alerts, new_hi_water). Runs on rolled volume (≥60× reduced) —
-    the live analog of the reference's monitor consumer (SURVEY S9)."""
-    import math
-
+    the SAME exact-integer kernel as the SQL-verified q_hod_anomaly
+    (functions.anomaly.hod_breaches), applied incrementally. The
+    high-water mark is PER SOURCE (a lagging source must not be silenced
+    by a leading one) and only strictly newer hours emit, so a re-poll
+    never re-alerts; returns (alerts, new_hi_water). Runs on rolled
+    volume (≥60× reduced) — the live analog of the reference's monitor
+    consumer (SURVEY S9)."""
     import pandas as pd
 
+    from tsrollup.functions.anomaly import hod_breaches
+
+    hi_water = dict(hi_water or {})
     t = read_tier(out_root, "1m", "rolled")
     if t.num_rows == 0:
         return [], hi_water
@@ -466,11 +495,10 @@ def emit_alerts(out_root: str, hi_water: int = -1) -> tuple[list[dict], int]:
     bucket = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
     cents = t["sum_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
     alerts: list[dict] = []
-    new_hi = hi_water
     for s in pd.unique(src):
-        m = src == s
         if str(s) == "__quarantine__":
             continue
+        m = src == s
         hb = bucket[m] // 60
         order = np.argsort(hb, kind="stable")
         hb_s, c_s = hb[order], cents[m][order]
@@ -479,29 +507,13 @@ def emit_alerts(out_root: str, hi_water: int = -1) -> tuple[list[dict], int]:
         starts = np.flatnonzero(first)
         hb_u = hb_s[starts]
         x = np.add.reduceat(c_s, starts)
-        hod = hb_u % 24
-        for h in range(24):
-            sel = hod == h
-            xs = [int(v) for v in x[sel]]
-            n = len(xs)
-            if n < 2:
-                continue
-            S, S2 = sum(xs), sum(v * v for v in xs)
-            var_n2 = n * S2 - S * S
-            if var_n2 <= 0:
-                continue
-            for bh, xv in zip(hb_u[sel], xs):
-                a = n * xv - S
-                if int(bh) > hi_water and a * a > 9 * var_n2:
-                    alerts.append(
-                        {"source": str(s), "bucket_h": int(bh), "sum_tok": xv,
-                         "dev": a,
-                         "z": round(float(a) / math.sqrt(float(var_n2)), 6)}
-                    )
+        for bh, xv, dev, z in hod_breaches(hb_u, x, hi_water.get(str(s), -1)):
+            alerts.append({"source": str(s), "bucket_h": bh, "sum_tok": xv,
+                           "dev": dev, "z": z})
         if len(hb_u):
-            new_hi = max(new_hi, int(hb_u.max()))
+            hi_water[str(s)] = max(hi_water.get(str(s), -1), int(hb_u.max()))
     alerts.sort(key=lambda r: (r["source"], r["bucket_h"]))
-    return alerts, new_hi
+    return alerts, hi_water
 
 
 def watch(
@@ -530,7 +542,7 @@ def watch(
     last_fp: str | None = None
     results: dict | None = None
     n = 0
-    hi_water = -1
+    hi_water = load_alert_hi_water(cfg.out_root) if alerts else {}
     while iterations is None or n < iterations:
         fp = lin.input_fingerprint(paths)
         if fp != last_fp:

@@ -2010,6 +2010,15 @@ def q_token_entropy(sf_dir: str):
         c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
         uniq, inv = np.unique(c, return_inverse=True)
         fp = np.array([_ln_fp(int(v)) for v in uniq], dtype=np.int64)
+        # fail LOUDLY instead of wrapping: per-row c*F(c) must fit int64
+        # (c beyond ~4e8 needs the rollup checksum's hi/lo split — not
+        # silent corruption; the oracle's BIGINT SUM errors at the same
+        # point, so engine and SQL stay in agreement about the limit)
+        if len(uniq) and int(uniq[-1]) * _ln_fp(int(uniq[-1])) >= 2**62:
+            raise ValueError(
+                f"token count {int(uniq[-1])} overflows the int64 "
+                "fixed-point product; shard the corpus or widen to hi/lo"
+            )
         return pa.table(
             {"source": t["source"], "n_tok": pa.array(c),
              "n_distinct": pa.array(np.ones(len(c), np.int64)),

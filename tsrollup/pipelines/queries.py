@@ -3574,10 +3574,12 @@ def q_hod_anomaly(sf_dir: str):
     (n·x − S)² > 9·(n·S2 − S²) over per-hod population sums, evaluated in
     Python bignums (the squares exceed int64 by design), so the flag set
     is deterministic; the reported z is one float expression of the same
-    integers. One per-source group kernel — the hourly series and its
-    24-slot profile both live inside the group (retention-bounded), no
-    broadcast or second pass."""
-    import math
+    integers. The kernel is SHARED with the --watch --alerts monitor
+    (functions.anomaly.hod_breaches), so the live path can never drift
+    from this SQL-verified query. One per-source group kernel — the
+    hourly series and its 24-slot profile both live inside the group
+    (retention-bounded), no broadcast or second pass."""
+    from tsrollup.functions.anomaly import hod_breaches
 
     def _an(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -3598,25 +3600,9 @@ def q_hod_anomaly(sf_dir: str):
         starts = np.flatnonzero(first)
         hb_u = hb[starts]
         x = np.add.reduceat(c, starts)
-        hod = hb_u % 24
-        rows = []
-        for h in range(24):
-            xs = [int(v) for v in x[hod == h]]
-            n = len(xs)
-            if n < 2:
-                continue
-            S, S2 = sum(xs), sum(v * v for v in xs)
-            var_n2 = n * S2 - S * S  # n^2 * sigma^2, exact
-            if var_n2 <= 0:
-                continue
-            for bh, xv in zip(hb_u[hod == h], xs):
-                a = n * xv - S
-                if a * a > 9 * var_n2:
-                    rows.append((int(bh), xv, a,
-                                 round(float(a) / math.sqrt(float(var_n2)), 6)))
+        rows = hod_breaches(hb_u, x)
         if not rows:
             return empty
-        rows.sort()
         return pd.DataFrame(
             {"source": np.repeat(df["source"].iloc[0], len(rows)),
              "bucket_h": np.array([r[0] for r in rows], np.int64),
@@ -3631,15 +3617,23 @@ def q_hod_anomaly(sf_dir: str):
 
 def q_ipc_roundtrip(sf_dir: str):
     """Arrow IPC (Feather) sink + re-ingest round trip: the 1m rollup is
-    written to partitioned .arrow files under /tmp and read back through
-    ``ray.data.read_binary_files`` + the IPC reader — the zero-copy
+    written to partitioned .arrow files and read back — the zero-copy
     interchange format every Arrow-native system speaks (jsonl_roundtrip's
     sibling; columnar types survive EXACTLY, no text casts needed). The
-    oracle is rollup_1m's SQL, so the trip is verified value-exact."""
+    oracle is rollup_1m's SQL, so the trip is verified value-exact.
+
+    Like every file sink in the engine, the sink directory must be
+    CLUSTER-VISIBLE storage (NFS/S3-fuse on a real cluster — the same
+    assumption ``write_parquet`` makes). The default is a /tmp scratch
+    dir, correct single-node; set ``TSROLLUP_IPC_DIR`` to a shared path
+    for multi-node runs. Both legs materialize before cleanup, so lineage
+    never re-reads deleted files."""
+    import os
     import shutil
     import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="tsrollup_ipc_")
+    out_dir = tempfile.mkdtemp(prefix="tsrollup_ipc_",
+                               dir=os.environ.get("TSROLLUP_IPC_DIR"))
     try:
         import pyarrow.feather as feather
 
@@ -3959,14 +3953,19 @@ def q_pagerank_types(sf_dir: str):
     from ray.data.aggregate import Count
 
     edges = q_user_transitions(sf_dir).to_pandas()  # tiny: |types|^2 rows
+    # node set = distinct sources of the (memoized, materialized) rolled
+    # tier — identical to DISTINCT event_type, without re-scanning raw events
     nodes_df = (
-        _events(sf_dir, ("event_type",))
-        .groupby("event_type")
+        _rolled_events(sf_dir)
+        .groupby("source")
         .aggregate(Count(alias_name="_n"))
         .to_pandas()
     )
-    nodes = sorted(nodes_df["event_type"])
+    nodes = sorted(nodes_df["source"])
     n = len(nodes)
+    if n == 0:  # empty corpus: mirror the oracle's empty result
+        return pa.table({"source": pa.array([], pa.string()),
+                         "pr_fp": pa.array([], pa.int64())})
     out = edges.groupby("prev_type")["n"].sum().to_dict()
     inc: dict[str, list] = {v: [] for v in nodes}
     for prev, nxt, c in edges.itertuples(index=False):
@@ -4189,11 +4188,16 @@ def q_motif_1m(sf_dir: str, w: int = _MOTIF_W, stride: int = _MOTIF_STRIDE):
             g = wf @ wf.T
             sq = np.einsum("ij,ij->i", wf, wf)
             d2 = sq[:, None] + sq[None, :] - 2.0 * g  # exact integer floats
-        else:
+        elif w * 4 * amax * amax < 2**63:
             d2 = np.zeros((len(starts), len(starts)), dtype=np.int64)
             for k in range(w):
                 dk = win[:, k, None] - win[None, :, k]
                 d2 += dk * dk
+        else:  # fail loudly instead of silently wrapping int64
+            raise ValueError(
+                f"motif window magnitude {amax} overflows the exact int64 "
+                "distance accumulation; pre-scale the series"
+            )
         # uniform stride => non-overlap (starts[j]-starts[i] >= w) is just
         # j - i >= ceil(w/stride): scan the upper triangle row-wise instead
         # of materializing meshgrid/where masks (2 fewer S^2 temps); row

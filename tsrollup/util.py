@@ -63,15 +63,19 @@ def memoized_dataset(src_file: str, tag: str, build):
 
     import ray
 
-    ds = build()
     if not ray.is_initialized():
-        return ds  # driver owns session startup; stay lazy
+        return build()  # driver owns session startup; stay lazy
     st = os.stat(src_file)
-    key = (os.path.realpath(src_file), st.st_size, st.st_mtime_ns,
-           tag, ray.get_runtime_context().get_job_id())
+    ident = (os.path.realpath(src_file), tag,
+             ray.get_runtime_context().get_job_id())
+    key = ident + (st.st_size, st.st_mtime_ns)
     hit = _DS_MEMO.get(key)
     if hit is None:
-        hit = _DS_MEMO[key] = ds.materialize()
+        # evict superseded entries for the same (path, tag, job) so a
+        # regenerated corpus doesn't leave stale pins in the object store
+        for k in [k for k in _DS_MEMO if k[:3] == ident]:
+            del _DS_MEMO[k]
+        hit = _DS_MEMO[key] = build().materialize()
     return hit
 
 
