@@ -2641,6 +2641,71 @@ def q_bpe_pairs(sf_dir: str, k: int = _BPE_K):
     return topk_rows(folded, ["n", "pair"], [True, False], k)
 
 
+_TREND_K = 30  # top-k trending tokens; the oracle SQL shares this
+
+
+def q_trending_tokens(sf_dir: str, k: int = _TREND_K):
+    """Trending terms between corpus halves (token_drift's per-token
+    sibling — 'what is new in this crawl?'): rank tokens by the exact
+    integer cross-difference c_B·N_A − c_A·N_B (> 0 ⟺ the token's share
+    grew), report the top ``k``. One (token, half) count fold; totals come
+    off the same fold; ties break by token ascending. The cross products
+    stay int64 under a loud bound check (token_entropy's overflow
+    policy)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from tsrollup.functions import tokens as tk
+    from tsrollup.shuffle import topk_rows
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"token": pa.array([], pa.string()),
+             "c_a": pa.array([], pa.int64()), "c_b": pa.array([], pa.int64())}
+        )
+        tb = tk.TokenBatch(t.column("text"))
+        if tb.n_tokens == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(len(tb.doc_lens)), tb.doc_lens)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(_SPLIT_K)) % np.uint64(_SPLIT_MOD)
+        half = (h >= np.uint64(_SPLIT_MOD // 2)).astype(np.int64)[doc_idx]
+        tbl = pa.table({"token": tb.token_array(),
+                        "a": pa.array((half == 0).astype(np.int64)),
+                        "b": pa.array(half)})
+        g = tbl.group_by(["token"]).aggregate([("a", "sum"), ("b", "sum")])
+        return pa.table({"token": g["token"],
+                         "c_a": g["a_sum"].cast(pa.int64()),
+                         "c_b": g["b_sum"].cast(pa.int64())})
+
+    counts = (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c_a", alias_name="c_a"), Sum("c_b", alias_name="c_b"))
+        .materialize()  # consumed twice: totals + scoring
+    )
+    tot = counts.aggregate(Sum("c_a", alias_name="na"), Sum("c_b", alias_name="nb"))
+    na, nb = int(tot["na"] or 0), int(tot["nb"] or 0)
+    if na == 0 or nb == 0:
+        return pa.table(
+            {"token": pa.array([], pa.string()),
+             "c_a": pa.array([], pa.int64()), "c_b": pa.array([], pa.int64()),
+             "trend": pa.array([], pa.int64())}
+        )
+
+    def _score(t: pa.Table) -> pa.Table:
+        ca = t["c_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = t["c_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cmax = max(int(ca.max(initial=0)), int(cb.max(initial=0)))
+        if cmax * max(na, nb) >= 2**62:  # loud, not wrapped (token_entropy policy)
+            raise ValueError("half-count cross product overflows int64; shard")
+        return t.append_column("trend", pa.array(cb * na - ca * nb))
+
+    scored = counts.map_batches(_score, batch_format="pyarrow")
+    return topk_rows(scored, ["trend", "token"], [True, False], k)
+
+
 def q_compression_ratio(sf_dir: str, level: int = 6):
     """Compressibility quality signal (the Gopher-rules cousin of
     repetition_filter): per document, DEFLATE-compressed size over raw
@@ -3450,6 +3515,26 @@ DOC_ORACLE_SQL["unigram_logprob"] = rf"""
                AS logprob_fp
     FROM toks t LEFT JOIN vocab v USING (token) CROSS JOIN base b
     GROUP BY 1 ORDER BY 1
+"""
+
+# trending tokens: exact integer cross-difference ranking, same hash-split
+# halves as token_drift; the (trend desc, token asc) LIMIT matches topk_rows
+DOC_QUERIES["trending_tokens"] = q_trending_tokens
+DOC_ORACLE_SQL["trending_tokens"] = rf"""
+    WITH toks AS (SELECT (CAST(doc_id AS HUGEINT) * {_SPLIT_K}) % {_SPLIT_MOD}
+                             >= {_SPLIT_MOD // 2} AS h,
+                         UNNEST(regexp_extract_all(text, '\S+')) AS token
+                  FROM {_DOCS_WS_NORM}),
+    c AS (SELECT token,
+                 SUM(CASE WHEN NOT h THEN 1 ELSE 0 END) AS c_a,
+                 SUM(CASE WHEN h THEN 1 ELSE 0 END) AS c_b
+          FROM toks GROUP BY 1),
+    t AS (SELECT SUM(c_a) AS na, SUM(c_b) AS nb FROM c)
+    SELECT token, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           CAST(c_b * t.na - c_a * t.nb AS BIGINT) AS trend
+    FROM c, t
+    WHERE t.na > 0 AND t.nb > 0
+    ORDER BY trend DESC, token ASC LIMIT {_TREND_K}
 """
 
 # Zipf fit: ranks by (count desc, token asc); x/y in the shared fixed point
