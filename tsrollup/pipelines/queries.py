@@ -3026,6 +3026,60 @@ def q_seasonal_detrend(sf_dir: str, window: int = _SD_W):
     return map_key_groups(_rolled_events(sf_dir), ["source"], _sd)
 
 
+def q_stl_strength(sf_dir: str, window: int = _SD_W):
+    """Seasonal-strength score per source (Hyndman's F_s, the 'is this
+    series actually seasonal' number a forecasting pipeline gates on):
+    the between-hod share of the detrended variance,
+    F_s = (Σ_h S_h²/n_h − S²/N) / (Σd² − S²/N), over seasonal_detrend's
+    exact scaled residual d. Every sum (S_h, n_h, Σd, Σd²) is an exact
+    Python-int/HUGEINT; the ANOVA ratio is a short float expression of
+    those integers rounded 6dp (the acf/anomaly float discipline —
+    24-term float sums agree far inside the rounding)."""
+    half = window // 2
+
+    def _fs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "n_win": pd.Series(dtype=np.int64),
+             "strength": pd.Series(dtype=np.float64)}
+        )
+        if len(df) < window:
+            return empty
+        df = df.sort_values("bucket")
+        buckets = df["bucket"].to_numpy().astype(np.int64)
+        x = df["sum_tok"].to_numpy().astype(np.int64)
+        n = len(x)
+        csum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(x, out=csum[1:])
+        wsum = csum[window:] - csum[:-window]
+        d = [int(v) for v in window * x[half: n - half] - wsum]
+        hod = ((buckets[half: n - half] // 60) % 24).astype(np.int64)
+        N = len(d)
+        if N < 2:
+            return empty
+        S = sum(d)
+        S2 = sum(v * v for v in d)
+        sh = [0] * 24
+        nh = [0] * 24
+        for h, v in zip(hod, d):
+            sh[h] += v
+            nh[h] += 1
+        ss_tot = float(S2) - float(S) * S / N
+        if ss_tot <= 0:
+            return empty
+        ss_between = sum(
+            float(sh[h]) * sh[h] / nh[h] for h in range(24) if nh[h]
+        ) - float(S) * S / N
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]],
+             "n_win": np.array([N], np.int64),
+             "strength": [round(ss_between / ss_tot, 6)]}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _fs,
+                          batch_format="pandas")
+
+
 _CCF_MAX_LAG = 3  # lags -3..3; the oracle SQL shares this constant
 
 
@@ -5090,6 +5144,37 @@ ORACLE_SQL["log2_histogram"] = f"""
     FROM b GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+ORACLE_SQL["stl_strength"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    w AS (SELECT source, bucket, sum_cents,
+                 SUM(CAST(sum_cents AS HUGEINT)) OVER (
+                     PARTITION BY source ORDER BY bucket
+                     ROWS BETWEEN {_SD_W // 2} PRECEDING
+                              AND {_SD_W // 2} FOLLOWING) AS wsum,
+                 COUNT(*) OVER (
+                     PARTITION BY source ORDER BY bucket
+                     ROWS BETWEEN {_SD_W // 2} PRECEDING
+                              AND {_SD_W // 2} FOLLOWING) AS wn
+          FROM r),
+    d AS (SELECT source, (bucket // 60) % 24 AS hod,
+                 {_SD_W} * CAST(sum_cents AS HUGEINT) - wsum AS ds
+          FROM w WHERE wn = {_SD_W}),
+    per AS (SELECT source, hod, SUM(ds) AS sh, COUNT(*) AS nh
+            FROM d GROUP BY 1, 2),
+    tot AS (SELECT source, COUNT(*) AS n, SUM(ds) AS s, SUM(ds * ds) AS s2
+            FROM d GROUP BY 1),
+    btw AS (SELECT source, SUM(CAST(sh AS DOUBLE) * sh / nh) AS ssb
+            FROM per GROUP BY 1)
+    SELECT t.source, CAST(t.n AS BIGINT) AS n_win,
+           ROUND((b.ssb - CAST(t.s AS DOUBLE) * t.s / t.n)
+                 / (CAST(t.s2 AS DOUBLE) - CAST(t.s AS DOUBLE) * t.s / t.n),
+                 6) AS strength
+    FROM tot t JOIN btw b USING (source)
+    WHERE t.n >= 2
+      AND CAST(t.s2 AS DOUBLE) - CAST(t.s AS DOUBLE) * t.s / t.n > 0
+    ORDER BY 1
+"""
+
 ORACLE_SQL["gap_stats"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     d AS (SELECT source, bucket,
@@ -5414,6 +5499,7 @@ QUERIES = {
     "unpivot_stats": q_unpivot_stats,
     "dow_hod_profile": q_dow_hod_profile,
     "gap_stats": q_gap_stats,
+    "stl_strength": q_stl_strength,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
