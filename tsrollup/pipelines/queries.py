@@ -3080,6 +3080,51 @@ def q_stl_strength(sf_dir: str, window: int = _SD_W):
                           batch_format="pandas")
 
 
+# Theil-Sen anchor stride; the oracle SQL shares this constant
+_TS_STRIDE = 50
+
+
+def q_theil_sen(sf_dir: str, stride: int = _TS_STRIDE):
+    """Theil–Sen robust trend per source: the median pairwise slope over
+    stride-thinned anchor points of the 1m series — immune to the
+    outliers that bend trend_ols (its least-squares sibling). The stride
+    bounds the pair count quadratically in minutes/stride (the motif
+    discipline), keeping both engine and SQL exact at any retention.
+
+    Exactness: every slope is the SAME float64 division of two exact
+    integers on both sides, so the slope multiset is bit-identical and
+    the quantile_disc median (sorted[ceil(n/2)-1]) picks the same value —
+    no rounding anywhere until the final 6dp presentation."""
+
+    def _ts(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "n_pairs": pd.Series(dtype=np.int64),
+             "slope": pd.Series(dtype=np.float64)}
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values("bucket")
+        b = df["bucket"].to_numpy().astype(np.int64)[::stride]
+        x = df["sum_tok"].to_numpy().astype(np.int64)[::stride]
+        s = len(b)
+        if s < 2:
+            return empty
+        i, j = np.triu_indices(s, k=1)
+        slopes = (x[j] - x[i]).astype(np.float64) / (b[j] - b[i])
+        slopes.sort()
+        n = len(slopes)
+        med = slopes[int(np.ceil(0.5 * n)) - 1]  # quantile_disc convention
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]],
+             "n_pairs": np.array([n], np.int64),
+             "slope": [round(float(med), 6)]}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _ts,
+                          batch_format="pandas")
+
+
 _CCF_MAX_LAG = 3  # lags -3..3; the oracle SQL shares this constant
 
 
@@ -5144,6 +5189,23 @@ ORACLE_SQL["log2_histogram"] = f"""
     FROM b GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+ORACLE_SQL["theil_sen"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    s AS (SELECT source, bucket, sum_cents,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY bucket) AS rn
+          FROM r),
+    a AS (SELECT source, bucket, sum_cents FROM s
+          WHERE (rn - 1) % {_TS_STRIDE} = 0),
+    p AS (SELECT x.source,
+                 CAST(y.sum_cents - x.sum_cents AS DOUBLE)
+                     / (y.bucket - x.bucket) AS slope
+          FROM a x JOIN a y
+            ON y.source = x.source AND y.bucket > x.bucket)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_disc(slope, 0.5), 6) AS slope
+    FROM p GROUP BY 1 ORDER BY 1
+"""
+
 ORACLE_SQL["stl_strength"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     w AS (SELECT source, bucket, sum_cents,
@@ -5500,6 +5562,7 @@ QUERIES = {
     "dow_hod_profile": q_dow_hod_profile,
     "gap_stats": q_gap_stats,
     "stl_strength": q_stl_strength,
+    "theil_sen": q_theil_sen,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
