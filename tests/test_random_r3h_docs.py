@@ -16,7 +16,7 @@ from tsrollup.pipelines.docqueries import DOC_ORACLE_SQL, DOC_QUERIES
 SWEEP = [
     "ttr_quality", "token_entropy", "unigram_logprob", "zipf_fit",
     "token_drift", "bigram_entropy", "bpe_pairs", "utf8_profile",
-    "doclen_quantiles", "trending_tokens",
+    "doclen_quantiles", "trending_tokens", "source_perplexity",
 ]
 
 _WORDS = ["a", "ab", "the", "x\x00y", "x\x00z", "Zürich", "ému", "q1",

@@ -2145,6 +2145,39 @@ def q_unigram_logprob(sf_dir: str, vocab_size: int = _ULP_V):
     )
 
 
+def q_source_perplexity(sf_dir: str, vocab_size: int = _ULP_V):
+    """Per-source cross-entropy under the GLOBAL corpus unigram LM — the
+    per-domain perplexity dashboard (which source reads 'normal' relative
+    to the whole mix, which is an outlier). Rides q_unigram_logprob's
+    exact fixed-point machinery: the per-doc integer scores aggregate per
+    source, and the presentational cross-entropy is one division of exact
+    integers, so the whole row hash-matches SQL.
+
+    xent = −(Σ logprob_fp) / (Σ n_tok · 1e9); lower = more typical."""
+    from ray.data.aggregate import Count, Sum
+
+    scored = q_unigram_logprob(sf_dir, vocab_size)
+    src = _docs(sf_dir, ("doc_id", "source"))
+
+    # doc -> source attach via Ray Data's native hash join (tiny key pair)
+    joined = scored.join(src, join_type="inner", num_partitions=8,
+                         on=("doc_id",))
+    folded = joined.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tok", alias_name="n_tok"),
+        Sum("logprob_fp", alias_name="logprob_fp"),
+    )
+
+    def _x(t: pa.Table) -> pa.Table:
+        lp = t["logprob_fp"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nt = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column(
+            "xent", pa.array(np.round(-lp / (nt * _FP_SCALE), 6))
+        )
+
+    return folded.map_batches(_x, batch_format="pyarrow")
+
+
 _ZIPF_K = 256  # ranks fitted per source; the oracle SQL shares this
 
 
@@ -3514,6 +3547,20 @@ DOC_ORACLE_SQL["unigram_logprob"] = rf"""
            CAST(SUM(COALESCE(v.fp, 0)) - COUNT(*) * ANY_VALUE(b.bfp) AS BIGINT)
                AS logprob_fp
     FROM toks t LEFT JOIN vocab v USING (token) CROSS JOIN base b
+    GROUP BY 1 ORDER BY 1
+"""
+
+# per-source cross-entropy: the unigram_logprob oracle reused verbatim as a
+# CTE (the two can never drift), folded per source; one int->double division
+DOC_QUERIES["source_perplexity"] = q_source_perplexity
+DOC_ORACLE_SQL["source_perplexity"] = f"""
+    WITH scored AS ({DOC_ORACLE_SQL["unigram_logprob"]})
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s.n_tok) AS BIGINT) AS n_tok,
+           CAST(SUM(s.logprob_fp) AS BIGINT) AS logprob_fp,
+           ROUND(CAST(-SUM(s.logprob_fp) AS DOUBLE)
+                 / (CAST(SUM(s.n_tok) AS DOUBLE) * 1000000000), 6) AS xent
+    FROM scored s JOIN documents d USING (doc_id)
     GROUP BY 1 ORDER BY 1
 """
 
