@@ -198,6 +198,29 @@ def test_twa_matches_oracle_and_hand_value(ray_session, r3h_events_dir):
     assert "tiny" not in got["source"].values  # single point: no segment
 
 
+def test_dedup_containment_catches_quotes(ray_session, tmp_path):
+    # doc 1 is a verbatim quote inside the much larger doc 0: containment 1.0
+    # but Jaccard small, so only the containment operator pairs them
+    quote = "alpha beta gamma delta epsilon zeta"
+    big = quote + " " + " ".join(f"w{i}" for i in range(200))
+    t = pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()),
+         "text": pa.array([big, quote, "unrelated text entirely"], pa.string()),
+         "lang": pa.array(["en"] * 3), "source": pa.array(["web"] * 3),
+         "n_chars": pa.array([len(big), len(quote), 23], pa.int64())}
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = DOC_QUERIES["dedup_containment"](str(tmp_path)).to_pandas()
+    want = _oracle(DOC_ORACLE_SQL["dedup_containment"], "documents",
+                   f"{tmp_path}/documents.parquet")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    assert len(got) == 1
+    assert (int(got.iloc[0]["a"]), int(got.iloc[0]["b"])) == (0, 1)
+    assert got.iloc[0]["containment"] == 1.0
+    jac = DOC_QUERIES["dedup_ngram"](str(tmp_path)).to_pandas()
+    assert len(jac) == 0  # Jaccard misses the asymmetric pair
+
+
 def test_embed_dim_stats(ray_session, tmp_path):
     rng = np.random.default_rng(5)
     vecs = rng.normal(0, 1, size=(40, 8)).astype(np.float32)

@@ -564,6 +564,49 @@ def q_dedup_ngram(sf_dir: str, threshold: float = NGRAM_THRESHOLD, k: int = NGRA
     )
 
 
+# containment threshold; the oracle SQL is generated from this constant
+CONTAIN_THRESHOLD = 0.9
+
+
+def q_dedup_containment(sf_dir: str, threshold: float = CONTAIN_THRESHOLD,
+                        k: int = NGRAM_K):
+    """ASYMMETRIC near-dup pairs: shingle containment |A∩B| / min(|A|,|B|)
+    ≥ ``threshold`` — catches a document quoted or embedded inside a
+    larger one, which Jaccard misses whenever the sizes differ (the
+    classic Broder containment complement to q_dedup_ngram). Same
+    per-source brute-force shape and the same exact shingle contract;
+    the LSH family is the corpus-wide scale path."""
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+             "containment": pd.Series(dtype=np.float64)}
+        )
+        if len(df) < 2:
+            return empty
+        ids = df["doc_id"].to_numpy()
+        sh = [dedup.shingle_hashes(t, k) for t in df["text"].fillna("")]
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                si, sj = sh[i], sh[j]
+                if len(si) == 0 or len(sj) == 0:
+                    continue
+                inter = len(np.intersect1d(si, sj, assume_unique=True))
+                cont = inter / min(len(si), len(sj))
+                if cont >= threshold:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    rows.append((a, b, round(cont, 6)))
+        return pd.DataFrame(rows, columns=["a", "b", "containment"]).astype(
+            {"a": np.int64, "b": np.int64}
+        )
+
+    return map_key_groups(
+        _docs(sf_dir, ("doc_id", "text", "source")), ["source"], _pairs,
+        batch_format="pandas"
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing demo: deterministic fake media table -> actor-pool
     decode stage -> per-media feature norm (rows-only; real decoders are
@@ -2787,12 +2830,20 @@ _DOCS_WS_NORM = (
     "FROM documents) documents"
 )
 
-def _dedup_ngram_sql(threshold: float, k: int) -> str:
-    """Exact SQL replica of q_dedup_ngram at the given parameters: per-source
-    all-pairs Jaccard over distinct k-token shingle STRINGS (== Jaccard over
-    the engine's 64-bit shingle hashes absent collisions; docs with < k
-    tokens use the whole joined token string as their one shingle, matching
-    dedup.shingle_hashes)."""
+def _dedup_ngram_sql(threshold: float, k: int, measure: str = "jaccard") -> str:
+    """Exact SQL replica of q_dedup_ngram / q_dedup_containment at the given
+    parameters: per-source all-pairs similarity over distinct k-token shingle
+    STRINGS (== the engine's 64-bit shingle hashes absent collisions; docs
+    with < k tokens use the whole joined token string as their one shingle,
+    matching dedup.shingle_hashes). ``measure``: 'jaccard' (i/(a+b-i)) or
+    'containment' (i/least(a,b)) — both queries share ONE generator so the
+    shingle contract can never drift."""
+    if measure == "jaccard":
+        expr = "CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i)"
+        col = "jaccard"
+    else:
+        expr = "CAST(i.i AS DOUBLE) / LEAST(sa.n, sb.n)"
+        col = "containment"
     shingle_expr = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
     return rf"""
         WITH toks AS (
@@ -2818,11 +2869,11 @@ def _dedup_ngram_sql(threshold: float, k: int) -> str:
             GROUP BY 1, 2
         )
         SELECT i.a, i.b,
-               ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+               ROUND({expr}, 6) AS {col}
         FROM inter i
         JOIN sizes sa ON sa.doc_id = i.a
         JOIN sizes sb ON sb.doc_id = i.b
-        WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {threshold}
+        WHERE {expr} >= {threshold}
         ORDER BY 1, 2
     """
 
@@ -2859,6 +2910,8 @@ DOC_ORACLE_SQL: dict[str, str] = {
     # generated from the SAME (NGRAM_THRESHOLD, NGRAM_K) constants the
     # query defaults use — see _dedup_ngram_sql (ADVICE r2 #3)
     "dedup_ngram": _dedup_ngram_sql(NGRAM_THRESHOLD, NGRAM_K),
+    "dedup_containment": _dedup_ngram_sql(CONTAIN_THRESHOLD, NGRAM_K,
+                                          measure="containment"),
     # exact SQL replica of functions.text.detect_lang: whitespace tokens,
     # lower+strip punctuation, stopword-hit argmax with sorted-code tie-break,
     # no-hit -> 'en', empty/whitespace-only -> 'und', CJK-ratio -> 'zh'
@@ -3366,6 +3419,7 @@ DOC_QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
+    "dedup_containment": q_dedup_containment,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_pipeline": q_multimodal_pipeline,
     "ann_topk": q_ann_topk,
