@@ -3408,6 +3408,108 @@ def q_mix_rebalance(sf_dir: str):
     return kept[["source", "n_docs", "thr", "n_kept"]]
 
 
+_BPE_MERGES = 30  # default merge-table size
+
+
+def learn_bpe_merges(word_counts: dict[str, int],
+                     n_merges: int) -> list[tuple[str, str, int]]:
+    """Classic byte-pair-encoding merge learning over a (word -> count)
+    vocabulary (Sennrich, Haddow & Birch 2016, "Neural Machine Translation
+    of Rare Words with Subword Units", the published reference algorithm):
+    each word is a symbol sequence of its characters plus an end-of-word
+    marker '</w>'; each round merges the most frequent adjacent symbol
+    pair. Ties break deterministically on the lexicographically smallest
+    (left, right) pair — the paper leaves ties arbitrary; pinning them
+    makes the merge table reproducible across runs and cluster sizes.
+
+    Incremental-index implementation: after a merge only the words that
+    CONTAIN the merged pair are recounted (the standard subword-nmt
+    optimization), so each round costs O(affected words), not O(vocab)."""
+    from collections import Counter
+
+    vocab: list[tuple[list[str], int]] = [
+        (list(w) + ["</w>"], int(c)) for w, c in sorted(word_counts.items())
+        if w
+    ]
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, c) in enumerate(vocab):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += c
+            pair_words.setdefault(p, set()).add(wi)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = None
+        for p, c in pair_counts.items():
+            if c > 0 and (best is None
+                          or (-c, p) < (-pair_counts[best], best)):
+                best = p
+        if best is None or pair_counts[best] < 2:
+            break  # nothing left worth merging
+        merges.append((best[0], best[1], int(pair_counts[best])))
+        new_sym = best[0] + best[1]
+        for wi in sorted(pair_words.get(best, ())):
+            syms, c = vocab[wi]
+            # subtract the word's old pair multiset
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    pair_counts.pop(p, None)
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(wi)
+            # merge left-to-right, non-overlapping
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and syms[i] == best[0] and syms[i + 1] == best[1]):
+                    out.append(new_sym)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[wi] = (out, c)
+            for p in zip(out, out[1:]):
+                pair_counts[p] += c
+                pair_words.setdefault(p, set()).add(wi)
+    return merges
+
+
+def q_learn_bpe(sf_dir: str, n_merges: int = _BPE_MERGES):
+    """Learn a BPE merge table from the corpus: the tokenizer-training
+    step of an LLM data pipeline. The corpus-scale work — whitespace
+    tokenization and exact word counting — is the distributed
+    ``_source_token_counts`` fold (per-batch Arrow partials, one keyed
+    exchange, output bounded by VOCABULARY size, not corpus size); the
+    merge loop then runs driver-side over that reduced (word, count)
+    table, the same reduced-state discipline as kmeans' centroid updates.
+    At 100 TB the vocabulary is millions of rows where the corpus is
+    trillions of tokens — the loop's input is the small side by
+    construction.
+
+    No SQL oracle (the merge loop is iterative/stateful); golden-tested
+    against the published algorithm's hand-computed merges in
+    tests/test_queries_r3i.py."""
+    from ray.data.aggregate import Sum
+
+    wc = (
+        _source_token_counts(sf_dir)
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # vocabulary-bounded by construction
+    )
+    merges = learn_bpe_merges(
+        dict(zip(wc["token"].astype(str), wc["c"].astype(int))), n_merges
+    )
+    return pd.DataFrame(
+        {"rank": np.arange(1, len(merges) + 1, dtype=np.int64),
+         "left": [m[0] for m in merges],
+         "right": [m[1] for m in merges],
+         "freq": np.array([m[2] for m in merges], dtype=np.int64)}
+    )
+
+
 DOC_QUERIES = {
     "token_count": q_token_count,
     "token_count_by_source": q_token_count_by_source,
@@ -3554,6 +3656,7 @@ DOC_ORACLE_SQL["langid_confusion"] = (
 # distinct-(doc, token) mask absent collisions (tfidf's df precedent);
 # ttr_ppm is an exact positive-integer floor on both sides
 DOC_QUERIES["ttr_quality"] = q_ttr_quality
+DOC_QUERIES["learn_bpe"] = q_learn_bpe  # rows-only: iterative merge loop
 DOC_ORACLE_SQL["ttr_quality"] = rf"""
     WITH toks AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\S+')) AS token
                   FROM {_DOCS_WS_NORM}),

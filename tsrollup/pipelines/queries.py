@@ -4326,6 +4326,237 @@ def q_motif_1m(sf_dir: str, w: int = _MOTIF_W, stride: int = _MOTIF_STRIDE):
 
 
 # ---------------------------------------------------------------------------
+# round-3i analytics: drawdown / streaks / Bollinger / calendar rollup /
+# Benford — all served from the memoized 1m tier, exact-integer oracles
+# ---------------------------------------------------------------------------
+
+
+def q_max_drawdown(sf_dir: str):
+    """Maximum drawdown per source: the deepest peak-to-trough fall of the
+    per-minute ``sum_cents`` series (running max minus current value) and
+    the first bucket where it occurs. The finance-classic risk metric,
+    exact here because drawdown is a pure int64 difference — no float
+    enters until never.
+
+    Tie-break matches the oracle's ``ROW_NUMBER() OVER (ORDER BY dd DESC,
+    bucket ASC)``: ``np.argmax`` over the bucket-sorted array returns the
+    FIRST maximal drawdown, i.e. the earliest bucket."""
+
+    def _dd(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "max_dd": pd.Series(dtype=np.int64),
+             "dd_bucket": pd.Series(dtype=np.int64)}
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values("bucket")
+        x = df["sum_tok"].to_numpy().astype(np.int64)
+        b = df["bucket"].to_numpy().astype(np.int64)
+        dd = np.maximum.accumulate(x) - x
+        i = int(np.argmax(dd))  # first occurrence == earliest bucket
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]],
+             "max_dd": np.array([dd[i]], np.int64),
+             "dd_bucket": np.array([b[i]], np.int64)}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _dd,
+                          batch_format="pandas")
+
+
+def _longest_flag_run(flags: np.ndarray) -> int:
+    """Longest run of consecutive True in a row-adjacency flag array, as a
+    ROW count (a run of k True diffs spans k+1 rows; no run -> 1 row)."""
+    if not flags.size or not flags.any():
+        return 1
+    padded = np.concatenate(([0], flags.astype(np.int8), [0]))
+    d = np.diff(padded)
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    return int((ends - starts).max()) + 1
+
+
+def q_streaks(sf_dir: str):
+    """Longest monotone / flat streaks per source: the maximal number of
+    ROW-ADJACENT 1m buckets (bucket order, gaps ignored — the same
+    adjacency ``delta_1m``/``acf_1m`` use) over which ``sum_cents`` is
+    strictly rising, strictly falling, or exactly constant. A
+    gaps-and-islands classic; every comparison is int64-exact.
+
+    A source with a single rolled row reports 1 for all three streaks
+    (the trivial run), matching the oracle's ``COALESCE(max_island, 0)+1``."""
+
+    def _st(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "n": pd.Series(dtype=np.int64),
+             **{c: pd.Series(dtype=np.int64)
+                for c in ("longest_up", "longest_down", "longest_flat")}}
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values("bucket")
+        x = df["sum_tok"].to_numpy().astype(np.int64)
+        d = np.diff(x)
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]],
+             "n": np.array([len(x)], np.int64),
+             "longest_up": np.array([_longest_flag_run(d > 0)], np.int64),
+             "longest_down": np.array([_longest_flag_run(d < 0)], np.int64),
+             "longest_flat": np.array([_longest_flag_run(d == 0)], np.int64)}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _st,
+                          batch_format="pandas")
+
+
+_BOLL_W = 20  # Bollinger window (rows); the oracle SQL shares this constant
+_BOLL_K = 2   # band half-width in sigmas; breach test uses K^2 = 4
+
+
+def q_bollinger_breach(sf_dir: str, window: int = _BOLL_W):
+    """Bollinger-band breach counts per source: over every FULL trailing
+    ``window`` of row-adjacent 1m buckets, count closes above mean+2σ and
+    below mean-2σ (σ = population std of the window INCLUDING the current
+    row — the classic definition).
+
+    Exactness: ``x > mean + 2σ`` rewrites to integer arithmetic as
+    ``a > 0 AND a² > 4·v`` with ``a = W·x − S`` and ``v = W·S2 − S²``
+    (S, S2 = window sum / sum-of-squares) — but the squares overflow int64
+    at production magnitudes, so the engine computes them in Python
+    bignum (object ndarray) and the oracle in HUGEINT: bit-free EXACT
+    comparison on both sides, no float ever. An all-equal window has
+    a = v = 0 -> never a breach (strict >)."""
+
+    def _bb(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             **{c: pd.Series(dtype=np.int64)
+                for c in ("n_win", "n_hi", "n_lo")}}
+        )
+        if len(df) < window:
+            return empty
+        df = df.sort_values("bucket")
+        xs = df["sum_tok"].to_numpy().astype(np.int64).astype(object)
+        cs = np.concatenate(([0], np.cumsum(xs)))
+        cs2 = np.concatenate(([0], np.cumsum(xs * xs)))
+        s = cs[window:] - cs[:-window]    # window sums (bignum)
+        s2 = cs2[window:] - cs2[:-window]
+        a = window * xs[window - 1:] - s
+        v = window * s2 - s * s
+        breach = (a * a) > (_BOLL_K * _BOLL_K) * v
+        hi = int(np.count_nonzero(breach & (a > 0)))
+        lo = int(np.count_nonzero(breach & (a < 0)))
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]],
+             "n_win": np.array([len(a)], np.int64),
+             "n_hi": np.array([hi], np.int64),
+             "n_lo": np.array([lo], np.int64)}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _bb,
+                          batch_format="pandas")
+
+
+def _civil_from_days(days: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized proleptic-Gregorian (year, month, day) from days since
+    1970-01-01 — Howard Hinnant's public-domain civil_from_days algorithm
+    (https://howardhinnant.github.io/date_algorithms.html), floor-division
+    form (numpy ``//`` floors, which matches the reference's branch for
+    negative z). Pure int64; exact for the full parquet timestamp range."""
+    z = days.astype(np.int64) + 719468
+    era = z // 146097
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = mp + np.where(mp < 10, 3, -9)
+    return y + (m <= 2), m, d
+
+
+def q_rollup_month(sf_dir: str):
+    """Calendar-month rollup: (source, 'YYYY-MM') -> row count + exact cents
+    sum. Unlike the fixed 60/3600/86400-second tiers, month buckets are
+    IRREGULAR (28-31 days, leap years) — the one rollup the cascade can't
+    produce by integer division. Served from the 1m tier (a minute never
+    straddles a month boundary), so the calendar math runs on rolled
+    volume, not raw events; the month id comes from a vectorized
+    civil-from-days conversion, not a per-row datetime object."""
+
+    def _mo(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "month": pd.Series(dtype=object),
+             "n_rows": pd.Series(dtype=np.int64),
+             "sum_cents": pd.Series(dtype=np.int64)}
+        )
+        if not len(df):
+            return empty
+        b = df["bucket"].to_numpy().astype(np.int64)
+        y, m, _ = _civil_from_days(b // 1440)
+        mid = y * 12 + (m - 1)
+        uniq_mid, inv = np.unique(mid, return_inverse=True)
+        n = np.zeros(len(uniq_mid), np.int64)
+        np.add.at(n, inv, df["n_rows"].to_numpy().astype(np.int64))
+        sc = np.zeros(len(uniq_mid), np.int64)
+        np.add.at(sc, inv, df["sum_tok"].to_numpy().astype(np.int64))
+        uy, um = uniq_mid // 12, uniq_mid % 12 + 1
+        months = [f"{yy:04d}-{mm:02d}" for yy, mm in zip(uy, um)]
+        return pd.DataFrame(
+            {"source": np.repeat(df["source"].iloc[0], len(uniq_mid)),
+             "month": months,
+             "n_rows": n, "sum_cents": sc}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _mo,
+                          batch_format="pandas")
+
+
+def q_benford(sf_dir: str):
+    """Benford first-digit profile per source: the distribution of the
+    leading significant digit of the per-minute cents sums (zeros
+    excluded) — the classic fabricated-data / sensor-fault screen.
+
+    The digit comes from a vectorized repeated-division loop (<= 19
+    passes for int64, no string round-trip, no log10 float hazard); the
+    share is the same exact-int float division the oracle computes, so
+    6dp rounding agrees bit-for-bit."""
+
+    def _bf(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "digit": pd.Series(dtype=np.int64),
+             "n": pd.Series(dtype=np.int64),
+             "pct": pd.Series(dtype=np.float64)}
+        )
+        if not len(df):
+            return empty
+        x = df["sum_tok"].to_numpy().astype(np.int64)
+        a = np.abs(x[x != 0])
+        if not a.size:
+            return empty
+        while True:
+            big = a >= 10
+            if not big.any():
+                break
+            a[big] //= 10
+        digits, counts = np.unique(a, return_counts=True)
+        tot = int(counts.sum())
+        return pd.DataFrame(
+            {"source": np.repeat(df["source"].iloc[0], len(digits)),
+             "digit": digits.astype(np.int64),
+             "n": counts.astype(np.int64),
+             "pct": np.round(counts.astype(np.float64) / tot, 6)}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _bf,
+                          batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # ORACLE SQL (DuckDB) — keyed identically to QUERIES
 # ---------------------------------------------------------------------------
 
@@ -5482,6 +5713,95 @@ ORACLE_SQL["rollup_grouping"] = f"""
     FROM d GROUP BY ROLLUP(source, day) ORDER BY 4, 1, 2
 """
 
+ORACLE_SQL["max_drawdown"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    w AS (SELECT source, bucket,
+                 MAX(sum_cents) OVER (
+                     PARTITION BY source ORDER BY bucket
+                     ROWS UNBOUNDED PRECEDING) - sum_cents AS dd
+          FROM r)
+    SELECT source, CAST(dd AS BIGINT) AS max_dd, bucket AS dd_bucket
+    FROM w
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY dd DESC, bucket ASC) = 1
+    ORDER BY source
+"""
+
+ORACLE_SQL["streaks"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    s AS (SELECT source, sum_cents,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY bucket) AS rn,
+                 LAG(sum_cents) OVER (PARTITION BY source ORDER BY bucket) AS prev
+          FROM r),
+    f AS (SELECT source, rn,
+                 CASE WHEN prev IS NOT NULL AND sum_cents > prev THEN 1 ELSE 0 END AS u,
+                 CASE WHEN prev IS NOT NULL AND sum_cents < prev THEN 1 ELSE 0 END AS d,
+                 CASE WHEN prev IS NOT NULL AND sum_cents = prev THEN 1 ELSE 0 END AS e
+          FROM s),
+    iu AS (SELECT source, rn - ROW_NUMBER() OVER (PARTITION BY source ORDER BY rn) AS isl
+           FROM f WHERE u = 1),
+    id_ AS (SELECT source, rn - ROW_NUMBER() OVER (PARTITION BY source ORDER BY rn) AS isl
+            FROM f WHERE d = 1),
+    ie AS (SELECT source, rn - ROW_NUMBER() OVER (PARTITION BY source ORDER BY rn) AS isl
+           FROM f WHERE e = 1),
+    mu AS (SELECT source, MAX(c) AS m FROM (
+               SELECT source, isl, COUNT(*) AS c FROM iu GROUP BY 1, 2) GROUP BY 1),
+    md AS (SELECT source, MAX(c) AS m FROM (
+               SELECT source, isl, COUNT(*) AS c FROM id_ GROUP BY 1, 2) GROUP BY 1),
+    me AS (SELECT source, MAX(c) AS m FROM (
+               SELECT source, isl, COUNT(*) AS c FROM ie GROUP BY 1, 2) GROUP BY 1),
+    base AS (SELECT source, COUNT(*) AS n FROM r GROUP BY 1)
+    SELECT b.source, CAST(b.n AS BIGINT) AS n,
+           CAST(COALESCE(mu.m, 0) + 1 AS BIGINT) AS longest_up,
+           CAST(COALESCE(md.m, 0) + 1 AS BIGINT) AS longest_down,
+           CAST(COALESCE(me.m, 0) + 1 AS BIGINT) AS longest_flat
+    FROM base b
+    LEFT JOIN mu ON mu.source = b.source
+    LEFT JOIN md ON md.source = b.source
+    LEFT JOIN me ON me.source = b.source
+    ORDER BY 1
+"""
+
+ORACLE_SQL["bollinger_breach"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    w AS (SELECT source, CAST(sum_cents AS HUGEINT) AS x,
+                 SUM(CAST(sum_cents AS HUGEINT)) OVER win AS s,
+                 SUM(CAST(sum_cents AS HUGEINT) * CAST(sum_cents AS HUGEINT))
+                     OVER win AS s2,
+                 COUNT(*) OVER win AS wn
+          FROM r
+          WINDOW win AS (PARTITION BY source ORDER BY bucket
+                         ROWS BETWEEN {_BOLL_W - 1} PRECEDING AND CURRENT ROW)),
+    t AS (SELECT source, {_BOLL_W} * x - s AS a, {_BOLL_W} * s2 - s * s AS v
+          FROM w WHERE wn = {_BOLL_W})
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_win,
+           CAST(COUNT(*) FILTER (WHERE a > 0 AND a * a > {_BOLL_K * _BOLL_K} * v)
+                AS BIGINT) AS n_hi,
+           CAST(COUNT(*) FILTER (WHERE a < 0 AND a * a > {_BOLL_K * _BOLL_K} * v)
+                AS BIGINT) AS n_lo
+    FROM t GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["rollup_month"] = """
+    SELECT event_type AS source,
+           strftime(date_trunc('month', ts), '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["benford"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    d AS (SELECT source,
+                 CAST(SUBSTR(CAST(ABS(sum_cents) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM r WHERE sum_cents <> 0),
+    c AS (SELECT source, digit, COUNT(*) AS n FROM d GROUP BY 1, 2),
+    t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY 1)
+    SELECT c.source, c.digit, CAST(c.n AS BIGINT) AS n,
+           ROUND(CAST(c.n AS DOUBLE) / t.tot, 6) AS pct
+    FROM c JOIN t USING (source) ORDER BY 1, 2
+"""
+
 QUERIES = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
@@ -5563,6 +5883,11 @@ QUERIES = {
     "gap_stats": q_gap_stats,
     "stl_strength": q_stl_strength,
     "theil_sen": q_theil_sen,
+    "max_drawdown": q_max_drawdown,
+    "streaks": q_streaks,
+    "bollinger_breach": q_bollinger_breach,
+    "rollup_month": q_rollup_month,
+    "benford": q_benford,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
