@@ -19,6 +19,8 @@ SWEEP = [
     "attribution_last_touch", "twa_1m", "motif_1m", "coverage_1h",
     "hod_anomaly", "log2_histogram", "audience_overlap", "pagerank_types",
     "retention_curve", "props_extract", "conversion_lag", "unpivot_stats", "dow_hod_profile", "gap_stats", "stl_strength", "theil_sen",
+    # round-3i family
+    "max_drawdown", "streaks", "bollinger_breach", "rollup_month", "benford",
 ]
 
 
