@@ -530,18 +530,22 @@ def _simhash_pairs_block(t: pa.Table, max_hamming: int) -> pa.Table:
     )
 
 
-def q_dedup_ngram(sf_dir: str, threshold: float = NGRAM_THRESHOLD, k: int = NGRAM_K):
-    """Exact n-gram Jaccard near-dup pairs within each source (brute force per
-    source partition — sources bound the pair count; the LSH variants above are
-    the corpus-wide scale path). SQL-verified (shingle-string Jaccard); the
-    oracle is generated from the same (NGRAM_THRESHOLD, NGRAM_K) defaults."""
+def _shingle_pair_query(sf_dir: str, k: int, threshold: float, score_col: str,
+                        score):
+    """Per-source brute-force shingle pair scan shared by q_dedup_ngram
+    (Jaccard) and q_dedup_containment: ONE shingle contract (fillna,
+    shingle_hashes, assume_unique intersect, sorted pair order, 6dp
+    rounding); only ``score(inter, len_a, len_b)`` and the output column
+    name differ. Sources bound the pair count; the LSH variants above are
+    the corpus-wide scale path."""
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+             score_col: pd.Series(dtype=np.float64)}
+        )
         if len(df) < 2:
-            return pd.DataFrame(
-                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
-                 "jaccard": pd.Series(dtype=np.float64)}
-            )
+            return empty
         ids = df["doc_id"].to_numpy()
         sh = [dedup.shingle_hashes(t, k) for t in df["text"].fillna("")]
         rows = []
@@ -551,16 +555,30 @@ def q_dedup_ngram(sf_dir: str, threshold: float = NGRAM_THRESHOLD, k: int = NGRA
                 if len(si) == 0 or len(sj) == 0:
                     continue
                 inter = len(np.intersect1d(si, sj, assume_unique=True))
-                jac = inter / (len(si) + len(sj) - inter)
-                if jac >= threshold:
+                sc = score(inter, len(si), len(sj))
+                if sc >= threshold:
                     a, b = sorted((int(ids[i]), int(ids[j])))
-                    rows.append((a, b, round(jac, 6)))
-        return pd.DataFrame(rows, columns=["a", "b", "jaccard"]).astype(
+                    rows.append((a, b, round(sc, 6)))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["a", "b", score_col]).astype(
             {"a": np.int64, "b": np.int64}
         )
 
     return map_key_groups(
-        _docs(sf_dir, ("doc_id", "text", "source")), ["source"], _pairs, batch_format="pandas"
+        _docs(sf_dir, ("doc_id", "text", "source")), ["source"], _pairs,
+        batch_format="pandas"
+    )
+
+
+def q_dedup_ngram(sf_dir: str, threshold: float = NGRAM_THRESHOLD, k: int = NGRAM_K):
+    """Exact n-gram Jaccard near-dup pairs within each source (brute force per
+    source partition — sources bound the pair count; the LSH variants above are
+    the corpus-wide scale path). SQL-verified (shingle-string Jaccard); the
+    oracle is generated from the same (NGRAM_THRESHOLD, NGRAM_K) defaults."""
+    return _shingle_pair_query(
+        sf_dir, k, threshold, "jaccard",
+        lambda inter, la, lb: inter / (la + lb - inter),
     )
 
 
@@ -574,36 +592,12 @@ def q_dedup_containment(sf_dir: str, threshold: float = CONTAIN_THRESHOLD,
     ≥ ``threshold`` — catches a document quoted or embedded inside a
     larger one, which Jaccard misses whenever the sizes differ (the
     classic Broder containment complement to q_dedup_ngram). Same
-    per-source brute-force shape and the same exact shingle contract;
-    the LSH family is the corpus-wide scale path."""
-
-    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
-             "containment": pd.Series(dtype=np.float64)}
-        )
-        if len(df) < 2:
-            return empty
-        ids = df["doc_id"].to_numpy()
-        sh = [dedup.shingle_hashes(t, k) for t in df["text"].fillna("")]
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                si, sj = sh[i], sh[j]
-                if len(si) == 0 or len(sj) == 0:
-                    continue
-                inter = len(np.intersect1d(si, sj, assume_unique=True))
-                cont = inter / min(len(si), len(sj))
-                if cont >= threshold:
-                    a, b = sorted((int(ids[i]), int(ids[j])))
-                    rows.append((a, b, round(cont, 6)))
-        return pd.DataFrame(rows, columns=["a", "b", "containment"]).astype(
-            {"a": np.int64, "b": np.int64}
-        )
-
-    return map_key_groups(
-        _docs(sf_dir, ("doc_id", "text", "source")), ["source"], _pairs,
-        batch_format="pandas"
+    per-source brute-force shape via the shared ``_shingle_pair_query``
+    scan (one shingle contract for both); the LSH family is the
+    corpus-wide scale path."""
+    return _shingle_pair_query(
+        sf_dir, k, threshold, "containment",
+        lambda inter, la, lb: inter / min(la, lb),
     )
 
 
@@ -2365,6 +2359,38 @@ def q_bigram_entropy(sf_dir: str):
     return folded.map_batches(_final, batch_format="pyarrow")
 
 
+def _half_count_partial(t: pa.Table, keys: list) -> pa.Table:
+    """Per-batch (keys..., c_a, c_b) token-count partial for the corpus-half
+    split — sample_split's multiplicative ``_SPLIT_K`` doc-id hash repeated
+    onto every token off the flat TokenBatch buffer, then one Arrow
+    group_by. Shared by q_token_drift (keys=[source, token]) and
+    q_trending_tokens (keys=[token]) so the split hash and null-text
+    handling can never drift between them."""
+    from tsrollup.functions import tokens as tk
+
+    empty = pa.table(
+        {**{k: pa.array([], pa.string()) for k in keys},
+         "c_a": pa.array([], pa.int64()), "c_b": pa.array([], pa.int64())}
+    )
+    tb = tk.TokenBatch(t.column("text"))
+    if tb.n_tokens == 0:
+        return empty
+    doc_idx = np.repeat(np.arange(len(tb.doc_lens)), tb.doc_lens)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = (ids * np.uint64(_SPLIT_K)) % np.uint64(_SPLIT_MOD)
+    half = (h >= np.uint64(_SPLIT_MOD // 2)).astype(np.int64)[doc_idx]
+    cols = {}
+    if "source" in keys:
+        cols["source"] = t["source"].take(pa.array(doc_idx))
+    cols["token"] = tb.token_array()
+    cols["a"] = pa.array((half == 0).astype(np.int64))
+    cols["b"] = pa.array(half)
+    g = pa.table(cols).group_by(keys).aggregate([("a", "sum"), ("b", "sum")])
+    return pa.table({**{k: g[k] for k in keys},
+                     "c_a": g["a_sum"].cast(pa.int64()),
+                     "c_b": g["b_sum"].cast(pa.int64())})
+
+
 def q_token_drift(sf_dir: str):
     """Distribution-shift detector between two corpus halves (the
     multiplicative doc_id hash — sample_split's _SPLIT_K — stands in for
@@ -2378,38 +2404,14 @@ def q_token_drift(sf_dir: str):
     over one (source)-keyed partition pass that owns each source's whole
     vocabulary, then ONE floor division to ppm. The exchange carries
     (source, token, c_A, c_B) count rows only."""
-    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    from tsrollup.functions import tokens as tk
     from tsrollup.shuffle import map_key_partitions
-
-    def _tc_partial(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"source": pa.array([], pa.string()), "token": pa.array([], pa.string()),
-             "c_a": pa.array([], pa.int64()), "c_b": pa.array([], pa.int64())}
-        )
-        tb = tk.TokenBatch(t.column("text"))
-        if tb.n_tokens == 0:
-            return empty
-        doc_idx = np.repeat(np.arange(len(tb.doc_lens)), tb.doc_lens)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (ids * np.uint64(_SPLIT_K)) % np.uint64(_SPLIT_MOD)
-        half = (h >= np.uint64(_SPLIT_MOD // 2)).astype(np.int64)[doc_idx]
-        tbl = pa.table(
-            {"source": t["source"].take(pa.array(doc_idx)),
-             "token": tb.token_array(),
-             "a": pa.array((half == 0).astype(np.int64)),
-             "b": pa.array((half == 1).astype(np.int64))}
-        )
-        g = tbl.group_by(["source", "token"]).aggregate([("a", "sum"), ("b", "sum")])
-        return pa.table({"source": g["source"], "token": g["token"],
-                         "c_a": g["a_sum"].cast(pa.int64()),
-                         "c_b": g["b_sum"].cast(pa.int64())})
 
     counts = (
         _docs(sf_dir, ("doc_id", "source", "text"))
-        .map_batches(_tc_partial, batch_format="pyarrow")
+        .map_batches(lambda t: _half_count_partial(t, ["source", "token"]),
+                     batch_format="pyarrow")
         .groupby(["source", "token"])
         .aggregate(Sum("c_a", alias_name="c_a"), Sum("c_b", alias_name="c_b"))
     )
@@ -2728,35 +2730,14 @@ def q_trending_tokens(sf_dir: str, k: int = _TREND_K):
     off the same fold; ties break by token ascending. The cross products
     stay int64 under a loud bound check (token_entropy's overflow
     policy)."""
-    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    from tsrollup.functions import tokens as tk
     from tsrollup.shuffle import topk_rows
-
-    def _partial(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"token": pa.array([], pa.string()),
-             "c_a": pa.array([], pa.int64()), "c_b": pa.array([], pa.int64())}
-        )
-        tb = tk.TokenBatch(t.column("text"))
-        if tb.n_tokens == 0:
-            return empty
-        doc_idx = np.repeat(np.arange(len(tb.doc_lens)), tb.doc_lens)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (ids * np.uint64(_SPLIT_K)) % np.uint64(_SPLIT_MOD)
-        half = (h >= np.uint64(_SPLIT_MOD // 2)).astype(np.int64)[doc_idx]
-        tbl = pa.table({"token": tb.token_array(),
-                        "a": pa.array((half == 0).astype(np.int64)),
-                        "b": pa.array(half)})
-        g = tbl.group_by(["token"]).aggregate([("a", "sum"), ("b", "sum")])
-        return pa.table({"token": g["token"],
-                         "c_a": g["a_sum"].cast(pa.int64()),
-                         "c_b": g["b_sum"].cast(pa.int64())})
 
     counts = (
         _docs(sf_dir, ("doc_id", "text"))
-        .map_batches(_partial, batch_format="pyarrow")
+        .map_batches(lambda t: _half_count_partial(t, ["token"]),
+                     batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("c_a", alias_name="c_a"), Sum("c_b", alias_name="c_b"))
         .materialize()  # consumed twice: totals + scoring

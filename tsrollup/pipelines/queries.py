@@ -2982,6 +2982,22 @@ _SD_W = 121  # centered moving-average trend window (2h: sf0.001 series are
 # test scale — a 0-row Dataset loses its schema through to_pandas)
 
 
+def _centered_resid(buckets: np.ndarray, x: np.ndarray, window: int):
+    """Scaled centered-window residual d = W*x − window_sum plus the
+    hour-of-day of each full-window row, shared by seasonal_detrend and
+    stl_strength. Exact in the dtype of ``x``: int64 for the in-range
+    path, object/bignum when W·x or the window sum can exceed int64
+    (the bollinger overflow discipline). Rows without a full centered
+    window are excluded, matching both oracles."""
+    half = window // 2
+    n = len(x)
+    csum = np.concatenate((np.zeros(1, dtype=x.dtype), np.cumsum(x)))
+    wsum = csum[window:] - csum[:-window]          # centers half..n-half-1
+    d = window * x[half : n - half] - wsum
+    hod = ((buckets[half : n - half] // 60) % 24).astype(np.int64)
+    return d, hod
+
+
 def q_seasonal_detrend(sf_dir: str, window: int = _SD_W):
     """Classical seasonal decomposition (moving-average detrend, the
     textbook additive recipe): trend = centered ``window``-row moving
@@ -2992,7 +3008,6 @@ def q_seasonal_detrend(sf_dir: str, window: int = _SD_W):
     on both sides). Rows without a full centered window are excluded
     (wn == W), matching the oracle; a source shorter than W emits nothing.
     One cumsum + one bincount per source group — no per-window Python."""
-    half = window // 2
 
     def _sd(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -3005,12 +3020,7 @@ def q_seasonal_detrend(sf_dir: str, window: int = _SD_W):
         order = pc.sort_indices(t["bucket"])
         buckets = t["bucket"].take(order).to_numpy(zero_copy_only=False)
         x = t["sum_tok"].take(order).to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(x)
-        csum = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(x, out=csum[1:])
-        wsum = csum[window:] - csum[:-window]          # centers half..n-half-1
-        d = window * x[half : n - half] - wsum
-        hod = ((buckets[half : n - half] // 60) % 24).astype(np.int64)
+        d, hod = _centered_resid(buckets, x, window)
         n_win = np.bincount(hod, minlength=24).astype(np.int64)
         sum_d = np.zeros(24, dtype=np.int64)
         np.add.at(sum_d, hod, d)                       # exact int64 reduce
@@ -3032,10 +3042,11 @@ def q_stl_strength(sf_dir: str, window: int = _SD_W):
     the between-hod share of the detrended variance,
     F_s = (Σ_h S_h²/n_h − S²/N) / (Σd² − S²/N), over seasonal_detrend's
     exact scaled residual d. Every sum (S_h, n_h, Σd, Σd²) is an exact
-    Python-int/HUGEINT; the ANOVA ratio is a short float expression of
-    those integers rounded 6dp (the acf/anomaly float discipline —
-    24-term float sums agree far inside the rounding)."""
-    half = window // 2
+    Python-int/HUGEINT — d is computed on an object/bignum ndarray so
+    W·x and the squares never wrap int64 (the bollinger discipline);
+    the ANOVA ratio is a short float expression of those integers
+    rounded 6dp (the acf/anomaly float discipline — 24-term float sums
+    agree far inside the rounding)."""
 
     def _fs(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -3047,23 +3058,16 @@ def q_stl_strength(sf_dir: str, window: int = _SD_W):
             return empty
         df = df.sort_values("bucket")
         buckets = df["bucket"].to_numpy().astype(np.int64)
-        x = df["sum_tok"].to_numpy().astype(np.int64)
-        n = len(x)
-        csum = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(x, out=csum[1:])
-        wsum = csum[window:] - csum[:-window]
-        d = [int(v) for v in window * x[half: n - half] - wsum]
-        hod = ((buckets[half: n - half] // 60) % 24).astype(np.int64)
+        x = df["sum_tok"].to_numpy().astype(np.int64).astype(object)
+        d, hod = _centered_resid(buckets, x, window)
         N = len(d)
         if N < 2:
             return empty
-        S = sum(d)
-        S2 = sum(v * v for v in d)
-        sh = [0] * 24
-        nh = [0] * 24
-        for h, v in zip(hod, d):
-            sh[h] += v
-            nh[h] += 1
+        S = int(d.sum())
+        S2 = int((d * d).sum())
+        nh = np.bincount(hod, minlength=24)
+        sh = np.zeros(24, dtype=object)
+        np.add.at(sh, hod, d)
         ss_tot = float(S2) - float(S) * S / N
         if ss_tot <= 0:
             return empty
@@ -3094,7 +3098,12 @@ def q_theil_sen(sf_dir: str, stride: int = _TS_STRIDE):
     Exactness: every slope is the SAME float64 division of two exact
     integers on both sides, so the slope multiset is bit-identical and
     the quantile_disc median (sorted[ceil(n/2)-1]) picks the same value —
-    no rounding anywhere until the final 6dp presentation."""
+    no rounding anywhere until the final 6dp presentation. When the value
+    span exceeds int64 (where the oracle's BIGINT subtraction errors
+    loudly), the engine switches the diffs to object/bignum and stays
+    exact instead of wrapping. Slopes are generated row-block-wise so
+    peak memory is the one n_pairs float64 buffer, not the 3× that
+    np.triu_indices would materialize."""
 
     def _ts(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -3110,8 +3119,15 @@ def q_theil_sen(sf_dir: str, stride: int = _TS_STRIDE):
         s = len(b)
         if s < 2:
             return empty
-        i, j = np.triu_indices(s, k=1)
-        slopes = (x[j] - x[i]).astype(np.float64) / (b[j] - b[i])
+        if int(x.max()) - int(x.min()) > np.iinfo(np.int64).max:
+            x = x.astype(object)               # exact diffs beyond int64
+        slopes = np.empty(s * (s - 1) // 2, np.float64)
+        pos = 0
+        for i in range(s - 1):
+            m = s - 1 - i
+            dx = (x[i + 1:] - x[i]).astype(np.float64)
+            slopes[pos:pos + m] = dx / (b[i + 1:] - b[i])
+            pos += m
         slopes.sort()
         n = len(slopes)
         med = slopes[int(np.ceil(0.5 * n)) - 1]  # quantile_disc convention
@@ -3494,8 +3510,9 @@ def q_auto_resolution(sf_dir: str, budget: int = _AR_BUDGET):
         step = max(1, n // budget)
         idx = np.arange(0, n, step)[:budget]
         return pd.DataFrame(
-            {"source": np.repeat(df["source"].iloc[0], len(idx)),
-             "tier": np.repeat(tier, len(idx)),
+            {"source": np.repeat(np.array([df["source"].iloc[0]], dtype=object),
+                                 len(idx)),
+             "tier": np.repeat(np.array([tier], dtype=object), len(idx)),
              "bucket": bucket[idx], "sum_cents": cents[idx]}
         )
 
@@ -3703,7 +3720,8 @@ def q_hod_anomaly(sf_dir: str):
         if not rows:
             return empty
         return pd.DataFrame(
-            {"source": np.repeat(df["source"].iloc[0], len(rows)),
+            {"source": np.repeat(np.array([df["source"].iloc[0]], dtype=object),
+                                 len(rows)),
              "bucket_h": np.array([r[0] for r in rows], np.int64),
              "sum_cents": np.array([r[1] for r in rows], np.int64),
              "dev": np.array([r[2] for r in rows], np.int64),
@@ -4506,7 +4524,8 @@ def q_rollup_month(sf_dir: str):
         uy, um = uniq_mid // 12, uniq_mid % 12 + 1
         months = [f"{yy:04d}-{mm:02d}" for yy, mm in zip(uy, um)]
         return pd.DataFrame(
-            {"source": np.repeat(df["source"].iloc[0], len(uniq_mid)),
+            {"source": np.repeat(np.array([df["source"].iloc[0]], dtype=object),
+                                 len(uniq_mid)),
              "month": months,
              "n_rows": n, "sum_cents": sc}
         )
@@ -4546,7 +4565,8 @@ def q_benford(sf_dir: str):
         digits, counts = np.unique(a, return_counts=True)
         tot = int(counts.sum())
         return pd.DataFrame(
-            {"source": np.repeat(df["source"].iloc[0], len(digits)),
+            {"source": np.repeat(np.array([df["source"].iloc[0]], dtype=object),
+                                 len(digits)),
              "digit": digits.astype(np.int64),
              "n": counts.astype(np.int64),
              "pct": np.round(counts.astype(np.float64) / tot, 6)}
