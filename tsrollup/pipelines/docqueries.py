@@ -2260,6 +2260,45 @@ def q_zipf_fit(sf_dir: str, k: int = _ZIPF_K):
                           batch_format="pandas")
 
 
+# token_pareto coverage threshold P = _PARETO_NUM/_PARETO_DEN; the oracle SQL
+# is generated from these SAME constants
+_PARETO_NUM, _PARETO_DEN = 4, 5
+
+
+def q_token_pareto(sf_dir: str):
+    """Vocabulary concentration per source — the 80/20 number a tokenizer
+    or data-mix dashboard tracks: the smallest k such that the k most
+    frequent tokens cover ≥ {_PARETO_NUM}/{_PARETO_DEN} of the source's
+    token mass, alongside the vocabulary size. Rides the shared memoized
+    (source, token) count exchange (zero tokenize cost after the first
+    consumer); the coverage test is the exact integer
+    ``_PARETO_DEN·cum ≥ _PARETO_NUM·total`` — no float share is ever
+    computed, so int64 holds far beyond 10^12 tokens/source. Rank ties
+    pin by (count desc, token asc) on both sides (the zipf_fit
+    convention: pandas code-point order == DuckDB binary UTF-8 order)."""
+
+    def _pp(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "n_types": pd.Series(dtype=np.int64),
+             "k_cover": pd.Series(dtype=np.int64)}
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values(["c", "token"], ascending=[False, True])
+        c = df["c"].to_numpy().astype(np.int64)
+        cum = np.cumsum(c)
+        k = int(np.argmax(_PARETO_DEN * cum >= _PARETO_NUM * cum[-1])) + 1
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]],
+             "n_types": np.array([len(c)], np.int64),
+             "k_cover": np.array([k], np.int64)}
+        )
+
+    return map_key_groups(_source_token_counts(sf_dir), ["source"], _pp,
+                          batch_format="pandas")
+
+
 def q_bigram_entropy(sf_dir: str):
     """Conditional bigram entropy H(next | prev) per source — how
     predictable each source's token stream is (templated/boilerplate
@@ -3724,6 +3763,25 @@ DOC_ORACLE_SQL["trending_tokens"] = rf"""
 
 # Zipf fit: ranks by (count desc, token asc); x/y in the shared fixed point
 # as HUGEINT so k*sxy and sx*sy stay exact; ONE int->double division
+DOC_QUERIES["token_pareto"] = q_token_pareto
+DOC_ORACLE_SQL["token_pareto"] = rf"""
+    WITH toks AS (SELECT source, UNNEST(regexp_extract_all(text, '\S+')) AS token
+                  FROM {_DOCS_WS_NORM}),
+    c AS (SELECT source, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    s AS (SELECT source, c,
+                 SUM(c) OVER (PARTITION BY source ORDER BY c DESC, token
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY c DESC, token) AS i,
+                 SUM(c) OVER (PARTITION BY source) AS tot,
+                 COUNT(*) OVER (PARTITION BY source) AS n_types
+          FROM c)
+    SELECT source, CAST(MAX(n_types) AS BIGINT) AS n_types,
+           CAST(MIN(CASE WHEN {_PARETO_DEN} * cum >= {_PARETO_NUM} * tot
+                         THEN i END) AS BIGINT) AS k_cover
+    FROM s GROUP BY 1 ORDER BY 1
+"""
+
 DOC_QUERIES["zipf_fit"] = q_zipf_fit
 DOC_ORACLE_SQL["zipf_fit"] = rf"""
     WITH toks AS (SELECT source, UNNEST(regexp_extract_all(text, '\S+')) AS token

@@ -4576,6 +4576,252 @@ def q_benford(sf_dir: str):
                           batch_format="pandas")
 
 
+def _days_from_civil(y: np.ndarray, m: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_civil_from_days` — Hinnant's public-domain
+    ``days_from_civil``, floor-division form, vectorized int64."""
+    y = y - (m <= 2)
+    era = y // 400
+    yoe = y - era * 400
+    mp = m + np.where(m > 2, -3, 9)
+    doy = (153 * mp + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def _iso_week(days: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ISO-8601 (iso_year, week) from days since 1970-01-01:
+    a day's ISO week is the week of its Thursday, and the week number is
+    the Thursday's day-of-ISO-year // 7 + 1. Validated exhaustively
+    against DuckDB ``date_part('isoyear'/'week')`` over 1967..2079."""
+    days = days.astype(np.int64)
+    dow = (days + 3) % 7 + 1           # ISO 1=Mon..7=Sun; 1970-01-01 is Thu=4
+    thu = days - (dow - 4)
+    iy, _, _ = _civil_from_days(thu)
+    jan1 = _days_from_civil(iy, np.ones_like(iy), np.ones_like(iy))
+    return iy, (thu - jan1) // 7 + 1
+
+
+def q_rollup_week(sf_dir: str):
+    """ISO-week rollup: (source, 'IYYY-Www') -> row count + exact cents
+    sum — rollup_month's ISO-calendar sibling. ISO weeks straddle both
+    month AND year boundaries (a week belongs to the year of its
+    Thursday), so neither the fixed tiers nor the month rollup can
+    produce this grouping. Served from the 1m tier (a minute never
+    straddles a day, so day-level calendar math on rolled volume is
+    exact); the week id comes from the vectorized civil-date round-trip
+    in :func:`_iso_week`, not per-row datetime objects."""
+
+    def _wk(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "week": pd.Series(dtype=object),
+             "n_rows": pd.Series(dtype=np.int64),
+             "sum_cents": pd.Series(dtype=np.int64)}
+        )
+        if not len(df):
+            return empty
+        b = df["bucket"].to_numpy().astype(np.int64)
+        iy, wk = _iso_week(b // 1440)
+        wid = iy * 100 + wk
+        uniq_wid, inv = np.unique(wid, return_inverse=True)
+        n = np.zeros(len(uniq_wid), np.int64)
+        np.add.at(n, inv, df["n_rows"].to_numpy().astype(np.int64))
+        sc = np.zeros(len(uniq_wid), np.int64)
+        np.add.at(sc, inv, df["sum_tok"].to_numpy().astype(np.int64))
+        weeks = [f"{int(w) // 100:04d}-W{int(w) % 100:02d}" for w in uniq_wid]
+        return pd.DataFrame(
+            {"source": np.repeat(np.array([df["source"].iloc[0]], dtype=object),
+                                 len(uniq_wid)),
+             "week": weeks,
+             "n_rows": n, "sum_cents": sc}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _wk,
+                          batch_format="pandas")
+
+
+def q_gini_sources(sf_dir: str):
+    """Gini concentration of each source's per-minute traffic (0 = the
+    load is perfectly even across active minutes, →1 = almost all mass
+    in a few minutes) — the inequality number a capacity planner or
+    data-mix dashboard watches per domain. Over the rolled 1m tier: with
+    the minute sums x sorted ascending and i = 1..n,
+    G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx). Both integer sums run in
+    object/bignum (i·x_i overflows int64 at production magnitudes — the
+    bollinger discipline); gini is ONE float64 division of two exact
+    integers (the theil_sen recipe), rounded 6dp. Sources whose total is
+    not positive are excluded (Gini undefined); the ascending sort makes
+    ties order-invariant, so no tie-break is needed."""
+
+    def _gi(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "n_buckets": pd.Series(dtype=np.int64),
+             "gini": pd.Series(dtype=np.float64)}
+        )
+        if not len(df):
+            return empty
+        x = np.sort(df["sum_tok"].to_numpy().astype(np.int64)).astype(object)
+        n = len(x)
+        tot = int(x.sum())
+        if tot <= 0:
+            return empty
+        wsum = int((np.arange(1, n + 1, dtype=object) * x).sum())
+        num = 2 * wsum - (n + 1) * tot
+        den = n * tot
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]],
+             "n_buckets": np.array([n], np.int64),
+             "gini": [round(float(num) / float(den), 6)]}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _gi,
+                          batch_format="pandas")
+
+
+_RSI_W = 14  # trailing-delta window; the oracle SQL shares this constant
+
+
+def q_rsi_cutler(sf_dir: str, window: int = _RSI_W):
+    """Cutler's RSI (simple-moving-average Relative Strength Index)
+    breach counts per source over the row-adjacent 1m series: with g/l
+    the gain/loss sums of the trailing ``window`` deltas, a minute is
+    overbought when RSI > 70 and oversold when RSI < 30.
+
+    Exactness: RSI = 100·g/(g+l) > 70 rewrites to 3g > 7l and < 30 to
+    7g < 3l — pure integer comparisons, no float RSI is ever computed
+    (the bollinger rewrite discipline). Wilder's EWMA variant is
+    deliberately not offered: its infinite recursion has no finite-window
+    exact form. Deltas and window sums are wrap-guarded (theil_sen's span
+    check + a 7·W·max|Δ| bound) and switch to object/bignum when int64
+    could overflow — where the oracle's BIGINT arithmetic errors loudly
+    instead."""
+
+    def _rs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             **{c: pd.Series(dtype=np.int64)
+                for c in ("n_win", "n_over", "n_under")}}
+        )
+        if len(df) < window + 1:
+            return empty
+        df = df.sort_values("bucket")
+        x = df["sum_tok"].to_numpy().astype(np.int64)
+        if int(x.max()) - int(x.min()) > np.iinfo(np.int64).max:
+            x = x.astype(object)               # exact deltas beyond int64
+        d = np.diff(x)
+        if (d.dtype == object
+                or int(np.abs(d).max(initial=0)) * window * 7 >= 2**62):
+            d = d.astype(object)               # window sums / 7g in bignum
+        gains = np.where(d > 0, d, 0)
+        losses = np.where(d < 0, -d, 0)
+        zero = np.zeros(1, dtype=d.dtype)
+        cg = np.concatenate((zero, np.cumsum(gains)))
+        cl = np.concatenate((zero, np.cumsum(losses)))
+        g = cg[window:] - cg[:-window]
+        lo = cl[window:] - cl[:-window]
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]],
+             "n_win": np.array([len(g)], np.int64),
+             "n_over": np.array([int(np.count_nonzero(3 * g > 7 * lo))],
+                                np.int64),
+             "n_under": np.array([int(np.count_nonzero(7 * g < 3 * lo))],
+                                 np.int64)}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _rs,
+                          batch_format="pandas")
+
+
+# Bloom prefilter geometry for q_semi_join_bloom: 2^20 bits (128 KiB
+# broadcast) x 4 hashes. False positives only cost exchange volume, never
+# correctness — the partial re-verifies membership from complete counts.
+_BLOOM_BITS = 1 << 20
+_BLOOM_K = 4
+
+
+def _bloom_positions(uid: np.ndarray, i: int) -> np.ndarray:
+    """i-th Bloom bit position per user id (splitmix64-mixed, salted)."""
+    from tsrollup.hashing import mix2
+
+    salt = np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF)
+    return (mix2(uid, salt) % np.uint64(_BLOOM_BITS)).astype(np.int64)
+
+
+def q_semi_join_bloom(sf_dir: str):
+    """``semi_join_users`` through a Bloom-prefiltered physical plan —
+    identical result and oracle, different data movement. Pass 1
+    aggregates per-user purchase counts (a user-cardinality groupby) and
+    folds the heavy-user set into per-block 128 KiB Bloom bitmaps that
+    the driver ORs together — the only driver-side state is the
+    fixed-size bitmap, never the key set. Pass 2 filters the raw events
+    against the broadcast bitmap BEFORE the user-keyed exchange, so the
+    shuffle carries only heavy users' events plus the false-positive
+    sliver. False positives are harmless: a Bloom decision is per USER,
+    so a surviving user's events all survive together and the exchange
+    partial re-derives their true membership from complete counts,
+    dropping non-heavy survivors — bit-identical to the unfiltered plan.
+    At 100 TB this is the classic bloom join: exchange volume scales with
+    join selectivity, not corpus size."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def _purchase_partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["event_type"], "purchase"))
+        g = f.group_by(["user_id"]).aggregate([("user_id", "count")])
+        return pa.table({"user_id": g["user_id"],
+                         "n": g["user_id_count"].cast(pa.int64())})
+
+    heavy = (
+        ds.map_batches(_purchase_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"], _HEAVY_PURCHASES)),
+            batch_format="pyarrow",
+        )
+    )
+
+    def _bitmap_partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(_BLOOM_BITS // 8, np.uint8)
+        if t.num_rows:
+            uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            for i in range(_BLOOM_K):
+                h = _bloom_positions(uid, i)
+                np.bitwise_or.at(
+                    bm, h >> 3, (1 << (h & 7)).astype(np.uint8)
+                )
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.large_binary())})
+
+    bm = np.zeros(_BLOOM_BITS // 8, np.uint8)
+    for row in heavy.map_batches(
+        _bitmap_partial, batch_format="pyarrow"
+    ).iter_rows():
+        bm |= np.frombuffer(row["bm"], np.uint8)
+    bm_ref = ray.put(bm)
+
+    def _bloom_filter(t: pa.Table) -> pa.Table:
+        bmv = ray.get(bm_ref)                  # zero-copy local plasma read
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = np.ones(len(uid), bool)
+        for i in range(_BLOOM_K):
+            h = _bloom_positions(uid, i)
+            keep &= (bmv[h >> 3] & (1 << (h & 7))) != 0
+        return t.filter(pa.array(keep))
+
+    partials = map_key_partitions(
+        ds.map_batches(_bloom_filter, batch_format="pyarrow"),
+        ["user_id"], lambda t: _join_users_partial(t, True)
+    )
+    return partials.groupby("source").aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("n_users", alias_name="n_users")
+    )
+
+
 # ---------------------------------------------------------------------------
 # ORACLE SQL (DuckDB) — keyed identically to QUERIES
 # ---------------------------------------------------------------------------
@@ -5822,6 +6068,54 @@ ORACLE_SQL["benford"] = f"""
     FROM c JOIN t USING (source) ORDER BY 1, 2
 """
 
+ORACLE_SQL["rollup_week"] = """
+    SELECT event_type AS source,
+           printf('%04d-W%02d', date_part('isoyear', ts), date_part('week', ts))
+               AS week,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["gini_sources"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    s AS (SELECT source, sum_cents AS x,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY sum_cents) AS i
+          FROM r),
+    g AS (SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                 SUM(CAST(i AS HUGEINT) * x) AS wsum,
+                 SUM(CAST(x AS HUGEINT)) AS tot
+          FROM s GROUP BY 1)
+    SELECT source, n_buckets,
+           ROUND(CAST(2 * wsum - (n_buckets + 1) * tot AS DOUBLE)
+                 / CAST(CAST(n_buckets AS HUGEINT) * tot AS DOUBLE), 6) AS gini
+    FROM g WHERE tot > 0 ORDER BY 1
+"""
+
+ORACLE_SQL["rsi_cutler"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    d AS (SELECT source, bucket,
+                 sum_cents - LAG(sum_cents)
+                     OVER (PARTITION BY source ORDER BY bucket) AS d
+          FROM r),
+    w AS (SELECT source,
+                 SUM(CASE WHEN d > 0 THEN d ELSE 0 END) OVER win AS g,
+                 SUM(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER win AS lo,
+                 COUNT(d) OVER win AS wn
+          FROM d
+          WINDOW win AS (PARTITION BY source ORDER BY bucket
+                         ROWS BETWEEN {_RSI_W - 1} PRECEDING AND CURRENT ROW))
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_win,
+           CAST(COUNT(*) FILTER (WHERE 3 * g > 7 * lo) AS BIGINT) AS n_over,
+           CAST(COUNT(*) FILTER (WHERE 7 * g < 3 * lo) AS BIGINT) AS n_under
+    FROM w WHERE wn = {_RSI_W} GROUP BY 1 ORDER BY 1
+"""
+
+# same result as semi_join_users by construction — the Bloom prefilter is a
+# physical-plan optimization, so the oracle is shared verbatim
+ORACLE_SQL["semi_join_bloom"] = ORACLE_SQL["semi_join_users"]
+
 QUERIES = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
@@ -5908,6 +6202,10 @@ QUERIES = {
     "bollinger_breach": q_bollinger_breach,
     "rollup_month": q_rollup_month,
     "benford": q_benford,
+    "rollup_week": q_rollup_week,
+    "gini_sources": q_gini_sources,
+    "rsi_cutler": q_rsi_cutler,
+    "semi_join_bloom": q_semi_join_bloom,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
