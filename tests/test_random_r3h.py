@@ -21,6 +21,9 @@ SWEEP = [
     "retention_curve", "props_extract", "conversion_lag", "unpivot_stats", "dow_hod_profile", "gap_stats", "stl_strength", "theil_sen",
     # round-3i family
     "max_drawdown", "streaks", "bollinger_breach", "rollup_month", "benford",
+    # round-3j family (semi_join_bloom shares semi_join_users' oracle, so
+    # the sweep also proves the bloom plan against the SQL ground truth)
+    "rollup_week", "gini_sources", "rsi_cutler", "semi_join_bloom",
 ]
 
 
