@@ -69,6 +69,18 @@ def r3j_events_dir(tmp_path_factory):
         rows.append(("rsidown", BASE_US + i * MIN_US, 100.0 - i, 4))
         rows.append(("rsiflat", BASE_US + i * MIN_US, 7.0, 5))
 
+    # per60 — exactly periodic spikes every 60 minutes: every harmonic
+    # lag (60, 120, 240) has r = 1.0, so the argmax MUST tie-break to
+    # the smallest lag. per1440 — sparse (20-minute grid) daily spikes:
+    # only lag 1440 aligns spike-with-spike (r = 1), shorter lags align
+    # spikes with baseline (r < 1)
+    for i in range(300):
+        rows.append(("per60", BASE_US + i * MIN_US,
+                     5.0 if i % 60 == 0 else 1.0, 6))
+    for i in range(0, 2881, 20):
+        rows.append(("per1440", BASE_US + i * MIN_US,
+                     9.0 if i % 1440 == 0 else 1.0, 6))
+
     # purchase traffic for the semi-join family: user 100 has 15
     # purchases (heavy), 101 has 14 (heavy, boundary), 102 has 13 (not)
     for u, n in ((100, 15), (101, 14), (102, 13)):
@@ -90,7 +102,7 @@ def r3j_events_dir(tmp_path_factory):
 
 
 @pytest.mark.parametrize("name", ["rollup_week", "gini_sources", "rsi_cutler",
-                                  "semi_join_bloom"])
+                                  "semi_join_bloom", "dominant_period"])
 def test_r3j_adversarial_matches_oracle(ray_session, r3j_events_dir, name):
     eng = QUERIES[name](r3j_events_dir)
     eng_df = eng if isinstance(eng, pd.DataFrame) else eng.to_pandas()
@@ -146,6 +158,17 @@ def test_rsi_window_algebra(ray_session, r3j_events_dir):
     assert tuple(out.loc["rsiflat", ["n_win", "n_over", "n_under"]]) == (2, 0, 0)
     # isoc has 5 rolled rows < W+1 -> excluded entirely
     assert "isoc" not in out.index
+
+
+def test_dominant_period_planted_and_harmonic_tie(ray_session, r3j_events_dir):
+    out = QUERIES["dominant_period"](r3j_events_dir).to_pandas().set_index("source")
+    # exact 60-minute periodicity: r = 1.0 at 60/120/240 -> smallest lag wins
+    assert out.loc["per60", "lag"] == 60 and out.loc["per60", "r"] == 1.0
+    # sparse daily spikes: only 1440 aligns spike-with-spike
+    assert out.loc["per1440", "lag"] == 1440 and out.loc["per1440", "r"] == 1.0
+    # isoc's midnight rows align only at the daily lag (12-31->01-01 and
+    # 01-03->01-04), n = 2 pairs exactly
+    assert out.loc["isoc", "lag"] == 1440 and out.loc["isoc", "n_pairs"] == 2
 
 
 def test_bloom_plan_equals_plain_semi_join(ray_session, r3j_events_dir):

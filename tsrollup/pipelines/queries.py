@@ -4576,6 +4576,69 @@ def q_benford(sf_dir: str):
                           batch_format="pandas")
 
 
+# dominant_period candidate lags (minutes): hour / 2h / 4h / 8h / 12h / day.
+# The oracle SQL is generated from this SAME tuple.
+_DP_LAGS = (60, 120, 240, 480, 720, 1440)
+
+
+def q_dominant_period(sf_dir: str, lags: tuple = _DP_LAGS):
+    """Dominant seasonality per source: the candidate lag whose
+    autocorrelation of the 1m series is highest — the 'is this hourly or
+    daily traffic' number a forecasting/rollup planner keys on. Rides the
+    acf_1m recipe (inner-aligned sparse pairs via one searchsorted per
+    lag; Pearson r from exact int64 pair sums, so the float is
+    bit-identical to the oracle's self-join) over the seasonal candidate
+    set ``_DP_LAGS``, then an argmax with ties pinned by (r desc, lag
+    asc) on the 6dp-rounded r BOTH sides order by. Lags with n < 2
+    aligned pairs or a constant window are skipped; a source where every
+    lag is skipped emits nothing (matching the SQL's inner join)."""
+
+    def _dp(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "lag": pd.Series(dtype=np.int64),
+             "n_pairs": pd.Series(dtype=np.int64),
+             "r": pd.Series(dtype=np.float64)}
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values("bucket")
+        b = df["bucket"].to_numpy().astype(np.int64)
+        x = df["sum_tok"].to_numpy().astype(np.int64)
+        best = None  # (-r, lag) minimized == (r desc, lag asc)
+        for lag in lags:
+            idx = np.searchsorted(b, b + lag)
+            ok = (idx < len(b)) & (b[np.minimum(idx, len(b) - 1)] == b + lag)
+            n = int(ok.sum())
+            if n < 2:
+                continue
+            xa, ya = x[ok], x[idx[ok]]
+            sx, sy = int(xa.sum()), int(ya.sum())
+            sxy = int((xa * ya).sum())
+            sxx, syy = int((xa * xa).sum()), int((ya * ya).sum())
+            da, db_ = n * sxx - sx * sx, n * syy - sy * sy
+            if da <= 0 or db_ <= 0:
+                continue
+            r = round(
+                (n * sxy - sx * sy) / (np.sqrt(float(da)) * np.sqrt(float(db_))),
+                6,
+            )
+            if best is None or (-r, lag) < best[0]:
+                best = ((-r, lag), n)
+        if best is None:
+            return empty
+        (neg_r, lag), n = best
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]],
+             "lag": np.array([lag], np.int64),
+             "n_pairs": np.array([n], np.int64),
+             "r": [-neg_r]}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _dp,
+                          batch_format="pandas")
+
+
 def _days_from_civil(y: np.ndarray, m: np.ndarray, d: np.ndarray) -> np.ndarray:
     """Inverse of :func:`_civil_from_days` — Hinnant's public-domain
     ``days_from_civil``, floor-division form, vectorized int64."""
@@ -6116,6 +6179,35 @@ ORACLE_SQL["rsi_cutler"] = f"""
 # physical-plan optimization, so the oracle is shared verbatim
 ORACLE_SQL["semi_join_bloom"] = ORACLE_SQL["semi_join_users"]
 
+ORACLE_SQL["dominant_period"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    lags(lag) AS (VALUES {", ".join(f"({v})" for v in _DP_LAGS)}),
+    p AS (SELECT a.source, l.lag,
+                 COUNT(*) AS n,
+                 SUM(CAST(a.sum_cents AS HUGEINT)) AS sx,
+                 SUM(CAST(b.sum_cents AS HUGEINT)) AS sy,
+                 SUM(CAST(a.sum_cents AS HUGEINT) * b.sum_cents) AS sxy,
+                 SUM(CAST(a.sum_cents AS HUGEINT) * a.sum_cents) AS sxx,
+                 SUM(CAST(b.sum_cents AS HUGEINT) * b.sum_cents) AS syy
+          FROM r a JOIN lags l ON TRUE
+          JOIN r b ON b.source = a.source AND b.bucket = a.bucket + l.lag
+          GROUP BY 1, 2),
+    s AS (SELECT source, lag, n,
+                 n * sxx - sx * sx AS da, n * syy - sy * sy AS db,
+                 n * sxy - sx * sy AS nu
+          FROM p WHERE n >= 2),
+    f AS (SELECT source, lag, n,
+                 ROUND(CAST(nu AS DOUBLE)
+                       / (SQRT(CAST(da AS DOUBLE)) * SQRT(CAST(db AS DOUBLE))),
+                       6) AS r
+          FROM s WHERE da > 0 AND db > 0)
+    SELECT source, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs, r
+    FROM f
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY r DESC, lag ASC) = 1
+    ORDER BY 1
+"""
+
 QUERIES = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
@@ -6206,6 +6298,7 @@ QUERIES = {
     "gini_sources": q_gini_sources,
     "rsi_cutler": q_rsi_cutler,
     "semi_join_bloom": q_semi_join_bloom,
+    "dominant_period": q_dominant_period,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
