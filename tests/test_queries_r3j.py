@@ -102,7 +102,8 @@ def r3j_events_dir(tmp_path_factory):
 
 
 @pytest.mark.parametrize("name", ["rollup_week", "gini_sources", "rsi_cutler",
-                                  "semi_join_bloom", "dominant_period"])
+                                  "semi_join_bloom", "dominant_period",
+                                  "macd_1m"])
 def test_r3j_adversarial_matches_oracle(ray_session, r3j_events_dir, name):
     eng = QUERIES[name](r3j_events_dir)
     eng_df = eng if isinstance(eng, pd.DataFrame) else eng.to_pandas()
@@ -169,6 +170,20 @@ def test_dominant_period_planted_and_harmonic_tie(ray_session, r3j_events_dir):
     # isoc's midnight rows align only at the daily lag (12-31->01-01 and
     # 01-03->01-04), n = 2 pairs exactly
     assert out.loc["isoc", "lag"] == 1440 and out.loc["isoc", "n_pairs"] == 2
+
+
+def test_macd_constant_series_is_identically_zero(ray_session, r3j_events_dir):
+    out = QUERIES["macd_1m"](r3j_events_dir).to_pandas()
+    flat = out[out["source"] == "rsiflat"]
+    # both EWMAs seed at x0, so a constant series keeps f == s == x0 and
+    # macd == sig == hist == 0 at every row
+    assert len(flat) == 16
+    assert (flat[["macd", "sig", "hist"]].to_numpy() == 0).all()
+    up = out[out["source"] == "rsiup"].sort_values("bucket")
+    # strictly rising series: fast EWMA leads slow -> macd >= 0, crossing 0
+    # only at the seed row
+    assert (up["macd"].to_numpy()[1:] >= 0).all()
+    assert (up["hist"] == up["macd"] - up["sig"]).all()
 
 
 def test_bloom_plan_equals_plain_semi_join(ray_session, r3j_events_dir):

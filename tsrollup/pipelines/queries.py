@@ -3433,6 +3433,57 @@ def q_holt_1m(sf_dir: str, a_shift: int = _HOLT_A, c_shift: int = _HOLT_C):
                           batch_format="pandas")
 
 
+# MACD fixed-point shifts: fast EWMA α=1/8, slow α=1/32, signal α=1/16.
+# The oracle SQL is generated from these SAME constants.
+_MACD_F, _MACD_S, _MACD_G = 3, 5, 4
+
+
+def q_macd_1m(sf_dir: str, f_shift: int = _MACD_F, s_shift: int = _MACD_S,
+              g_shift: int = _MACD_G):
+    """Fixed-point MACD per source over the 1m series — the last classic
+    technical-analysis operator after bollinger/RSI/drawdown/streaks:
+    macd = fast_EWMA − slow_EWMA, signal = EWMA of macd, hist = macd −
+    signal. All three recursions use the ewma_1m/holt_1m fixed-point
+    contract — integer floor steps with power-of-two divisors, so the
+    oracle's FLOOR(../2^k.0) recursive CTE matches Python ``//`` bit for
+    bit, negatives included. Both EWMAs seed at x_0 (so macd_0 = 0, the
+    standard convention) and the signal seeds at 0. Inherently
+    sequential scalar state — the per-row loop runs on ROLLED volume
+    inside the per-source group worker (the accepted ewma/holt/Gorilla
+    shape)."""
+    df_, ds_, dg_ = 1 << f_shift, 1 << s_shift, 1 << g_shift
+
+    def _macd(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object),
+                 "bucket": pd.Series(dtype=np.int64),
+                 "macd": pd.Series(dtype=np.int64),
+                 "sig": pd.Series(dtype=np.int64),
+                 "hist": pd.Series(dtype=np.int64)}
+            )
+        df = df.sort_values("bucket")
+        x = df["sum_tok"].to_numpy().astype(np.int64).tolist()
+        macd = np.empty(len(x), dtype=np.int64)
+        sig = np.empty(len(x), dtype=np.int64)
+        f = s = x[0]
+        g = 0
+        macd[0], sig[0] = 0, 0
+        for i in range(1, len(x)):
+            f = f + (x[i] - f) // df_
+            s = s + (x[i] - s) // ds_
+            m = f - s
+            g = g + (m - g) // dg_
+            macd[i], sig[i] = m, g
+        return pd.DataFrame(
+            {"source": df["source"].to_numpy(), "bucket": df["bucket"].to_numpy(),
+             "macd": macd, "sig": sig, "hist": macd - sig}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _macd,
+                          batch_format="pandas")
+
+
 def q_peak_detect(sf_dir: str):
     """Strict local maxima of each source's 1m series (x[i] > both
     neighbours in bucket order; plateaus and endpoints excluded — the same
@@ -5674,6 +5725,35 @@ ORACLE_SQL["holt_1m"] = f"""
     FROM h ORDER BY 1, 2
 """
 
+ORACLE_SQL["macd_1m"] = f"""
+    WITH RECURSIVE r AS ({_ROLLUP_SQL_BODY}),
+    o AS (SELECT source, bucket, sum_cents,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY bucket) AS rn
+          FROM r),
+    h AS (
+        SELECT source, bucket, rn,
+               sum_cents AS f, sum_cents AS s, CAST(0 AS BIGINT) AS g
+        FROM o WHERE rn = 1
+      UNION ALL
+        SELECT o.source, o.bucket, o.rn,
+               h.f + CAST(FLOOR((o.sum_cents - h.f) / {1 << _MACD_F}.0)
+                          AS BIGINT) AS f,
+               h.s + CAST(FLOOR((o.sum_cents - h.s) / {1 << _MACD_S}.0)
+                          AS BIGINT) AS s,
+               h.g + CAST(FLOOR((
+                   (h.f + CAST(FLOOR((o.sum_cents - h.f) / {1 << _MACD_F}.0)
+                               AS BIGINT))
+                   - (h.s + CAST(FLOOR((o.sum_cents - h.s) / {1 << _MACD_S}.0)
+                                 AS BIGINT))
+                   - h.g) / {1 << _MACD_G}.0) AS BIGINT) AS g
+        FROM h JOIN o ON o.source = h.source AND o.rn = h.rn + 1
+    )
+    SELECT source, bucket,
+           CAST(f - s AS BIGINT) AS macd, CAST(g AS BIGINT) AS sig,
+           CAST(f - s - g AS BIGINT) AS hist
+    FROM h ORDER BY 1, 2
+"""
+
 ORACLE_SQL["peak_detect"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     w AS (SELECT source, bucket, sum_cents,
@@ -6299,6 +6379,7 @@ QUERIES = {
     "rsi_cutler": q_rsi_cutler,
     "semi_join_bloom": q_semi_join_bloom,
     "dominant_period": q_dominant_period,
+    "macd_1m": q_macd_1m,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
