@@ -103,7 +103,8 @@ def r3j_events_dir(tmp_path_factory):
 
 @pytest.mark.parametrize("name", ["rollup_week", "gini_sources", "rsi_cutler",
                                   "semi_join_bloom", "dominant_period",
-                                  "macd_1m"])
+                                  "macd_1m", "interarrival_stats",
+                                  "distinct_users_1h", "fano_factor"])
 def test_r3j_adversarial_matches_oracle(ray_session, r3j_events_dir, name):
     eng = QUERIES[name](r3j_events_dir)
     eng_df = eng if isinstance(eng, pd.DataFrame) else eng.to_pandas()
@@ -195,6 +196,25 @@ def test_bloom_plan_equals_plain_semi_join(ray_session, r3j_events_dir):
     p = plain.set_index("source")
     assert tuple(p.loc["purchase", ["n_events", "n_users"]]) == (29, 2)
     assert tuple(p.loc["view", ["n_events", "n_users"]]) == (2, 2)
+
+
+def test_interarrival_and_fano_hand_computed(ray_session, r3j_events_dir):
+    ia = QUERIES["interarrival_stats"](r3j_events_dir).to_pandas().set_index("source")
+    # purchases are minute-spaced per user: 14+13+12 = 39 deltas, all 60 s;
+    # each user's single 'view' event produces no delta at all
+    assert tuple(ia.loc["purchase", ["n_deltas", "p50_s", "p90_s"]]) == (39, 60, 60)
+    assert "view" not in ia.index
+    ff = QUERIES["fano_factor"](r3j_events_dir).to_pandas().set_index("source")
+    # rsiflat: one event per minute -> counts all 1 -> zero dispersion
+    assert ff.loc["rsiflat", "fano"] == 0.0
+    assert ff.loc["rsiflat", "n_buckets"] == 16
+
+
+def test_distinct_users_1h_counts(ray_session, r3j_events_dir):
+    out = QUERIES["distinct_users_1h"](r3j_events_dir).to_pandas()
+    pur = out[out["source"] == "purchase"]
+    # all purchase events land in BASE hour; users 100/101/102 each present
+    assert len(pur) == 1 and pur["n_users"].iloc[0] == 3
 
 
 @pytest.fixture(scope="module")

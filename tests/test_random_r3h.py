@@ -24,7 +24,8 @@ SWEEP = [
     # round-3j family (semi_join_bloom shares semi_join_users' oracle, so
     # the sweep also proves the bloom plan against the SQL ground truth)
     "rollup_week", "gini_sources", "rsi_cutler", "semi_join_bloom",
-    "dominant_period", "macd_1m",
+    "dominant_period", "macd_1m", "interarrival_stats", "distinct_users_1h",
+    "fano_factor",
 ]
 
 

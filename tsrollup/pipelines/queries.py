@@ -4627,6 +4627,170 @@ def q_benford(sf_dir: str):
                           batch_format="pandas")
 
 
+def q_interarrival_stats(sf_dir: str):
+    """Inter-arrival-time distribution per source: median and p90 of the
+    gaps (whole seconds) between a user's CONSECUTIVE events of the same
+    type — the engagement-cadence number behind session-timeout and
+    rate-limit tuning. Physical plan: ONE user-keyed exchange (whole
+    users per partition, the semi_join_users contract) computes each
+    (user, source) stream's deltas locally via lexsort + diff, emits
+    (source, delta_s, count) histogram partials, and the exact mergeable
+    bounded-domain quantile fold (the q_quantiles recipe, quantile_disc
+    convention sorted[ceil(q·n)−1]) reads the percentiles off the tiny
+    cumulative histogram. The delta MULTISET is invariant under
+    timestamp-tie permutations (equal values swap without changing
+    adjacent diffs), so the oracle's nondeterministic LAG tie order
+    cannot diverge. NUL-safe: all grouping runs on factorized integer
+    codes, never on string hash tables."""
+    from ray.data.aggregate import Sum
+
+    from tsrollup.hashing import safe_factorize
+
+    def _deltas(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "delta_s": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+        if t.num_rows < 2:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        src = t["event_type"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        cu = pd.factorize(uid)[0]              # integer ids — hash-safe
+        cs, us = safe_factorize(src)
+        order = np.lexsort((ts, cs, cu))
+        cu_o, cs_o, ts_o = cu[order], cs[order], ts[order]
+        same = (cu_o[1:] == cu_o[:-1]) & (cs_o[1:] == cs_o[:-1])
+        if not same.any():
+            return empty
+        delta_s = (ts_o[1:] - ts_o[:-1])[same] // 1_000_000
+        src_idx = cs_o[1:][same]
+        o2 = np.lexsort((delta_s, src_idx))
+        si, de = src_idx[o2], delta_s[o2]
+        first = np.ones(len(si), dtype=bool)
+        first[1:] = (si[1:] != si[:-1]) | (de[1:] != de[:-1])
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.r_[starts, len(si)])
+        return pa.table(
+            {"source": pa.array(us[si[starts]], pa.string()),
+             "delta_s": pa.array(de[starts]),
+             "n": pa.array(counts.astype(np.int64))}
+        )
+
+    hist = (
+        map_key_partitions(
+            read_parquet_clean(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "ts"]),
+            ["user_id"], _deltas,
+        )
+        .groupby(["source", "delta_s"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _q(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object),
+                 **{c: pd.Series(dtype=np.int64)
+                    for c in ("n_deltas", "p50_s", "p90_s")}}
+            )
+        df = df.sort_values("delta_s")
+        cum = np.cumsum(df["n"].to_numpy())
+        vals = df["delta_s"].to_numpy()
+        n = int(cum[-1])
+        out = {"source": df["source"].iloc[0], "n_deltas": n}
+        for name, q in (("p50_s", 0.5), ("p90_s", 0.9)):
+            rank = max(1, int(np.ceil(q * n)))
+            out[name] = int(vals[np.searchsorted(cum, rank)])
+        return pd.DataFrame([out])
+
+    return map_key_groups(hist, ["source"], _q, batch_format="pandas")
+
+
+def q_distinct_users_1h(sf_dir: str):
+    """Hourly unique users per source — the dashboard granularity between
+    global ``distinct_users`` and the rolling ``wau_7d``. ONE user-keyed
+    exchange gives every partition whole users, so distinct (source,
+    hour, user) triples are countable locally (one lexsort + change
+    mask, the semi_join_users pattern) and the final (source, hour)
+    combine sums tiny partials — exact distinct counts with no
+    user-cardinality shuffle of raw events."""
+    from ray.data.aggregate import Sum
+
+    from tsrollup.hashing import safe_factorize
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "bucket_h": pa.array([], pa.int64()),
+             "n_users": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        src = t["event_type"].to_numpy(zero_copy_only=False)
+        hb = t["ts"].to_numpy(zero_copy_only=False).view(np.int64) // 3_600_000_000
+        cu = pd.factorize(uid)[0]
+        cs, us = safe_factorize(src)
+        order = np.lexsort((cu, hb, cs))
+        cs_o, hb_o, cu_o = cs[order], hb[order], cu[order]
+        first = np.ones(len(cs_o), dtype=bool)
+        first[1:] = ((cs_o[1:] != cs_o[:-1]) | (hb_o[1:] != hb_o[:-1])
+                     | (cu_o[1:] != cu_o[:-1]))
+        cs_f, hb_f = cs_o[first], hb_o[first]
+        grp = np.ones(len(cs_f), dtype=bool)
+        grp[1:] = (cs_f[1:] != cs_f[:-1]) | (hb_f[1:] != hb_f[:-1])
+        starts = np.flatnonzero(grp)
+        counts = np.diff(np.r_[starts, len(cs_f)])
+        return pa.table(
+            {"source": pa.array(us[cs_f[starts]], pa.string()),
+             "bucket_h": pa.array(hb_f[starts]),
+             "n_users": pa.array(counts.astype(np.int64))}
+        )
+
+    return (
+        map_key_partitions(
+            read_parquet_clean(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "ts"]),
+            ["user_id"], _partial,
+        )
+        .groupby(["source", "bucket_h"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+def q_fano_factor(sf_dir: str):
+    """Burstiness per source: the Fano factor (index of dispersion) of
+    the per-minute EVENT COUNTS — var/mean, 1 for a Poisson arrival
+    process, ≫1 for bursty traffic, <1 for regular/throttled streams.
+    F = (n·S2 − S²) / (n·S) over exact integer sums of the rolled 1m
+    counts (S = Σc, S2 = Σc²; counts ≥ 1 so S > 0 always) computed in
+    object/bignum, then ONE float64 division of two exact integers
+    (the theil_sen recipe), rounded 6dp."""
+
+    def _ff(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "n_buckets": pd.Series(dtype=np.int64),
+             "fano": pd.Series(dtype=np.float64)}
+        )
+        if not len(df):
+            return empty
+        c = df["n_rows"].to_numpy().astype(np.int64).astype(object)
+        n = len(c)
+        s = int(c.sum())
+        s2 = int((c * c).sum())
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]],
+             "n_buckets": np.array([n], np.int64),
+             "fano": [round(float(n * s2 - s * s) / float(n * s), 6)]}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _ff,
+                          batch_format="pandas")
+
+
 # dominant_period candidate lags (minutes): hour / 2h / 4h / 8h / 12h / day.
 # The oracle SQL is generated from this SAME tuple.
 _DP_LAGS = (60, 120, 240, 480, 720, 1440)
@@ -6259,6 +6423,39 @@ ORACLE_SQL["rsi_cutler"] = f"""
 # physical-plan optimization, so the oracle is shared verbatim
 ORACLE_SQL["semi_join_bloom"] = ORACLE_SQL["semi_join_users"]
 
+ORACLE_SQL["interarrival_stats"] = """
+    WITH d AS (
+        SELECT event_type AS source,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts) AS d_us
+        FROM events),
+    g AS (SELECT source, d_us // 1000000 AS delta_s
+          FROM d WHERE d_us IS NOT NULL)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_deltas,
+           CAST(quantile_disc(delta_s, 0.5) AS BIGINT) AS p50_s,
+           CAST(quantile_disc(delta_s, 0.9) AS BIGINT) AS p90_s
+    FROM g GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["distinct_users_1h"] = """
+    SELECT event_type AS source,
+           epoch_us(ts) // 3600000000 AS bucket_h,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["fano_factor"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    s AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(n_rows AS HUGEINT)) AS s,
+                 SUM(CAST(n_rows AS HUGEINT) * n_rows) AS s2
+          FROM r GROUP BY 1)
+    SELECT source, CAST(n AS BIGINT) AS n_buckets,
+           ROUND(CAST(n * s2 - s * s AS DOUBLE) / CAST(n * s AS DOUBLE), 6)
+               AS fano
+    FROM s ORDER BY 1
+"""
+
 ORACLE_SQL["dominant_period"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     lags(lag) AS (VALUES {", ".join(f"({v})" for v in _DP_LAGS)}),
@@ -6380,6 +6577,9 @@ QUERIES = {
     "semi_join_bloom": q_semi_join_bloom,
     "dominant_period": q_dominant_period,
     "macd_1m": q_macd_1m,
+    "interarrival_stats": q_interarrival_stats,
+    "distinct_users_1h": q_distinct_users_1h,
+    "fano_factor": q_fano_factor,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
