@@ -252,7 +252,9 @@ def test_token_pareto_hand_computed(ray_session, r3j_docs_dir):
     assert tuple(out.loc["s3", ["n_types", "k_cover"]]) == (1, 1)
 
 
-def test_token_pareto_matches_oracle(ray_session, r3j_docs_dir):
+@pytest.mark.parametrize("name", ["token_pareto", "lexicon_score",
+                                  "corpus_grep"])
+def test_r3j_docs_match_oracle(ray_session, r3j_docs_dir, name):
     import duckdb
 
     from tsrollup.pipelines.docqueries import DOC_ORACLE_SQL, DOC_QUERIES
@@ -262,6 +264,22 @@ def test_token_pareto_matches_oracle(ray_session, r3j_docs_dir):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{r3j_docs_dir}/documents.parquet')"
     )
-    ora = con.execute(DOC_ORACLE_SQL["token_pareto"]).df()
-    eng = DOC_QUERIES["token_pareto"](r3j_docs_dir).to_pandas()
+    ora = con.execute(DOC_ORACLE_SQL[name]).df()
+    eng = DOC_QUERIES[name](r3j_docs_dir).to_pandas()
     pd.testing.assert_frame_equal(_canon(eng), _canon(ora), check_dtype=False)
+
+
+def test_lexicon_and_grep_hand_computed(ray_session, r3j_docs_dir):
+    from tsrollup.pipelines.docqueries import DOC_QUERIES
+
+    # r3j docs contain none of the risk lexicon or grep pattern words ->
+    # zero hits everywhere but full doc counts (the all-clean baseline)
+    lex = DOC_QUERIES["lexicon_score"](r3j_docs_dir).to_pandas()
+    assert int(lex["n_hits"].sum()) == 0 and int(lex["n_flagged"].sum()) == 0
+    assert int(lex["n_docs"].sum()) == 4
+    grep = DOC_QUERIES["corpus_grep"](r3j_docs_dir).to_pandas()
+    assert int(grep["n_matches"].sum()) == 0
+    # a pattern that DOES hit: 'a a a a b b' has four standalone a's
+    hit = DOC_QUERIES["corpus_grep"](r3j_docs_dir, pattern=r"\ba\b").to_pandas()
+    s1 = hit[hit["source"] == "s1"].iloc[0]
+    assert (s1["n_matched"], s1["n_matches"]) == (1, 4)

@@ -2260,6 +2260,122 @@ def q_zipf_fit(sf_dir: str, k: int = _ZIPF_K):
                           batch_format="pandas")
 
 
+# lexicon screen: blocklist + flag threshold; the oracle SQL is generated
+# from these SAME constants (lowercased-token membership, the doc_quality
+# stopword contract)
+_RISK_LEXICON = ("dup", "error", "fraud", "slow", "spam")
+_LEX_MIN_HITS = 3
+
+
+def q_lexicon_score(sf_dir: str, min_hits: int = _LEX_MIN_HITS):
+    """Blocklist screen per source — the lexicon-based safety/quality gate
+    every corpus pipeline runs before anything model-based: count
+    lowercased whitespace tokens hitting ``_RISK_LEXICON``, flag
+    documents with ≥ ``min_hits``, report per-source totals. One Arrow
+    split+lower+is_in+bincount pass per batch (the doc_quality stopword
+    machinery — no per-token Python) followed by a sources-sized
+    groupby; embarrassingly parallel, no exchange of document text."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from tsrollup.functions import text as tx
+    from tsrollup.functions import tokens as tk
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "n_docs": pa.array([], pa.int64()),
+             "n_flagged": pa.array([], pa.int64()),
+             "n_hits": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        sp = tk.split_whitespace(t["text"])
+        lens = pc.list_value_length(sp).to_numpy(zero_copy_only=False)
+        low = tx._lower_like_python(sp.flatten())
+        m = pc.is_in(
+            low, value_set=pa.array(sorted(_RISK_LEXICON), type=low.type)
+        ).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(t.num_rows), lens.astype(np.int64))
+        hits = np.bincount(doc_idx, weights=m, minlength=t.num_rows).astype(np.int64)
+        g = pa.table(
+            {"source": t["source"],
+             "one": pa.array(np.ones(t.num_rows, np.int64)),
+             "flagged": pa.array((hits >= min_hits).astype(np.int64)),
+             "hits": pa.array(hits)}
+        ).group_by(["source"]).aggregate(
+            [("one", "sum"), ("flagged", "sum"), ("hits", "sum")]
+        )
+        return pa.table(
+            {"source": g["source"],
+             "n_docs": g["one_sum"].cast(pa.int64()),
+             "n_flagged": g["flagged_sum"].cast(pa.int64()),
+             "n_hits": g["hits_sum"].cast(pa.int64())}
+        )
+
+    return (
+        _docs(sf_dir, ("source", "text"))
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_flagged", alias_name="n_flagged"),
+                   Sum("n_hits", alias_name="n_hits"))
+    )
+
+
+# corpus_grep default pattern; the oracle SQL shares it. RE2 on BOTH sides
+# (Arrow count_substring_regex and DuckDB regexp_extract_all) — identical
+# engines, so match counts agree on any input.
+_GREP_PATTERN = r"\b(scan|merge|join)\b"
+
+
+def q_corpus_grep(sf_dir: str, pattern: str = _GREP_PATTERN):
+    """Regex census over the corpus — the 'how often does this string
+    appear, where' contamination/PII probe run before and after a
+    scrub: per source, documents matched and total (non-overlapping)
+    match count. One vectorized RE2 kernel per batch directly on the
+    Arrow string buffers; raw text bytes on both sides (no whitespace
+    normalization — the pattern sees the document verbatim)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _g(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "n_docs": pa.array([], pa.int64()),
+             "n_matched": pa.array([], pa.int64()),
+             "n_matches": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        txt = pc.fill_null(t["text"], "")
+        c = pc.count_substring_regex(txt, pattern).to_numpy(zero_copy_only=False)
+        c = c.astype(np.int64)
+        g = pa.table(
+            {"source": t["source"],
+             "one": pa.array(np.ones(t.num_rows, np.int64)),
+             "matched": pa.array((c > 0).astype(np.int64)),
+             "matches": pa.array(c)}
+        ).group_by(["source"]).aggregate(
+            [("one", "sum"), ("matched", "sum"), ("matches", "sum")]
+        )
+        return pa.table(
+            {"source": g["source"],
+             "n_docs": g["one_sum"].cast(pa.int64()),
+             "n_matched": g["matched_sum"].cast(pa.int64()),
+             "n_matches": g["matches_sum"].cast(pa.int64())}
+        )
+
+    return (
+        _docs(sf_dir, ("source", "text"))
+        .map_batches(_g, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_matched", alias_name="n_matched"),
+                   Sum("n_matches", alias_name="n_matches"))
+    )
+
+
 # token_pareto coverage threshold P = _PARETO_NUM/_PARETO_DEN; the oracle SQL
 # is generated from these SAME constants
 _PARETO_NUM, _PARETO_DEN = 4, 5
@@ -3763,6 +3879,32 @@ DOC_ORACLE_SQL["trending_tokens"] = rf"""
 
 # Zipf fit: ranks by (count desc, token asc); x/y in the shared fixed point
 # as HUGEINT so k*sxy and sx*sy stay exact; ONE int->double division
+DOC_QUERIES["lexicon_score"] = q_lexicon_score
+_LEXICON_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(_RISK_LEXICON)) + "]"
+DOC_ORACLE_SQL["lexicon_score"] = rf"""
+    WITH h AS (SELECT source,
+                      len(list_filter(regexp_extract_all(text, '\S+'),
+                                      t -> list_contains({_LEXICON_SQL},
+                                                         lower(t)))) AS hits
+               FROM {_DOCS_WS_NORM})
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN hits >= {_LEX_MIN_HITS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(SUM(hits) AS BIGINT) AS n_hits
+    FROM h GROUP BY 1 ORDER BY 1
+"""
+
+DOC_QUERIES["corpus_grep"] = q_corpus_grep
+DOC_ORACLE_SQL["corpus_grep"] = rf"""
+    WITH m AS (SELECT source,
+                      len(regexp_extract_all(text, '{_GREP_PATTERN}')) AS c
+               FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(c) AS BIGINT) AS n_matches
+    FROM m GROUP BY 1 ORDER BY 1
+"""
+
 DOC_QUERIES["token_pareto"] = q_token_pareto
 DOC_ORACLE_SQL["token_pareto"] = rf"""
     WITH toks AS (SELECT source, UNNEST(regexp_extract_all(text, '\S+')) AS token
