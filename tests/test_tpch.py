@@ -1,0 +1,129 @@
+"""TPC-H pipeline family (q1 / q3 / q5) — gate-replica checks at sf0.001
+plus a randomized relational fixture with adversarial referential shape
+(orders without lineitems, lineitems whose order misses the filters,
+customers outside the segment, suppliers outside the region, revenue
+ties) run against the SAME DuckDB oracle SQL the driver uses."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tsrollup.pipelines.queries import ORACLE_SQL, QUERIES
+
+TPCH_TABLES = ["region", "nation", "customer", "supplier", "orders", "lineitem"]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _oracle(name: str, sf_dir: str) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(ORACLE_SQL[name]).df()
+
+
+@pytest.mark.parametrize("name", ["tpch_q1", "tpch_q3", "tpch_q5"])
+def test_tpch_sf0001_matches_oracle(ray_session, name):
+    sf = "/root/testdata/sf0.001"
+    res = QUERIES[name](sf)
+    eng = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    ora = _oracle(name, sf)
+    assert len(eng), f"{name}: empty result at sf0.001"
+    pd.testing.assert_frame_equal(_canon(eng), _canon(ora), check_dtype=False)
+
+
+def _random_tpch(seed: int, d) -> None:
+    rng = np.random.default_rng(seed)
+    pq.write_table(pa.table(
+        {"r_regionkey": pa.array([0, 1], pa.int32()),
+         "r_name": pa.array(["ASIA", "EUROPE"])}), d / "region.parquet")
+    n_nat = 6
+    pq.write_table(pa.table(
+        {"n_nationkey": pa.array(np.arange(n_nat), pa.int32()),
+         "n_name": pa.array([f"NATION{i}" for i in range(n_nat)]),
+         "n_regionkey": pa.array((np.arange(n_nat) % 2).astype("int32"))}),
+        d / "nation.parquet")
+    n_cust, n_supp = 40, 12
+    pq.write_table(pa.table(
+        {"c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+         "c_name": pa.array([f"c{i}" for i in range(n_cust)]),
+         "c_nationkey": pa.array(
+             rng.integers(0, n_nat, n_cust).astype("int32")),
+         "c_acctbal": pa.array(rng.normal(0, 100, n_cust)),
+         "c_mktsegment": pa.array(
+             rng.choice(["BUILDING", "AUTOMOBILE"], n_cust))}),
+        d / "customer.parquet")
+    pq.write_table(pa.table(
+        {"s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+         "s_name": pa.array([f"s{i}" for i in range(n_supp)]),
+         "s_nationkey": pa.array(
+             rng.integers(0, n_nat, n_supp).astype("int32")),
+         "s_acctbal": pa.array(rng.normal(0, 100, n_supp))}),
+        d / "supplier.parquet")
+    n_ord = 120
+    base = np.datetime64("1995-01-01", "us").astype(np.int64)
+    span_us = 2 * 365 * 86_400_000_000
+    odate = base + rng.integers(0, span_us, n_ord)
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+         "o_custkey": pa.array(rng.integers(0, n_cust, n_ord)),
+         "o_orderstatus": pa.array(rng.choice(["O", "F"], n_ord)),
+         "o_totalprice": pa.array(rng.uniform(100, 1e5, n_ord)),
+         "o_orderdate": pa.array(odate, pa.timestamp("us")),
+         "o_orderpriority": pa.array(
+             rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"], n_ord))}),
+        d / "orders.parquet")
+    n_li = 500
+    # ~10% of lineitems reference orderkeys that DON'T exist (inner joins
+    # must drop them); quantities/prices include exact .5 cents ties
+    okeys = rng.integers(0, int(n_ord * 1.1), n_li)
+    sdate = base + rng.integers(0, span_us, n_li)
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array(okeys.astype("int64")),
+         "l_partkey": pa.array(rng.integers(0, 50, n_li)),
+         "l_suppkey": pa.array(rng.integers(0, n_supp, n_li)),
+         "l_linenumber": pa.array(
+             rng.integers(1, 7, n_li).astype("int32")),
+         "l_quantity": pa.array(rng.integers(1, 50, n_li).astype("float64")),
+         "l_extendedprice": pa.array(
+             np.round(rng.uniform(10, 1e4, n_li), 2)),
+         "l_discount": pa.array(
+             rng.integers(0, 11, n_li).astype("float64") / 100.0),
+         "l_tax": pa.array(rng.integers(0, 9, n_li).astype("float64") / 100.0),
+         "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n_li)),
+         "l_linestatus": pa.array(rng.choice(["F", "O"], n_li)),
+         "l_shipdate": pa.array(sdate, pa.timestamp("us"))}),
+        d / "lineitem.parquet")
+
+
+@pytest.mark.parametrize("seed", [11, 22])
+def test_tpch_random_relational_sweep(ray_session, tmp_path_factory, seed):
+    d = tmp_path_factory.mktemp(f"tpch{seed}")
+    _random_tpch(seed, d)
+    for name in ("tpch_q1", "tpch_q3", "tpch_q5"):
+        res = QUERIES[name](str(d))
+        eng = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        ora = _oracle(name, str(d))
+        if len(eng) == 0 and len(ora) == 0:
+            continue
+        try:
+            pd.testing.assert_frame_equal(
+                _canon(eng), _canon(ora), check_dtype=False)
+        except AssertionError as e:
+            raise AssertionError(f"{name} diverged from oracle") from e

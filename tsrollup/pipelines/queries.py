@@ -6603,3 +6603,9 @@ from tsrollup.pipelines.docqueries import DOC_ORACLE_SQL, DOC_QUERIES  # noqa: E
 
 QUERIES.update(DOC_QUERIES)
 ORACLE_SQL.update(DOC_ORACLE_SQL)
+
+# classic TPC-H pipelines over the relational tables (multi-table joins)
+from tsrollup.pipelines.tpch import TPCH_ORACLE_SQL, TPCH_QUERIES  # noqa: E402
+
+QUERIES.update(TPCH_QUERIES)
+ORACLE_SQL.update(TPCH_ORACLE_SQL)

@@ -1,0 +1,463 @@
+"""Classic TPC-H pipelines over the driver's relational tables — the
+multi-table join / aggregate capability demo alongside the timeseries and
+corpus families. Three canonical shapes, all SQL-verified against DuckDB
+running the textbook query on the same parquet:
+
+- ``tpch_q1``  — pricing summary: single-table scan -> wide exact-integer
+  aggregate (no exchange beyond the tiny (flag, status) fold).
+- ``tpch_q3``  — shipping priority: broadcast dim filter (customer) ->
+  BIG-BIG hash join (orders x lineitem) via one orderkey exchange ->
+  global top-k.
+- ``tpch_q5``  — local supplier volume: two broadcast dims (customer and
+  supplier nation maps) -> orderkey exchange join -> nation fold, with
+  TPC-H's c_nationkey = s_nationkey twist applied inside the join.
+
+Exactness: every money aggregate runs on integer cents derived as
+``FLOOR(x * 100)`` — the same double multiply+floor on both sides (the
+events-table recipe), so revenue4 = Σ cents·(100−disc_pct) and the Q1
+charge (scale 10^6) are exact integers; the only floats are one final
+division of exact integers per avg column. Partitioning assumptions:
+customer/supplier/nation/region are DIMENSION tables (broadcast via
+ray.put — the join_broadcast contract); orders and lineitem are FACTS
+and move through exactly one keyed exchange each. At extreme scale the
+int64 fold bounds are the documented HUGEINT caveat (the oracle already
+sums in HUGEINT).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tsrollup.shuffle import map_key_partitions, topk_rows
+from tsrollup.util import read_parquet_clean
+
+_US = 86_400_000_000  # µs per day
+
+# shared query constants — every oracle below is generated from these
+_Q1_CUTOFF = "1998-09-02"
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1995-03-15"
+_Q5_REGION = "ASIA"
+_Q5_LO, _Q5_HI = "1995-01-01", "1996-01-01"
+
+
+def _date_us(s: str) -> int:
+    return int(np.datetime64(s, "us").astype(np.int64))
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    """FLOOR(x * 100) as int64 — identical double arithmetic to DuckDB's
+    FLOOR(x * 100), the events-table exactness recipe."""
+    return np.floor(x * 100.0).astype(np.int64)
+
+
+def _fmt_date(us: np.ndarray) -> list:
+    """µs -> 'YYYY-MM-DD' via the vectorized civil-date conversion
+    (matches DuckDB strftime('%Y-%m-%d'))."""
+    from tsrollup.pipelines.queries import _civil_from_days
+
+    y, m, d = _civil_from_days(us // _US)
+    return [f"{yy:04d}-{mm:02d}-{dd:02d}" for yy, mm, dd in zip(y, m, d)]
+
+
+def _broadcast_column_pair(ds, key_col: str, val_col: str | None):
+    """Collect a DIMENSION table's (key[, value]) columns into sorted numpy
+    arrays and ship once via ray.put (the join_broadcast contract — dims
+    are bounded; facts never take this path)."""
+    import ray
+
+    keys, vals = [], []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        keys.append(b[key_col].to_numpy(zero_copy_only=False))
+        if val_col is not None:
+            vals.append(b[val_col].to_numpy(zero_copy_only=False))
+    k = np.concatenate(keys) if keys else np.array([], np.int64)
+    order = np.argsort(k, kind="stable")
+    k = k[order].astype(np.int64)
+    if val_col is None:
+        return ray.put((k, None))
+    v = np.concatenate(vals)[order].astype(np.int64)
+    return ray.put((k, v))
+
+
+def _lookup(ref, keys: np.ndarray):
+    """Membership mask + mapped values against a broadcast (key, value)
+    pair; one searchsorted per batch, zero-copy plasma read per task."""
+    import ray
+
+    k, v = ray.get(ref)
+    pos = np.searchsorted(k, keys)
+    ok = (pos < len(k)) & (k[np.minimum(pos, max(len(k) - 1, 0))] == keys) \
+        if len(k) else np.zeros(len(keys), bool)
+    vals = v[np.minimum(pos, max(len(k) - 1, 0))] if v is not None else None
+    return ok, vals
+
+
+def q_tpch_q1(sf_dir: str):
+    """TPC-H Q1 pricing summary: per (returnflag, linestatus) — quantity /
+    base price / discounted price / charge sums and averages over
+    lineitems shipped on or before the cutoff. One scan, per-batch Arrow
+    group partials, one six-row fold; sums exact at integer scales
+    10^2/10^4/10^6."""
+    from ray.data.aggregate import Sum
+
+    cutoff = _date_us(_Q1_CUTOFF)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"l_returnflag": pa.array([], pa.string()),
+             "l_linestatus": pa.array([], pa.string()),
+             **{c: pa.array([], pa.int64())
+                for c in ("sum_qty_c", "sum_base_c", "sum_disc4",
+                          "sum_charge6", "sum_disc_p", "n_rows")}}
+        )
+        keep = t["l_shipdate"].to_numpy(zero_copy_only=False).view(np.int64) <= cutoff
+        if not keep.any():
+            return empty
+        t = t.filter(pa.array(keep))
+        qc = _cents(t["l_quantity"].to_numpy(zero_copy_only=False))
+        ec = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        dp = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
+        tp = _cents(t["l_tax"].to_numpy(zero_copy_only=False))
+        disc4 = ec * (100 - dp)
+        g = pa.table(
+            {"l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+             "sum_qty_c": pa.array(qc), "sum_base_c": pa.array(ec),
+             "sum_disc4": pa.array(disc4),
+             "sum_charge6": pa.array(disc4 * (100 + tp)),
+             "sum_disc_p": pa.array(dp),
+             "n_rows": pa.array(np.ones(t.num_rows, np.int64))}
+        ).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [(c, "sum") for c in ("sum_qty_c", "sum_base_c", "sum_disc4",
+                                  "sum_charge6", "sum_disc_p", "n_rows")]
+        )
+        return pa.table(
+            {"l_returnflag": g["l_returnflag"], "l_linestatus": g["l_linestatus"],
+             **{c: g[f"{c}_sum"].cast(pa.int64())
+                for c in ("sum_qty_c", "sum_base_c", "sum_disc4",
+                          "sum_charge6", "sum_disc_p", "n_rows")}}
+        )
+
+    folded = (
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+        )
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(*[Sum(c, alias_name=c)
+                     for c in ("sum_qty_c", "sum_base_c", "sum_disc4",
+                               "sum_charge6", "sum_disc_p", "n_rows")])
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("avg_qty", pa.array([], pa.float64())) \
+                    .append_column("avg_price", pa.array([], pa.float64())) \
+                    .append_column("avg_disc", pa.array([], pa.float64()))
+        n = t["n_rows"].to_numpy(zero_copy_only=False)
+        out = dict(zip(t.column_names, t.columns))
+        for name, col in (("avg_qty", "sum_qty_c"), ("avg_price", "sum_base_c"),
+                          ("avg_disc", "sum_disc_p")):
+            s = t[col].to_numpy(zero_copy_only=False)
+            # CAST(S AS DOUBLE) / (100 * n): numerator rounded to double
+            # FIRST, exactly like the oracle
+            out[name] = pa.array(
+                np.round(s.astype(np.float64) / (100.0 * n), 6))
+        return pa.table(out)
+
+    return folded.map_batches(_final, batch_format="pyarrow")
+
+
+_Q3_SCHEMA = pa.schema(
+    [("l_orderkey", pa.int64()), ("odate", pa.int64()), ("prio", pa.string()),
+     ("rev4", pa.int64()), ("side", pa.int8())]
+)
+
+
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shipping priority: top-10 open orders by discounted
+    revenue for one market segment. Plan: the customer DIM filtered to
+    the segment broadcasts as a sorted key array; orders and lineitem
+    FACTS are pre-filtered per batch (segment membership via one
+    searchsorted; date cuts) and meet in ONE orderkey-keyed exchange
+    where the join + revenue fold run vectorized per partition; the
+    global top-10 uses the lossless per-block prune (rows are
+    orderkey-unique after the fold)."""
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], _Q3_SEGMENT))
+        .select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    cust_ref = _broadcast_column_pair(cust, "c_custkey", None)
+    date_us = _date_us(_Q3_DATE)
+
+    def _orders(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).view(np.int64)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        ok, _ = _lookup(cust_ref, ck)
+        keep = ok & (od < date_us)
+        n = int(keep.sum())
+        return pa.table(
+            {"l_orderkey": pa.array(
+                t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+             "odate": pa.array(od[keep]),
+             "prio": t["o_orderpriority"].filter(pa.array(keep)),
+             "rev4": pa.array(np.zeros(n, np.int64)),
+             "side": pa.array(np.zeros(n, np.int8))}, schema=_Q3_SCHEMA
+        )
+
+    def _items(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).view(np.int64)
+        keep = sd > date_us
+        n = int(keep.sum())
+        ec = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
+        dp = _cents(t["l_discount"].to_numpy(zero_copy_only=False)[keep])
+        return pa.table(
+            {"l_orderkey": pa.array(
+                t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+             "odate": pa.array(np.zeros(n, np.int64)),
+             "prio": pa.array([""] * n, pa.string()),
+             "rev4": pa.array(ec * (100 - dp)),
+             "side": pa.array(np.ones(n, np.int8))}, schema=_Q3_SCHEMA
+        )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(_orders, batch_format="pyarrow")
+    items = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(_items, batch_format="pyarrow")
+
+    def _join_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"l_orderkey": pa.array([], pa.int64()),
+             "revenue4": pa.array([], pa.int64()),
+             "o_orderdate": pa.array([], pa.string()),
+             "o_orderpriority": pa.array([], pa.string())}
+        )
+        if t.num_rows == 0:
+            return empty
+        side = t["side"].to_numpy(zero_copy_only=False)
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        om = side == 0
+        o_keys = keys[om]
+        if not len(o_keys):
+            return empty
+        so = np.argsort(o_keys, kind="stable")   # orderkeys are unique
+        o_sorted = o_keys[so]
+        l_keys = keys[~om]
+        pos = np.searchsorted(o_sorted, l_keys)
+        ok = (pos < len(o_sorted)) & (
+            o_sorted[np.minimum(pos, len(o_sorted) - 1)] == l_keys)
+        if not ok.any():
+            return empty
+        rev = np.zeros(len(o_sorted), np.int64)
+        np.add.at(rev, pos[ok],
+                  t["rev4"].to_numpy(zero_copy_only=False)[~om][ok])
+        hit = rev > 0
+        odate = t["odate"].to_numpy(zero_copy_only=False)[om][so][hit]
+        prio = t["prio"].to_numpy(zero_copy_only=False)[om][so][hit]
+        return pa.table(
+            {"l_orderkey": pa.array(o_sorted[hit]),
+             "revenue4": pa.array(rev[hit]),
+             "o_orderdate": pa.array(_fmt_date(odate), pa.string()),
+             "o_orderpriority": pa.array(prio, pa.string())}
+        )
+
+    joined = map_key_partitions(orders.union(items), ["l_orderkey"], _join_block)
+    return topk_rows(joined, ["revenue4", "l_orderkey"], [True, False], 10)
+
+
+_Q5_SCHEMA = pa.schema(
+    [("l_orderkey", pa.int64()), ("nat", pa.int64()), ("rev4", pa.int64()),
+     ("side", pa.int8())]
+)
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 local supplier volume: revenue per nation in one region
+    from orders in a date year, counting only lineitems whose SUPPLIER
+    sits in the customer's own nation (the c_nationkey = s_nationkey
+    twist that makes Q5 a join-order classic). Plan: nation/region/
+    customer/supplier are DIMS — region membership resolves driver-side
+    (25 nations), customer->nation and supplier->nation broadcast as
+    sorted pairs; the two FACTS meet in one orderkey exchange where the
+    nation-equality filter and the per-nation fold run vectorized."""
+    import duckdb
+
+    from ray.data.aggregate import Sum
+
+    # 25-row dims: resolve the region's nation set + names driver-side
+    con = duckdb.connect()
+    nat = con.execute(
+        f"""SELECT n_nationkey, n_name
+            FROM read_parquet('{sf_dir}/nation.parquet') n
+            JOIN read_parquet('{sf_dir}/region.parquet') r
+              ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = '{_Q5_REGION}' ORDER BY 1"""
+    ).fetchall()
+    con.close()
+    nat_keys = np.array([k for k, _ in nat], np.int64)
+    nat_names = {int(k): n for k, n in nat}
+
+    cust_ref = _broadcast_column_pair(
+        read_parquet_clean(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"]),
+        "c_custkey", "c_nationkey")
+    supp_ref = _broadcast_column_pair(
+        read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]),
+        "s_suppkey", "s_nationkey")
+    lo, hi = _date_us(_Q5_LO), _date_us(_Q5_HI)
+
+    def _orders(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).view(np.int64)
+        ok, cn = _lookup(cust_ref, t["o_custkey"].to_numpy(zero_copy_only=False))
+        keep = ok & (od >= lo) & (od < hi) & np.isin(cn, nat_keys)
+        n = int(keep.sum())
+        return pa.table(
+            {"l_orderkey": pa.array(
+                t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+             "nat": pa.array(cn[keep]),
+             "rev4": pa.array(np.zeros(n, np.int64)),
+             "side": pa.array(np.zeros(n, np.int8))}, schema=_Q5_SCHEMA
+        )
+
+    def _items(t: pa.Table) -> pa.Table:
+        ok, sn = _lookup(supp_ref, t["l_suppkey"].to_numpy(zero_copy_only=False))
+        keep = ok & np.isin(sn, nat_keys)
+        ec = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
+        dp = _cents(t["l_discount"].to_numpy(zero_copy_only=False)[keep])
+        return pa.table(
+            {"l_orderkey": pa.array(
+                t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+             "nat": pa.array(sn[keep]),
+             "rev4": pa.array(ec * (100 - dp)),
+             "side": pa.array(np.ones(int(keep.sum()), np.int8))},
+            schema=_Q5_SCHEMA
+        )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(_orders, batch_format="pyarrow")
+    items = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_items, batch_format="pyarrow")
+
+    def _join_block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"nat": pa.array([], pa.int64()),
+                          "revenue4": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        side = t["side"].to_numpy(zero_copy_only=False)
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        om = side == 0
+        o_keys = keys[om]
+        if not len(o_keys):
+            return empty
+        so = np.argsort(o_keys, kind="stable")
+        o_sorted, o_nat = o_keys[so], t["nat"].to_numpy(zero_copy_only=False)[om][so]
+        l_keys = keys[~om]
+        pos = np.searchsorted(o_sorted, l_keys)
+        ok = (pos < len(o_sorted)) & (
+            o_sorted[np.minimum(pos, len(o_sorted) - 1)] == l_keys)
+        l_nat = t["nat"].to_numpy(zero_copy_only=False)[~om]
+        ok &= o_nat[np.minimum(pos, len(o_sorted) - 1)] == l_nat
+        if not ok.any():
+            return empty
+        # fold revenue by nationkey inside the partition (nations <= 25)
+        nk, inv = np.unique(l_nat[ok], return_inverse=True)
+        rev = np.zeros(len(nk), np.int64)
+        np.add.at(rev, inv, t["rev4"].to_numpy(zero_copy_only=False)[~om][ok])
+        return pa.table({"nat": pa.array(nk), "revenue4": pa.array(rev)})
+
+    folded = (
+        map_key_partitions(orders.union(items), ["l_orderkey"], _join_block)
+        .groupby("nat")
+        .aggregate(Sum("revenue4", alias_name="revenue4"))
+    )
+
+    def _name(t: pa.Table) -> pa.Table:
+        names = [nat_names[int(k)] for k in
+                 t["nat"].to_numpy(zero_copy_only=False)]
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "revenue4": t["revenue4"].cast(pa.int64())})
+
+    out = folded.map_batches(_name, batch_format="pyarrow").to_pandas()
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+TPCH_QUERIES = {
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+}
+
+_Q1_SQL_BODY = f"""
+    WITH b AS (SELECT l_returnflag, l_linestatus,
+                      CAST(FLOOR(l_quantity * 100) AS BIGINT) AS qc,
+                      CAST(FLOOR(l_extendedprice * 100) AS HUGEINT) AS ec,
+                      CAST(FLOOR(l_discount * 100) AS BIGINT) AS dp,
+                      CAST(FLOOR(l_tax * 100) AS BIGINT) AS tp
+               FROM lineitem
+               WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}')
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(qc) AS BIGINT) AS sum_qty_c,
+           CAST(SUM(ec) AS BIGINT) AS sum_base_c,
+           CAST(SUM(ec * (100 - dp)) AS BIGINT) AS sum_disc4,
+           CAST(SUM(ec * (100 - dp) * (100 + tp)) AS BIGINT) AS sum_charge6,
+           CAST(SUM(dp) AS BIGINT) AS sum_disc_p,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(qc) AS DOUBLE) / (100 * COUNT(*)), 6) AS avg_qty,
+           ROUND(CAST(SUM(ec) AS DOUBLE) / (100 * COUNT(*)), 6) AS avg_price,
+           ROUND(CAST(SUM(dp) AS DOUBLE) / (100 * COUNT(*)), 6) AS avg_disc
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+TPCH_ORACLE_SQL = {
+    "tpch_q1": _Q1_SQL_BODY,
+    "tpch_q3": f"""
+        SELECT l.l_orderkey AS l_orderkey,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS HUGEINT)
+                        * (100 - CAST(FLOOR(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue4,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o.o_orderpriority AS o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+          AND o.o_orderdate < TIMESTAMP '{_Q3_DATE}'
+          AND l.l_shipdate > TIMESTAMP '{_Q3_DATE}'
+        GROUP BY 1, 3, 4
+        ORDER BY revenue4 DESC, l_orderkey LIMIT 10
+    """,
+    "tpch_q5": f"""
+        SELECT n.n_name AS n_name,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS HUGEINT)
+                        * (100 - CAST(FLOOR(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue4
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE c.c_nationkey = s.s_nationkey
+          AND r.r_name = '{_Q5_REGION}'
+          AND o.o_orderdate >= TIMESTAMP '{_Q5_LO}'
+          AND o.o_orderdate < TIMESTAMP '{_Q5_HI}'
+        GROUP BY 1 ORDER BY 1
+    """,
+}
