@@ -173,6 +173,50 @@ def q_tpch_q1(sf_dir: str):
     return folded.map_batches(_final, batch_format="pyarrow")
 
 
+_Q6_LO, _Q6_HI = "1995-01-01", "1996-01-01"
+_Q6_DISC_LO, _Q6_DISC_HI, _Q6_QTY = 5, 7, 2400  # integer cents/pct bounds
+
+
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 forecasting revenue change: one filtered global aggregate —
+    Σ extendedprice·discount over a ship-year, discount band and quantity
+    cap. The filter runs on the SAME integer forms the oracle uses
+    (FLOOR(d*100) ∈ [5,7]; FLOOR(q*100) < 2400 ⟺ q < 24), so the
+    predicate can never straddle a float boundary differently on the two
+    sides; revenue is an exact integer at scale 10^4. Embarrassingly
+    parallel: per-batch partial sums, one single-row fold."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = _date_us(_Q6_LO), _date_us(_Q6_HI)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).view(np.int64)
+        dp = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
+        qc = _cents(t["l_quantity"].to_numpy(zero_copy_only=False))
+        keep = ((sd >= lo) & (sd < hi) & (dp >= _Q6_DISC_LO)
+                & (dp <= _Q6_DISC_HI) & (qc < _Q6_QTY))
+        ec = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
+        return pa.table(
+            {"revenue4": pa.array([int((ec * dp[keep]).sum())], pa.int64()),
+             "n_rows": pa.array([int(keep.sum())], pa.int64())}
+        )
+
+    agg = (
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_shipdate", "l_discount", "l_quantity",
+                     "l_extendedprice"],
+        )
+        .map_batches(_partial, batch_format="pyarrow")
+        .aggregate(Sum("revenue4", alias_name="revenue4"),
+                   Sum("n_rows", alias_name="n_rows"))
+    )
+    return pd.DataFrame(
+        [{"revenue4": np.int64(agg["revenue4"] or 0),
+          "n_rows": np.int64(agg["n_rows"] or 0)}]
+    )
+
+
 _Q3_SCHEMA = pa.schema(
     [("l_orderkey", pa.int64()), ("odate", pa.int64()), ("prio", pa.string()),
      ("rev4", pa.int64()), ("side", pa.int8())]
@@ -402,6 +446,7 @@ TPCH_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
 }
 
 _Q1_SQL_BODY = f"""
@@ -427,6 +472,18 @@ _Q1_SQL_BODY = f"""
 
 TPCH_ORACLE_SQL = {
     "tpch_q1": _Q1_SQL_BODY,
+    "tpch_q6": f"""
+        SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)
+                        * CAST(FLOOR(l_discount * 100) AS BIGINT))
+                    AS BIGINT) AS revenue4,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{_Q6_LO}'
+          AND l_shipdate < TIMESTAMP '{_Q6_HI}'
+          AND CAST(FLOOR(l_discount * 100) AS BIGINT)
+              BETWEEN {_Q6_DISC_LO} AND {_Q6_DISC_HI}
+          AND CAST(FLOOR(l_quantity * 100) AS BIGINT) < {_Q6_QTY}
+    """,
     "tpch_q3": f"""
         SELECT l.l_orderkey AS l_orderkey,
                CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS HUGEINT)
