@@ -14,7 +14,8 @@ import pytest
 
 from tsrollup.pipelines.queries import ORACLE_SQL, QUERIES
 
-TPCH_TABLES = ["region", "nation", "customer", "supplier", "orders", "lineitem"]
+TPCH_TABLES = ["region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem"]
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -38,7 +39,7 @@ def _oracle(name: str, sf_dir: str) -> pd.DataFrame:
     return con.execute(ORACLE_SQL[name]).df()
 
 
-@pytest.mark.parametrize("name", ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6"])
+@pytest.mark.parametrize("name", ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q14", "tpch_q18"])
 def test_tpch_sf0001_matches_oracle(ray_session, name):
     sf = "/root/testdata/sf0.001"
     res = QUERIES[name](sf)
@@ -76,6 +77,16 @@ def _random_tpch(seed: int, d) -> None:
              rng.integers(0, n_nat, n_supp).astype("int32")),
          "s_acctbal": pa.array(rng.normal(0, 100, n_supp))}),
         d / "supplier.parquet")
+    n_part = 50
+    pq.write_table(pa.table(
+        {"p_partkey": pa.array(np.arange(n_part), pa.int64()),
+         "p_name": pa.array([f"p{i}" for i in range(n_part)]),
+         "p_brand": pa.array(rng.choice(["Brand#1", "Brand#2"], n_part)),
+         "p_type": pa.array(rng.choice(["PROMO", "STANDARD", "ECONOMY"],
+                                       n_part)),
+         "p_size": pa.array(rng.integers(1, 50, n_part).astype("int32")),
+         "p_retailprice": pa.array(rng.uniform(10, 2000, n_part))}),
+        d / "part.parquet")
     n_ord = 120
     base = np.datetime64("1995-01-01", "us").astype(np.int64)
     span_us = 2 * 365 * 86_400_000_000
@@ -116,7 +127,7 @@ def _random_tpch(seed: int, d) -> None:
 def test_tpch_random_relational_sweep(ray_session, tmp_path_factory, seed):
     d = tmp_path_factory.mktemp(f"tpch{seed}")
     _random_tpch(seed, d)
-    for name in ("tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6"):
+    for name in ("tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q14", "tpch_q18"):
         res = QUERIES[name](str(d))
         eng = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         ora = _oracle(name, str(d))

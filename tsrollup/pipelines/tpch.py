@@ -442,11 +442,219 @@ def q_tpch_q5(sf_dir: str):
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+_Q14_LO, _Q14_HI = "1995-09-01", "1995-10-01"
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 promotion effect: the revenue share of PROMO parts in one
+    ship-month. The part DIM broadcasts as a sorted (partkey, is_promo)
+    pair; lineitem folds two exact revenue sums per batch and the ratio
+    is one float division of the two integers, 6dp. Single-row result."""
+    from ray.data.aggregate import Sum
+
+    part_ref = _broadcast_column_pair(
+        read_parquet_clean(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+        .map_batches(
+            lambda t: pa.table(
+                {"p_partkey": t["p_partkey"],
+                 "is_promo": pc.starts_with(t["p_type"], "PROMO")
+                 .cast(pa.int64())}),
+            batch_format="pyarrow"),
+        "p_partkey", "is_promo")
+    lo, hi = _date_us(_Q14_LO), _date_us(_Q14_HI)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).view(np.int64)
+        keep = (sd >= lo) & (sd < hi)
+        ok, promo = _lookup(part_ref, t["l_partkey"].to_numpy(
+            zero_copy_only=False)[keep])
+        ec = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
+        dp = _cents(t["l_discount"].to_numpy(zero_copy_only=False)[keep])
+        rev = (ec * (100 - dp))[ok]
+        pm = promo[ok] if len(ok) else np.array([], np.int64)
+        return pa.table(
+            {"promo_rev4": pa.array([int((rev * pm).sum())], pa.int64()),
+             "total_rev4": pa.array([int(rev.sum())], pa.int64())}
+        )
+
+    agg = (
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"],
+        )
+        .map_batches(_partial, batch_format="pyarrow")
+        .aggregate(Sum("promo_rev4", alias_name="promo_rev4"),
+                   Sum("total_rev4", alias_name="total_rev4"))
+    )
+    p, t = np.int64(agg["promo_rev4"] or 0), np.int64(agg["total_rev4"] or 0)
+    if t == 0:
+        return pd.DataFrame({"promo_rev4": pd.Series(dtype=np.int64),
+                             "total_rev4": pd.Series(dtype=np.int64),
+                             "promo_pct": pd.Series(dtype=np.float64)})
+    return pd.DataFrame(
+        [{"promo_rev4": p, "total_rev4": t,
+          "promo_pct": round(100.0 * float(p) / float(t), 6)}]
+    )
+
+
+_Q18_QTY_C = 30000  # HAVING sum(l_quantity) > 300, in integer cents scale
+
+_Q18_SCHEMA = pa.schema(
+    [("l_orderkey", pa.int64()), ("custkey", pa.int64()), ("odate", pa.int64()),
+     ("price_c", pa.int64()), ("qty_c", pa.int64()), ("side", pa.int8())]
+)
+
+
+def _q18_big_rows(t: pa.Table) -> pa.Table:
+    """Threshold the per-order quantity fold and shape it for the union
+    exchange (side 1 rows)."""
+    q = t["qty_c"].cast(pa.int64())
+    mask = pc.greater(q, _Q18_QTY_C)
+    keys = t["l_orderkey"].cast(pa.int64()).filter(mask)
+    qv = q.filter(mask)
+    z = pa.array(np.zeros(len(keys), np.int64))
+    return pa.table(
+        {"l_orderkey": keys, "custkey": z, "odate": z, "price_c": z,
+         "qty_c": qv, "side": pa.array(np.ones(len(keys), np.int8))},
+        schema=_Q18_SCHEMA
+    )
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 large-volume customers — the aggregate-then-join
+    (HAVING semi-join) shape: pass 1 folds per-order quantities
+    (orderkey groupby) and keeps orders over the threshold; the
+    surviving aggregate rows then meet the orders FACT in a second
+    orderkey exchange (an aggregate-driven semi join — the big-keys
+    set is a Dataset, never a driver list); customer names resolve via
+    one broadcast dim lookup at the end. Top-100 by (totalprice desc,
+    orderdate, orderkey) through the lossless per-block prune."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _qty_partial(t: pa.Table) -> pa.Table:
+        qc = _cents(t["l_quantity"].to_numpy(zero_copy_only=False))
+        g = pa.table(
+            {"l_orderkey": t["l_orderkey"], "qty_c": pa.array(qc)}
+        ).group_by(["l_orderkey"]).aggregate([("qty_c", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "qty_c": g["qty_c_sum"].cast(pa.int64())})
+
+    big = (
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_quantity"])
+        .map_batches(_qty_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty_c", alias_name="qty_c"))
+        .map_batches(_q18_big_rows, batch_format="pyarrow")
+    )
+
+    def _orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {"l_orderkey": t["o_orderkey"].cast(pa.int64()),
+             "custkey": t["o_custkey"].cast(pa.int64()),
+             "odate": pa.array(t["o_orderdate"].to_numpy(
+                 zero_copy_only=False).view(np.int64)),
+             "price_c": pa.array(_cents(t["o_totalprice"].to_numpy(
+                 zero_copy_only=False))),
+             "qty_c": pa.array(np.zeros(n, np.int64)),
+             "side": pa.array(np.zeros(n, np.int8))}, schema=_Q18_SCHEMA
+        )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(_orders, batch_format="pyarrow")
+
+    def _join_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"l_orderkey": pa.array([], pa.int64()),
+             "custkey": pa.array([], pa.int64()),
+             "odate": pa.array([], pa.int64()),
+             "price_c": pa.array([], pa.int64()),
+             "sum_qty_c": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        side = t["side"].to_numpy(zero_copy_only=False)
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        om = side == 0
+        o_keys = keys[om]
+        b_keys = keys[~om]
+        if not len(o_keys) or not len(b_keys):
+            return empty
+        so = np.argsort(o_keys, kind="stable")
+        o_sorted = o_keys[so]
+        pos = np.searchsorted(o_sorted, b_keys)
+        ok = (pos < len(o_sorted)) & (
+            o_sorted[np.minimum(pos, len(o_sorted) - 1)] == b_keys)
+        if not ok.any():
+            return empty
+        oi = so[pos[ok]]
+        return pa.table(
+            {"l_orderkey": pa.array(keys[om][oi]),
+             "custkey": pa.array(t["custkey"].to_numpy(
+                 zero_copy_only=False)[om][oi]),
+             "odate": pa.array(t["odate"].to_numpy(
+                 zero_copy_only=False)[om][oi]),
+             "price_c": pa.array(t["price_c"].to_numpy(
+                 zero_copy_only=False)[om][oi]),
+             "sum_qty_c": pa.array(t["qty_c"].to_numpy(
+                 zero_copy_only=False)[~om][ok])}
+        )
+
+    joined = map_key_partitions(orders.union(big), ["l_orderkey"], _join_block)
+    top = topk_rows(joined, ["price_c", "odate", "l_orderkey"],
+                    [True, False, False], 100)
+
+    name_keys, name_vals = [], []
+    for b in read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).iter_batches(batch_format="pyarrow"):
+        name_keys.append(b["c_custkey"].to_numpy(zero_copy_only=False))
+        name_vals.append(np.asarray(b["c_name"].to_pylist(), dtype=object))
+    nk = np.concatenate(name_keys)
+    order = np.argsort(nk, kind="stable")
+    names_ref = ray.put((nk[order].astype(np.int64),
+                         np.concatenate(name_vals)[order]))
+
+    def _name(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"c_name": pa.array([], pa.string()),
+                 "o_custkey": pa.array([], pa.int64()),
+                 "l_orderkey": pa.array([], pa.int64()),
+                 "o_orderdate": pa.array([], pa.string()),
+                 "price_c": pa.array([], pa.int64()),
+                 "sum_qty_c": pa.array([], pa.int64())}
+            )
+        k, v = ray.get(names_ref)
+        ck = t["custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(k, ck)
+        return pa.table(
+            {"c_name": pa.array(v[pos], pa.string()),
+             "o_custkey": pa.array(ck),
+             "l_orderkey": t["l_orderkey"],
+             "o_orderdate": pa.array(
+                 _fmt_date(t["odate"].to_numpy(zero_copy_only=False)),
+                 pa.string()),
+             "price_c": t["price_c"],
+             "sum_qty_c": t["sum_qty_c"]}
+        )
+
+    return top.map_batches(_name, batch_format="pyarrow")
+
+
 TPCH_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
 }
 
 _Q1_SQL_BODY = f"""
@@ -483,6 +691,38 @@ TPCH_ORACLE_SQL = {
           AND CAST(FLOOR(l_discount * 100) AS BIGINT)
               BETWEEN {_Q6_DISC_LO} AND {_Q6_DISC_HI}
           AND CAST(FLOOR(l_quantity * 100) AS BIGINT) < {_Q6_QTY}
+    """,
+    "tpch_q14": f"""
+        WITH b AS (SELECT CAST(FLOOR(l.l_extendedprice * 100) AS HUGEINT)
+                          * (100 - CAST(FLOOR(l.l_discount * 100) AS BIGINT))
+                              AS rev4,
+                          CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END
+                              AS promo
+                   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                   WHERE l.l_shipdate >= TIMESTAMP '{_Q14_LO}'
+                     AND l.l_shipdate < TIMESTAMP '{_Q14_HI}')
+        SELECT CAST(SUM(rev4 * promo) AS BIGINT) AS promo_rev4,
+               CAST(SUM(rev4) AS BIGINT) AS total_rev4,
+               ROUND(100 * CAST(SUM(rev4 * promo) AS DOUBLE)
+                     / CAST(SUM(rev4) AS DOUBLE), 6) AS promo_pct
+        FROM b HAVING SUM(rev4) > 0
+    """,
+    "tpch_q18": f"""
+        WITH big AS (SELECT l_orderkey,
+                            SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT))
+                                AS sum_qty_c
+                     FROM lineitem GROUP BY 1
+                     HAVING SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT))
+                            > {_Q18_QTY_C})
+        SELECT c.c_name AS c_name, o.o_custkey AS o_custkey,
+               o.o_orderkey AS l_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS price_c,
+               CAST(big.sum_qty_c AS BIGINT) AS sum_qty_c
+        FROM big
+        JOIN orders o ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY price_c DESC, o.o_orderdate, l_orderkey LIMIT 100
     """,
     "tpch_q3": f"""
         SELECT l.l_orderkey AS l_orderkey,
