@@ -93,7 +93,9 @@ def _random_tpch(seed: int, d) -> None:
     odate = base + rng.integers(0, span_us, n_ord)
     pq.write_table(pa.table(
         {"o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
-         "o_custkey": pa.array(rng.integers(0, n_cust, n_ord)),
+         # ~8% of orders reference custkeys that DON'T exist (the inner
+         # join to customer must drop them BEFORE any LIMIT window)
+         "o_custkey": pa.array(rng.integers(0, int(n_cust * 1.08), n_ord)),
          "o_orderstatus": pa.array(rng.choice(["O", "F"], n_ord)),
          "o_totalprice": pa.array(rng.uniform(100, 1e5, n_ord)),
          "o_orderdate": pa.array(odate, pa.timestamp("us")),
@@ -112,8 +114,11 @@ def _random_tpch(seed: int, d) -> None:
          "l_linenumber": pa.array(
              rng.integers(1, 7, n_li).astype("int32")),
          "l_quantity": pa.array(rng.integers(1, 50, n_li).astype("float64")),
-         "l_extendedprice": pa.array(
-             np.round(rng.uniform(10, 1e4, n_li), 2)),
+         # include sub-cent prices (floor to 0 cents) so zero-revenue
+         # join groups exercise the matched-vs-positive distinction
+         "l_extendedprice": pa.array(np.where(
+             rng.random(n_li) < 0.05, 0.004,
+             np.round(rng.uniform(10, 1e4, n_li), 2))),
          "l_discount": pa.array(
              rng.integers(0, 11, n_li).astype("float64") / 100.0),
          "l_tax": pa.array(rng.integers(0, 9, n_li).astype("float64") / 100.0),

@@ -191,9 +191,10 @@ def q_gapfill_1m_linear(sf_dir: str):
         vals = t["sum_tok"].take(order).to_numpy(zero_copy_only=False)
         full, filled_vals, filled = gapfill_series(buckets, vals, "linear")
         n = len(full)
-        # half-up rounding (DuckDB ROUND semantics): interpolated integer-cent
-        # series land EXACTLY on .5 ties, where numpy's banker's rounding differs
-        rounded = np.floor(filled_vals * 1e6 + 0.5) / 1e6
+        # DuckDB ROUND semantics (half away from zero): interpolated
+        # integer-cent series land EXACTLY on .5 ties, where numpy's
+        # banker's rounding differs
+        rounded = _round6(filled_vals)
         return pa.table(
             {
                 "source": pa.array([t["source"][0].as_py()] * n),
@@ -2982,6 +2983,16 @@ _SD_W = 121  # centered moving-average trend window (2h: sf0.001 series are
 # test scale — a 0-row Dataset loses its schema through to_pandas)
 
 
+def _round6(x):
+    """ROUND(x, 6) with DuckDB semantics — half AWAY FROM ZERO. numpy's
+    np.round and Python's round() are half-to-even and diverge on exact
+    .5 ties (e.g. 1/3200 = 0.0003125 -> 0.000312 vs DuckDB 0.000313),
+    which integer-ratio expressions hit routinely. Works on scalars and
+    arrays."""
+    ax = np.abs(x)
+    return np.sign(x) * np.floor(ax * 1e6 + 0.5) / 1e6
+
+
 def _centered_resid(buckets: np.ndarray, x: np.ndarray, window: int):
     """Scaled centered-window residual d = W*x − window_sum plus the
     hour-of-day of each full-window row, shared by seasonal_detrend and
@@ -4784,7 +4795,7 @@ def q_fano_factor(sf_dir: str):
         return pd.DataFrame(
             {"source": [df["source"].iloc[0]],
              "n_buckets": np.array([n], np.int64),
-             "fano": [round(float(n * s2 - s * s) / float(n * s), 6)]}
+             "fano": [float(_round6(float(n * s2 - s * s) / float(n * s)))]}
         )
 
     return map_key_groups(_rolled_events(sf_dir), ["source"], _ff,
@@ -4820,6 +4831,9 @@ def q_dominant_period(sf_dir: str, lags: tuple = _DP_LAGS):
         df = df.sort_values("bucket")
         b = df["bucket"].to_numpy().astype(np.int64)
         x = df["sum_tok"].to_numpy().astype(np.int64)
+        if len(x) and int(np.abs(x).max(initial=0)) ** 2 * len(x) >= 2**62:
+            x = x.astype(object)   # pair-product sums in bignum (the
+            # theil_sen/bollinger guard; the oracle sums in HUGEINT)
         best = None  # (-r, lag) minimized == (r desc, lag asc)
         for lag in lags:
             idx = np.searchsorted(b, b + lag)
@@ -4834,10 +4848,9 @@ def q_dominant_period(sf_dir: str, lags: tuple = _DP_LAGS):
             da, db_ = n * sxx - sx * sx, n * syy - sy * sy
             if da <= 0 or db_ <= 0:
                 continue
-            r = round(
-                (n * sxy - sx * sy) / (np.sqrt(float(da)) * np.sqrt(float(db_))),
-                6,
-            )
+            r = float(_round6(
+                (n * sxy - sx * sy) / (np.sqrt(float(da)) * np.sqrt(float(db_)))
+            ))
             if best is None or (-r, lag) < best[0]:
                 best = ((-r, lag), n)
         if best is None:
@@ -4950,7 +4963,7 @@ def q_gini_sources(sf_dir: str):
         return pd.DataFrame(
             {"source": [df["source"].iloc[0]],
              "n_buckets": np.array([n], np.int64),
-             "gini": [round(float(num) / float(den), 6)]}
+             "gini": [float(_round6(float(num) / float(den)))]}
         )
 
     return map_key_groups(_rolled_events(sf_dir), ["source"], _gi,

@@ -63,23 +63,45 @@ def _fmt_date(us: np.ndarray) -> list:
     return [f"{yy:04d}-{mm:02d}-{dd:02d}" for yy, mm, dd in zip(y, m, d)]
 
 
-def _broadcast_column_pair(ds, key_col: str, val_col: str | None):
+def _match_sorted(sorted_keys: np.ndarray, probe: np.ndarray):
+    """(membership mask, clamped positions) of ``probe`` keys against a
+    SORTED unique key array — the one searchsorted-merge idiom shared by
+    the broadcast lookups and every exchange join block in this file.
+    Empty key arrays yield an all-False mask (matching inner-join
+    semantics) instead of indexing errors."""
+    if not len(sorted_keys):
+        return np.zeros(len(probe), bool), np.zeros(len(probe), np.int64)
+    pos = np.searchsorted(sorted_keys, probe)
+    posc = np.minimum(pos, len(sorted_keys) - 1)
+    return sorted_keys[posc] == probe, posc
+
+
+def _broadcast_column_pair(ds, key_col: str, val_col: str | None,
+                           str_vals: bool = False):
     """Collect a DIMENSION table's (key[, value]) columns into sorted numpy
     arrays and ship once via ray.put (the join_broadcast contract — dims
-    are bounded; facts never take this path)."""
+    are bounded; facts never take this path). ``str_vals`` keeps the value
+    column as an object array (e.g. customer names)."""
     import ray
 
     keys, vals = [], []
     for b in ds.iter_batches(batch_format="pyarrow"):
         keys.append(b[key_col].to_numpy(zero_copy_only=False))
         if val_col is not None:
-            vals.append(b[val_col].to_numpy(zero_copy_only=False))
-    k = np.concatenate(keys) if keys else np.array([], np.int64)
+            vals.append(np.asarray(b[val_col].to_pylist(), dtype=object)
+                        if str_vals
+                        else b[val_col].to_numpy(zero_copy_only=False))
+    k = (np.concatenate(keys) if keys else np.array([], np.int64)).astype(np.int64)
     order = np.argsort(k, kind="stable")
-    k = k[order].astype(np.int64)
+    k = k[order]
     if val_col is None:
         return ray.put((k, None))
-    v = np.concatenate(vals)[order].astype(np.int64)
+    if vals:
+        v = np.concatenate(vals)[order]
+        if not str_vals:
+            v = v.astype(np.int64)
+    else:
+        v = np.array([], dtype=object if str_vals else np.int64)
     return ray.put((k, v))
 
 
@@ -89,10 +111,10 @@ def _lookup(ref, keys: np.ndarray):
     import ray
 
     k, v = ray.get(ref)
-    pos = np.searchsorted(k, keys)
-    ok = (pos < len(k)) & (k[np.minimum(pos, max(len(k) - 1, 0))] == keys) \
-        if len(k) else np.zeros(len(keys), bool)
-    vals = v[np.minimum(pos, max(len(k) - 1, 0))] if v is not None else None
+    ok, posc = _match_sorted(k, keys)
+    if v is None:
+        return ok, None
+    vals = v[posc] if len(k) else np.zeros(len(keys), v.dtype)
     return ok, vals
 
 
@@ -155,6 +177,8 @@ def q_tpch_q1(sf_dir: str):
     )
 
     def _final(t: pa.Table) -> pa.Table:
+        from tsrollup.pipelines.queries import _round6
+
         if t.num_rows == 0:
             return t.append_column("avg_qty", pa.array([], pa.float64())) \
                     .append_column("avg_price", pa.array([], pa.float64())) \
@@ -165,9 +189,11 @@ def q_tpch_q1(sf_dir: str):
                           ("avg_disc", "sum_disc_p")):
             s = t[col].to_numpy(zero_copy_only=False)
             # CAST(S AS DOUBLE) / (100 * n): numerator rounded to double
-            # FIRST, exactly like the oracle
+            # FIRST, exactly like the oracle; _round6 = DuckDB ROUND
+            # (half away from zero), which these terminating-decimal
+            # ratios hit on exact .5 ties
             out[name] = pa.array(
-                np.round(s.astype(np.float64) / (100.0 * n), 6))
+                _round6(s.astype(np.float64) / (100.0 * n)))
         return pa.table(out)
 
     return folded.map_batches(_final, batch_format="pyarrow")
@@ -299,15 +325,17 @@ def q_tpch_q3(sf_dir: str):
         so = np.argsort(o_keys, kind="stable")   # orderkeys are unique
         o_sorted = o_keys[so]
         l_keys = keys[~om]
-        pos = np.searchsorted(o_sorted, l_keys)
-        ok = (pos < len(o_sorted)) & (
-            o_sorted[np.minimum(pos, len(o_sorted) - 1)] == l_keys)
+        ok, posc = _match_sorted(o_sorted, l_keys)
         if not ok.any():
             return empty
         rev = np.zeros(len(o_sorted), np.int64)
-        np.add.at(rev, pos[ok],
+        np.add.at(rev, posc[ok],
                   t["rev4"].to_numpy(zero_copy_only=False)[~om][ok])
-        hit = rev > 0
+        # an order is in the result iff it MATCHED a lineitem — not iff its
+        # revenue is positive (zero/negative-revenue groups are rows too,
+        # exactly as the oracle's GROUP BY emits them)
+        hit = np.zeros(len(o_sorted), bool)
+        hit[posc[ok]] = True
         odate = t["odate"].to_numpy(zero_copy_only=False)[om][so][hit]
         prio = t["prio"].to_numpy(zero_copy_only=False)[om][so][hit]
         return pa.table(
@@ -336,22 +364,26 @@ def q_tpch_q5(sf_dir: str):
     (25 nations), customer->nation and supplier->nation broadcast as
     sorted pairs; the two FACTS meet in one orderkey exchange where the
     nation-equality filter and the per-nation fold run vectorized."""
-    import duckdb
+    import pyarrow.parquet as pq
 
     from ray.data.aggregate import Sum
 
     # 25-row dims: resolve the region's nation set + names driver-side
-    con = duckdb.connect()
-    nat = con.execute(
-        f"""SELECT n_nationkey, n_name
-            FROM read_parquet('{sf_dir}/nation.parquet') n
-            JOIN read_parquet('{sf_dir}/region.parquet') r
-              ON n.n_regionkey = r.r_regionkey
-            WHERE r.r_name = '{_Q5_REGION}' ORDER BY 1"""
-    ).fetchall()
-    con.close()
-    nat_keys = np.array([k for k, _ in nat], np.int64)
-    nat_names = {int(k): n for k, n in nat}
+    # (plain pyarrow + numpy — the engine never runs its own oracle)
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    rkeys = reg["r_regionkey"].to_numpy(zero_copy_only=False)[
+        pc.equal(reg["r_name"], _Q5_REGION).combine_chunks().to_numpy(
+            zero_copy_only=False)]
+    ntab = pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name", "n_regionkey"])
+    in_region = np.isin(
+        ntab["n_regionkey"].to_numpy(zero_copy_only=False), rkeys)
+    nat_keys = ntab["n_nationkey"].to_numpy(
+        zero_copy_only=False)[in_region].astype(np.int64)
+    nat_names = dict(zip(
+        (int(k) for k in nat_keys),
+        (n for n, m in zip(ntab["n_name"].to_pylist(), in_region) if m)))
 
     cust_ref = _broadcast_column_pair(
         read_parquet_clean(f"{sf_dir}/customer.parquet",
@@ -413,11 +445,9 @@ def q_tpch_q5(sf_dir: str):
         so = np.argsort(o_keys, kind="stable")
         o_sorted, o_nat = o_keys[so], t["nat"].to_numpy(zero_copy_only=False)[om][so]
         l_keys = keys[~om]
-        pos = np.searchsorted(o_sorted, l_keys)
-        ok = (pos < len(o_sorted)) & (
-            o_sorted[np.minimum(pos, len(o_sorted) - 1)] == l_keys)
+        ok, posc = _match_sorted(o_sorted, l_keys)
         l_nat = t["nat"].to_numpy(zero_copy_only=False)[~om]
-        ok &= o_nat[np.minimum(pos, len(o_sorted) - 1)] == l_nat
+        ok &= o_nat[posc] == l_nat
         if not ok.any():
             return empty
         # fold revenue by nationkey inside the partition (nations <= 25)
@@ -493,9 +523,11 @@ def q_tpch_q14(sf_dir: str):
         return pd.DataFrame({"promo_rev4": pd.Series(dtype=np.int64),
                              "total_rev4": pd.Series(dtype=np.int64),
                              "promo_pct": pd.Series(dtype=np.float64)})
+    from tsrollup.pipelines.queries import _round6
+
     return pd.DataFrame(
         [{"promo_rev4": p, "total_rev4": t,
-          "promo_pct": round(100.0 * float(p) / float(t), 6)}]
+          "promo_pct": float(_round6(100.0 * float(p) / float(t)))}]
     )
 
 
@@ -551,7 +583,18 @@ def q_tpch_q18(sf_dir: str):
         .map_batches(_q18_big_rows, batch_format="pyarrow")
     )
 
+    names_ref = _broadcast_column_pair(
+        read_parquet_clean(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"]),
+        "c_custkey", "c_name", str_vals=True)
+
     def _orders(t: pa.Table) -> pa.Table:
+        # the customer membership filter runs BEFORE the exchange and the
+        # top-100 prune: a dangling o_custkey must not occupy a LIMIT slot
+        # the oracle's inner JOIN customer gives to the next order
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        ok, _ = _lookup(names_ref, ck)
+        t = t.filter(pa.array(ok))
         n = t.num_rows
         return pa.table(
             {"l_orderkey": t["o_orderkey"].cast(pa.int64()),
@@ -587,13 +630,10 @@ def q_tpch_q18(sf_dir: str):
         if not len(o_keys) or not len(b_keys):
             return empty
         so = np.argsort(o_keys, kind="stable")
-        o_sorted = o_keys[so]
-        pos = np.searchsorted(o_sorted, b_keys)
-        ok = (pos < len(o_sorted)) & (
-            o_sorted[np.minimum(pos, len(o_sorted) - 1)] == b_keys)
+        ok, posc = _match_sorted(o_keys[so], b_keys)
         if not ok.any():
             return empty
-        oi = so[pos[ok]]
+        oi = so[posc[ok]]
         return pa.table(
             {"l_orderkey": pa.array(keys[om][oi]),
              "custkey": pa.array(t["custkey"].to_numpy(
@@ -610,39 +650,30 @@ def q_tpch_q18(sf_dir: str):
     top = topk_rows(joined, ["price_c", "odate", "l_orderkey"],
                     [True, False, False], 100)
 
-    name_keys, name_vals = [], []
-    for b in read_parquet_clean(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    ).iter_batches(batch_format="pyarrow"):
-        name_keys.append(b["c_custkey"].to_numpy(zero_copy_only=False))
-        name_vals.append(np.asarray(b["c_name"].to_pylist(), dtype=object))
-    nk = np.concatenate(name_keys)
-    order = np.argsort(nk, kind="stable")
-    names_ref = ray.put((nk[order].astype(np.int64),
-                         np.concatenate(name_vals)[order]))
-
     def _name(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"c_name": pa.array([], pa.string()),
+             "o_custkey": pa.array([], pa.int64()),
+             "l_orderkey": pa.array([], pa.int64()),
+             "o_orderdate": pa.array([], pa.string()),
+             "price_c": pa.array([], pa.int64()),
+             "sum_qty_c": pa.array([], pa.int64())}
+        )
         if t.num_rows == 0:
-            return pa.table(
-                {"c_name": pa.array([], pa.string()),
-                 "o_custkey": pa.array([], pa.int64()),
-                 "l_orderkey": pa.array([], pa.int64()),
-                 "o_orderdate": pa.array([], pa.string()),
-                 "price_c": pa.array([], pa.int64()),
-                 "sum_qty_c": pa.array([], pa.int64())}
-            )
-        k, v = ray.get(names_ref)
+            return empty
         ck = t["custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(k, ck)
+        ok, names = _lookup(names_ref, ck)
+        if not ok.any():   # dangling custkeys drop, like the oracle's
+            return empty   # inner JOIN customer
         return pa.table(
-            {"c_name": pa.array(v[pos], pa.string()),
-             "o_custkey": pa.array(ck),
-             "l_orderkey": t["l_orderkey"],
+            {"c_name": pa.array(names[ok], pa.string()),
+             "o_custkey": pa.array(ck[ok]),
+             "l_orderkey": t["l_orderkey"].filter(pa.array(ok)),
              "o_orderdate": pa.array(
-                 _fmt_date(t["odate"].to_numpy(zero_copy_only=False)),
+                 _fmt_date(t["odate"].to_numpy(zero_copy_only=False)[ok]),
                  pa.string()),
-             "price_c": t["price_c"],
-             "sum_qty_c": t["sum_qty_c"]}
+             "price_c": t["price_c"].filter(pa.array(ok)),
+             "sum_qty_c": t["sum_qty_c"].filter(pa.array(ok))}
         )
 
     return top.map_batches(_name, batch_format="pyarrow")
