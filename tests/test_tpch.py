@@ -39,7 +39,8 @@ def _oracle(name: str, sf_dir: str) -> pd.DataFrame:
     return con.execute(ORACLE_SQL[name]).df()
 
 
-@pytest.mark.parametrize("name", ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q14", "tpch_q18"])
+@pytest.mark.parametrize("name", ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q14",
+                                  "tpch_q18", "tpch_q4", "tpch_q10"])
 def test_tpch_sf0001_matches_oracle(ray_session, name):
     sf = "/root/testdata/sf0.001"
     res = QUERIES[name](sf)
@@ -132,7 +133,8 @@ def _random_tpch(seed: int, d) -> None:
 def test_tpch_random_relational_sweep(ray_session, tmp_path_factory, seed):
     d = tmp_path_factory.mktemp(f"tpch{seed}")
     _random_tpch(seed, d)
-    for name in ("tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q14", "tpch_q18"):
+    for name in ("tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q14", "tpch_q18",
+                 "tpch_q4", "tpch_q10"):
         res = QUERIES[name](str(d))
         eng = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         ora = _oracle(name, str(d))

@@ -679,6 +679,210 @@ def q_tpch_q18(sf_dir: str):
     return top.map_batches(_name, batch_format="pyarrow")
 
 
+_Q4_LO, _Q4_HI = "1995-07-01", "1995-10-01"
+_Q4_LATE_DAYS = 60  # 'late' = shipped more than this many days after order
+
+_Q4_SCHEMA = pa.schema(
+    [("l_orderkey", pa.int64()), ("odate", pa.int64()), ("sdate", pa.int64()),
+     ("prio", pa.string()), ("side", pa.int8())]
+)
+
+
+def q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 order-priority checking, adapted to this corpus's columns
+    (no commit/receipt dates, so 'problem order' = EXISTS a lineitem
+    shipped more than ``_Q4_LATE_DAYS`` days after the order date — the
+    same EXISTS-correlated-semi-join shape as the textbook query; the
+    oracle runs the identical adapted predicate). One orderkey exchange;
+    the EXISTS resolves vectorized per partition (match lineitems to
+    their order, compare ship vs order+Δ, mark seen orders once)."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = _date_us(_Q4_LO), _date_us(_Q4_HI)
+    late_us = _Q4_LATE_DAYS * _US
+
+    def _orders(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).view(np.int64)
+        keep = (od >= lo) & (od < hi)
+        n = int(keep.sum())
+        return pa.table(
+            {"l_orderkey": pa.array(
+                t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+             "odate": pa.array(od[keep]),
+             "sdate": pa.array(np.zeros(n, np.int64)),
+             "prio": t["o_orderpriority"].filter(pa.array(keep)),
+             "side": pa.array(np.zeros(n, np.int8))}, schema=_Q4_SCHEMA
+        )
+
+    def _items(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"].cast(pa.int64()),
+             "odate": pa.array(np.zeros(n, np.int64)),
+             "sdate": pa.array(t["l_shipdate"].to_numpy(
+                 zero_copy_only=False).view(np.int64)),
+             "prio": pa.array([""] * n, pa.string()),
+             "side": pa.array(np.ones(n, np.int8))}, schema=_Q4_SCHEMA
+        )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(_orders, batch_format="pyarrow")
+    items = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(_items, batch_format="pyarrow")
+
+    def _exists_block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
+                          "n_orders": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        side = t["side"].to_numpy(zero_copy_only=False)
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        om = side == 0
+        o_keys = keys[om]
+        if not len(o_keys):
+            return empty
+        so = np.argsort(o_keys, kind="stable")
+        o_sorted = o_keys[so]
+        odate = t["odate"].to_numpy(zero_copy_only=False)[om][so]
+        ok, posc = _match_sorted(o_sorted, keys[~om])
+        sd = t["sdate"].to_numpy(zero_copy_only=False)[~om]
+        late = ok & (sd > odate[posc] + late_us)
+        if not late.any():
+            return empty
+        seen = np.zeros(len(o_sorted), bool)
+        seen[posc[late]] = True
+        prio = t["prio"].to_numpy(zero_copy_only=False)[om][so][seen]
+        g = pa.table(
+            {"o_orderpriority": pa.array(prio, pa.string()),
+             "one": pa.array(np.ones(len(prio), np.int64))}
+        ).group_by(["o_orderpriority"]).aggregate([("one", "sum")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "n_orders": g["one_sum"].cast(pa.int64())})
+
+    return (
+        map_key_partitions(orders.union(items), ["l_orderkey"], _exists_block)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+
+_Q10_LO, _Q10_HI = "1995-10-01", "1996-01-01"
+
+_Q10_SCHEMA = pa.schema(
+    [("l_orderkey", pa.int64()), ("custkey", pa.int64()), ("rev4", pa.int64()),
+     ("side", pa.int8())]
+)
+
+
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 returned-item reporting: top-20 customers by revenue lost
+    to returns (l_returnflag = 'R') against orders of one quarter. Same
+    physical family as q3/q18 — orderkey exchange join of two
+    pre-filtered facts, a custkey fold, the lossless top-k prune, then
+    one broadcast name lookup on the 20 survivors."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo, hi = _date_us(_Q10_LO), _date_us(_Q10_HI)
+
+    names_ref = _broadcast_column_pair(
+        read_parquet_clean(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"]),
+        "c_custkey", "c_name", str_vals=True)
+
+    def _orders(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).view(np.int64)
+        # customer membership BEFORE the exchange and top-20 prune: a
+        # dangling o_custkey must not occupy a LIMIT slot the oracle's
+        # inner JOIN customer gives to the next customer
+        ok, _ = _lookup(names_ref,
+                        t["o_custkey"].to_numpy(zero_copy_only=False))
+        keep = ok & (od >= lo) & (od < hi)
+        n = int(keep.sum())
+        return pa.table(
+            {"l_orderkey": pa.array(
+                t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+             "custkey": pa.array(
+                 t["o_custkey"].to_numpy(zero_copy_only=False)[keep]),
+             "rev4": pa.array(np.zeros(n, np.int64)),
+             "side": pa.array(np.zeros(n, np.int8))}, schema=_Q10_SCHEMA
+        )
+
+    def _items(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["l_returnflag"], "R").to_numpy(zero_copy_only=False)
+        ec = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
+        dp = _cents(t["l_discount"].to_numpy(zero_copy_only=False)[keep])
+        n = int(keep.sum())
+        return pa.table(
+            {"l_orderkey": pa.array(
+                t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+             "custkey": pa.array(np.zeros(n, np.int64)),
+             "rev4": pa.array(ec * (100 - dp)),
+             "side": pa.array(np.ones(n, np.int8))}, schema=_Q10_SCHEMA
+        )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(_orders, batch_format="pyarrow")
+    items = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(_items, batch_format="pyarrow")
+
+    def _join_block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"c_custkey": pa.array([], pa.int64()),
+                          "revenue4": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        side = t["side"].to_numpy(zero_copy_only=False)
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        om = side == 0
+        o_keys = keys[om]
+        if not len(o_keys):
+            return empty
+        so = np.argsort(o_keys, kind="stable")
+        ok, posc = _match_sorted(o_keys[so], keys[~om])
+        if not ok.any():
+            return empty
+        ck = t["custkey"].to_numpy(zero_copy_only=False)[om][so][posc[ok]]
+        rev = t["rev4"].to_numpy(zero_copy_only=False)[~om][ok]
+        uk, inv = np.unique(ck, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, rev)
+        return pa.table({"c_custkey": pa.array(uk), "revenue4": pa.array(s)})
+
+    folded = (
+        map_key_partitions(orders.union(items), ["l_orderkey"], _join_block)
+        .groupby("c_custkey")
+        .aggregate(Sum("revenue4", alias_name="revenue4"))
+        .map_batches(
+            lambda t: pa.table({"c_custkey": t["c_custkey"].cast(pa.int64()),
+                                "revenue4": t["revenue4"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    )
+    top = topk_rows(folded, ["revenue4", "c_custkey"], [True, False], 20)
+
+    def _name(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "c_name": pa.array([], pa.string()),
+                             "revenue4": pa.array([], pa.int64())})
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        ok, names = _lookup(names_ref, ck)
+        return pa.table(
+            {"c_custkey": pa.array(ck[ok]),
+             "c_name": pa.array(names[ok], pa.string()),
+             "revenue4": t["revenue4"].filter(pa.array(ok))}
+        )
+
+    return top.map_batches(_name, batch_format="pyarrow")
+
+
 TPCH_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -686,6 +890,8 @@ TPCH_QUERIES = {
     "tpch_q6": q_tpch_q6,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q10": q_tpch_q10,
 }
 
 _Q1_SQL_BODY = f"""
@@ -737,6 +943,35 @@ TPCH_ORACLE_SQL = {
                ROUND(100 * CAST(SUM(rev4 * promo) AS DOUBLE)
                      / CAST(SUM(rev4) AS DOUBLE), 6) AS promo_pct
         FROM b HAVING SUM(rev4) > 0
+    """,
+    "tpch_q4": f"""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '{_Q4_LO}'
+          AND o.o_orderdate < TIMESTAMP '{_Q4_HI}'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate
+                            + INTERVAL {_Q4_LATE_DAYS} DAY)
+        GROUP BY 1 ORDER BY 1
+    """,
+    "tpch_q10": f"""
+        WITH rev AS (SELECT o.o_custkey AS c_custkey,
+                            CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100)
+                                          AS HUGEINT)
+                                     * (100 - CAST(FLOOR(l.l_discount * 100)
+                                                   AS BIGINT)))
+                                 AS BIGINT) AS revenue4
+                     FROM orders o
+                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                     JOIN customer c ON c.c_custkey = o.o_custkey
+                     WHERE l.l_returnflag = 'R'
+                       AND o.o_orderdate >= TIMESTAMP '{_Q10_LO}'
+                       AND o.o_orderdate < TIMESTAMP '{_Q10_HI}'
+                     GROUP BY 1)
+        SELECT r.c_custkey AS c_custkey, c.c_name AS c_name, r.revenue4
+        FROM rev r JOIN customer c ON c.c_custkey = r.c_custkey
+        ORDER BY r.revenue4 DESC, r.c_custkey LIMIT 20
     """,
     "tpch_q18": f"""
         WITH big AS (SELECT l_orderkey,
