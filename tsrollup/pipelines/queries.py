@@ -3842,6 +3842,50 @@ def q_ipc_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_orc_roundtrip(sf_dir: str):
+    """ORC sink + re-ingest round trip — ipc_roundtrip's sibling for the
+    other columnar interchange format warehouses speak (Hive/Trino/Spark
+    ORC readers consume these files directly). Same contract: the 1m
+    rollup is written to per-block .orc files on cluster-visible storage
+    and read back; the oracle is rollup_1m's SQL, so the trip is verified
+    value-exact. Both legs materialize before cleanup."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="tsrollup_orc_",
+                               dir=os.environ.get("TSROLLUP_IPC_DIR"))
+    try:
+        def _write(t: pa.Table) -> pa.Table:
+            import os
+            import uuid
+
+            import pyarrow.orc as orc
+
+            path = os.path.join(out_dir, f"{uuid.uuid4().hex}.orc")
+            orc.write_table(t, path)
+            return pa.table({"path": pa.array([path], pa.string())})
+
+        q_rollup_1m(sf_dir).map_batches(_write, batch_format="pyarrow").materialize()
+
+        def _read(t: pa.Table) -> pa.Table:
+            import pyarrow.orc as orc
+
+            return pa.concat_tables(
+                [orc.read_table(p) for p in t["path"].to_pylist()]
+            )
+
+        paths = sorted(glob.glob(f"{out_dir}/*.orc"))
+        return (
+            ray.data.from_items([{"path": p} for p in paths])
+            .map_batches(_read, batch_format="pyarrow")
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_retention_curve(sf_dir: str):
     """Day-N retention curve — the cohort matrix collapsed to one row per
     day offset: how many users are still active N days after their first
@@ -5975,6 +6019,7 @@ ORACLE_SQL["rolling_median"] = f"""
 ORACLE_SQL["pagerank_types"] = _pagerank_oracle_sql()
 
 ORACLE_SQL["ipc_roundtrip"] = ORACLE_SQL["rollup_1m"]
+ORACLE_SQL["orc_roundtrip"] = ORACLE_SQL["rollup_1m"]
 
 ORACLE_SQL["audience_overlap"] = """
     WITH a AS (SELECT DISTINCT event_type AS source, user_id FROM events),
@@ -6571,6 +6616,7 @@ QUERIES = {
     "attribution_last_touch": q_attribution_last_touch,
     "hod_anomaly": q_hod_anomaly,
     "ipc_roundtrip": q_ipc_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
     "audience_overlap": q_audience_overlap,
     "log2_histogram": q_log2_histogram,
     "conversion_lag": q_conversion_lag,

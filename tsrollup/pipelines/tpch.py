@@ -883,6 +883,69 @@ def q_tpch_q10(sf_dir: str):
     return top.map_batches(_name, batch_format="pyarrow")
 
 
+_Q15_LO, _Q15_HI = "1996-01-01", "1996-04-01"
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 top supplier(s): the supplier(s) achieving the MAXIMUM
+    quarterly revenue — the argmax-WITH-TIES shape (every supplier equal
+    to the max is kept, unlike a top-k). Lineitem folds per-supplier
+    revenue; the supplier-bounded fold materializes once and serves both
+    the global max and the equality filter; names resolve through one
+    broadcast dim lookup. Exact integer revenue, so the tie comparison
+    is exact on both sides."""
+    from ray.data.aggregate import Max, Sum
+
+    lo, hi = _date_us(_Q15_LO), _date_us(_Q15_HI)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).view(np.int64)
+        keep = (sd >= lo) & (sd < hi)
+        ec = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
+        dp = _cents(t["l_discount"].to_numpy(zero_copy_only=False)[keep])
+        g = pa.table(
+            {"s_suppkey": pa.array(
+                t["l_suppkey"].to_numpy(zero_copy_only=False)[keep]),
+             "rev4": pa.array(ec * (100 - dp))}
+        ).group_by(["s_suppkey"]).aggregate([("rev4", "sum")])
+        return pa.table({"s_suppkey": g["s_suppkey"].cast(pa.int64()),
+                         "revenue4": g["rev4_sum"].cast(pa.int64())})
+
+    folded = (
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"],
+        )
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("revenue4", alias_name="revenue4"))
+        .materialize()  # consumed twice: global max + equality filter
+    )
+    mx = folded.aggregate(Max("revenue4", alias_name="mx"))["mx"]
+    if mx is None:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype=np.int64),
+                             "s_name": pd.Series(dtype=object),
+                             "revenue4": pd.Series(dtype=np.int64)})
+    names_ref = _broadcast_column_pair(
+        read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name"]),
+        "s_suppkey", "s_name", str_vals=True)
+
+    def _sel(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["revenue4"], mx))
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        ok, names = _lookup(names_ref, sk)
+        return pa.table(
+            {"s_suppkey": pa.array(sk[ok]).cast(pa.int64()),
+             "s_name": pa.array(names[ok], pa.string()),
+             "revenue4": t["revenue4"].filter(pa.array(ok)).cast(pa.int64())}
+        )
+
+    out = folded.map_batches(_sel, batch_format="pyarrow").to_pandas()
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
 TPCH_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -892,6 +955,7 @@ TPCH_QUERIES = {
     "tpch_q18": q_tpch_q18,
     "tpch_q4": q_tpch_q4,
     "tpch_q10": q_tpch_q10,
+    "tpch_q15": q_tpch_q15,
 }
 
 _Q1_SQL_BODY = f"""
@@ -972,6 +1036,22 @@ TPCH_ORACLE_SQL = {
         SELECT r.c_custkey AS c_custkey, c.c_name AS c_name, r.revenue4
         FROM rev r JOIN customer c ON c.c_custkey = r.c_custkey
         ORDER BY r.revenue4 DESC, r.c_custkey LIMIT 20
+    """,
+    "tpch_q15": f"""
+        WITH r AS (SELECT l_suppkey AS s_suppkey,
+                          CAST(SUM(CAST(FLOOR(l_extendedprice * 100)
+                                        AS HUGEINT)
+                                   * (100 - CAST(FLOOR(l_discount * 100)
+                                                 AS BIGINT)))
+                               AS BIGINT) AS revenue4
+                   FROM lineitem
+                   WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}'
+                     AND l_shipdate < TIMESTAMP '{_Q15_HI}'
+                   GROUP BY 1)
+        SELECT r.s_suppkey AS s_suppkey, s.s_name AS s_name, r.revenue4
+        FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+        WHERE r.revenue4 = (SELECT MAX(revenue4) FROM r)
+        ORDER BY 1
     """,
     "tpch_q18": f"""
         WITH big AS (SELECT l_orderkey,
