@@ -145,3 +145,35 @@ def test_tpch_random_relational_sweep(ray_session, tmp_path_factory, seed):
                 _canon(eng), _canon(ora), check_dtype=False)
         except AssertionError as e:
             raise AssertionError(f"{name} diverged from oracle") from e
+
+
+def test_tpch_all_empty_windows(ray_session, tmp_path_factory):
+    """Every TPC-H query must return the oracle's EMPTY (or zero-row-
+    aggregate) result — not crash on schema loss — when no row matches the
+    date windows (0-row Ray Datasets lose their schema through to_pandas;
+    q5/q15 rebuild typed frames, q6/q14 emit the oracle's coalesced or
+    HAVING-filtered shape)."""
+    d = tmp_path_factory.mktemp("tpch_empty")
+    _random_tpch(33, d)
+    # shift every order/ship date to 2005 — outside all query windows
+    delta = (np.datetime64("2005-01-01", "us").astype(np.int64)
+             - np.datetime64("1995-01-01", "us").astype(np.int64))
+    for f, col in (("orders.parquet", "o_orderdate"),
+                   ("lineitem.parquet", "l_shipdate")):
+        t = pq.read_table(str(d / f))
+        us = t[col].to_numpy(zero_copy_only=False).view(np.int64) + delta
+        t = t.set_column(t.schema.get_field_index(col), col,
+                         pa.array(us, pa.timestamp("us")))
+        pq.write_table(t, str(d / f))
+    for name in ("tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+                 "tpch_q10", "tpch_q14", "tpch_q15", "tpch_q18"):
+        res = QUERIES[name](str(d))
+        eng = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        ora = _oracle(name, str(d))
+        if len(eng) == 0 and len(ora) == 0:
+            continue
+        try:
+            pd.testing.assert_frame_equal(
+                _canon(eng), _canon(ora), check_dtype=False)
+        except AssertionError as e:
+            raise AssertionError(f"{name} diverged on empty windows") from e

@@ -76,6 +76,27 @@ def _match_sorted(sorted_keys: np.ndarray, probe: np.ndarray):
     return sorted_keys[posc] == probe, posc
 
 
+def _union_join_parts(t: pa.Table):
+    """Split a tagged-union exchange block into the order-side sort and the
+    item-side probe — the preamble every _join_block/_exists_block in this
+    file shares: returns None when either side is empty (inner-join
+    semantics), else ``(so, om, ok, posc)`` where ``so`` sorts the side-0
+    keys (orderkeys are unique), ``om`` masks side-0 rows, and
+    ``ok``/``posc`` match every side-1 key against the sorted side-0
+    keys."""
+    if t.num_rows == 0:
+        return None
+    side = t["side"].to_numpy(zero_copy_only=False)
+    keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+    om = side == 0
+    o_keys = keys[om]
+    if not len(o_keys) or len(o_keys) == t.num_rows:
+        return None
+    so = np.argsort(o_keys, kind="stable")
+    ok, posc = _match_sorted(o_keys[so], keys[~om])
+    return so, om, ok, posc
+
+
 def _broadcast_column_pair(ds, key_col: str, val_col: str | None,
                            str_vals: bool = False):
     """Collect a DIMENSION table's (key[, value]) columns into sorted numpy
@@ -314,32 +335,25 @@ def q_tpch_q3(sf_dir: str):
              "o_orderdate": pa.array([], pa.string()),
              "o_orderpriority": pa.array([], pa.string())}
         )
-        if t.num_rows == 0:
+        parts = _union_join_parts(t)
+        if parts is None:
             return empty
-        side = t["side"].to_numpy(zero_copy_only=False)
-        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
-        om = side == 0
-        o_keys = keys[om]
-        if not len(o_keys):
-            return empty
-        so = np.argsort(o_keys, kind="stable")   # orderkeys are unique
-        o_sorted = o_keys[so]
-        l_keys = keys[~om]
-        ok, posc = _match_sorted(o_sorted, l_keys)
+        so, om, ok, posc = parts
         if not ok.any():
             return empty
-        rev = np.zeros(len(o_sorted), np.int64)
+        rev = np.zeros(len(so), np.int64)
         np.add.at(rev, posc[ok],
                   t["rev4"].to_numpy(zero_copy_only=False)[~om][ok])
         # an order is in the result iff it MATCHED a lineitem — not iff its
         # revenue is positive (zero/negative-revenue groups are rows too,
         # exactly as the oracle's GROUP BY emits them)
-        hit = np.zeros(len(o_sorted), bool)
+        hit = np.zeros(len(so), bool)
         hit[posc[ok]] = True
+        okeys = t["l_orderkey"].to_numpy(zero_copy_only=False)[om][so]
         odate = t["odate"].to_numpy(zero_copy_only=False)[om][so][hit]
         prio = t["prio"].to_numpy(zero_copy_only=False)[om][so][hit]
         return pa.table(
-            {"l_orderkey": pa.array(o_sorted[hit]),
+            {"l_orderkey": pa.array(okeys[hit]),
              "revenue4": pa.array(rev[hit]),
              "o_orderdate": pa.array(_fmt_date(odate), pa.string()),
              "o_orderpriority": pa.array(prio, pa.string())}
@@ -434,18 +448,11 @@ def q_tpch_q5(sf_dir: str):
     def _join_block(t: pa.Table) -> pa.Table:
         empty = pa.table({"nat": pa.array([], pa.int64()),
                           "revenue4": pa.array([], pa.int64())})
-        if t.num_rows == 0:
+        parts = _union_join_parts(t)
+        if parts is None:
             return empty
-        side = t["side"].to_numpy(zero_copy_only=False)
-        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
-        om = side == 0
-        o_keys = keys[om]
-        if not len(o_keys):
-            return empty
-        so = np.argsort(o_keys, kind="stable")
-        o_sorted, o_nat = o_keys[so], t["nat"].to_numpy(zero_copy_only=False)[om][so]
-        l_keys = keys[~om]
-        ok, posc = _match_sorted(o_sorted, l_keys)
+        so, om, ok, posc = parts
+        o_nat = t["nat"].to_numpy(zero_copy_only=False)[om][so]
         l_nat = t["nat"].to_numpy(zero_copy_only=False)[~om]
         ok &= o_nat[posc] == l_nat
         if not ok.any():
@@ -469,6 +476,9 @@ def q_tpch_q5(sf_dir: str):
                          "revenue4": t["revenue4"].cast(pa.int64())})
 
     out = folded.map_batches(_name, batch_format="pyarrow").to_pandas()
+    if not len(out):   # a 0-row Dataset loses its schema through to_pandas
+        return pd.DataFrame({"n_name": pd.Series(dtype=object),
+                             "revenue4": pd.Series(dtype=np.int64)})
     return out.sort_values("n_name").reset_index(drop=True)
 
 
@@ -563,7 +573,6 @@ def q_tpch_q18(sf_dir: str):
     set is a Dataset, never a driver list); customer names resolve via
     one broadcast dim lookup at the end. Top-100 by (totalprice desc,
     orderdate, orderkey) through the lossless per-block prune."""
-    import ray
     from ray.data.aggregate import Sum
 
     def _qty_partial(t: pa.Table) -> pa.Table:
@@ -620,20 +629,14 @@ def q_tpch_q18(sf_dir: str):
              "price_c": pa.array([], pa.int64()),
              "sum_qty_c": pa.array([], pa.int64())}
         )
-        if t.num_rows == 0:
+        parts = _union_join_parts(t)
+        if parts is None:
             return empty
-        side = t["side"].to_numpy(zero_copy_only=False)
-        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
-        om = side == 0
-        o_keys = keys[om]
-        b_keys = keys[~om]
-        if not len(o_keys) or not len(b_keys):
-            return empty
-        so = np.argsort(o_keys, kind="stable")
-        ok, posc = _match_sorted(o_keys[so], b_keys)
+        so, om, ok, posc = parts
         if not ok.any():
             return empty
         oi = so[posc[ok]]
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
         return pa.table(
             {"l_orderkey": pa.array(keys[om][oi]),
              "custkey": pa.array(t["custkey"].to_numpy(
@@ -736,23 +739,16 @@ def q_tpch_q4(sf_dir: str):
     def _exists_block(t: pa.Table) -> pa.Table:
         empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
                           "n_orders": pa.array([], pa.int64())})
-        if t.num_rows == 0:
+        parts = _union_join_parts(t)
+        if parts is None:
             return empty
-        side = t["side"].to_numpy(zero_copy_only=False)
-        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
-        om = side == 0
-        o_keys = keys[om]
-        if not len(o_keys):
-            return empty
-        so = np.argsort(o_keys, kind="stable")
-        o_sorted = o_keys[so]
+        so, om, ok, posc = parts
         odate = t["odate"].to_numpy(zero_copy_only=False)[om][so]
-        ok, posc = _match_sorted(o_sorted, keys[~om])
         sd = t["sdate"].to_numpy(zero_copy_only=False)[~om]
         late = ok & (sd > odate[posc] + late_us)
         if not late.any():
             return empty
-        seen = np.zeros(len(o_sorted), bool)
+        seen = np.zeros(len(so), bool)
         seen[posc[late]] = True
         prio = t["prio"].to_numpy(zero_copy_only=False)[om][so][seen]
         g = pa.table(
@@ -783,7 +779,6 @@ def q_tpch_q10(sf_dir: str):
     physical family as q3/q18 — orderkey exchange join of two
     pre-filtered facts, a custkey fold, the lossless top-k prune, then
     one broadcast name lookup on the 20 survivors."""
-    import ray
     from ray.data.aggregate import Sum
 
     lo, hi = _date_us(_Q10_LO), _date_us(_Q10_HI)
@@ -837,16 +832,10 @@ def q_tpch_q10(sf_dir: str):
     def _join_block(t: pa.Table) -> pa.Table:
         empty = pa.table({"c_custkey": pa.array([], pa.int64()),
                           "revenue4": pa.array([], pa.int64())})
-        if t.num_rows == 0:
+        parts = _union_join_parts(t)
+        if parts is None:
             return empty
-        side = t["side"].to_numpy(zero_copy_only=False)
-        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
-        om = side == 0
-        o_keys = keys[om]
-        if not len(o_keys):
-            return empty
-        so = np.argsort(o_keys, kind="stable")
-        ok, posc = _match_sorted(o_keys[so], keys[~om])
+        so, om, ok, posc = parts
         if not ok.any():
             return empty
         ck = t["custkey"].to_numpy(zero_copy_only=False)[om][so][posc[ok]]
@@ -943,6 +932,12 @@ def q_tpch_q15(sf_dir: str):
         )
 
     out = folded.map_batches(_sel, batch_format="pyarrow").to_pandas()
+    if not len(out):   # every max-revenue suppkey can be dangling — the
+        # oracle's JOIN supplier then returns no rows; 0-row Datasets lose
+        # their schema through to_pandas, so rebuild the typed frame
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype=np.int64),
+                             "s_name": pd.Series(dtype=object),
+                             "revenue4": pd.Series(dtype=np.int64)})
     return out.sort_values("s_suppkey").reset_index(drop=True)
 
 
@@ -982,8 +977,9 @@ _Q1_SQL_BODY = f"""
 TPCH_ORACLE_SQL = {
     "tpch_q1": _Q1_SQL_BODY,
     "tpch_q6": f"""
-        SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)
-                        * CAST(FLOOR(l_discount * 100) AS BIGINT))
+        SELECT CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)
+                                 * CAST(FLOOR(l_discount * 100) AS BIGINT)),
+                             0)
                     AS BIGINT) AS revenue4,
                CAST(COUNT(*) AS BIGINT) AS n_rows
         FROM lineitem
