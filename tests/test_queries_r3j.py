@@ -283,3 +283,40 @@ def test_lexicon_and_grep_hand_computed(ray_session, r3j_docs_dir):
     hit = DOC_QUERIES["corpus_grep"](r3j_docs_dir, pattern=r"\ba\b").to_pandas()
     s1 = hit[hit["source"] == "s1"].iloc[0]
     assert (s1["n_matched"], s1["n_matches"]) == (1, 4)
+
+
+def test_embed_doc_join_matches_oracle_with_dangles(ray_session, tmp_path_factory):
+    """embeddings x documents exchange join: dangling vec_ids and empty
+    vectors drop (inner-join + len>0 guard), float32 d0 min/max widen
+    exactly, NUL-bearing source names survive the per-partition fold."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from tsrollup.pipelines.docqueries import DOC_ORACLE_SQL, DOC_QUERIES
+
+    d = tmp_path_factory.mktemp("edj")
+    texts = ["aa", "bbb", "c", "dd dd"]
+    srcs = ["s1", "s\x00x", "s1", "s\x00x"]
+    pq.write_table(pa.table(
+        {"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+         "text": pa.array(texts), "lang": pa.array(["en"] * 4),
+         "source": pa.array(srcs),
+         "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        str(d / "documents.parquet"))
+    pq.write_table(pa.table(
+        {"vec_id": pa.array([0, 1, 3, 9], pa.int64()),  # 9 dangles
+         "embedding": pa.array(
+             [[0.25, 1.0], [-0.5, 2.0], [], [7.0, 7.0]],  # 3 is empty
+             pa.list_(pa.float32())),
+         "label": pa.array([0, 1, 0, 1], pa.int32())}),
+        str(d / "embeddings.parquet"))
+    eng = DOC_QUERIES["embed_doc_join"](str(d)).to_pandas()
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    ora = con.execute(DOC_ORACLE_SQL["embed_doc_join"]).df()
+    pd.testing.assert_frame_equal(_canon(eng), _canon(ora), check_dtype=False)
+    e = eng.set_index("source")
+    assert tuple(e.loc["s1", ["n_vecs", "sum_chars"]]) == (1, 2)
+    assert e.loc["s1", "min_d0"] == 0.25
+    assert tuple(e.loc["s\x00x", ["n_vecs", "sum_chars"]]) == (1, 3)

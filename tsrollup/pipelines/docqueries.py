@@ -2260,6 +2260,114 @@ def q_zipf_fit(sf_dir: str, k: int = _ZIPF_K):
                           batch_format="pandas")
 
 
+_EDJ_SCHEMA = pa.schema(
+    [("key", pa.int64()), ("source", pa.string()), ("n_chars", pa.int64()),
+     ("d0", pa.float64()), ("side", pa.int8())]
+)
+
+
+def q_embed_doc_join(sf_dir: str):
+    """Cross-TABLE join: embeddings ⋈ documents on vec_id = doc_id — the
+    feature-store backfill shape that attaches document metadata to
+    vectors. NEITHER side broadcasts (at 100 TB both are facts): the two
+    tables meet in one tagged-union keyed exchange (the TPC-H
+    _union_join_parts machinery) and fold per source: vectors joined,
+    exact char mass, and the exact float32 min/max of embedding
+    dimension 0 widened to float64 (the embed_dim_stats contract — pure
+    comparisons, no float arithmetic; the corpus is NaN-free by
+    construction and the oracle's MIN/MAX would diverge on NaN)."""
+    import numpy as np
+    from ray.data.aggregate import Max, Min, Sum
+
+    from tsrollup.shuffle import map_key_partitions
+
+    def _docs_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {"key": t["doc_id"].cast(pa.int64()),
+             "source": t["source"],
+             "n_chars": t["n_chars"].cast(pa.int64()),
+             "d0": pa.array(np.zeros(n, np.float64)),
+             "side": pa.array(np.zeros(n, np.int8))}, schema=_EDJ_SCHEMA
+        )
+
+    def _embed_side(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        lens = emb.value_lengths().to_numpy(zero_copy_only=False)
+        keep = lens > 0                      # guard empty vectors
+        offs = emb.offsets.to_numpy(zero_copy_only=False)[:-1][keep]
+        d0 = emb.values.to_numpy(zero_copy_only=False)[offs].astype(np.float64)
+        n = int(keep.sum())
+        return pa.table(
+            {"key": pa.array(
+                t["vec_id"].to_numpy(zero_copy_only=False)[keep]),
+             "source": pa.array([""] * n, pa.string()),
+             "n_chars": pa.array(np.zeros(n, np.int64)),
+             "d0": pa.array(d0),
+             "side": pa.array(np.ones(n, np.int8))}, schema=_EDJ_SCHEMA
+        )
+
+    docs = _docs(sf_dir, ("doc_id", "source", "n_chars")).map_batches(
+        _docs_side, batch_format="pyarrow")
+    embs = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(_embed_side, batch_format="pyarrow")
+
+    def _join_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "n_vecs": pa.array([], pa.int64()),
+             "sum_chars": pa.array([], pa.int64()),
+             "min_d0": pa.array([], pa.float64()),
+             "max_d0": pa.array([], pa.float64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        side = t["side"].to_numpy(zero_copy_only=False)
+        om = side == 0
+        d_keys = t["key"].to_numpy(zero_copy_only=False)[om]
+        if not len(d_keys) or len(d_keys) == t.num_rows:
+            return empty
+        from tsrollup.pipelines.tpch import _match_sorted
+
+        so = np.argsort(d_keys, kind="stable")   # doc_id is unique
+        ok, posc = _match_sorted(d_keys[so], t["key"].to_numpy(
+            zero_copy_only=False)[~om])
+        if not ok.any():
+            return empty
+        di = so[posc[ok]]
+        src = t["source"].to_numpy(zero_copy_only=False)[om][di]
+        chars = t["n_chars"].to_numpy(zero_copy_only=False)[om][di]
+        d0 = t["d0"].to_numpy(zero_copy_only=False)[~om][ok]
+        # per-source partial: codes via first-appearance factorize is
+        # NUL-unsafe on object strings -> lexsort run-length instead
+        o2 = np.lexsort((np.arange(len(src)), src))
+        s_o, c_o, d_o = src[o2], chars[o2], d0[o2]
+        first = np.ones(len(s_o), dtype=bool)
+        first[1:] = s_o[1:] != s_o[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], len(s_o)]
+        rows = {"source": s_o[starts].tolist(),
+                "n_vecs": (ends - starts).astype(np.int64),
+                "sum_chars": np.add.reduceat(c_o, starts).astype(np.int64),
+                "min_d0": np.minimum.reduceat(d_o, starts),
+                "max_d0": np.maximum.reduceat(d_o, starts)}
+        return pa.table({"source": pa.array(rows["source"], pa.string()),
+                         "n_vecs": pa.array(rows["n_vecs"]),
+                         "sum_chars": pa.array(rows["sum_chars"]),
+                         "min_d0": pa.array(rows["min_d0"]),
+                         "max_d0": pa.array(rows["max_d0"])})
+
+    return (
+        map_key_partitions(docs.union(embs), ["key"], _join_block)
+        .groupby("source")
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"),
+                   Sum("sum_chars", alias_name="sum_chars"),
+                   Min("min_d0", alias_name="min_d0"),
+                   Max("max_d0", alias_name="max_d0"))
+    )
+
+
 # lexicon screen: blocklist + flag threshold; the oracle SQL is generated
 # from these SAME constants (lowercased-token membership, the doc_quality
 # stopword contract)
@@ -3879,6 +3987,17 @@ DOC_ORACLE_SQL["trending_tokens"] = rf"""
 
 # Zipf fit: ranks by (count desc, token asc); x/y in the shared fixed point
 # as HUGEINT so k*sxy and sx*sy stay exact; ONE int->double division
+DOC_QUERIES["embed_doc_join"] = q_embed_doc_join
+DOC_ORACLE_SQL["embed_doc_join"] = """
+    SELECT d.source AS source, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(e.embedding[1]) AS DOUBLE) AS min_d0,
+           CAST(MAX(e.embedding[1]) AS DOUBLE) AS max_d0
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    WHERE len(e.embedding) > 0
+    GROUP BY 1 ORDER BY 1
+"""
+
 DOC_QUERIES["lexicon_score"] = q_lexicon_score
 _LEXICON_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(_RISK_LEXICON)) + "]"
 DOC_ORACLE_SQL["lexicon_score"] = rf"""
