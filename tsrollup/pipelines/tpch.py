@@ -1,6 +1,6 @@
 """Classic TPC-H pipelines over the driver's relational tables — the
 multi-table join / aggregate capability demo alongside the timeseries and
-corpus families. Three canonical shapes, all SQL-verified against DuckDB
+corpus families. Nine canonical shapes, all SQL-verified against DuckDB
 running the textbook query on the same parquet:
 
 - ``tpch_q1``  — pricing summary: single-table scan -> wide exact-integer
@@ -8,9 +8,21 @@ running the textbook query on the same parquet:
 - ``tpch_q3``  — shipping priority: broadcast dim filter (customer) ->
   BIG-BIG hash join (orders x lineitem) via one orderkey exchange ->
   global top-k.
+- ``tpch_q4``  — order-priority checking: correlated EXISTS semi-join
+  resolved vectorized inside the exchange.
 - ``tpch_q5``  — local supplier volume: two broadcast dims (customer and
   supplier nation maps) -> orderkey exchange join -> nation fold, with
   TPC-H's c_nationkey = s_nationkey twist applied inside the join.
+- ``tpch_q6``  — forecasting revenue change: filtered global aggregate on
+  integer predicate forms.
+- ``tpch_q10`` — returned items: exchange join -> customer fold -> lossless
+  top-20 -> broadcast name lookup.
+- ``tpch_q14`` — promotion effect: broadcast (partkey, is_promo) dim ->
+  two-sum ratio.
+- ``tpch_q15`` — top supplier: argmax WITH TIES over a materialized
+  supplier fold.
+- ``tpch_q18`` — large-volume customers: aggregate-then-join HAVING
+  semi-join whose big-keys set stays a Dataset.
 
 Exactness: every money aggregate runs on integer cents derived as
 ``FLOOR(x * 100)`` — the same double multiply+floor on both sides (the
