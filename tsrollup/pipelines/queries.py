@@ -4682,6 +4682,43 @@ def q_benford(sf_dir: str):
                           batch_format="pandas")
 
 
+def q_peak_minute_1h(sf_dir: str):
+    """Per-group argmax: for every (source, hour) the single minute with
+    the highest cents sum (ties → earliest minute) — the 'when inside the
+    hour did the spike land' drill-down a dashboard runs from the 1h tier
+    back into the 1m tier. One lexsort + first-of-group mask per source
+    partition over the ROLLED 1m tier; exact integers end to end, and the
+    (sum desc, bucket asc) tie-break is pinned on both sides."""
+
+    def _pk(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             **{c: pd.Series(dtype=np.int64)
+                for c in ("bucket_h", "peak_bucket", "peak_cents")}}
+        )
+        if not len(df):
+            return empty
+        b = df["bucket"].to_numpy().astype(np.int64)
+        x = df["sum_tok"].to_numpy().astype(np.int64)
+        hb = b // 60
+        # sort (hb asc, x desc, b asc): first row of each hb group is the
+        # argmax with the earliest-minute tie-break (-x is exact for every
+        # int64 except the unreachable INT64_MIN)
+        order = np.lexsort((b, -x, hb))
+        hb_o, b_o, x_o = hb[order], b[order], x[order]
+        first = np.ones(len(hb_o), dtype=bool)
+        first[1:] = hb_o[1:] != hb_o[:-1]
+        return pd.DataFrame(
+            {"source": np.repeat(np.array([df["source"].iloc[0]], dtype=object),
+                                 int(first.sum())),
+             "bucket_h": hb_o[first], "peak_bucket": b_o[first],
+             "peak_cents": x_o[first]}
+        )
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _pk,
+                          batch_format="pandas")
+
+
 def q_interarrival_stats(sf_dir: str):
     """Inter-arrival-time distribution per source: median and p90 of the
     gaps (whole seconds) between a user's CONSECUTIVE events of the same
@@ -6481,6 +6518,16 @@ ORACLE_SQL["rsi_cutler"] = f"""
 # physical-plan optimization, so the oracle is shared verbatim
 ORACLE_SQL["semi_join_bloom"] = ORACLE_SQL["semi_join_users"]
 
+ORACLE_SQL["peak_minute_1h"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY})
+    SELECT source, bucket // 60 AS bucket_h, bucket AS peak_bucket,
+           sum_cents AS peak_cents
+    FROM r
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source, bucket // 60
+                               ORDER BY sum_cents DESC, bucket) = 1
+    ORDER BY 1, 2
+"""
+
 ORACLE_SQL["interarrival_stats"] = """
     WITH d AS (
         SELECT event_type AS source,
@@ -6639,6 +6686,7 @@ QUERIES = {
     "interarrival_stats": q_interarrival_stats,
     "distinct_users_1h": q_distinct_users_1h,
     "fano_factor": q_fano_factor,
+    "peak_minute_1h": q_peak_minute_1h,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
