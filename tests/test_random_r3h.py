@@ -25,7 +25,7 @@ SWEEP = [
     # the sweep also proves the bloom plan against the SQL ground truth)
     "rollup_week", "gini_sources", "rsi_cutler", "semi_join_bloom",
     "dominant_period", "macd_1m", "interarrival_stats", "distinct_users_1h",
-    "fano_factor", "peak_minute_1h",
+    "fano_factor", "peak_minute_1h", "source_share_1h",
 ]
 
 

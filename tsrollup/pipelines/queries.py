@@ -4682,6 +4682,66 @@ def q_benford(sf_dir: str):
                           batch_format="pandas")
 
 
+def q_source_share_1h(sf_dir: str):
+    """Each source's share of the WHOLE corpus's hourly traffic — the
+    normalization-ACROSS-groups shape (the denominator spans every source
+    in the hour, not one source's stream, so per-source partitioning
+    can't serve it): hour partials fold once, then ONE bucket_h-keyed
+    exchange (group size == #sources, the ccf/pivot partitioning) makes
+    each hour's total local; share = one float64 division of two exact
+    integers, 6dp. Hours whose total is 0 are excluded (share
+    undefined), matching the oracle's ``tot <> 0``."""
+    from ray.data.aggregate import Sum
+
+    def _hour_partial(t: pa.Table) -> pa.Table:
+        hb = (t["bucket"].to_numpy(zero_copy_only=False) // 60).astype(np.int64)
+        g = pa.table(
+            {"source": t["source"], "bucket_h": pa.array(hb),
+             "c": t["sum_tok"]}
+        ).group_by(["source", "bucket_h"]).aggregate([("c", "sum")])
+        return pa.table({"source": g["source"], "bucket_h": g["bucket_h"],
+                         "c": g["c_sum"].cast(pa.int64())})
+
+    hours = (
+        _rolled_events(sf_dir)
+        .map_batches(_hour_partial, batch_format="pyarrow")
+        .groupby(["source", "bucket_h"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def _share(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "bucket_h": pa.array([], pa.int64()),
+             "sum_cents": pa.array([], pa.int64()),
+             "share": pa.array([], pa.float64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        hb = t["bucket_h"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(hb, kind="stable")
+        hb_o, c_o = hb[order], c[order]
+        first = np.ones(len(hb_o), dtype=bool)
+        first[1:] = hb_o[1:] != hb_o[:-1]
+        starts = np.flatnonzero(first)
+        tot = np.repeat(np.add.reduceat(c_o, starts),
+                        np.diff(np.r_[starts, len(c_o)]))
+        keep = tot != 0
+        if not keep.any():
+            return empty
+        src = t["source"].to_numpy(zero_copy_only=False)[order][keep]
+        return pa.table(
+            {"source": pa.array(src, pa.string()),
+             "bucket_h": pa.array(hb_o[keep]),
+             "sum_cents": pa.array(c_o[keep]),
+             "share": pa.array(_round6(
+                 c_o[keep].astype(np.float64) / tot[keep].astype(np.float64)))}
+        )
+
+    return map_key_partitions(hours, ["bucket_h"], _share)
+
+
 def q_peak_minute_1h(sf_dir: str):
     """Per-group argmax: for every (source, hour) the single minute with
     the highest cents sum (ties → earliest minute) — the 'when inside the
@@ -6518,6 +6578,16 @@ ORACLE_SQL["rsi_cutler"] = f"""
 # physical-plan optimization, so the oracle is shared verbatim
 ORACLE_SQL["semi_join_bloom"] = ORACLE_SQL["semi_join_users"]
 
+ORACLE_SQL["source_share_1h"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    h AS (SELECT source, bucket // 60 AS bucket_h, SUM(sum_cents) AS c
+          FROM r GROUP BY 1, 2),
+    t AS (SELECT *, SUM(c) OVER (PARTITION BY bucket_h) AS tot FROM h)
+    SELECT source, bucket_h, CAST(c AS BIGINT) AS sum_cents,
+           ROUND(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+    FROM t WHERE tot <> 0 ORDER BY 1, 2
+"""
+
 ORACLE_SQL["peak_minute_1h"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY})
     SELECT source, bucket // 60 AS bucket_h, bucket AS peak_bucket,
@@ -6687,6 +6757,7 @@ QUERIES = {
     "distinct_users_1h": q_distinct_users_1h,
     "fano_factor": q_fano_factor,
     "peak_minute_1h": q_peak_minute_1h,
+    "source_share_1h": q_source_share_1h,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
