@@ -953,6 +953,300 @@ def q_tpch_q15(sf_dir: str):
     return out.sort_values("s_suppkey").reset_index(drop=True)
 
 
+_Q7_SUPP_REGION, _Q7_CUST_REGION = "ASIA", "EUROPE"
+_Q7_LO, _Q7_HI = "1996-01-01", "1998-01-01"
+
+_Q7_SCHEMA = pa.schema(
+    [("l_orderkey", pa.int64()), ("nat", pa.int64()), ("l_year", pa.int64()),
+     ("rev4", pa.int64()), ("side", pa.int8())]
+)
+
+
+def _region_nations(sf_dir: str, region_name: str):
+    """(sorted nationkey array, {nationkey: n_name}) for one region —
+    resolved driver-side from the two bounded dims (5 regions, 25
+    nations), the same plan q5 uses."""
+    import pyarrow.parquet as pq
+
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    rkeys = reg["r_regionkey"].to_numpy(zero_copy_only=False)[
+        pc.equal(reg["r_name"], region_name).combine_chunks().to_numpy(
+            zero_copy_only=False)]
+    ntab = pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name", "n_regionkey"])
+    in_region = np.isin(
+        ntab["n_regionkey"].to_numpy(zero_copy_only=False), rkeys)
+    keys = np.sort(ntab["n_nationkey"].to_numpy(
+        zero_copy_only=False)[in_region].astype(np.int64))
+    names = {int(k): n for k, n, m in zip(
+        ntab["n_nationkey"].to_numpy(zero_copy_only=False),
+        ntab["n_name"].to_pylist(), in_region) if m}
+    return keys, names
+
+
+def _year_from_us(us: np.ndarray) -> np.ndarray:
+    """EXTRACT(year FROM ts) as int64, vectorized civil-date conversion."""
+    from tsrollup.pipelines.queries import _civil_from_days
+
+    y, _, _ = _civil_from_days(us // _US)
+    return y.astype(np.int64)
+
+
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 volume shipping: bilateral trade revenue between the
+    supplier nations of one region and the customer nations of another,
+    per (supp_nation, cust_nation, ship year), both directions. Plan:
+    nation/region membership resolves driver-side; customer->nation and
+    supplier->nation broadcast as sorted pairs; orders rows carry the
+    customer nation, lineitem rows carry the supplier nation + ship year
+    + revenue; the direction predicate ((s in A and c in B) or (s in B
+    and c in A)) runs vectorized inside one orderkey exchange, and the
+    (supp, cust, year) fold is bounded by nations^2 x years."""
+    from ray.data.aggregate import Sum
+
+    sn_keys, sn_names = _region_nations(sf_dir, _Q7_SUPP_REGION)
+    cn_keys, cn_names = _region_nations(sf_dir, _Q7_CUST_REGION)
+    both = np.union1d(sn_keys, cn_keys)
+    names = {**sn_names, **cn_names}
+
+    cust_ref = _broadcast_column_pair(
+        read_parquet_clean(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"]),
+        "c_custkey", "c_nationkey")
+    supp_ref = _broadcast_column_pair(
+        read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]),
+        "s_suppkey", "s_nationkey")
+    lo, hi = _date_us(_Q7_LO), _date_us(_Q7_HI)
+
+    def _orders(t: pa.Table) -> pa.Table:
+        ok, cn = _lookup(cust_ref, t["o_custkey"].to_numpy(
+            zero_copy_only=False))
+        keep = ok & np.isin(cn, both)
+        n = int(keep.sum())
+        return pa.table(
+            {"l_orderkey": pa.array(
+                t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+             "nat": pa.array(cn[keep]),
+             "l_year": pa.array(np.zeros(n, np.int64)),
+             "rev4": pa.array(np.zeros(n, np.int64)),
+             "side": pa.array(np.zeros(n, np.int8))}, schema=_Q7_SCHEMA)
+
+    def _items(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).view(np.int64)
+        ok, sn = _lookup(supp_ref, t["l_suppkey"].to_numpy(
+            zero_copy_only=False))
+        keep = ok & (sd >= lo) & (sd < hi) & np.isin(sn, both)
+        ec = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
+        dp = _cents(t["l_discount"].to_numpy(zero_copy_only=False)[keep])
+        return pa.table(
+            {"l_orderkey": pa.array(
+                t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+             "nat": pa.array(sn[keep]),
+             "l_year": pa.array(_year_from_us(sd[keep])),
+             "rev4": pa.array(ec * (100 - dp)),
+             "side": pa.array(np.ones(int(keep.sum()), np.int8))},
+            schema=_Q7_SCHEMA)
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+    ).map_batches(_orders, batch_format="pyarrow")
+    items = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(_items, batch_format="pyarrow")
+
+    def _join_block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"supp_nat": pa.array([], pa.int64()),
+                          "cust_nat": pa.array([], pa.int64()),
+                          "l_year": pa.array([], pa.int64()),
+                          "revenue4": pa.array([], pa.int64())})
+        parts = _union_join_parts(t)
+        if parts is None:
+            return empty
+        so, om, ok, posc = parts
+        cust = t["nat"].to_numpy(zero_copy_only=False)[om][so]
+        supp = t["nat"].to_numpy(zero_copy_only=False)[~om]
+        c_nat = cust[posc]
+        ok &= ((np.isin(supp, sn_keys) & np.isin(c_nat, cn_keys))
+               | (np.isin(supp, cn_keys) & np.isin(c_nat, sn_keys)))
+        if not ok.any():
+            return empty
+        g = pa.table(
+            {"supp_nat": pa.array(supp[ok]),
+             "cust_nat": pa.array(c_nat[ok]),
+             "l_year": pa.array(
+                 t["l_year"].to_numpy(zero_copy_only=False)[~om][ok]),
+             "rev4": pa.array(
+                 t["rev4"].to_numpy(zero_copy_only=False)[~om][ok])}
+        ).group_by(["supp_nat", "cust_nat", "l_year"]).aggregate(
+            [("rev4", "sum")])
+        return pa.table(
+            {"supp_nat": g["supp_nat"].cast(pa.int64()),
+             "cust_nat": g["cust_nat"].cast(pa.int64()),
+             "l_year": g["l_year"].cast(pa.int64()),
+             "revenue4": g["rev4_sum"].cast(pa.int64())})
+
+    folded = (
+        map_key_partitions(orders.union(items), ["l_orderkey"], _join_block)
+        .groupby(["supp_nat", "cust_nat", "l_year"])
+        .aggregate(Sum("revenue4", alias_name="revenue4"))
+    )
+
+    def _name(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"supp_nation": pa.array(
+                [names[int(k)] for k in
+                 t["supp_nat"].to_numpy(zero_copy_only=False)], pa.string()),
+             "cust_nation": pa.array(
+                 [names[int(k)] for k in
+                  t["cust_nat"].to_numpy(zero_copy_only=False)], pa.string()),
+             "l_year": t["l_year"].cast(pa.int64()),
+             "revenue4": t["revenue4"].cast(pa.int64())})
+
+    out = folded.map_batches(_name, batch_format="pyarrow").to_pandas()
+    if not len(out):
+        return pd.DataFrame(
+            {"supp_nation": pd.Series(dtype=object),
+             "cust_nation": pd.Series(dtype=object),
+             "l_year": pd.Series(dtype=np.int64),
+             "revenue4": pd.Series(dtype=np.int64)})
+    return out.sort_values(
+        ["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
+
+
+_Q8_CUST_REGION = "ASIA"
+_Q8_TARGET_NATION = 12          # NATION_12 — nonzero share at sf >= 0.001
+_Q8_PART_TYPE = "ECONOMY"
+_Q8_LO, _Q8_HI = "1995-01-01", "1997-01-01"
+
+_Q8_SCHEMA = pa.schema(
+    [("l_orderkey", pa.int64()), ("o_year", pa.int64()),
+     ("is_target", pa.int64()), ("rev4", pa.int64()), ("side", pa.int8())]
+)
+
+
+def q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 national market share: the target nation's share of
+    revenue, per order year, among lineitems of one part type sold to
+    customers of one region. Plan: the part-type membership and the two
+    nation maps broadcast; orders rows carry the order year (region
+    membership already applied), lineitem rows carry the target flag +
+    revenue; the per-year (target_rev, total_rev) fold runs inside one
+    orderkey exchange and the share is one float division of exact
+    integers per year."""
+    from ray.data.aggregate import Sum
+
+    cust_nations, _ = _region_nations(sf_dir, _Q8_CUST_REGION)
+    part_ref = _broadcast_column_pair(
+        read_parquet_clean(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+        .map_batches(
+            lambda t: pa.table(
+                {"p_partkey": t["p_partkey"],
+                 "is_type": pc.equal(t["p_type"], _Q8_PART_TYPE)
+                 .cast(pa.int64())}),
+            batch_format="pyarrow"),
+        "p_partkey", "is_type")
+    cust_ref = _broadcast_column_pair(
+        read_parquet_clean(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"]),
+        "c_custkey", "c_nationkey")
+    supp_ref = _broadcast_column_pair(
+        read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]),
+        "s_suppkey", "s_nationkey")
+    lo, hi = _date_us(_Q8_LO), _date_us(_Q8_HI)
+
+    def _orders(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).view(np.int64)
+        ok, cn = _lookup(cust_ref, t["o_custkey"].to_numpy(
+            zero_copy_only=False))
+        keep = ok & (od >= lo) & (od < hi) & np.isin(cn, cust_nations)
+        n = int(keep.sum())
+        return pa.table(
+            {"l_orderkey": pa.array(
+                t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+             "o_year": pa.array(_year_from_us(od[keep])),
+             "is_target": pa.array(np.zeros(n, np.int64)),
+             "rev4": pa.array(np.zeros(n, np.int64)),
+             "side": pa.array(np.zeros(n, np.int8))}, schema=_Q8_SCHEMA)
+
+    def _items(t: pa.Table) -> pa.Table:
+        pok, is_type = _lookup(part_ref, t["l_partkey"].to_numpy(
+            zero_copy_only=False))
+        sok, sn = _lookup(supp_ref, t["l_suppkey"].to_numpy(
+            zero_copy_only=False))
+        keep = pok & sok & (is_type == 1)
+        ec = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
+        dp = _cents(t["l_discount"].to_numpy(zero_copy_only=False)[keep])
+        n = int(keep.sum())
+        return pa.table(
+            {"l_orderkey": pa.array(
+                t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+             "o_year": pa.array(np.zeros(n, np.int64)),
+             "is_target": pa.array(
+                 (sn[keep] == _Q8_TARGET_NATION).astype(np.int64)),
+             "rev4": pa.array(ec * (100 - dp)),
+             "side": pa.array(np.ones(n, np.int8))}, schema=_Q8_SCHEMA)
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(_orders, batch_format="pyarrow")
+    items = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(_items, batch_format="pyarrow")
+
+    def _join_block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_year": pa.array([], pa.int64()),
+                          "nation_rev4": pa.array([], pa.int64()),
+                          "total_rev4": pa.array([], pa.int64())})
+        parts = _union_join_parts(t)
+        if parts is None:
+            return empty
+        so, om, ok, posc = parts
+        yr = t["o_year"].to_numpy(zero_copy_only=False)[om][so][posc][ok]
+        rev = t["rev4"].to_numpy(zero_copy_only=False)[~om][ok]
+        tgt = t["is_target"].to_numpy(zero_copy_only=False)[~om][ok]
+        if not len(yr):
+            return empty
+        uy, inv = np.unique(yr, return_inverse=True)
+        tot = np.zeros(len(uy), np.int64)
+        nat = np.zeros(len(uy), np.int64)
+        np.add.at(tot, inv, rev)
+        np.add.at(nat, inv, rev * tgt)
+        return pa.table({"o_year": pa.array(uy),
+                         "nation_rev4": pa.array(nat),
+                         "total_rev4": pa.array(tot)})
+
+    folded = (
+        map_key_partitions(orders.union(items), ["l_orderkey"], _join_block)
+        .groupby("o_year")
+        .aggregate(Sum("nation_rev4", alias_name="nation_rev4"),
+                   Sum("total_rev4", alias_name="total_rev4"))
+    ).to_pandas()
+    if not len(folded):
+        return pd.DataFrame({"o_year": pd.Series(dtype=np.int64),
+                             "nation_rev4": pd.Series(dtype=np.int64),
+                             "total_rev4": pd.Series(dtype=np.int64),
+                             "mkt_share": pd.Series(dtype=np.float64)})
+    from tsrollup.pipelines.queries import _round6
+
+    folded = folded.sort_values("o_year").reset_index(drop=True)
+    folded["o_year"] = folded["o_year"].astype(np.int64)
+    folded["nation_rev4"] = folded["nation_rev4"].astype(np.int64)
+    folded["total_rev4"] = folded["total_rev4"].astype(np.int64)
+    folded["mkt_share"] = _round6(
+        folded["nation_rev4"].to_numpy(np.float64)
+        / folded["total_rev4"].to_numpy(np.float64))
+    return folded
+
+
 TPCH_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -963,6 +1257,8 @@ TPCH_QUERIES = {
     "tpch_q4": q_tpch_q4,
     "tpch_q10": q_tpch_q10,
     "tpch_q15": q_tpch_q15,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
 }
 
 _Q1_SQL_BODY = f"""
@@ -1093,6 +1389,54 @@ TPCH_ORACLE_SQL = {
           AND l.l_shipdate > TIMESTAMP '{_Q3_DATE}'
         GROUP BY 1, 3, 4
         ORDER BY revenue4 DESC, l_orderkey LIMIT 10
+    """,
+    "tpch_q7": f"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS HUGEINT)
+                        * (100 - CAST(FLOOR(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue4
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+        JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+        WHERE l.l_shipdate >= TIMESTAMP '{_Q7_LO}'
+          AND l.l_shipdate < TIMESTAMP '{_Q7_HI}'
+          AND ((sr.r_name = '{_Q7_SUPP_REGION}'
+                AND cr.r_name = '{_Q7_CUST_REGION}')
+               OR (sr.r_name = '{_Q7_CUST_REGION}'
+                   AND cr.r_name = '{_Q7_SUPP_REGION}'))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "tpch_q8": f"""
+        WITH b AS (
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(FLOOR(l.l_extendedprice * 100) AS HUGEINT)
+                   * (100 - CAST(FLOOR(l.l_discount * 100) AS BIGINT))
+                       AS rev4,
+                   CASE WHEN s.s_nationkey = {_Q8_TARGET_NATION}
+                        THEN 1 ELSE 0 END AS tgt
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = '{_Q8_CUST_REGION}'
+              AND p.p_type = '{_Q8_PART_TYPE}'
+              AND o.o_orderdate >= TIMESTAMP '{_Q8_LO}'
+              AND o.o_orderdate < TIMESTAMP '{_Q8_HI}')
+        SELECT o_year,
+               CAST(SUM(rev4 * tgt) AS BIGINT) AS nation_rev4,
+               CAST(SUM(rev4) AS BIGINT) AS total_rev4,
+               ROUND(CAST(SUM(rev4 * tgt) AS DOUBLE)
+                     / CAST(SUM(rev4) AS DOUBLE), 6) AS mkt_share
+        FROM b GROUP BY 1 ORDER BY 1
     """,
     "tpch_q5": f"""
         SELECT n.n_name AS n_name,
