@@ -1247,6 +1247,263 @@ def q_tpch_q8(sf_dir: str):
     return folded
 
 
+_Q13_EXCLUDE = "5-LOW"   # o_orderpriority class excluded from the count
+
+_Q13_SCHEMA = pa.schema(
+    [("c_custkey", pa.int64()), ("cnt", pa.int64()), ("side", pa.int8())]
+)
+
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 customer distribution: how many customers placed exactly
+    k qualifying orders, INCLUDING k = 0 — the LEFT OUTER JOIN shape (the
+    testdata lacks o_comment, so the qualifying filter is an order
+    priority class instead of the spec's NOT LIKE). Plan: orders fold a
+    per-batch (custkey, count) partial; customers enter the same custkey
+    exchange as zero-count rows; each partition resolves its customers'
+    totals (absent order rows = count 0 — the outer join falls out of the
+    union) and folds the local count histogram, so only (c_count,
+    custdist) partials leave the exchange."""
+    from ray.data.aggregate import Sum
+
+    def _cust(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {"c_custkey": t["c_custkey"].cast(pa.int64()),
+             "cnt": pa.array(np.zeros(n, np.int64)),
+             "side": pa.array(np.zeros(n, np.int8))}, schema=_Q13_SCHEMA)
+
+    def _orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["o_orderpriority"], _Q13_EXCLUDE)))
+        g = pa.table(
+            {"c_custkey": t["o_custkey"],
+             "one": pa.array(np.ones(t.num_rows, np.int64))}
+        ).group_by(["c_custkey"]).aggregate([("one", "sum")])
+        n = g.num_rows
+        return pa.table(
+            {"c_custkey": g["c_custkey"].cast(pa.int64()),
+             "cnt": g["one_sum"].cast(pa.int64()),
+             "side": pa.array(np.ones(n, np.int8))}, schema=_Q13_SCHEMA)
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+    ).map_batches(_cust, batch_format="pyarrow")
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+    ).map_batches(_orders, batch_format="pyarrow")
+
+    def _hist_block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"c_count": pa.array([], pa.int64()),
+                          "custdist": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        side = t["side"].to_numpy(zero_copy_only=False)
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        cm = side == 0
+        c_keys = np.sort(keys[cm])
+        if not len(c_keys):
+            return empty
+        totals = np.zeros(len(c_keys), np.int64)
+        ok, posc = _match_sorted(c_keys, keys[~cm])
+        np.add.at(totals, posc[ok],
+                  t["cnt"].to_numpy(zero_copy_only=False)[~cm][ok])
+        counts, dist = np.unique(totals, return_counts=True)
+        return pa.table({"c_count": pa.array(counts),
+                         "custdist": pa.array(dist.astype(np.int64))})
+
+    out = (
+        map_key_partitions(cust.union(orders), ["c_custkey"], _hist_block)
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+    ).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"c_count": pd.Series(dtype=np.int64),
+                             "custdist": pd.Series(dtype=np.int64)})
+    out["c_count"] = out["c_count"].astype(np.int64)
+    out["custdist"] = out["custdist"].astype(np.int64)
+    return out.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+
+
+_Q17_BRAND = "Brand#3"
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 small-quantity-order revenue: total and avg-yearly
+    revenue from lineitems of one brand whose quantity is below 20% of
+    that part's average quantity (the testdata lacks p_container, so the
+    part filter is brand-only). The correlated per-part average resolves
+    inside one partkey exchange — each part's full lineitem group lands
+    in one partition, where the spec predicate ``qty < 0.2 * avg(qty)``
+    runs as the exact integer rewrite ``5 * qc * n < sum_qc`` (qc <=
+    5000 cents, so the product is far inside int64). Only a one-row
+    (sum, count) partial leaves each partition."""
+    from ray.data.aggregate import Sum
+
+    brand_ref = _broadcast_column_pair(
+        read_parquet_clean(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["p_brand"], _Q17_BRAND))
+            .select(["p_partkey"]),
+            batch_format="pyarrow"),
+        "p_partkey", None)
+
+    def _items(t: pa.Table) -> pa.Table:
+        keys = t["l_partkey"].to_numpy(zero_copy_only=False)
+        keep, _ = _lookup(brand_ref, keys)
+        return pa.table(
+            {"l_partkey": pa.array(keys[keep].astype(np.int64)),
+             "qc": pa.array(_cents(
+                 t["l_quantity"].to_numpy(zero_copy_only=False)[keep])),
+             "ec": pa.array(_cents(
+                 t["l_extendedprice"].to_numpy(
+                     zero_copy_only=False)[keep]))})
+
+    def _small_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"total_ec": pa.array([], pa.int64()),
+                             "n_small": pa.array([], pa.int64())})
+        order = np.argsort(
+            t["l_partkey"].to_numpy(zero_copy_only=False), kind="stable")
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)[order]
+        qc = t["qc"].to_numpy(zero_copy_only=False)[order]
+        ec = t["ec"].to_numpy(zero_copy_only=False)[order]
+        starts = np.concatenate(([0], np.flatnonzero(pk[1:] != pk[:-1]) + 1))
+        sums = np.add.reduceat(qc, starts)
+        lens = np.diff(np.concatenate((starts, [len(pk)])))
+        gid = np.repeat(np.arange(len(starts)), lens)
+        small = 5 * qc * lens[gid] < sums[gid]
+        return pa.table(
+            {"total_ec": pa.array([int(ec[small].sum())], pa.int64()),
+             "n_small": pa.array([int(small.sum())], pa.int64())})
+
+    items = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(_items, batch_format="pyarrow")
+    agg = map_key_partitions(items, ["l_partkey"], _small_block).aggregate(
+        Sum("total_ec", alias_name="total_ec"),
+        Sum("n_small", alias_name="n_small"))
+    total = int(agg["total_ec"] or 0)
+    n = int(agg["n_small"] or 0)
+    return pd.DataFrame(
+        [{"total_ec": np.int64(total), "n_small": np.int64(n),
+          "avg_yearly": float(total) / 700.0}])
+
+
+_Q22_CUTOFF = "2000-01-01"   # 'inactive' = no orders on/after this date
+
+
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 global sales opportunity: per nation, the count and
+    total balance of ABOVE-AVERAGE-balance customers with NO recent
+    orders (the testdata lacks c_phone, so the country grouping is the
+    customer's nation). Plan: the positive-balance average resolves as
+    one (sum, count) aggregate pass; the anti-join runs inside one
+    custkey exchange where recent-order custkeys mask the customer rows;
+    the spec predicate ``bal > avg`` is the exact integer cross-multiply
+    ``bal_c * n > sum_c``. Only per-nation partials leave the
+    exchange."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    def _bal_partial(t: pa.Table) -> pa.Table:
+        bal = _cents(t["c_acctbal"].to_numpy(zero_copy_only=False))
+        pos = bal > 0
+        return pa.table({"pos_c": pa.array([int(bal[pos].sum())], pa.int64()),
+                         "pos_n": pa.array([int(pos.sum())], pa.int64())})
+
+    cust_ds = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    avg_agg = cust_ds.map_batches(
+        _bal_partial, batch_format="pyarrow").aggregate(
+        Sum("pos_c", alias_name="pos_c"), Sum("pos_n", alias_name="pos_n"))
+    sum_c, n_pos = int(avg_agg["pos_c"] or 0), int(avg_agg["pos_n"] or 0)
+    empty_out = pd.DataFrame({"n_name": pd.Series(dtype=object),
+                              "numcust": pd.Series(dtype=np.int64),
+                              "totacctbal_c": pd.Series(dtype=np.int64)})
+    if n_pos == 0:
+        return empty_out
+
+    schema = pa.schema([("c_custkey", pa.int64()), ("nat", pa.int64()),
+                        ("bal_c", pa.int64()), ("side", pa.int8())])
+
+    def _cust(t: pa.Table) -> pa.Table:
+        bal = _cents(t["c_acctbal"].to_numpy(zero_copy_only=False))
+        keep = bal * n_pos > sum_c   # bal_c <= 10^6 cents, n bounded by rows
+        n = int(keep.sum())
+        return pa.table(
+            {"c_custkey": pa.array(t["c_custkey"].to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)),
+             "nat": pa.array(t["c_nationkey"].to_numpy(
+                 zero_copy_only=False)[keep].astype(np.int64)),
+             "bal_c": pa.array(bal[keep]),
+             "side": pa.array(np.zeros(n, np.int8))}, schema=schema)
+
+    cutoff = _date_us(_Q22_CUTOFF)
+
+    def _recent(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).view(np.int64)
+        keys = np.unique(
+            t["o_custkey"].to_numpy(zero_copy_only=False)[od >= cutoff])
+        n = len(keys)
+        return pa.table(
+            {"c_custkey": pa.array(keys.astype(np.int64)),
+             "nat": pa.array(np.zeros(n, np.int64)),
+             "bal_c": pa.array(np.zeros(n, np.int64)),
+             "side": pa.array(np.ones(n, np.int8))}, schema=schema)
+
+    cust = cust_ds.map_batches(_cust, batch_format="pyarrow")
+    recent = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"],
+    ).map_batches(_recent, batch_format="pyarrow")
+
+    def _anti_block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"nat": pa.array([], pa.int64()),
+                          "numcust": pa.array([], pa.int64()),
+                          "totacctbal_c": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        side = t["side"].to_numpy(zero_copy_only=False)
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        cm = side == 0
+        keep = cm.copy()
+        keep[cm] = ~np.isin(keys[cm], keys[~cm])
+        if not keep.any():
+            return empty
+        nat = t["nat"].to_numpy(zero_copy_only=False)[keep]
+        bal = t["bal_c"].to_numpy(zero_copy_only=False)[keep]
+        nk, inv = np.unique(nat, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        tot = np.zeros(len(nk), np.int64)
+        np.add.at(tot, inv, bal)
+        return pa.table({"nat": pa.array(nk), "numcust": pa.array(cnt),
+                         "totacctbal_c": pa.array(tot)})
+
+    folded = (
+        map_key_partitions(cust.union(recent), ["c_custkey"], _anti_block)
+        .groupby("nat")
+        .aggregate(Sum("numcust", alias_name="numcust"),
+                   Sum("totacctbal_c", alias_name="totacctbal_c"))
+    ).to_pandas()
+    if not len(folded):
+        return empty_out
+    ntab = pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    names = dict(zip(ntab["n_nationkey"].to_pylist(),
+                     ntab["n_name"].to_pylist()))
+    folded["n_name"] = [names[int(k)] for k in folded["nat"]]
+    folded["numcust"] = folded["numcust"].astype(np.int64)
+    folded["totacctbal_c"] = folded["totacctbal_c"].astype(np.int64)
+    return folded[["n_name", "numcust", "totacctbal_c"]].sort_values(
+        "n_name").reset_index(drop=True)
+
+
 TPCH_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -1259,6 +1516,9 @@ TPCH_QUERIES = {
     "tpch_q15": q_tpch_q15,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q22": q_tpch_q22,
 }
 
 _Q1_SQL_BODY = f"""
@@ -1437,6 +1697,55 @@ TPCH_ORACLE_SQL = {
                ROUND(CAST(SUM(rev4 * tgt) AS DOUBLE)
                      / CAST(SUM(rev4) AS DOUBLE), 6) AS mkt_share
         FROM b GROUP BY 1 ORDER BY 1
+    """,
+    "tpch_q13": f"""
+        WITH co AS (SELECT c.c_custkey,
+                           count(o.o_orderkey) AS c_count
+                    FROM customer c
+                    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority <> '{_Q13_EXCLUDE}'
+                    GROUP BY 1)
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(count(*) AS BIGINT) AS custdist
+        FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_q17": f"""
+        WITH li AS (SELECT l.l_partkey,
+                           CAST(FLOOR(l.l_quantity * 100) AS BIGINT) AS qc,
+                           CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                               AS ec
+                    FROM lineitem l JOIN part p
+                         ON p.p_partkey = l.l_partkey
+                    WHERE p.p_brand = '{_Q17_BRAND}'),
+             st AS (SELECT l_partkey, SUM(qc) AS s,
+                           CAST(COUNT(*) AS BIGINT) AS n
+                    FROM li GROUP BY 1)
+        SELECT CAST(COALESCE(SUM(li.ec), 0) AS BIGINT) AS total_ec,
+               CAST(COUNT(*) AS BIGINT) AS n_small,
+               CAST(COALESCE(SUM(li.ec), 0) AS DOUBLE) / 700.0 AS avg_yearly
+        FROM li JOIN st ON li.l_partkey = st.l_partkey
+        WHERE 5 * li.qc * st.n < st.s
+    """,
+    "tpch_q22": f"""
+        WITH avg_b AS (SELECT SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT))
+                                  AS s,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM customer
+                       WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) > 0),
+             sel AS (SELECT c.c_nationkey,
+                            CAST(FLOOR(c.c_acctbal * 100) AS BIGINT) AS bal_c
+                     FROM customer c, avg_b
+                     WHERE CAST(FLOOR(c.c_acctbal * 100) AS BIGINT) * avg_b.n
+                           > avg_b.s
+                       AND NOT EXISTS (
+                           SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}'))
+        SELECT n.n_name AS n_name,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(bal_c) AS BIGINT) AS totacctbal_c
+        FROM sel JOIN nation n ON n.n_nationkey = sel.c_nationkey
+        GROUP BY 1 ORDER BY 1
     """,
     "tpch_q5": f"""
         SELECT n.n_name AS n_name,
