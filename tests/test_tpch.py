@@ -42,7 +42,7 @@ def _oracle(name: str, sf_dir: str) -> pd.DataFrame:
 @pytest.mark.parametrize("name", ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q14",
                                   "tpch_q18", "tpch_q4", "tpch_q10", "tpch_q15",
                                   "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q17",
-                                  "tpch_q22"])
+                                  "tpch_q22", "tpch_q19"])
 def test_tpch_sf0001_matches_oracle(ray_session, name):
     sf = "/root/testdata/sf0.001"
     res = QUERIES[name](sf)
@@ -137,7 +137,7 @@ def test_tpch_random_relational_sweep(ray_session, tmp_path_factory, seed):
     _random_tpch(seed, d)
     for name in ("tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q14", "tpch_q18",
                  "tpch_q4", "tpch_q10", "tpch_q15", "tpch_q7", "tpch_q8",
-                 "tpch_q13", "tpch_q17", "tpch_q22"):
+                 "tpch_q13", "tpch_q17", "tpch_q22", "tpch_q19"):
         res = QUERIES[name](str(d))
         eng = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         ora = _oracle(name, str(d))
@@ -170,7 +170,7 @@ def test_tpch_all_empty_windows(ray_session, tmp_path_factory):
         pq.write_table(t, str(d / f))
     for name in ("tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
                  "tpch_q10", "tpch_q14", "tpch_q15", "tpch_q18", "tpch_q7",
-                 "tpch_q8", "tpch_q13", "tpch_q17", "tpch_q22"):
+                 "tpch_q8", "tpch_q13", "tpch_q17", "tpch_q22", "tpch_q19"):
         res = QUERIES[name](str(d))
         eng = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         ora = _oracle(name, str(d))

@@ -1,7 +1,10 @@
 """Classic TPC-H pipelines over the driver's relational tables — the
 multi-table join / aggregate capability demo alongside the timeseries and
-corpus families. Nine canonical shapes, all SQL-verified against DuckDB
-running the textbook query on the same parquet:
+corpus families. Fifteen canonical shapes — every TPC-H query expressible
+on the testdata's schema (q2/q9/q11/q16/q20 need the absent partsupp
+table; q12/q21 need l_commitdate/l_receiptdate/l_shipmode) — all
+SQL-verified against DuckDB running the textbook query on the same
+parquet:
 
 - ``tpch_q1``  — pricing summary: single-table scan -> wide exact-integer
   aggregate (no exchange beyond the tiny (flag, status) fold).
@@ -23,6 +26,19 @@ running the textbook query on the same parquet:
   supplier fold.
 - ``tpch_q18`` — large-volume customers: aggregate-then-join HAVING
   semi-join whose big-keys set stays a Dataset.
+- ``tpch_q7``  — volume shipping: bilateral region-pair trade per
+  (supp_nation, cust_nation, year), direction predicate inside the
+  orderkey exchange.
+- ``tpch_q8``  — national market share: per-year target/total revenue
+  ratio from one exchange join against three broadcast dims.
+- ``tpch_q13`` — customer distribution: LEFT OUTER JOIN order-count
+  histogram (k = 0 customers included) through one custkey exchange.
+- ``tpch_q17`` — small-quantity revenue: correlated per-part average
+  resolved in-partition as the exact integer rewrite 5*qc*n < sum.
+- ``tpch_q19`` — discounted revenue: three disjunctive (brand, size,
+  quantity) clauses, clause-id broadcast, no exchange at all.
+- ``tpch_q22`` — global sales opportunity: above-average-balance
+  anti-join (NOT EXISTS recent orders) folded per nation.
 
 Exactness: every money aggregate runs on integer cents derived as
 ``FLOOR(x * 100)`` — the same double multiply+floor on both sides (the
@@ -1504,6 +1520,72 @@ def q_tpch_q22(sf_dir: str):
         "n_name").reset_index(drop=True)
 
 
+# (brand, size_lo, size_hi, qty_lo_c, qty_hi_c) per disjunct — quantity
+# bounds in integer cents like every other money/quantity comparison here
+_Q19_CLAUSES = (
+    ("Brand#2", 1, 15, 100, 1100),
+    ("Brand#13", 5, 25, 1000, 2000),
+    ("Brand#24", 15, 50, 2000, 3000),
+)
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 discounted revenue: three disjunctive (brand, size
+    range, quantity range) clauses over lineitem x part — the
+    multi-clause OR-predicate join (the testdata lacks l_shipmode /
+    l_shipinstruct, so those conjuncts are dropped). Plan: the part DIM
+    broadcasts as (partkey, clause-id) where clause-id is the first
+    disjunct whose brand+size the part satisfies (clauses are
+    brand-disjoint, so at most one can match); each lineitem batch
+    resolves its part's clause and applies that clause's quantity window
+    vectorized — no exchange at all, one exact two-sum fold."""
+    from ray.data.aggregate import Sum
+
+    def _classify(t: pa.Table) -> pa.Table:
+        brand = t["p_brand"].to_numpy(zero_copy_only=False)
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cls = np.zeros(t.num_rows, np.int64)
+        for i, (b, slo, shi, _, _) in enumerate(_Q19_CLAUSES, start=1):
+            cls = np.where((brand == b) & (size >= slo) & (size <= shi)
+                           & (cls == 0), i, cls)
+        keep = cls > 0
+        return pa.table(
+            {"p_partkey": pa.array(t["p_partkey"].to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)),
+             "cls": pa.array(cls[keep])})
+
+    part_ref = _broadcast_column_pair(
+        read_parquet_clean(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand", "p_size"])
+        .map_batches(_classify, batch_format="pyarrow"),
+        "p_partkey", "cls")
+    qlo = np.array([0] + [c[3] for c in _Q19_CLAUSES], np.int64)
+    qhi = np.array([-1] + [c[4] for c in _Q19_CLAUSES], np.int64)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ok, cls = _lookup(part_ref, t["l_partkey"].to_numpy(
+            zero_copy_only=False))
+        qc = _cents(t["l_quantity"].to_numpy(zero_copy_only=False))
+        c = np.where(ok, cls, 0)
+        keep = ok & (qc >= qlo[c]) & (qc <= qhi[c])
+        ec = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
+        dp = _cents(t["l_discount"].to_numpy(zero_copy_only=False)[keep])
+        rev = ec * (100 - dp)
+        return pa.table(
+            {"revenue4": pa.array([int(rev.sum())], pa.int64()),
+             "n_rows": pa.array([int(keep.sum())], pa.int64())})
+
+    agg = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(_partial, batch_format="pyarrow").aggregate(
+        Sum("revenue4", alias_name="revenue4"),
+        Sum("n_rows", alias_name="n_rows"))
+    return pd.DataFrame(
+        [{"revenue4": np.int64(agg["revenue4"] or 0),
+          "n_rows": np.int64(agg["n_rows"] or 0)}])
+
+
 TPCH_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -1519,6 +1601,7 @@ TPCH_QUERIES = {
     "tpch_q13": q_tpch_q13,
     "tpch_q17": q_tpch_q17,
     "tpch_q22": q_tpch_q22,
+    "tpch_q19": q_tpch_q19,
 }
 
 _Q1_SQL_BODY = f"""
@@ -1746,6 +1829,19 @@ TPCH_ORACLE_SQL = {
                CAST(SUM(bal_c) AS BIGINT) AS totacctbal_c
         FROM sel JOIN nation n ON n.n_nationkey = sel.c_nationkey
         GROUP BY 1 ORDER BY 1
+    """,
+    "tpch_q19": f"""
+        SELECT CAST(COALESCE(SUM(
+                   CAST(FLOOR(l.l_extendedprice * 100) AS HUGEINT)
+                   * (100 - CAST(FLOOR(l.l_discount * 100) AS BIGINT))), 0)
+                    AS BIGINT) AS revenue4,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE """ + " OR ".join(
+        f"""(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}
+             AND CAST(FLOOR(l.l_quantity * 100) AS BIGINT)
+                 BETWEEN {qlo} AND {qhi})"""
+        for b, slo, shi, qlo, qhi in _Q19_CLAUSES) + """
     """,
     "tpch_q5": f"""
         SELECT n.n_name AS n_name,
