@@ -26,6 +26,8 @@ SWEEP = [
     "rollup_week", "gini_sources", "rsi_cutler", "semi_join_bloom",
     "dominant_period", "macd_1m", "interarrival_stats", "distinct_users_1h",
     "fano_factor", "peak_minute_1h", "source_share_1h",
+    # round-3k family
+    "source_corr_1m",
 ]
 
 

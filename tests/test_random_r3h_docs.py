@@ -17,7 +17,7 @@ SWEEP = [
     "ttr_quality", "token_entropy", "unigram_logprob", "zipf_fit",
     "token_drift", "bigram_entropy", "bpe_pairs", "utf8_profile",
     "doclen_quantiles", "trending_tokens", "source_perplexity",
-    "token_pareto", "lexicon_score", "corpus_grep",
+    "token_pareto", "lexicon_score", "corpus_grep", "stratified_sample",
 ]
 
 _WORDS = ["a", "ab", "the", "x\x00y", "x\x00z", "Zürich", "ému", "q1",

@@ -4179,3 +4179,83 @@ DOC_ORACLE_SQL["dup_cluster_sizes"] = """
            CAST(COUNT(*) AS BIGINT) AS n_clusters
     FROM c GROUP BY 1 ORDER BY 1
 """
+
+
+# stratified-sample fraction; the oracle SQL shares this constant, and both
+# sides evaluate CEIL on the identical double product (0.2*30 is
+# 6.000000000000001 in binary on BOTH, so the ceiling agrees everywhere)
+_STRAT_FRAC = 0.2
+
+
+def q_stratified_sample(sf_dir: str, frac: float = _STRAT_FRAC):
+    """Deterministic stratified sampling: EXACTLY ceil(frac * n_s) documents
+    from every source s, chosen as the smallest (multiplicative doc_id
+    hash, doc_id) — the per-group-quota sampler a mixture-controlled
+    training corpus needs where sample_split's global hash threshold only
+    hits the quota in expectation. Stable under re-runs, appends and
+    repartitioning (pure function of doc_id). Plan: one tiny per-source
+    count fold fixes the quotas; every batch prunes to its local k
+    smallest per source (lossless — the global k smallest survive any
+    superset prune); one source-keyed exchange finishes the exact
+    selection. Hash contract: (doc_id * 2654435761) mod 2^32, identical
+    in SQL while doc_id < 2^63 / K (true for any realistic id space)."""
+    from tsrollup.shuffle import map_key_partitions
+
+    def _counts():
+        return (_docs(sf_dir, ("source",))
+                .groupby("source").count().to_pandas())
+
+    counts = _counts()
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "n_chars": pa.array([], pa.int64())})
+    if not len(counts):
+        return empty.to_pandas()
+    import math
+
+    quota = {s: int(math.ceil(frac * int(n)))
+             for s, n in zip(counts["source"], counts["count()"])}
+
+    def _prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hv = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)).astype(
+            np.int64)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        k = pd.Series(src).map(quota).fillna(0).to_numpy(np.int64)
+        order = np.lexsort((ids.astype(np.int64), hv, src))
+        so = src[order]
+        new = np.ones(len(so), dtype=bool)
+        new[1:] = so[1:] != so[:-1]
+        gid = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(so)) - starts[gid]
+        keep_sorted = rank < k[order]
+        keep = np.zeros(len(so), dtype=bool)
+        keep[order] = keep_sorted
+        return pa.table(
+            {"source": pa.array(src[keep], pa.string()),
+             "doc_id": pa.array(
+                 t["doc_id"].to_numpy(zero_copy_only=False)[keep]),
+             "n_chars": pa.array(
+                 t["n_chars"].to_numpy(zero_copy_only=False)[keep])})
+
+    pruned = _docs(sf_dir, ("doc_id", "source", "n_chars")).map_batches(
+        _prune, batch_format="pyarrow")
+    return map_key_partitions(pruned, ["source"], _prune)
+
+
+DOC_QUERIES["stratified_sample"] = q_stratified_sample
+DOC_ORACLE_SQL["stratified_sample"] = f"""
+    WITH h AS (SELECT source, doc_id, n_chars,
+                      (doc_id * 2654435761) % 4294967296 AS hv
+               FROM documents),
+    n AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY hv, doc_id) AS rn FROM h)
+    SELECT r.source, r.doc_id, r.n_chars
+    FROM r JOIN n ON n.source = r.source
+    WHERE r.rn <= CAST(CEIL({_STRAT_FRAC} * n.cnt) AS BIGINT)
+    ORDER BY 1, 2
+"""

@@ -4742,6 +4742,95 @@ def q_source_share_1h(sf_dir: str):
     return map_key_partitions(hours, ["bucket_h"], _share)
 
 
+def q_source_corr_1m(sf_dir: str):
+    """Pairwise Pearson correlation between every two sources' 1m cents
+    series over their COMMON minutes — the cross-stream co-movement
+    matrix (does src A spike when src B does?). Shape: one bucket-keyed
+    exchange of the ROLLED tier makes each minute's source vector local;
+    a per-partition self-merge on bucket folds the five pair sums (n,
+    Σx, Σy, Σxy, Σx², Σy²) so only pairs × partitions rows reach the
+    driver, where the bounded combine runs in Python bignum (the n·Σx²
+    cross terms exceed int64 headroom at ~10× current volume — partials
+    are guarded, the combine is exact at any scale). The correlation is
+    the textbook moment form evaluated as the IDENTICAL float expression
+    on both sides: CAST-to-double of exact integers, one multiply, one
+    IEEE sqrt (correctly rounded in both numpy and DuckDB), one
+    division, 6dp. Zero-variance pairs are excluded (corr undefined),
+    matching the oracle's ``d1 > 0 AND d2 > 0``."""
+    import math
+
+    _PARTIAL_COLS = ("n", "sx", "sy", "sxy", "sxx", "syy")
+
+    def _pair_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source_a": pa.array([], pa.string()),
+             "source_b": pa.array([], pa.string()),
+             **{c: pa.array([], pa.int64()) for c in _PARTIAL_COLS}}
+        )
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame(
+            {"source": t["source"].to_numpy(zero_copy_only=False),
+             "bucket": t["bucket"].to_numpy(zero_copy_only=False),
+             "x": t["sum_tok"].to_numpy(zero_copy_only=False)})
+        m = df.merge(df, on="bucket", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        if not len(m):
+            return empty
+        xa = m["x_a"].to_numpy().astype(np.int64)
+        xb = m["x_b"].to_numpy().astype(np.int64)
+        amax = max(int(np.abs(xa).max()), int(np.abs(xb).max()), 1)
+        if len(m) * amax * amax >= 2**62:  # loud, not a silent int64 wrap
+            raise ValueError(
+                f"corr partial magnitude {amax} x {len(m)} rows overflows "
+                "int64; shrink partitions or pre-scale the series")
+        g = (
+            pd.DataFrame(
+                {"source_a": m["source_a"].to_numpy(),
+                 "source_b": m["source_b"].to_numpy(),
+                 "n": np.ones(len(m), np.int64),
+                 "sx": xa, "sy": xb, "sxy": xa * xb,
+                 "sxx": xa * xa, "syy": xb * xb})
+            .groupby(["source_a", "source_b"], as_index=False, sort=False)
+            .sum()
+        )
+        return pa.table(
+            {"source_a": pa.array(g["source_a"], pa.string()),
+             "source_b": pa.array(g["source_b"], pa.string()),
+             **{c: pa.array(g[c].to_numpy(np.int64))
+                for c in _PARTIAL_COLS}})
+
+    partials = map_key_partitions(
+        _rolled_events(sf_dir), ["bucket"], _pair_block
+    ).to_pandas()  # bounded: pairs x partitions
+    empty = pd.DataFrame(
+        {"source_a": pd.Series(dtype=object),
+         "source_b": pd.Series(dtype=object),
+         "n_buckets": pd.Series(dtype=np.int64),
+         "corr": pd.Series(dtype=np.float64)})
+    if not len(partials):
+        return empty
+    for c in _PARTIAL_COLS:
+        partials[c] = partials[c].astype(object)  # exact bignum combine
+    agg = partials.groupby(["source_a", "source_b"], as_index=False).sum()
+    rows = []
+    for r in agg.itertuples(index=False):
+        num = r.n * r.sxy - r.sx * r.sy
+        d1 = r.n * r.sxx - r.sx * r.sx
+        d2 = r.n * r.syy - r.sy * r.sy
+        if d1 <= 0 or d2 <= 0:
+            continue
+        rows.append(
+            {"source_a": r.source_a, "source_b": r.source_b,
+             "n_buckets": np.int64(r.n),
+             "corr": float(_round6(
+                 float(num) / math.sqrt(float(d1) * float(d2))))})
+    if not rows:
+        return empty
+    return pd.DataFrame(rows).sort_values(
+        ["source_a", "source_b"]).reset_index(drop=True)
+
+
 def q_peak_minute_1h(sf_dir: str):
     """Per-group argmax: for every (source, hour) the single minute with
     the highest cents sum (ties → earliest minute) — the 'when inside the
@@ -6588,6 +6677,25 @@ ORACLE_SQL["source_share_1h"] = f"""
     FROM t WHERE tot <> 0 ORDER BY 1, 2
 """
 
+ORACLE_SQL["source_corr_1m"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(a.sum_cents AS HUGEINT)) AS sx,
+                 SUM(CAST(b.sum_cents AS HUGEINT)) AS sy,
+                 SUM(CAST(a.sum_cents AS HUGEINT) * b.sum_cents) AS sxy,
+                 SUM(CAST(a.sum_cents AS HUGEINT) * a.sum_cents) AS sxx,
+                 SUM(CAST(b.sum_cents AS HUGEINT) * b.sum_cents) AS syy
+          FROM r a JOIN r b ON a.bucket = b.bucket AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT source_a, source_b, CAST(n AS BIGINT) AS n_buckets,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+    FROM p WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ORDER BY 1, 2
+"""
+
 ORACLE_SQL["peak_minute_1h"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY})
     SELECT source, bucket // 60 AS bucket_h, bucket AS peak_bucket,
@@ -6758,6 +6866,7 @@ QUERIES = {
     "fano_factor": q_fano_factor,
     "peak_minute_1h": q_peak_minute_1h,
     "source_share_1h": q_source_share_1h,
+    "source_corr_1m": q_source_corr_1m,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
