@@ -4259,3 +4259,55 @@ DOC_ORACLE_SQL["stratified_sample"] = f"""
     WHERE r.rn <= CAST(CEIL({_STRAT_FRAC} * n.cnt) AS BIGINT)
     ORDER BY 1, 2
 """
+
+
+def q_tokens_compress(sf_dir: str):
+    """Token-payload compression demo on the input_hint's F1 corpus shape
+    (doc_id, tokens:list<int32>, n_tok, source): delta+zigzag+varint pack
+    every document's token array straight from the ListArray flat child
+    (tsrollup.functions.tokpack — the tokens analog of the Gorilla point
+    codec), decode it back, and report corpus-level bytes + exact
+    round-trip verification. Input is the engine's own deterministic
+    synthetic corpus (seeded; the driver tables carry text, not token
+    ids), so the result is stable across runs. Rows-only: the codec has
+    no SQL equivalent; the scalar spec parity is property-tested."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from tsrollup.functions import tokpack
+    from tsrollup.synth import synth_chunk
+
+    media = pa.concat_tables(
+        [synth_chunk(seed=7, source_idx=i, seq_lo=0, seq_hi=400)
+         for i in range(3)])
+
+    def _pack(t: pa.Table) -> pa.Table:
+        toks = t["tokens"].combine_chunks() if isinstance(
+            t["tokens"], pa.ChunkedArray) else t["tokens"]
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        buf, bo = tokpack.pack_concat(flat, offs)
+        dv, do = tokpack.unpack_concat(buf, bo)
+        ok = np.array_equal(dv, flat) and np.array_equal(do, offs)
+        return pa.table(
+            {"n_docs": pa.array([t.num_rows], pa.int64()),
+             "raw_bytes": pa.array([int(4 * len(flat))], pa.int64()),
+             "packed_bytes": pa.array([int(len(buf))], pa.int64()),
+             "rt_failures": pa.array([0 if ok else t.num_rows], pa.int64())})
+
+    agg = ray.data.from_arrow(media).map_batches(
+        _pack, batch_format="pyarrow").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("raw_bytes", alias_name="raw_bytes"),
+        Sum("packed_bytes", alias_name="packed_bytes"),
+        Sum("rt_failures", alias_name="rt_failures"))
+    raw, packed = int(agg["raw_bytes"] or 0), int(agg["packed_bytes"] or 0)
+    return pd.DataFrame(
+        [{"n_docs": np.int64(agg["n_docs"] or 0),
+          "raw_bytes": np.int64(raw), "packed_bytes": np.int64(packed),
+          "ratio": float(raw) / float(packed) if packed else 0.0,
+          "rt_failures": np.int64(agg["rt_failures"] or 0)}])
+
+
+DOC_QUERIES["tokens_compress"] = q_tokens_compress
