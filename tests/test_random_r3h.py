@@ -27,7 +27,7 @@ SWEEP = [
     "dominant_period", "macd_1m", "interarrival_stats", "distinct_users_1h",
     "fano_factor", "peak_minute_1h", "source_share_1h",
     # round-3k family
-    "source_corr_1m",
+    "source_corr_1m", "cusum_1m",
 ]
 
 

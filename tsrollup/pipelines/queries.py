@@ -1825,6 +1825,48 @@ def q_ewma_1m(sf_dir: str, shift: int = 3):
     return map_key_groups(_rolled_events(sf_dir), ["source"], _ewma, batch_format="pandas")
 
 
+_CUSUM_H_MULT = 4  # alarm when cusum > h_mult * target; oracle shares this
+
+
+def q_cusum_1m(sf_dir: str, h_mult: int = _CUSUM_H_MULT):
+    """One-sided CUSUM drift detector per source over the 1m rollup:
+    ``s_i = max(0, s_{i-1} + x_i - target)`` with the per-source target
+    = floor(mean), alarming when the accumulated positive drift exceeds
+    ``h_mult`` target-units (Page 1954's classic changepoint screen —
+    'did this stream shift upward, and when'). Same engine shape as
+    ewma_1m: a genuinely sequential integer recurrence run per source on
+    ROLLED volume inside the group worker, verified against a
+    recursive-CTE SQL oracle. Exactness: target is FLOOR of one float64
+    division of exact integers (identical both sides); everything after
+    is pure int64."""
+    import math
+
+    def _cusum(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "bucket": pd.Series(dtype=np.int64),
+             "cusum_cents": pd.Series(dtype=np.int64),
+             "alarm": pd.Series(dtype=np.int64)})
+        if not len(df):
+            return empty
+        df = df.sort_values("bucket")
+        x = [int(v) for v in df["sum_tok"].to_numpy()]
+        target = math.floor(sum(x) / len(x))
+        out = np.empty(len(x), dtype=np.int64)
+        s = 0
+        for i, xi in enumerate(x):
+            s = max(0, s + xi - target)
+            out[i] = s
+        return pd.DataFrame(
+            {"source": df["source"].to_numpy(),
+             "bucket": df["bucket"].to_numpy(),
+             "cusum_cents": out,
+             "alarm": (out > h_mult * target).astype(np.int64)})
+
+    return map_key_groups(
+        _rolled_events(sf_dir), ["source"], _cusum, batch_format="pandas")
+
+
 def q_funnel_1h(sf_dir: str, window_ms: int = 3_600_000):
     """Conversion funnel: for every user with >= 1 'signup' event, did a
     'purchase' occur within ``window_ms`` AFTER their FIRST signup?
@@ -6677,6 +6719,31 @@ ORACLE_SQL["source_share_1h"] = f"""
     FROM t WHERE tot <> 0 ORDER BY 1, 2
 """
 
+ORACLE_SQL["cusum_1m"] = f"""
+    WITH RECURSIVE r AS ({_ROLLUP_SQL_BODY}),
+    stats AS (SELECT source,
+                     CAST(FLOOR(CAST(SUM(sum_cents) AS DOUBLE) / COUNT(*))
+                          AS BIGINT) AS target
+              FROM r GROUP BY 1),
+    o AS (SELECT r.source, bucket, sum_cents, target,
+                 ROW_NUMBER() OVER (PARTITION BY r.source
+                                    ORDER BY bucket) AS rn
+          FROM r JOIN stats USING (source)),
+    c AS (
+        SELECT source, bucket, rn, target,
+               GREATEST(CAST(0 AS BIGINT), sum_cents - target) AS cusum
+        FROM o WHERE rn = 1
+      UNION ALL
+        SELECT o.source, o.bucket, o.rn, o.target,
+               GREATEST(CAST(0 AS BIGINT), c.cusum + o.sum_cents - o.target)
+        FROM c JOIN o ON o.source = c.source AND o.rn = c.rn + 1
+    )
+    SELECT source, bucket, CAST(cusum AS BIGINT) AS cusum_cents,
+           CAST(CASE WHEN cusum > {_CUSUM_H_MULT} * target
+                     THEN 1 ELSE 0 END AS BIGINT) AS alarm
+    FROM c ORDER BY 1, 2
+"""
+
 ORACLE_SQL["source_corr_1m"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     p AS (SELECT a.source AS source_a, b.source AS source_b,
@@ -6867,6 +6934,7 @@ QUERIES = {
     "peak_minute_1h": q_peak_minute_1h,
     "source_share_1h": q_source_share_1h,
     "source_corr_1m": q_source_corr_1m,
+    "cusum_1m": q_cusum_1m,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
