@@ -1825,6 +1825,162 @@ def q_ewma_1m(sf_dir: str, shift: int = 3):
     return map_key_groups(_rolled_events(sf_dir), ["source"], _ewma, batch_format="pandas")
 
 
+def q_profile_events(sf_dir: str):
+    """Generic column profiler over the events table — the 'what is in
+    this table' first pass every pipeline starts with: per column the row
+    count, null count, non-finite count (float columns), canonical
+    min/max, and EXACT distinct count. Canonical value forms (shared with
+    the oracle): ints raw, timestamps as epoch-ms, floats as finite
+    integer cents, strings byte-lexicographic (UTF-8 byte order equals
+    code-point order, so Python and DuckDB's binary collation agree).
+
+    Plan: min/max/null partials fold per batch (one row per column per
+    batch, combined on the driver — bounded by columns x batches); the
+    distinct counts run through exactly TWO keyed exchanges regardless of
+    column count — all int-encoded columns share one (col, value)
+    exchange, all string columns share the other — with per-batch unique
+    pruning so only first-seen values move. Exact distinct is the
+    at-this-scale choice; the documented scale path for ultra-high-
+    cardinality columns is the HLL sibling (distinct_users_hll)."""
+    from ray.data.aggregate import Sum
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=cols)
+
+    def _int_encodings(t: pa.Table):
+        """(col, int64 values with nulls dropped) for the int-class
+        columns, in the oracle's canonical forms."""
+        out = {}
+        for c in ("event_id", "user_id"):
+            out[c] = t[c].drop_null().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        out["ts"] = (t["ts"].drop_null().to_numpy(
+            zero_copy_only=False).view(np.int64) // 1000)
+        v = t["value"].drop_null().to_numpy(zero_copy_only=False)
+        out["value"] = np.floor(
+            v[np.isfinite(v)] * 100.0).astype(np.int64)
+        return out
+
+    def _stats_partial(t: pa.Table) -> pa.Table:
+        rows = []
+        n = t.num_rows
+        for c, enc in _int_encodings(t).items():
+            v = t["value"].drop_null().to_numpy(zero_copy_only=False) \
+                if c == "value" else None
+            rows.append(
+                {"col": c, "n_rows": n, "n_null": t[c].null_count,
+                 "n_nonfinite": int((~np.isfinite(v)).sum())
+                 if v is not None else 0,
+                 "min_i": int(enc.min()) if len(enc) else None,
+                 "max_i": int(enc.max()) if len(enc) else None,
+                 "min_s": None, "max_s": None})
+        for c in ("event_type", "props"):
+            s = t[c].drop_null()
+            rows.append(
+                {"col": c, "n_rows": n, "n_null": t[c].null_count,
+                 "n_nonfinite": 0, "min_i": None, "max_i": None,
+                 "min_s": str(pc.min(s).as_py()) if len(s) else None,
+                 "max_s": str(pc.max(s).as_py()) if len(s) else None})
+        return pa.table(
+            {"col": pa.array([r["col"] for r in rows], pa.string()),
+             "n_rows": pa.array([r["n_rows"] for r in rows], pa.int64()),
+             "n_null": pa.array([r["n_null"] for r in rows], pa.int64()),
+             "n_nonfinite": pa.array(
+                 [r["n_nonfinite"] for r in rows], pa.int64()),
+             "min_i": pa.array([r["min_i"] for r in rows], pa.int64()),
+             "max_i": pa.array([r["max_i"] for r in rows], pa.int64()),
+             "min_s": pa.array([r["min_s"] for r in rows], pa.string()),
+             "max_s": pa.array([r["max_s"] for r in rows], pa.string())})
+
+    stats = ds.map_batches(
+        _stats_partial, batch_format="pyarrow").to_pandas()
+
+    def _int_rows(t: pa.Table) -> pa.Table:
+        parts, names = [], []
+        for c, enc in _int_encodings(t).items():
+            u = np.unique(enc)  # per-batch prune: first-seen values only
+            parts.append(u)
+            names.extend([c] * len(u))
+        v = (np.concatenate(parts) if parts
+             else np.empty(0, np.int64))
+        return pa.table({"col": pa.array(names, pa.string()),
+                         "v": pa.array(v)})
+
+    def _str_rows(t: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in ("event_type", "props"):
+            u = pc.unique(t[c].drop_null())
+            vals.extend(u.to_pylist())
+            names.extend([c] * len(u))
+        return pa.table({"col": pa.array(names, pa.string()),
+                         "s": pa.array(vals, pa.string())})
+
+    def _nd_block_int(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"col": pa.array([], pa.string()),
+                             "nd": pa.array([], pa.int64())})
+        df = pd.DataFrame({"col": t["col"].to_numpy(zero_copy_only=False),
+                           "v": t["v"].to_numpy(zero_copy_only=False)})
+        g = df.drop_duplicates().groupby("col", sort=False).size()
+        return pa.table({"col": pa.array(g.index.to_numpy(), pa.string()),
+                         "nd": pa.array(g.to_numpy(np.int64))})
+
+    def _nd_block_str(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"col": pa.array([], pa.string()),
+                             "nd": pa.array([], pa.int64())})
+        # NUL-safe: compare real strings per column slice, no hash table
+        df = pd.DataFrame({"col": t["col"].to_numpy(zero_copy_only=False),
+                           "s": t["s"].to_numpy(zero_copy_only=False)})
+        out = {c: len({*sub["s"]}) for c, sub in df.groupby(
+            "col", sort=False)}
+        return pa.table({"col": pa.array(list(out), pa.string()),
+                         "nd": pa.array(list(out.values()), pa.int64())})
+
+    nd_int = map_key_partitions(
+        ds.map_batches(_int_rows, batch_format="pyarrow"),
+        ["col", "v"], _nd_block_int)
+    nd_str = map_key_partitions(
+        ds.map_batches(_str_rows, batch_format="pyarrow"),
+        ["col", "s"], _nd_block_str)
+    nd = (nd_int.union(nd_str).groupby("col")
+          .aggregate(Sum("nd", alias_name="n_distinct")).to_pandas())
+
+    def _str_fold(lo: bool):
+        # object-dtype min/max over mixed str/None: pandas' cython path
+        # punts to a numpy fallback that compares str<->nan and raises —
+        # fold over the non-null slice explicitly instead
+        def _f(s: pd.Series):
+            s = s.dropna()
+            if s.empty:
+                return None
+            return s.min() if lo else s.max()
+        return _f
+
+    agg = stats.groupby("col", as_index=False).agg(
+        n_rows=("n_rows", "sum"), n_null=("n_null", "sum"),
+        n_nonfinite=("n_nonfinite", "sum"),
+        min_i=("min_i", "min"), max_i=("max_i", "max"),
+        min_s=("min_s", _str_fold(True)), max_s=("max_s", _str_fold(False)))
+    agg = agg.merge(nd, on="col", how="left")
+
+    def _render(r, lo: bool) -> str:
+        i, s = (r["min_i"], r["min_s"]) if lo else (r["max_i"], r["max_s"])
+        if pd.notna(i):
+            return str(int(i))
+        return s if isinstance(s, str) else ""
+
+    return pd.DataFrame(
+        {"col": agg["col"],
+         "n_rows": agg["n_rows"].astype(np.int64),
+         "n_null": agg["n_null"].astype(np.int64),
+         "n_nonfinite": agg["n_nonfinite"].astype(np.int64),
+         "min_v": [_render(r, True) for _, r in agg.iterrows()],
+         "max_v": [_render(r, False) for _, r in agg.iterrows()],
+         "n_distinct": agg["n_distinct"].fillna(0).astype(np.int64)}
+    ).sort_values("col").reset_index(drop=True)
+
+
 _CUSUM_H_MULT = 4  # alarm when cusum > h_mult * target; oracle shares this
 
 
@@ -6744,6 +6900,55 @@ ORACLE_SQL["cusum_1m"] = f"""
     FROM c ORDER BY 1, 2
 """
 
+ORACLE_SQL["profile_events"] = """
+    SELECT * FROM (
+        SELECT 'event_id' AS col, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(event_id) AS n_null,
+               CAST(0 AS BIGINT) AS n_nonfinite,
+               COALESCE(CAST(CAST(MIN(event_id) AS BIGINT) AS VARCHAR), '') AS min_v,
+               COALESCE(CAST(CAST(MAX(event_id) AS BIGINT) AS VARCHAR), '') AS max_v,
+               COUNT(DISTINCT event_id) AS n_distinct
+        FROM events
+      UNION ALL
+        SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+               CAST(0 AS BIGINT),
+               COALESCE(MIN(event_type), ''), COALESCE(MAX(event_type), ''),
+               COUNT(DISTINCT event_type)
+        FROM events
+      UNION ALL
+        SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+               CAST(0 AS BIGINT),
+               COALESCE(MIN(props), ''), COALESCE(MAX(props), ''),
+               COUNT(DISTINCT props)
+        FROM events
+      UNION ALL
+        SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts), CAST(0 AS BIGINT),
+               COALESCE(CAST(MIN(epoch_ms(ts)) AS VARCHAR), ''),
+               COALESCE(CAST(MAX(epoch_ms(ts)) AS VARCHAR), ''),
+               COUNT(DISTINCT epoch_ms(ts))
+        FROM events
+      UNION ALL
+        SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+               CAST(0 AS BIGINT),
+               COALESCE(CAST(CAST(MIN(user_id) AS BIGINT) AS VARCHAR), ''),
+               COALESCE(CAST(CAST(MAX(user_id) AS BIGINT) AS VARCHAR), ''),
+               COUNT(DISTINCT user_id)
+        FROM events
+      UNION ALL
+        SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+               CAST(COALESCE(SUM(CASE WHEN value IS NOT NULL
+                                       AND NOT isfinite(value)
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT),
+               COALESCE(CAST(MIN(CASE WHEN isfinite(value) THEN
+                        CAST(FLOOR(value * 100) AS BIGINT) END) AS VARCHAR), ''),
+               COALESCE(CAST(MAX(CASE WHEN isfinite(value) THEN
+                        CAST(FLOOR(value * 100) AS BIGINT) END) AS VARCHAR), ''),
+               COUNT(DISTINCT CASE WHEN isfinite(value)
+                     THEN CAST(FLOOR(value * 100) AS BIGINT) END)
+        FROM events
+    ) ORDER BY col
+"""
+
 ORACLE_SQL["source_corr_1m"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     p AS (SELECT a.source AS source_a, b.source AS source_b,
@@ -6935,6 +7140,7 @@ QUERIES = {
     "source_share_1h": q_source_share_1h,
     "source_corr_1m": q_source_corr_1m,
     "cusum_1m": q_cusum_1m,
+    "profile_events": q_profile_events,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
