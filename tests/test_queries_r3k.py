@@ -116,3 +116,121 @@ def test_profile_events_all_null_column(ray_session, tmp_path_factory):
     assert row.loc["user_id", "min_v"] == ""
     assert row.loc["value", "n_nonfinite"] == n
     assert row.loc["value", "n_distinct"] == 0
+
+
+# ---------------------------------------------------------------- r3k set 2
+BASE_US = 1_705_276_800_000_000  # 2024-01-15 00:00:00 UTC
+HOUR_US = 3_600_000_000
+
+
+def _write_events(d, rows):
+    """rows: (event_type, ts_us, user_id) -> full events schema parquet."""
+    et = [r[0] for r in rows]
+    ts = [r[1] for r in rows]
+    uid = [r[2] for r in rows]
+    pq.write_table(
+        pa.table(
+            {"event_id": pa.array(range(len(rows)), pa.int64()),
+             "ts": pa.array(ts, pa.timestamp("us")),
+             "user_id": pa.array(uid, pa.int64()),
+             "event_type": pa.array(et, pa.string()),
+             "value": pa.array([1.0] * len(rows), pa.float64()),
+             "props": pa.array(["{}"] * len(rows), pa.string())}
+        ),
+        d / "events.parquet",
+    )
+    return str(d)
+
+
+def _oracle_at(name: str, sf_dir: str) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    return con.execute(ORACLE_SQL[name]).df()
+
+
+def _run(name: str, sf_dir: str) -> pd.DataFrame:
+    out = QUERIES[name](sf_dir)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    return _canon(out)
+
+
+@pytest.fixture(scope="module")
+def sliding_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("r3k_slide")
+    H = HOUR_US
+    rows = []
+    # src 'a': user 1 at hours 0 and 23 (gap == W-1 -> ONE fused run),
+    # user 2 at hour 0 and hour 48 (gap 48 > 23 -> two runs, the window
+    # drains to user-1-only then to ZERO between h=47 and h=47... the
+    # dense range must emit those zeros)
+    rows += [("a", BASE_US + 0 * H, 1), ("a", BASE_US + 23 * H, 1)]
+    rows += [("a", BASE_US + 0 * H, 2), ("a", BASE_US + 48 * H, 2)]
+    # src 'b': single event -> 1 output row per covered hour clipped to
+    # [lo, hi] = [5, 5]
+    rows += [("b", BASE_US + 5 * H, 7)]
+    # null user ignored everywhere
+    rows += [("a", BASE_US + 1 * H, None)]
+    # duplicate (source, user, hour) must not double count
+    rows += [("a", BASE_US + 0 * H + 17, 1)]
+    return _write_events(d, rows)
+
+
+def test_sliding_distinct_matches_oracle(ray_session, sliding_dir):
+    eng = _run("sliding_distinct_24h", sliding_dir)
+    ora = _canon(_oracle_at("sliding_distinct_24h", sliding_dir))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    bh = BASE_US // HOUR_US  # bucket hours are absolute epoch hours
+    a = eng[eng["source"] == "a"].set_index("bucket_h")["n_users_24h"]
+    assert a.loc[bh + 0] == 2     # both users active at h=0
+    assert a.loc[bh + 23] == 2    # user1 re-event at 23, user2's h=0 still in
+    assert a.loc[bh + 24] == 1    # user2's h=0 fell out; user1's h=23 covers
+    assert a.loc[bh + 46] == 1    # user1's h=23 covers through 23+23=46
+    assert a.loc[bh + 47] == 0    # drained-to-zero hour IS emitted
+    assert a.loc[bh + 48] == 1    # user2 returns
+    assert a.index.min() == bh and a.index.max() == bh + 48
+    b = eng[eng["source"] == "b"]
+    assert len(b) == 1 and b.iloc[0]["n_users_24h"] == 1
+
+
+@pytest.fixture(scope="module")
+def pairs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("r3k_pairs")
+    W = 300_000_000
+    rows = []
+    # user 1: x at t0; y at exactly t0+W (INCLUSIVE bound -> counts);
+    # z at t0+W+1 (exclusive -> not from x, but y->z counts, dt=1)
+    rows += [("x", BASE_US, 1), ("y", BASE_US + W, 1), ("z", BASE_US + W + 1, 1)]
+    # user 2: two SIMULTANEOUS events -> dt=0 pairs excluded both ways
+    rows += [("x", BASE_US, 2), ("y", BASE_US, 2)]
+    # user 2: self-type chain x..x within W -> (x,x) pair
+    rows += [("x", BASE_US + 10, 2)]
+    # user 3 in another partition shouldn't pair with user 1
+    rows += [("y", BASE_US + 1, 3)]
+    # null user ignored
+    rows += [("x", BASE_US, None), ("x", BASE_US + 1, None)]
+    return _write_events(d, rows)
+
+
+def test_event_pairs_matches_oracle(ray_session, pairs_dir):
+    eng = _run("event_pairs_5m", pairs_dir)
+    ora = _canon(_oracle_at("event_pairs_5m", pairs_dir))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    got = {(r.type_a, r.type_b): r.n_pairs for r in eng.itertuples()}
+    # u1: x@t0 -> y@t0+W is the boundary-INCLUSIVE pair; u2's x/y at the
+    # same instant is dt=0 and excluded both ways
+    assert got[("x", "y")] == 1
+    assert got[("y", "z")] == 1        # u1: dt = 1us
+    assert ("x", "z") not in got       # dt = W+1 is past the bound
+    assert got[("x", "x")] == 1        # u2: x@t0 -> x@t0+10us, same type
+    assert got.get(("y", "x"), 0) == 1  # u2: y@t0 -> x@t0+10us
+
+
+def test_pmi_type_hod_matches_oracle(ray_session, pairs_dir):
+    eng = _run("pmi_type_hod", pairs_dir)
+    ora = _canon(_oracle_at("pmi_type_hod", pairs_dir))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)

@@ -1981,6 +1981,230 @@ def q_profile_events(sf_dir: str):
     ).sort_values("col").reset_index(drop=True)
 
 
+_SLIDE_W = 24  # trailing window length in hours; the oracle SQL shares it
+
+
+def q_sliding_distinct_24h(sf_dir: str):
+    """Trailing-24h distinct users per (source, hour-end) — the classic
+    HARD sliding-window op: COUNT(DISTINCT) partials do not merge across
+    window slides, so the naive plan re-shuffles the raw events once per
+    window position. Plan here: ONE user-keyed exchange gives every
+    partition whole users; per (source, user) the deduped event hours
+    merge into coverage RUNS (a user active at hour h covers window-ends
+    [h, h+W-1], and consecutive hours with gaps <= W-1 fuse into one
+    run), each run emitting two sweep deltas (+1 at its first covered
+    end, -1 one past its last). The delta stream is ~2 rows per activity
+    run — orders of magnitude below event volume — and the finalize is a
+    tiny source-keyed exchange doing one cumsum over the dense hour
+    range, clipped to hours that actually carry data. Zeros inside the
+    range are emitted (a window can drain to 0 users mid-range), exactly
+    as the oracle's LEFT JOIN does."""
+    from tsrollup.hashing import safe_factorize
+    from tsrollup.shuffle import group_slices
+
+    W = _SLIDE_W
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"])
+
+    def _deltas(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "h": pa.array([], pa.int64()),
+             "d": pa.array([], pa.int64())})
+        t = t.filter(pc.is_valid(t["user_id"]))
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        hb = t["ts"].to_numpy(zero_copy_only=False).view(np.int64) \
+            // 3_600_000_000
+        cs, us = safe_factorize(t["event_type"].to_numpy(zero_copy_only=False))
+        cu = pd.factorize(uid)[0]
+        order = np.lexsort((hb, cu, cs))
+        cs_o, cu_o, hb_o = cs[order], cu[order], hb[order]
+        first = np.ones(len(cs_o), dtype=bool)
+        first[1:] = ((cs_o[1:] != cs_o[:-1]) | (cu_o[1:] != cu_o[:-1])
+                     | (hb_o[1:] != hb_o[:-1]))
+        cs_f, cu_f, hb_f = cs_o[first], cu_o[first], hb_o[first]
+        new_run = np.ones(len(cs_f), dtype=bool)
+        new_run[1:] = ((cs_f[1:] != cs_f[:-1]) | (cu_f[1:] != cu_f[:-1])
+                       | (hb_f[1:] - hb_f[:-1] > W - 1))
+        starts = np.flatnonzero(new_run)
+        ends = np.r_[starts[1:] - 1, len(hb_f) - 1]
+        src = us[cs_f[starts]]
+        start_h, end_h = hb_f[starts], hb_f[ends]
+        # +1 at the run's first covered window-end, -1 one past its last,
+        # and a 0-weight marker at the run's max EVENT hour so the
+        # finalize can clip the dense output range to data-bearing hours
+        return pa.table(
+            {"source": pa.array(np.concatenate([src, src, src]), pa.string()),
+             "h": pa.array(np.concatenate([start_h, end_h + W, end_h])),
+             "d": pa.array(np.concatenate(
+                 [np.ones(len(starts), np.int64),
+                  -np.ones(len(starts), np.int64),
+                  np.zeros(len(starts), np.int64)]))})
+
+    deltas = map_key_partitions(ds, ["user_id"], _deltas)
+
+    def _finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "bucket_h": pa.array([], pa.int64()),
+             "n_users_24h": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        out_src, out_h, out_n = [], [], []
+        for g in group_slices(t, ["source"]):
+            src = g["source"][0].as_py()
+            h = g["h"].to_numpy(zero_copy_only=False)
+            d = g["d"].to_numpy(zero_copy_only=False)
+            lo = int(h[d == 1].min())
+            hi = int(h[d == 0].max())
+            pos, inv = np.unique(h[d != 0], return_inverse=True)
+            w = np.zeros(len(pos), np.int64)
+            np.add.at(w, inv, d[d != 0])
+            cum = np.cumsum(w)
+            dense = np.arange(lo, hi + 1, dtype=np.int64)
+            idx = np.searchsorted(pos, dense, side="right") - 1
+            n = np.where(idx >= 0, cum[np.clip(idx, 0, None)], 0)
+            out_src.append(np.repeat(np.array([src], dtype=object),
+                                     len(dense)))
+            out_h.append(dense)
+            out_n.append(n.astype(np.int64))
+        return pa.table(
+            {"source": pa.array(np.concatenate(out_src), pa.string()),
+             "bucket_h": pa.array(np.concatenate(out_h)),
+             "n_users_24h": pa.array(np.concatenate(out_n))})
+
+    return map_key_partitions(deltas, ["source"], _finalize)
+
+
+_PAIR_W_US = 300_000_000  # A->B follow window (5 min); oracle shares it
+
+
+def q_event_pairs_5m(sf_dir: str):
+    """Sequence-rule mining: ordered event pairs (a, b) by the SAME user
+    with 0 < ts_b - ts_a <= 5 min, counted per (type_a, type_b) — the
+    "X followed by Y within Δt" primitive under funnel/market-basket
+    analyses. The naive plan is an events×events band self-join; here
+    ONE user-keyed exchange localizes pairs (they share a user by
+    definition), and inside each partition a (user, ts) lexsort plus ONE
+    composite-key searchsorted per distinct follower type counts, for
+    every a-event at once, its followers in (ts_a, ts_a+W] — no per-row
+    Python, no quadratic pair materialization; the partial is a T×T
+    matrix. Users are processed in chunks sized so the composite key
+    (user_code·span + relative_ts) provably fits int64."""
+    from ray.data.aggregate import Sum
+
+    from tsrollup.hashing import safe_factorize
+
+    W = _PAIR_W_US
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"type_a": pa.array([], pa.string()),
+             "type_b": pa.array([], pa.string()),
+             "n_pairs": pa.array([], pa.int64())})
+        t = t.filter(pc.is_valid(t["user_id"]))
+        if t.num_rows == 0:
+            return empty
+        ts = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        cs, types = safe_factorize(
+            t["event_type"].to_numpy(zero_copy_only=False))
+        cu = pd.factorize(t["user_id"].to_numpy(zero_copy_only=False))[0]
+        order = np.lexsort((ts, cu))
+        cu_o, ts_o, cs_o = cu[order], ts[order], cs[order]
+        T = len(types)
+        mat = np.zeros((T, T), np.int64)
+        rel = ts_o - ts_o.min()
+        span = int(rel.max()) + W + 2
+        chunk_users = max(1, (2 ** 62) // span)
+        for u0 in range(0, int(cu_o.max()) + 1, chunk_users):
+            m = (cu_o >= u0) & (cu_o < u0 + chunk_users)
+            key = (cu_o[m] - u0) * span + rel[m]
+            csm = cs_o[m]
+            for tb in range(T):
+                kb = key[csm == tb]
+                if len(kb) == 0:
+                    continue
+                cnt = (np.searchsorted(kb, key + W, side="right")
+                       - np.searchsorted(kb, key, side="right"))
+                # integer sums stay exact in float64 below 2^53
+                mat[:, tb] += np.bincount(
+                    csm, weights=cnt.astype(np.float64),
+                    minlength=T).astype(np.int64)
+        ia, ib = np.nonzero(mat)
+        return pa.table(
+            {"type_a": pa.array(types[ia], pa.string()),
+             "type_b": pa.array(types[ib], pa.string()),
+             "n_pairs": pa.array(mat[ia, ib])})
+
+    return (
+        map_key_partitions(ds, ["user_id"], _pairs)
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+    )
+
+
+def q_pmi_type_hod(sf_dir: str):
+    """Association mining between event type and hour-of-day: pointwise
+    mutual information per (type, hod) cell — which event types are
+    over/under-represented at which hours. Counts fold as one per-batch
+    bincount partial over (type_code·24 + hod) and a tiny groupby; the
+    cell math on the driver is over at most T×24 rows. PMI itself is
+    ln((n_ij·N) / (n_i·n_j)) evaluated, on BOTH sides, as one float64
+    division of two exactly-computed integer products followed by the
+    shared-libm natural log, rounded 6dp half-away — the bit-exact
+    float-of-exact-integers oracle recipe."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from tsrollup.hashing import safe_factorize
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "hod": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        hod = (t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+               // 3_600_000_000) % 24
+        cs, types = safe_factorize(
+            t["event_type"].to_numpy(zero_copy_only=False))
+        cnt = np.bincount(cs * 24 + hod, minlength=len(types) * 24)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"source": pa.array(types[nz // 24], pa.string()),
+             "hod": pa.array((nz % 24).astype(np.int64)),
+             "n": pa.array(cnt[nz].astype(np.int64))})
+
+    cells = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "hod"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: n_types x 24 cells
+    )
+    N = int(cells["n"].sum())
+    n_i = cells.groupby("source")["n"].transform("sum").to_numpy()
+    n_j = cells.groupby("hod")["n"].transform("sum").to_numpy()
+    n = cells["n"].to_numpy(np.int64)
+    # exact integer products (Python bignum), each converted to double
+    # once, then ONE division + log — mirrors the oracle's CAST/LN order
+    pmi = np.array(
+        [math.log(float(int(a) * N) / float(int(b) * int(c)))
+         for a, b, c in zip(n, n_i, n_j)])
+    return pd.DataFrame(
+        {"source": cells["source"], "hod": cells["hod"].astype(np.int64),
+         "n": n, "pmi": _round6(pmi)}
+    ).sort_values(["source", "hod"]).reset_index(drop=True)
+
+
 _CUSUM_H_MULT = 4  # alarm when cusum > h_mult * target; oracle shares this
 
 
@@ -6949,6 +7173,45 @@ ORACLE_SQL["profile_events"] = """
     ) ORDER BY col
 """
 
+ORACLE_SQL["sliding_distinct_24h"] = f"""
+    WITH e AS (SELECT DISTINCT event_type AS source,
+                      epoch_us(ts) // 3600000000 AS h, user_id
+               FROM events WHERE user_id IS NOT NULL),
+    b AS (SELECT source, MIN(h) AS lo, MAX(h) AS hi FROM e GROUP BY 1),
+    hours AS (SELECT source, UNNEST(range(lo, hi + 1)) AS bucket_h FROM b)
+    SELECT hours.source, bucket_h,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users_24h
+    FROM hours LEFT JOIN e ON e.source = hours.source
+         AND e.h BETWEEN bucket_h - {_SLIDE_W - 1} AND bucket_h
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["event_pairs_5m"] = f"""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+               WHERE user_id IS NOT NULL)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM e a JOIN e b ON a.user_id = b.user_id
+         AND b.us > a.us AND b.us <= a.us + {_PAIR_W_US}
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["pmi_type_hod"] = """
+    WITH e AS (SELECT event_type AS source,
+                      (epoch_us(ts) // 3600000000) % 24 AS hod FROM events),
+    c AS (SELECT source, hod, COUNT(*) AS n FROM e GROUP BY 1, 2),
+    t AS (SELECT SUM(n) AS nn FROM c),
+    r AS (SELECT source, SUM(n) AS n_i FROM c GROUP BY 1),
+    co AS (SELECT hod, SUM(n) AS n_j FROM c GROUP BY 1)
+    SELECT c.source, CAST(c.hod AS BIGINT) AS hod, CAST(c.n AS BIGINT) AS n,
+           ROUND(LN(CAST(CAST(c.n AS HUGEINT) * t.nn AS DOUBLE)
+                    / CAST(r.n_i * co.n_j AS DOUBLE)), 6) AS pmi
+    FROM c, t
+    JOIN r ON r.source = c.source
+    JOIN co ON co.hod = c.hod
+    ORDER BY 1, 2
+"""
+
 ORACLE_SQL["source_corr_1m"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     p AS (SELECT a.source AS source_a, b.source AS source_b,
@@ -7141,6 +7404,9 @@ QUERIES = {
     "source_corr_1m": q_source_corr_1m,
     "cusum_1m": q_cusum_1m,
     "profile_events": q_profile_events,
+    "sliding_distinct_24h": q_sliding_distinct_24h,
+    "event_pairs_5m": q_event_pairs_5m,
+    "pmi_type_hod": q_pmi_type_hod,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
