@@ -234,3 +234,59 @@ def test_pmi_type_hod_matches_oracle(ray_session, pairs_dir):
     eng = _run("pmi_type_hod", pairs_dir)
     ora = _canon(_oracle_at("pmi_type_hod", pairs_dir))
     pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+
+
+MIN_US = 60_000_000
+
+
+def test_global_rank_ties_match_oracle(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("r3k_rank")
+    rows = []
+    # minute sums: a -> [5, 5, 7, 5] cents, b -> [7] cents: value 5 ranks
+    # 1 (x3, tied), value 7 ranks 4 (x2, tied); N=5 so pct = (r-1)/4
+    for i, cents in enumerate([5, 5, 7, 5]):
+        rows.append(("a", BASE_US + i * MIN_US + 1, cents / 100 + 1e-9, 1))
+    rows.append(("b", BASE_US, 0.07 + 1e-9, 2))
+    et = [r[0] for r in rows]
+    ts = [r[1] for r in rows]
+    val = [r[2] for r in rows]
+    uid = [r[3] for r in rows]
+    pq.write_table(
+        pa.table(
+            {"event_id": pa.array(range(len(rows)), pa.int64()),
+             "ts": pa.array(ts, pa.timestamp("us")),
+             "user_id": pa.array(uid, pa.int64()),
+             "event_type": pa.array(et, pa.string()),
+             "value": pa.array(val, pa.float64()),
+             "props": pa.array(["{}"] * len(rows), pa.string())}
+        ),
+        d / "events.parquet",
+    )
+    eng = _run("global_rank_1m", str(d))
+    ora = _canon(_oracle_at("global_rank_1m", str(d)))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    r = eng.set_index(["source", "bucket"])
+    a0 = r.loc[("a",)].reset_index()
+    assert sorted(eng["rnk"]) == [1, 1, 1, 4, 4]     # RANK tie semantics
+    assert set(eng[eng["rnk"] == 4]["sum_cents"]) == {7}
+    assert abs(eng[eng["rnk"] == 1]["pct_rank"].iloc[0] - 0.0) < 1e-12
+    assert abs(eng[eng["rnk"] == 4]["pct_rank"].iloc[0] - 0.75) < 1e-12
+
+
+def test_global_rank_single_row(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("r3k_rank1")
+    pq.write_table(
+        pa.table(
+            {"event_id": pa.array([0], pa.int64()),
+             "ts": pa.array([BASE_US], pa.timestamp("us")),
+             "user_id": pa.array([1], pa.int64()),
+             "event_type": pa.array(["a"], pa.string()),
+             "value": pa.array([1.0], pa.float64()),
+             "props": pa.array(["{}"], pa.string())}
+        ),
+        d / "events.parquet",
+    )
+    eng = _run("global_rank_1m", str(d))
+    ora = _canon(_oracle_at("global_rank_1m", str(d)))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    assert eng.iloc[0]["rnk"] == 1 and eng.iloc[0]["pct_rank"] == 0.0

@@ -2205,6 +2205,138 @@ def q_pmi_type_hod(sf_dir: str):
     ).sort_values(["source", "hod"]).reset_index(drop=True)
 
 
+def q_global_rank_1m(sf_dir: str, n_range_buckets: int = 64):
+    """GLOBAL exact ranking of every rolled 1m bucket by its minute sum —
+    RANK() (1 + count of strictly smaller, ties share) and PERCENT_RANK
+    over the WHOLE table, not per group. Global rank is the canonical
+    "needs a total order" op; the scale plan avoids both a global sort
+    and a driver-side value histogram: (1) one tiny aggregate gets
+    min/max/N; (2) values hash into RANGE buckets, and one bucket-keyed
+    exchange consolidates per-value counts inside each range; (3) the
+    per-bucket TOTALS (≤ n_range_buckets rows) come to the driver, whose
+    exclusive prefix sum gives each range its base offset; (4) a second
+    pass over the consolidated counts assigns each distinct value its
+    exact rank (base + in-bucket exclusive cumsum + 1); (5) a
+    cents-keyed tagged-union exchange joins ranks back to rows. Nothing
+    driver-side ever exceeds n_range_buckets rows; no all-to-all sort.
+    Uniform range splits are correctness-neutral (skew only unbalances
+    bucket sizes — noted for a quantile-sampled split at extreme skew).
+    PERCENT_RANK = (rank−1)/(N−1) is one float64 division of exact
+    integers (0 when N == 1), rounded 6dp half-away like the oracle."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    rolled = _rolled_events(sf_dir)
+    stats = rolled.aggregate(Min("sum_tok"), Max("sum_tok"), Count())
+    mn, mx = int(stats["min(sum_tok)"]), int(stats["max(sum_tok)"])
+    N = int(stats["count()"])
+    width = max(1, (mx - mn) // n_range_buckets + 1)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bkt": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        v = t["sum_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"bkt": pa.array((u - mn) // width),
+                         "cents": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    def _consolidate(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bkt": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(cents, return_inverse=True)
+        w = np.zeros(len(u), np.int64)
+        np.add.at(w, inv, cnt)
+        return pa.table({"bkt": pa.array((u - mn) // width),
+                         "cents": pa.array(u), "cnt": pa.array(w)})
+
+    counts = map_key_partitions(
+        rolled.map_batches(_partial, batch_format="pyarrow"),
+        ["bkt"], _consolidate,
+    ).materialize()  # consumed twice below (totals + rank pass)
+
+    totals = (counts.groupby("bkt").aggregate(Sum("cnt", alias_name="c"))
+              .to_pandas().sort_values("bkt"))  # <= n_range_buckets rows
+    base = dict(zip(totals["bkt"].astype(np.int64),
+                    np.r_[0, totals["c"].to_numpy(np.int64)[:-1].cumsum()]))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.int64()),
+                          "side": pa.array([], pa.int64()),
+                          "source": pa.array([], pa.string()),
+                          "bucket": pa.array([], pa.int64()),
+                          "rnk": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        out = []
+        from tsrollup.shuffle import group_slices
+        for g in group_slices(t, ["bkt"]):
+            b = int(g["bkt"][0].as_py())
+            cents = g["cents"].to_numpy(zero_copy_only=False)
+            cnt = g["cnt"].to_numpy(zero_copy_only=False)
+            o = np.argsort(cents, kind="stable")
+            rnk = np.empty(len(o), np.int64)
+            rnk[o] = base[b] + np.r_[0, cnt[o][:-1].cumsum()] + 1
+            out.append(pa.table(
+                {"key": pa.array(cents), "side": pa.array(
+                    np.zeros(len(cents), np.int64)),
+                 "source": pa.array([""] * len(cents), pa.string()),
+                 "bucket": pa.array(np.zeros(len(cents), np.int64)),
+                 "rnk": pa.array(rnk)}))
+        return pa.concat_tables(out) if out else empty
+
+    rank_map = map_key_partitions(counts, ["bkt"], _assign)
+
+    def _tag_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": pc.cast(t["sum_tok"], pa.int64()),
+             "side": pa.array(np.ones(t.num_rows, np.int64)),
+             "source": t["source"],
+             "bucket": pc.cast(t["bucket"], pa.int64()),
+             "rnk": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    tagged = rank_map.union(
+        rolled.map_batches(_tag_rows, batch_format="pyarrow"))
+
+    def _join(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "bucket": pa.array([], pa.int64()),
+             "sum_cents": pa.array([], pa.int64()),
+             "rnk": pa.array([], pa.int64()),
+             "pct_rank": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        side = t["side"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        m0 = side == 0
+        k0, r0 = key[m0], t["rnk"].to_numpy(zero_copy_only=False)[m0]
+        if not len(k0) or len(k0) == t.num_rows:
+            return empty
+        so = np.argsort(k0, kind="stable")
+        k1 = key[~m0]
+        pos = np.searchsorted(k0[so], k1)
+        rnk = r0[so][pos]  # every row's value exists in the rank map
+        pct = (_round6((rnk - 1).astype(np.float64)
+                       / np.float64(N - 1)) if N > 1
+               else np.zeros(len(rnk)))
+        return pa.table(
+            {"source": t["source"].filter(pa.array(~m0)),
+             "bucket": t["bucket"].filter(pa.array(~m0)),
+             "sum_cents": pa.array(k1),
+             "rnk": pa.array(rnk),
+             "pct_rank": pa.array(pct)})
+
+    return map_key_partitions(tagged, ["key"], _join)
+
+
 _CUSUM_H_MULT = 4  # alarm when cusum > h_mult * target; oracle shares this
 
 
@@ -7212,6 +7344,19 @@ ORACLE_SQL["pmi_type_hod"] = """
     ORDER BY 1, 2
 """
 
+ORACLE_SQL["global_rank_1m"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    w AS (SELECT source, bucket, sum_cents,
+                 CAST(RANK() OVER (ORDER BY sum_cents) AS BIGINT) AS rnk,
+                 COUNT(*) OVER () AS nn
+          FROM r)
+    SELECT source, bucket, sum_cents, rnk,
+           CASE WHEN nn = 1 THEN 0.0
+                ELSE ROUND(CAST(rnk - 1 AS DOUBLE) / (nn - 1), 6) END
+           AS pct_rank
+    FROM w ORDER BY 1, 2
+"""
+
 ORACLE_SQL["source_corr_1m"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     p AS (SELECT a.source AS source_a, b.source AS source_b,
@@ -7407,6 +7552,7 @@ QUERIES = {
     "sliding_distinct_24h": q_sliding_distinct_24h,
     "event_pairs_5m": q_event_pairs_5m,
     "pmi_type_hod": q_pmi_type_hod,
+    "global_rank_1m": q_global_rank_1m,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
