@@ -290,3 +290,48 @@ def test_global_rank_single_row(ray_session, tmp_path_factory):
     ora = _canon(_oracle_at("global_rank_1m", str(d)))
     pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
     assert eng.iloc[0]["rnk"] == 1 and eng.iloc[0]["pct_rank"] == 0.0
+
+
+def _oracle_docs(name: str, sf_dir: str) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con.execute(ORACLE_SQL[name]).df()
+
+
+def test_dup_span_fraction_hand_computed(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("r3k_dupspan")
+    texts = [
+        # doc0/doc1 share the trigram "p q r"; doc0 repeats it twice, so
+        # both its POSITIONS count as duplicated (occurrence weighting)
+        "p q r s p q r",   # grams: pqr qrs rsp spq pqr -> 2/5 dup
+        "z p q r z",       # grams: zpq pqr qrz -> 1/3 dup
+        # doc2 repeats a trigram only WITHIN itself -> nd=1, not dup
+        "m n o m n o m n",  # grams incl mno twice, all intra-doc only
+        # short docs (< k tokens): whole-string shingles; doc3/doc4 match
+        "hi there",
+        "hi   there",       # whitespace-run collapse -> same shingle
+        "lonely",           # unique short shingle -> 0 dup
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+         "text": pa.array(texts),
+         "lang": pa.array(["en"] * len(texts)),
+         "source": pa.array(["s1"] * len(texts)),
+         "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    eng = _run("dup_span_fraction", str(d))
+    ora = _canon(_oracle_docs("dup_span_fraction", str(d)))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    r = eng.set_index("doc_id")
+    assert (r.loc[0, "n_grams"], r.loc[0, "n_dup"]) == (5, 2)
+    assert (r.loc[1, "n_grams"], r.loc[1, "n_dup"]) == (3, 1)
+    assert r.loc[2, "n_dup"] == 0          # intra-doc repetition only
+    assert r.loc[3, "n_dup"] == 1 and r.loc[4, "n_dup"] == 1
+    assert r.loc[5, "n_dup"] == 0
+    assert abs(r.loc[0, "dup_frac"] - 0.4) < 1e-12

@@ -4311,3 +4311,122 @@ def q_tokens_compress(sf_dir: str):
 
 
 DOC_QUERIES["tokens_compress"] = q_tokens_compress
+
+
+def q_dup_span_fraction(sf_dir: str, k: int = NGRAM_K):
+    """Cross-document text repetition analysis (the Lee-et-al
+    "Deduplicating Training Data" diagnostic): for every document, the
+    fraction of its k-token shingle POSITIONS whose shingle also occurs
+    in at least one OTHER document — near 0 for original prose, near 1
+    for boilerplate/mirrored text. Occurrence-weighted (positions, not
+    distinct shingle types), so a doc that repeats one viral sentence
+    ten times scores accordingly.
+
+    Plan: shingles come per-position from ``TokenBatch.window_hashes``
+    (chained vectorized FNV over the flat utf8 buffer — no per-token
+    Python), pre-aggregated per (doc, shingle) inside each batch; ONE
+    shingle-keyed exchange then sees every occurrence of a shingle in
+    one partition, where distinct-doc counts decide duplication and the
+    SAME pass folds both the doc's total positions and its duplicated
+    positions (each (doc, shingle) row lives in exactly one partition,
+    so the per-doc totals need no second scan or join). Final combine is
+    a (doc)-keyed sum. Short docs (0 < n_tok < k) contribute ONE shingle
+    over all their tokens — the corpus-wide dedup_ngram short-doc rule —
+    and the oracle replicates it; engine keys are 64-bit FNV with the
+    same documented no-collision trade as dedup_ngram's oracle."""
+    from ray.data.aggregate import Sum
+
+    from tsrollup.functions.tokens import TokenBatch
+    from tsrollup.pipelines.queries import _round6
+    from tsrollup.shuffle import map_key_partitions
+
+    def _gram_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({"g": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "occ": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        tb = TokenBatch(t.column("text"))
+        h, per_doc = tb.window_hashes(k)
+        if len(h) == 0:
+            return empty
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), per_doc)
+        # pre-aggregate (doc, gram) occurrences before the exchange
+        key = np.stack([doc, h.view(np.int64)])
+        u, inv = np.unique(key, axis=1, return_inverse=True)
+        occ = np.zeros(u.shape[1], np.int64)
+        np.add.at(occ, inv, 1)
+        return pa.table({"g": pa.array(u[1]), "doc_id": pa.array(u[0]),
+                         "occ": pa.array(occ)})
+
+    def _gram_block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_grams": pa.array([], pa.int64()),
+                          "n_dup": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t["g"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        occ = t["occ"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, g))
+        g_o, doc_o, occ_o = g[order], doc[order], occ[order]
+        new_g = np.ones(len(g_o), dtype=bool)
+        new_g[1:] = g_o[1:] != g_o[:-1]
+        gid = np.cumsum(new_g) - 1
+        # rows are unique per (doc, gram), so docs-per-gram = run length
+        n_docs_per_g = np.bincount(gid)
+        dup_row = n_docs_per_g[gid] >= 2
+        # fold both totals per doc in this one pass
+        du, dinv = np.unique(doc_o, return_inverse=True)
+        tot = np.zeros(len(du), np.int64)
+        np.add.at(tot, dinv, occ_o)
+        dup = np.zeros(len(du), np.int64)
+        np.add.at(dup, dinv, np.where(dup_row, occ_o, 0))
+        return pa.table({"doc_id": pa.array(du), "n_grams": pa.array(tot),
+                         "n_dup": pa.array(dup)})
+
+    folded = (
+        map_key_partitions(
+            _docs(sf_dir, ("doc_id", "text")).map_batches(
+                _gram_rows, batch_format="pyarrow"),
+            ["g"], _gram_block)
+        .groupby("doc_id")
+        .aggregate(Sum("n_grams", alias_name="n_grams"),
+                   Sum("n_dup", alias_name="n_dup"))
+    )
+
+    def _frac(t: pa.Table) -> pa.Table:
+        nd = t["n_dup"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ng = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("dup_frac", pa.array(_round6(nd / ng)))
+
+    return folded.map_batches(_frac, batch_format="pyarrow")
+
+
+DOC_QUERIES["dup_span_fraction"] = q_dup_span_fraction
+
+_DUP_SPAN_SHINGLE = " || ' ' || ".join(
+    f"t[i+{j}]" if j else "t[i]" for j in range(NGRAM_K))
+DOC_ORACLE_SQL["dup_span_fraction"] = rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        FROM {_DOCS_WS_NORM}
+    ),
+    g AS (
+        SELECT doc_id, {_DUP_SPAN_SHINGLE} AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - {NGRAM_K - 1})) AS u(i)
+        WHERE len(t) >= {NGRAM_K}
+        UNION ALL
+        SELECT doc_id, array_to_string(t, ' ')
+        FROM toks WHERE len(t) BETWEEN 1 AND {NGRAM_K - 1}
+    ),
+    df AS (SELECT s, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup,
+           ROUND(CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac
+    FROM g JOIN df USING (s)
+    GROUP BY 1 ORDER BY 1
+"""
