@@ -2337,6 +2337,52 @@ def q_global_rank_1m(sf_dir: str, n_range_buckets: int = 64):
     return map_key_partitions(tagged, ["key"], _join)
 
 
+def q_scd2_user_state(sf_dir: str):
+    """Slowly-changing-dimension (type 2) history build: treat each
+    user's event stream as updates to a one-attribute dimension (their
+    current event_type) and emit change-compressed validity intervals —
+    (user, state, valid_from, valid_to), consecutive equal states fused,
+    the live interval open (NULL valid_to). The warehouse-merge shape:
+    deterministic total order inside each user by (ts, event_id), ONE
+    user-keyed exchange, one lexsort + change mask per partition — no
+    window-function materialization of the full stream, no driver state.
+    ``valid_to_ms`` is float64 because the open interval is NULL and the
+    oracle's BIGINT NULL reaches pandas as NaN."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"])
+
+    def _intervals(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "state": pa.array([], pa.string()),
+             "valid_from_ms": pa.array([], pa.int64()),
+             "valid_to_ms": pa.array([], pa.float64())})
+        t = t.filter(pc.is_valid(t["user_id"]))
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        ms = t["ts"].to_numpy(zero_copy_only=False).view(np.int64) // 1000
+        st = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ms, uid))
+        uid_o, ms_o, st_o = uid[order], ms[order], st[order]
+        change = np.ones(len(uid_o), dtype=bool)
+        change[1:] = (uid_o[1:] != uid_o[:-1]) | (st_o[1:] != st_o[:-1])
+        ci = np.flatnonzero(change)
+        cu, cms, cst = uid_o[ci], ms_o[ci], st_o[ci]
+        to = np.full(len(ci), np.nan)
+        same_user = cu[1:] == cu[:-1]
+        to[:-1][same_user] = cms[1:][same_user]
+        return pa.table(
+            {"user_id": pa.array(cu.astype(np.int64)),
+             "state": pa.array(cst, pa.string()),
+             "valid_from_ms": pa.array(cms),
+             "valid_to_ms": pa.array(to)})
+
+    return map_key_partitions(ds, ["user_id"], _intervals)
+
+
 _CUSUM_H_MULT = 4  # alarm when cusum > h_mult * target; oracle shares this
 
 
@@ -7357,6 +7403,21 @@ ORACLE_SQL["global_rank_1m"] = f"""
     FROM w ORDER BY 1, 2
 """
 
+ORACLE_SQL["scd2_user_state"] = """
+    WITH e AS (SELECT user_id, event_type AS state, epoch_ms(ts) AS ms,
+                      event_id
+               FROM events WHERE user_id IS NOT NULL),
+    o AS (SELECT *, LAG(state) OVER (PARTITION BY user_id
+                                     ORDER BY ms, event_id) AS prev
+          FROM e),
+    ch AS (SELECT user_id, state, ms, event_id
+           FROM o WHERE prev IS NULL OR prev <> state)
+    SELECT user_id, state, ms AS valid_from_ms,
+           LEAD(ms) OVER (PARTITION BY user_id
+                          ORDER BY ms, event_id) AS valid_to_ms
+    FROM ch ORDER BY 1, 3
+"""
+
 ORACLE_SQL["source_corr_1m"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     p AS (SELECT a.source AS source_a, b.source AS source_b,
@@ -7553,6 +7614,7 @@ QUERIES = {
     "event_pairs_5m": q_event_pairs_5m,
     "pmi_type_hod": q_pmi_type_hod,
     "global_rank_1m": q_global_rank_1m,
+    "scd2_user_state": q_scd2_user_state,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
