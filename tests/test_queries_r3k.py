@@ -366,3 +366,54 @@ def test_scd2_intervals_hand_computed(ray_session, tmp_path_factory):
     u2 = eng_raw[eng_raw["user_id"] == 2].sort_values(["valid_from_ms", "state"])
     assert list(u2["state"]) == ["a", "b"]
     assert u2["valid_to_ms"].iloc[0] == base_ms      # zero-length interval
+
+
+def test_event_trigrams_hand_computed(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("r3k_tri")
+    MS = 1000
+    rows = [
+        # user 1 path: a b a b -> trigrams (a,b,a), (b,a,b)
+        ("a", BASE_US + 0 * MS, 1), ("b", BASE_US + 1 * MS, 1),
+        ("a", BASE_US + 2 * MS, 1), ("b", BASE_US + 3 * MS, 1),
+        # user 2: only two events -> no trigram
+        ("a", BASE_US, 2), ("b", BASE_US + MS, 2),
+        # user 3: same-us tie -> event_id order decides (a then c then b)
+        ("a", BASE_US, 3), ("c", BASE_US, 3), ("b", BASE_US, 3),
+    ]
+    _write_events(d, rows)
+    eng = _run("event_trigrams", str(d))
+    ora = _canon(_oracle_at("event_trigrams", str(d)))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    got = {(r.s1, r.s2, r.s3): r.n for r in eng.itertuples()}
+    assert got == {("a", "b", "a"): 1, ("b", "a", "b"): 1,
+                   ("a", "c", "b"): 1}
+
+
+def test_top3_minutes_ties_to_earlier_bucket(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("r3k_top3")
+    # one source, five minutes with cents [5, 9, 9, 1, 9]: top3 by
+    # (cents DESC, bucket ASC) = buckets m1, m2, m4 (three-way 9 tie
+    # -> two earliest win ranks 1-2, third 9 takes rank 3; the 5 loses)
+    rows = []
+    for i, c in enumerate([5, 9, 9, 1, 9]):
+        rows.append(("a", BASE_US + i * MIN_US, c / 100 + 1e-9, 1))
+    et = [r[0] for r in rows]
+    pq.write_table(
+        pa.table(
+            {"event_id": pa.array(range(len(rows)), pa.int64()),
+             "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+             "user_id": pa.array([r[3] for r in rows], pa.int64()),
+             "event_type": pa.array(et, pa.string()),
+             "value": pa.array([r[2] for r in rows], pa.float64()),
+             "props": pa.array(["{}"] * len(rows), pa.string())}
+        ),
+        d / "events.parquet",
+    )
+    eng = _run("top3_minutes_daily", str(d))
+    ora = _canon(_oracle_at("top3_minutes_daily", str(d)))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    assert len(eng) == 3
+    by_rn = eng.sort_values("rn")
+    m = BASE_US // 60_000_000
+    assert list(by_rn["bucket"]) == [m + 1, m + 2, m + 4]
+    assert list(by_rn["sum_cents"]) == [9, 9, 9]

@@ -2383,6 +2383,104 @@ def q_scd2_user_state(sf_dir: str):
     return map_key_partitions(ds, ["user_id"], _intervals)
 
 
+def q_event_trigrams(sf_dir: str):
+    """Three-step behavioral paths: adjacent (s1 → s2 → s3) event-type
+    triples inside each user's (ts, event_id)-ordered stream, counted
+    corpus-wide — the path-mining extension of ``user_transitions``'
+    bigrams. One user-keyed exchange; per partition one lexsort and one
+    vectorized triple-code bincount (codes c1·T² + c2·T + c3 with T =
+    distinct types in the partition — no pair/triple materialization)."""
+    from ray.data.aggregate import Sum
+
+    from tsrollup.hashing import safe_factorize
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"])
+
+    def _triples(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"s1": pa.array([], pa.string()),
+             "s2": pa.array([], pa.string()),
+             "s3": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())})
+        t = t.filter(pc.is_valid(t["user_id"]))
+        if t.num_rows < 3:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        cs, types = safe_factorize(
+            t["event_type"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((eid, us, uid))
+        uid_o, cs_o = uid[order], cs[order].astype(np.int64)
+        T = len(types)
+        same = (uid_o[2:] == uid_o[1:-1]) & (uid_o[1:-1] == uid_o[:-2])
+        if not same.any():
+            return empty
+        code = (cs_o[:-2][same] * T * T + cs_o[1:-1][same] * T
+                + cs_o[2:][same])
+        cnt = np.bincount(code, minlength=T * T * T)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"s1": pa.array(types[nz // (T * T)], pa.string()),
+             "s2": pa.array(types[(nz // T) % T], pa.string()),
+             "s3": pa.array(types[nz % T], pa.string()),
+             "n": pa.array(cnt[nz].astype(np.int64))})
+
+    return (
+        map_key_partitions(ds, ["user_id"], _triples)
+        .groupby(["s1", "s2", "s3"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+_TOPK_MINUTES = 3  # per-(source, day) keep count; the oracle shares it
+
+
+def q_top3_minutes_daily(sf_dir: str, k: int = _TOPK_MINUTES):
+    """Top-k-per-group with ROW_NUMBER semantics: the ``k`` highest-sum
+    minutes inside every (source, day), ties broken toward the earlier
+    bucket — the drill-down generalization of ``peak_minute_1h`` (k = 1
+    per hour). Groups are bounded (≤ 1440 minutes/day), so one
+    source-keyed exchange over the ROLLED tier plus a per-partition
+    lexsort and segmented rank covers any input volume."""
+
+    def _topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "day": pa.array([], pa.int64()),
+             "bucket": pa.array([], pa.int64()),
+             "sum_cents": pa.array([], pa.int64()),
+             "rn": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        from tsrollup.hashing import safe_factorize
+
+        src = t["source"].to_numpy(zero_copy_only=False)
+        bucket = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = t["sum_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = bucket // 1440
+        cs, us = safe_factorize(src)
+        order = np.lexsort((bucket, -cents, day, cs))
+        cs_o, day_o = cs[order], day[order]
+        grp = np.ones(len(order), dtype=bool)
+        grp[1:] = (cs_o[1:] != cs_o[:-1]) | (day_o[1:] != day_o[:-1])
+        gstart = np.flatnonzero(grp)
+        rn = np.arange(len(order)) - np.repeat(
+            gstart, np.diff(np.r_[gstart, len(order)])) + 1
+        keep = rn <= k
+        oi = order[keep]
+        return pa.table(
+            {"source": pa.array(src[oi], pa.string()),
+             "day": pa.array(day[oi]),
+             "bucket": pa.array(bucket[oi]),
+             "sum_cents": pa.array(cents[oi]),
+             "rn": pa.array(rn[keep])})
+
+    return map_key_partitions(_rolled_events(sf_dir), ["source"], _topk)
+
+
 _CUSUM_H_MULT = 4  # alarm when cusum > h_mult * target; oracle shares this
 
 
@@ -7418,6 +7516,30 @@ ORACLE_SQL["scd2_user_state"] = """
     FROM ch ORDER BY 1, 3
 """
 
+ORACLE_SQL["event_trigrams"] = """
+    WITH e AS (SELECT user_id, event_type AS s, epoch_us(ts) AS us, event_id
+               FROM events WHERE user_id IS NOT NULL),
+    w AS (SELECT user_id, s AS s1,
+                 LEAD(s, 1) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS s2,
+                 LEAD(s, 2) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS s3
+          FROM e)
+    SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM w WHERE s3 IS NOT NULL GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+ORACLE_SQL["top3_minutes_daily"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY})
+    SELECT source, bucket // 1440 AS day, bucket, sum_cents,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source, bucket // 1440
+                                   ORDER BY sum_cents DESC, bucket)
+                AS BIGINT) AS rn
+    FROM r
+    QUALIFY rn <= {_TOPK_MINUTES}
+    ORDER BY 1, 2, 5
+"""
+
 ORACLE_SQL["source_corr_1m"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     p AS (SELECT a.source AS source_a, b.source AS source_b,
@@ -7615,6 +7737,8 @@ QUERIES = {
     "pmi_type_hod": q_pmi_type_hod,
     "global_rank_1m": q_global_rank_1m,
     "scd2_user_state": q_scd2_user_state,
+    "event_trigrams": q_event_trigrams,
+    "top3_minutes_daily": q_top3_minutes_daily,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
