@@ -26,6 +26,14 @@ ROLLUP_COLUMNS = ["doc_id", "n_tok", "source"]
 
 QUARANTINE_SOURCE = "__quarantine__"
 
+# schema evolution: fragments written before the ``source`` column existed
+# (or carrying null sources) roll up under this label instead of failing the
+# whole read — the 100 TB posture, where a corpus accretes over schema
+# versions and a re-ingest of petabytes to backfill one column is not a plan.
+# ``doc_id``/``n_tok`` have no default: a fragment missing either is
+# structurally unreadable and quarantines as a whole (counted, not dropped).
+LEGACY_SOURCE = "__legacy__"
+
 
 def read_input(path: str | list[str], columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
     """`ray.data.read_parquet` with column pruning (engine source S1/S4).
@@ -71,9 +79,18 @@ def derive_batch(t: pa.Table) -> pa.Table:
     n_tok_np = good["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
     bucket = (EPOCH0_S + seq_np * STEP_S) // SECONDS_PER_BUCKET
     chk = row_checksum(seq_np, n_tok_np).view(np.int64)
+    # schema evolution: fragments predating the source column (column
+    # absent, or read as nulls through a unified-schema scan) roll up
+    # under LEGACY_SOURCE
+    if "source" in good.column_names:
+        src = good["source"]
+        if src.null_count:
+            src = pc.fill_null(src, LEGACY_SOURCE)
+    else:
+        src = pa.array([LEGACY_SOURCE] * good.num_rows, pa.string())
     out = pa.table(
         {
-            "source": good["source"],
+            "source": src,
             "bucket": pa.array(bucket),
             "n_tok": pa.array(n_tok_np),
             "chk": pa.array(chk),
@@ -247,7 +264,23 @@ def derived_partials_from_files(
 
         outs = []
         for fp, rg in zip(batch["path"].to_pylist(), batch["rg"].to_pylist()):
-            t = pq.ParquetFile(fp).read_row_group(rg, columns=columns)
+            pf = pq.ParquetFile(fp)
+            avail = set(pf.schema_arrow.names)
+            missing = [c for c in columns if c not in avail]
+            if any(c in ("doc_id", "n_tok") for c in missing):
+                # structurally unreadable fragment: quarantine its rows
+                # as a COUNT (derive_batch's malformed-row contract)
+                n = pf.metadata.row_group(rg).num_rows
+                outs.append(partial_rollup(pa.table(
+                    {"source": pa.array([QUARANTINE_SOURCE]),
+                     "bucket": pa.array([-1], pa.int64()),
+                     "n_tok": pa.array([0], pa.int64()),
+                     "chk": pa.array([np.int64(n)], pa.int64())})))
+                continue
+            # schema evolution: read what exists; derive_batch defaults
+            # an absent source column to LEGACY_SOURCE
+            t = pf.read_row_group(
+                rg, columns=[c for c in columns if c in avail])
             for lo in range(0, t.num_rows, batch_size):
                 outs.append(partial_rollup(derive_batch(t.slice(lo, batch_size))))
         if not outs:  # empty fragment
