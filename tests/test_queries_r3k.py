@@ -265,8 +265,6 @@ def test_global_rank_ties_match_oracle(ray_session, tmp_path_factory):
     eng = _run("global_rank_1m", str(d))
     ora = _canon(_oracle_at("global_rank_1m", str(d)))
     pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
-    r = eng.set_index(["source", "bucket"])
-    a0 = r.loc[("a",)].reset_index()
     assert sorted(eng["rnk"]) == [1, 1, 1, 4, 4]     # RANK tie semantics
     assert set(eng[eng["rnk"] == 4]["sum_cents"]) == {7}
     assert abs(eng[eng["rnk"] == 1]["pct_rank"].iloc[0] - 0.0) < 1e-12
@@ -417,3 +415,41 @@ def test_top3_minutes_ties_to_earlier_bucket(ray_session, tmp_path_factory):
     m = BASE_US // 60_000_000
     assert list(by_rn["bucket"]) == [m + 1, m + 2, m + 4]
     assert list(by_rn["sum_cents"]) == [9, 9, 9]
+
+
+def test_rolling_corr_perfect_and_anti(ray_session, tmp_path_factory):
+    """25 joined hours for pair (a,b): y = 2x -> corr exactly 1 in every
+    full window; pair (a,c): c = -x + const -> corr -1. One source pair
+    hour is MISSING mid-series for b (gap) — the ROWS window slides over
+    joined observations, so the first post-gap window still spans 24
+    JOINED rows, not 24 calendar hours."""
+    d = tmp_path_factory.mktemp("r3k_rcorr")
+    rows = []
+    skip_b = 10  # b has no events in hour 10 -> joined series has a gap
+    for i in range(26):
+        x = 10 + (i * 7) % 13  # non-constant pattern
+        rows.append(("a", BASE_US + i * HOUR_US, x / 100 + 1e-9, 1))
+        if i != skip_b:
+            rows.append(("b", BASE_US + i * HOUR_US, 2 * x / 100 + 1e-9, 1))
+        rows.append(("c", BASE_US + i * HOUR_US, (60 - x) / 100 + 1e-9, 1))
+    et = [r[0] for r in rows]
+    pq.write_table(
+        pa.table(
+            {"event_id": pa.array(range(len(rows)), pa.int64()),
+             "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+             "user_id": pa.array([r[3] for r in rows], pa.int64()),
+             "event_type": pa.array(et, pa.string()),
+             "value": pa.array([r[2] for r in rows], pa.float64()),
+             "props": pa.array(["{}"] * len(rows), pa.string())}
+        ),
+        d / "events.parquet",
+    )
+    eng = _run("rolling_corr_24h", str(d))
+    ora = _canon(_oracle_at("rolling_corr_24h", str(d)))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    ab = eng[(eng["source_a"] == "a") & (eng["source_b"] == "b")]
+    ac = eng[(eng["source_a"] == "a") & (eng["source_b"] == "c")]
+    assert len(ab) == 2       # 25 joined rows (one gap) -> 2 full windows
+    assert len(ac) == 3       # 26 joined rows -> 3 full windows
+    assert (ab["corr"] == 1.0).all()
+    assert (ac["corr"] == -1.0).all()

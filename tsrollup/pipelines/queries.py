@@ -2481,6 +2481,107 @@ def q_top3_minutes_daily(sf_dir: str, k: int = _TOPK_MINUTES):
     return map_key_partitions(_rolled_events(sf_dir), ["source"], _topk)
 
 
+_RCORR_W = 24  # rolling window (joined hourly observations); oracle shares it
+
+
+def q_rolling_corr_24h(sf_dir: str):
+    """Rolling cross-source correlation: for every source pair, Pearson r
+    over the trailing 24 JOINED hourly observations (ROWS window — gaps
+    in either series don't stretch the window), per window-end hour —
+    the co-movement monitor behind "did these streams decouple today?".
+    Shape: hourly cascade of the rolled tier, one bucket-keyed exchange
+    emitting pair rows (each hour's source vector is local), one
+    pair-keyed exchange running the windowed scan per pair. All moment
+    sums are exact (object/bignum prefix sums — the bollinger overflow
+    discipline); r is the IDENTICAL float expression on both sides:
+    CAST-to-double of exact integers, one multiply, one IEEE sqrt, one
+    division, 6dp. Constant windows (zero variance) are excluded like
+    the oracle's d1 > 0 AND d2 > 0. Volumes are rolled/60, bounded by
+    pairs x hours."""
+    import math
+
+    from tsrollup.shuffle import group_slices
+
+    W = _RCORR_W
+    hourly = cascade_tier(_rolled_events(sf_dir), 60)
+
+    def _pair_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source_a": pa.array([], pa.string()),
+             "source_b": pa.array([], pa.string()),
+             "bucket_h": pa.array([], pa.int64()),
+             "x": pa.array([], pa.int64()),
+             "y": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame(
+            {"source": t["source"].to_numpy(zero_copy_only=False),
+             "bucket_h": t["bucket"].to_numpy(zero_copy_only=False),
+             "c": t["sum_tok"].to_numpy(zero_copy_only=False)})
+        m = df.merge(df, on="bucket_h", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        if not len(m):
+            return empty
+        return pa.table(
+            {"source_a": pa.array(m["source_a"].to_numpy(), pa.string()),
+             "source_b": pa.array(m["source_b"].to_numpy(), pa.string()),
+             "bucket_h": pa.array(m["bucket_h"].to_numpy(np.int64)),
+             "x": pa.array(m["c_a"].to_numpy(np.int64)),
+             "y": pa.array(m["c_b"].to_numpy(np.int64))})
+
+    pairs = map_key_partitions(hourly, ["bucket"], _pair_rows)
+
+    def _roll(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source_a": pa.array([], pa.string()),
+             "source_b": pa.array([], pa.string()),
+             "bucket_h": pa.array([], pa.int64()),
+             "corr": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        out = [empty]
+        for g in group_slices(t, ["source_a", "source_b"]):
+            h = g["bucket_h"].to_numpy(zero_copy_only=False)
+            x = g["x"].to_numpy(zero_copy_only=False)
+            y = g["y"].to_numpy(zero_copy_only=False)
+            if len(h) < W:
+                continue
+            o = np.argsort(h, kind="stable")
+            xo = x[o].astype(object)
+            yo = y[o].astype(object)
+            # exact bignum prefix sums for all five moments
+            def win(v):
+                c = np.concatenate(([0], np.cumsum(v)))
+                return c[W:] - c[:-W]
+            sx, sy = win(xo), win(yo)
+            sxy, sxx, syy = win(xo * yo), win(xo * xo), win(yo * yo)
+            num = W * sxy - sx * sy
+            d1 = W * sxx - sx * sx
+            d2 = W * syy - sy * sy
+            keep = np.array([a > 0 and b > 0 for a, b in zip(d1, d2)],
+                            dtype=bool)
+            if not keep.any():
+                continue
+            r = np.array(
+                [_round6(float(n) / math.sqrt(float(a) * float(b)))
+                 for n, a, b in zip(num[keep], d1[keep], d2[keep])])
+            ends = h[o][W - 1:][keep]
+            sa = g["source_a"][0].as_py()
+            sb = g["source_b"][0].as_py()
+            out.append(pa.table(
+                {"source_a": pa.array(
+                    np.repeat(np.array([sa], dtype=object), len(ends)),
+                    pa.string()),
+                 "source_b": pa.array(
+                    np.repeat(np.array([sb], dtype=object), len(ends)),
+                    pa.string()),
+                 "bucket_h": pa.array(ends.astype(np.int64)),
+                 "corr": pa.array(r, pa.float64())}))
+        return pa.concat_tables(out)
+
+    return map_key_partitions(pairs, ["source_a", "source_b"], _roll)
+
+
 _CUSUM_H_MULT = 4  # alarm when cusum > h_mult * target; oracle shares this
 
 
@@ -7540,6 +7641,34 @@ ORACLE_SQL["top3_minutes_daily"] = f"""
     ORDER BY 1, 2, 5
 """
 
+ORACLE_SQL["rolling_corr_24h"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    h AS (SELECT source, bucket // 60 AS bh,
+                 CAST(SUM(sum_cents) AS BIGINT) AS c
+          FROM r GROUP BY 1, 2),
+    p AS (SELECT a.source AS source_a, b.source AS source_b, a.bh,
+                 CAST(a.c AS HUGEINT) AS x, CAST(b.c AS HUGEINT) AS y
+          FROM h a JOIN h b ON a.bh = b.bh AND a.source < b.source),
+    w AS (SELECT source_a, source_b, bh,
+                 COUNT(*) OVER win AS n,
+                 SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
+                 SUM(x * y) OVER win AS sxy,
+                 SUM(x * x) OVER win AS sxx,
+                 SUM(y * y) OVER win AS syy
+          FROM p WINDOW win AS (
+              PARTITION BY source_a, source_b ORDER BY bh
+              ROWS BETWEEN {_RCORR_W - 1} PRECEDING AND CURRENT ROW))
+    SELECT source_a, source_b, bh AS bucket_h,
+           ROUND(CAST({_RCORR_W} * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST({_RCORR_W} * sxx - sx * sx AS DOUBLE)
+                        * CAST({_RCORR_W} * syy - sy * sy AS DOUBLE)), 6)
+               AS corr
+    FROM w
+    WHERE n = {_RCORR_W} AND {_RCORR_W} * sxx - sx * sx > 0
+          AND {_RCORR_W} * syy - sy * sy > 0
+    ORDER BY 1, 2, 3
+"""
+
 ORACLE_SQL["source_corr_1m"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     p AS (SELECT a.source AS source_a, b.source AS source_b,
@@ -7739,6 +7868,7 @@ QUERIES = {
     "scd2_user_state": q_scd2_user_state,
     "event_trigrams": q_event_trigrams,
     "top3_minutes_daily": q_top3_minutes_daily,
+    "rolling_corr_24h": q_rolling_corr_24h,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
