@@ -453,3 +453,67 @@ def test_rolling_corr_perfect_and_anti(ray_session, tmp_path_factory):
     assert len(ac) == 3       # 26 joined rows -> 3 full windows
     assert (ab["corr"] == 1.0).all()
     assert (ac["corr"] == -1.0).all()
+
+
+def test_changepoint_step_series(ray_session, tmp_path_factory):
+    """A clean level shift: 10 minutes at 5 cents then 10 at 50 — the max
+    |n·S_t − t·S_n| statistic must land exactly on the last low minute."""
+    d = tmp_path_factory.mktemp("r3k_cp")
+    rows = []
+    for i in range(20):
+        c = 5 if i < 10 else 50
+        rows.append(("a", BASE_US + i * MIN_US, c / 100 + 1e-9, 1))
+    # a constant series: every split scores 0 -> earliest-bucket tie
+    for i in range(5):
+        rows.append(("flat", BASE_US + i * MIN_US, 0.07 + 1e-9, 1))
+    pq.write_table(
+        pa.table(
+            {"event_id": pa.array(range(len(rows)), pa.int64()),
+             "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+             "user_id": pa.array([r[3] for r in rows], pa.int64()),
+             "event_type": pa.array([r[0] for r in rows], pa.string()),
+             "value": pa.array([r[2] for r in rows], pa.float64()),
+             "props": pa.array(["{}"] * len(rows), pa.string())}
+        ),
+        d / "events.parquet",
+    )
+    eng = _run("changepoint_1m", str(d))
+    ora = _canon(_oracle_at("changepoint_1m", str(d)))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    m0 = BASE_US // 60_000_000
+    r = eng.set_index("source")
+    assert r.loc["a", "cp_bucket"] == m0 + 9   # last minute before the shift
+    # n=20, best split t=10 (S_10=50, S_n=550): |20*50 - 10*550| = 4500
+    assert r.loc["a", "score"] == 4500
+    assert r.loc["flat", "cp_bucket"] == m0    # all-zero scores tie earliest
+    assert r.loc["flat", "score"] == 0
+
+
+def test_psi_drift_hand_computed(ray_session, tmp_path_factory):
+    """Minutes 0..3 early (mid at 2 of range 0..3 -> split at 2): bins
+    from cents {64,64 | 64,128}: bin1 a=2,b=1; bin2 a=0,b=1 (excluded,
+    one-sided). Totals over shared bins only: na=2, nb=1."""
+    d = tmp_path_factory.mktemp("r3k_psi")
+    cents = [64, 64, 64, 128]
+    rows = [("a", BASE_US + i * MIN_US, c / 100 + 1e-9, 1)
+            for i, c in enumerate(cents)]
+    pq.write_table(
+        pa.table(
+            {"event_id": pa.array(range(len(rows)), pa.int64()),
+             "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+             "user_id": pa.array([r[3] for r in rows], pa.int64()),
+             "event_type": pa.array([r[0] for r in rows], pa.string()),
+             "value": pa.array([r[2] for r in rows], pa.float64()),
+             "props": pa.array(["{}"] * len(rows), pa.string())}
+        ),
+        d / "events.parquet",
+    )
+    eng = _run("psi_drift", str(d))
+    ora = _canon(_oracle_at("psi_drift", str(d)))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    assert len(eng) == 1                       # one shared bin only
+    row = eng.iloc[0]
+    assert (row["bin"], row["n_early"], row["n_late"]) == (1, 2, 1)
+    import math
+    expect = (2 / 2 - 1 / 1) * math.log((2 * 1) / (1 * 2))  # 0.0
+    assert abs(row["psi_term"] - expect) < 1e-12

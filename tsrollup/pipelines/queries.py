@@ -2582,6 +2582,131 @@ def q_rolling_corr_24h(sf_dir: str):
     return map_key_partitions(pairs, ["source_a", "source_b"], _roll)
 
 
+def q_changepoint_1m(sf_dir: str):
+    """Single-changepoint LOCATION estimate per source (the binary-
+    segmentation primitive, complementing cusum_1m's online alarm): the
+    split minute t maximizing the scaled mean-shift statistic
+    |n·S_t − t·S_n| over the source's 1m series (S = prefix sum of
+    cents) — an all-integer rewrite of the max-|CUSUM| changepoint, so
+    the argmax is EXACT with deterministic earliest-bucket ties. One
+    per-source kernel over the rolled tier; prefix sums run in
+    object/bignum (n·S_t exceeds int64 at ~10³× current volume) and the
+    reported score is range-checked back into int64, loudly."""
+
+    def _cp(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "cp_bucket": pd.Series(dtype=np.int64),
+             "score": pd.Series(dtype=np.int64)})
+        if len(df) < 2:
+            return empty
+        df = df.sort_values("bucket", kind="stable")
+        x = df["sum_tok"].to_numpy().astype(object)
+        n = len(x)
+        st = np.cumsum(x)
+        sn = st[-1]
+        t = np.arange(1, n + 1, dtype=object)
+        score = abs(n * st - t * sn)[:-1]  # t == n is identically 0
+        best = int(np.argmax(score))  # first max -> earliest bucket
+        s = int(score[best])
+        if s > np.iinfo(np.int64).max:
+            raise ValueError(
+                f"changepoint score {s} overflows int64; rescale units")
+        return pd.DataFrame(
+            {"source": df["source"].iloc[:1].to_numpy(),
+             "cp_bucket": np.array(
+                 [df["bucket"].to_numpy()[best]], np.int64),
+             "score": np.array([s], np.int64)})
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _cp,
+                          batch_format="pandas")
+
+
+_PSI_SHIFT = 6  # log2 bin width shift (64-cent bins); oracle shares it
+
+
+def q_psi_drift(sf_dir: str):
+    """Distribution drift between the first and second half of each
+    source's history — the Population Stability Index, per bin: events'
+    minute sums bucket into 64-cent-wide bins (cents >> 6), counts fold
+    per (source, half, bin), and each bin contributes
+    (p−q)·ln(p/q) where p, q are the bin shares of the early/late half.
+    Per-BIN terms are emitted (summing floats is order-dependent; the
+    consumer sums, the oracle emits the same rows) with the exact-
+    integer-ln recipe: ln((a·Nb)/(b·Na)) as one float64 division of two
+    exact integer products + shared-libm log. Bins present in only one
+    half are excluded (PSI term undefined), matching the oracle.
+    The halves split at the midpoint of the source's [min, max] bucket
+    range — deterministic, no quantile pass."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from tsrollup.hashing import safe_factorize
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "bucket": pa.array([], pa.int64()),
+             "bin": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        src = t["source"].to_numpy(zero_copy_only=False)
+        bucket = t["bucket"].to_numpy(zero_copy_only=False)
+        cents = t["sum_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"source": pa.array(src, pa.string()),
+             "bucket": pa.array(bucket.astype(np.int64)),
+             "bin": pa.array(cents >> _PSI_SHIFT),
+             "n": pa.array(np.ones(len(src), np.int64))})
+
+    rows = _rolled_events(sf_dir).map_batches(_partial, batch_format="pyarrow")
+
+    def _psi(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "bin": pd.Series(dtype=np.int64),
+             "n_early": pd.Series(dtype=np.int64),
+             "n_late": pd.Series(dtype=np.int64),
+             "psi_term": pd.Series(dtype=np.float64)})
+        if not len(df):
+            return empty
+        b = df["bucket"].to_numpy()
+        mid = (int(b.min()) + int(b.max()) + 1) // 2
+        late = b >= mid
+        agg = (pd.DataFrame({"bin": df["bin"].to_numpy(),
+                             "late": late.astype(np.int64),
+                             "n": df["n"].to_numpy()})
+               .groupby(["bin", "late"], as_index=False).sum())
+        piv = agg.pivot(index="bin", columns="late", values="n")
+        a = piv.get(0)
+        c = piv.get(1)
+        if a is None or c is None:
+            return empty
+        both = a.notna() & c.notna()
+        if not both.any():
+            return empty
+        a = a[both].astype(np.int64)
+        c = c[both].astype(np.int64)
+        na, nc = int(a.sum()), int(c.sum())
+        # per-bin: (a/na - c/nc) * ln((a*nc)/(c*na)), every operand an
+        # exact integer converted once to double (the PMI recipe)
+        terms = [
+            (float(av) / float(na) - float(cv) / float(nc))
+            * math.log(float(int(av) * nc) / float(int(cv) * na))
+            for av, cv in zip(a.to_numpy(), c.to_numpy())]
+        src = df["source"].iloc[0]
+        return pd.DataFrame(
+            {"source": np.repeat(np.array([src], dtype=object), both.sum()),
+             "bin": a.index.to_numpy(np.int64),
+             "n_early": a.to_numpy(np.int64),
+             "n_late": c.to_numpy(np.int64),
+             "psi_term": _round6(np.array(terms))})
+
+    return map_key_groups(rows, ["source"], _psi, batch_format="pandas")
+
+
 _CUSUM_H_MULT = 4  # alarm when cusum > h_mult * target; oracle shares this
 
 
@@ -7669,6 +7794,53 @@ ORACLE_SQL["rolling_corr_24h"] = f"""
     ORDER BY 1, 2, 3
 """
 
+ORACLE_SQL["changepoint_1m"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    o AS (SELECT source, bucket,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY bucket) AS t,
+                 SUM(CAST(sum_cents AS HUGEINT)) OVER (
+                     PARTITION BY source ORDER BY bucket) AS st,
+                 COUNT(*) OVER (PARTITION BY source) AS n,
+                 SUM(CAST(sum_cents AS HUGEINT)) OVER (
+                     PARTITION BY source) AS sn
+          FROM r)
+    SELECT source, bucket AS cp_bucket,
+           CAST(ABS(CAST(n AS HUGEINT) * st - CAST(t AS HUGEINT) * sn)
+                AS BIGINT) AS score
+    FROM o WHERE t < n
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY source
+        ORDER BY ABS(CAST(n AS HUGEINT) * st - CAST(t AS HUGEINT) * sn)
+                 DESC, bucket) = 1
+    ORDER BY 1
+"""
+
+ORACLE_SQL["psi_drift"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    s AS (SELECT source, (MIN(bucket) + MAX(bucket) + 1) // 2 AS mid
+          FROM r GROUP BY 1),
+    binned AS (SELECT r.source,
+                      CASE WHEN bucket >= mid THEN 1 ELSE 0 END AS late,
+                      sum_cents // {2 ** _PSI_SHIFT} AS bin
+               FROM r JOIN s ON s.source = r.source),
+    c AS (SELECT source, bin,
+                 SUM(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS a,
+                 SUM(CASE WHEN late = 1 THEN 1 ELSE 0 END) AS b
+          FROM binned GROUP BY 1, 2),
+    tot AS (SELECT source, SUM(a) AS na, SUM(b) AS nb
+            FROM c WHERE a > 0 AND b > 0 GROUP BY 1)
+    SELECT c.source, CAST(bin AS BIGINT) AS bin,
+           CAST(a AS BIGINT) AS n_early, CAST(b AS BIGINT) AS n_late,
+           ROUND((CAST(a AS DOUBLE) / na - CAST(b AS DOUBLE) / nb)
+                 * LN(CAST(CAST(a AS HUGEINT) * nb AS DOUBLE)
+                      / CAST(CAST(b AS HUGEINT) * na AS DOUBLE)), 6)
+               AS psi_term
+    FROM c JOIN tot USING (source)
+    WHERE a > 0 AND b > 0
+    ORDER BY 1, 2
+"""
+
 ORACLE_SQL["source_corr_1m"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     p AS (SELECT a.source AS source_a, b.source AS source_b,
@@ -7869,6 +8041,8 @@ QUERIES = {
     "event_trigrams": q_event_trigrams,
     "top3_minutes_daily": q_top3_minutes_daily,
     "rolling_corr_24h": q_rolling_corr_24h,
+    "changepoint_1m": q_changepoint_1m,
+    "psi_drift": q_psi_drift,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
