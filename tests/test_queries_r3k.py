@@ -517,3 +517,36 @@ def test_psi_drift_hand_computed(ray_session, tmp_path_factory):
     import math
     expect = (2 / 2 - 1 / 1) * math.log((2 * 1) / (1 * 2))  # 0.0
     assert abs(row["psi_term"] - expect) < 1e-12
+
+
+def test_emd_sources_one_bin_shift(ray_session, tmp_path_factory):
+    """b is exactly a shifted one bin right -> EMD = 1.0 (full mass moves
+    one bin); c splits 50/50 between a's bin and b's bin -> EMD 0.5 to
+    either. emd_scaled is the exact integer na*nb*EMD."""
+    d = tmp_path_factory.mktemp("r3k_emd")
+    rows = []
+    for i, c in enumerate([64, 64]):          # a: bin 1, bin 1
+        rows.append(("a", BASE_US + i * MIN_US, c / 100 + 1e-9, 1))
+    for i, c in enumerate([128, 128]):        # b: bin 2, bin 2
+        rows.append(("b", BASE_US + i * MIN_US, c / 100 + 1e-9, 1))
+    for i, c in enumerate([64, 128]):         # c: bin 1, bin 2
+        rows.append(("c", BASE_US + i * MIN_US, c / 100 + 1e-9, 1))
+    pq.write_table(
+        pa.table(
+            {"event_id": pa.array(range(len(rows)), pa.int64()),
+             "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+             "user_id": pa.array([r[3] for r in rows], pa.int64()),
+             "event_type": pa.array([r[0] for r in rows], pa.string()),
+             "value": pa.array([r[2] for r in rows], pa.float64()),
+             "props": pa.array(["{}"] * len(rows), pa.string())}
+        ),
+        d / "events.parquet",
+    )
+    eng = _run("emd_sources", str(d))
+    ora = _canon(_oracle_at("emd_sources", str(d)))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    got = {(r.source_a, r.source_b): (r.emd_scaled, r.emd)
+           for r in eng.itertuples()}
+    assert got[("a", "b")] == (4, 1.0)
+    assert got[("a", "c")] == (2, 0.5)
+    assert got[("b", "c")] == (2, 0.5)

@@ -2707,6 +2707,74 @@ def q_psi_drift(sf_dir: str):
     return map_key_groups(rows, ["source"], _psi, batch_format="pandas")
 
 
+def q_emd_sources(sf_dir: str):
+    """Pairwise distribution distance between sources: the 1-D earth
+    mover's (Wasserstein-1) distance between the two sources' minute-sum
+    distributions over shared 64-cent bins — EXACT, as an integer.
+    EMD₁ = Σ_bins |CDF_a − CDF_b|; multiplying through by n_a·n_b turns
+    every term into |cum_a·n_b − cum_b·n_a|, an integer, so the reported
+    ``emd_scaled`` (and the normalized float ``emd = emd_scaled /
+    (n_a·n_b)``, one exact-integer division) carries no accumulated
+    float error at any data size. Bin counts fold as one distributed
+    groupby over the rolled tier; the pairwise sweep runs on the driver
+    over the bounded (sources × occupied bins) table — the same
+    driver-final contract as source_corr_1m, exact in Python bignum."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "bin": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        cents = t["sum_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"source": t["source"],
+             "bin": pa.array(cents >> _PSI_SHIFT),
+             "n": pa.array(np.ones(len(cents), np.int64))})
+
+    counts = (
+        _rolled_events(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: sources x occupied bins
+    )
+    if not len(counts):
+        return pd.DataFrame(
+            {"source_a": pd.Series(dtype=object),
+             "source_b": pd.Series(dtype=object),
+             "emd_scaled": pd.Series(dtype=np.int64),
+             "emd": pd.Series(dtype=np.float64)})
+    bins = np.sort(counts["bin"].unique())
+    cum: dict[str, np.ndarray] = {}
+    tot: dict[str, int] = {}
+    for src, g in counts.groupby("source", sort=True):
+        dense = np.zeros(len(bins), dtype=object)
+        dense[np.searchsorted(bins, g["bin"].to_numpy())] = [
+            int(v) for v in g["n"].to_numpy()]
+        cum[src] = np.cumsum(dense)
+        tot[src] = int(g["n"].sum())
+    srcs = sorted(cum)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            na, nb = tot[a], tot[b]
+            scaled = int(np.sum(np.abs(cum[a] * nb - cum[b] * na)))
+            if scaled > np.iinfo(np.int64).max:
+                raise ValueError(
+                    f"scaled EMD {scaled} overflows int64; widen bins "
+                    f"(_PSI_SHIFT) or report the normalized float only")
+            rows.append((a, b, scaled,
+                         _round6(float(scaled) / float(na * nb))))
+    return pd.DataFrame(
+        {"source_a": [r[0] for r in rows],
+         "source_b": [r[1] for r in rows],
+         "emd_scaled": np.array([r[2] for r in rows], np.int64),
+         "emd": np.array([r[3] for r in rows], np.float64)})
+
+
 _CUSUM_H_MULT = 4  # alarm when cusum > h_mult * target; oracle shares this
 
 
@@ -7841,6 +7909,34 @@ ORACLE_SQL["psi_drift"] = f"""
     ORDER BY 1, 2
 """
 
+ORACLE_SQL["emd_sources"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    c AS (SELECT source, sum_cents // {2 ** _PSI_SHIFT} AS bin,
+                 COUNT(*) AS n
+          FROM r GROUP BY 1, 2),
+    tot AS (SELECT source, SUM(n) AS nt FROM c GROUP BY 1),
+    bins AS (SELECT DISTINCT bin FROM c),
+    pairs AS (SELECT a.source AS sa, b.source AS sb,
+                     CAST(a.nt AS HUGEINT) AS na, CAST(b.nt AS HUGEINT) AS nb
+              FROM tot a JOIN tot b ON a.source < b.source),
+    grid AS (SELECT sa, sb, na, nb, bin FROM pairs CROSS JOIN bins),
+    j AS (SELECT g.*, COALESCE(ca.n, 0) AS an, COALESCE(cb.n, 0) AS bn
+          FROM grid g
+          LEFT JOIN c ca ON ca.source = g.sa AND ca.bin = g.bin
+          LEFT JOIN c cb ON cb.source = g.sb AND cb.bin = g.bin),
+    w AS (SELECT sa, sb, na, nb,
+                 SUM(CAST(an AS HUGEINT)) OVER (
+                     PARTITION BY sa, sb ORDER BY bin) AS ca,
+                 SUM(CAST(bn AS HUGEINT)) OVER (
+                     PARTITION BY sa, sb ORDER BY bin) AS cb
+          FROM j)
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(SUM(ABS(ca * nb - cb * na)) AS BIGINT) AS emd_scaled,
+           ROUND(CAST(SUM(ABS(ca * nb - cb * na)) AS DOUBLE)
+                 / CAST(na * nb AS DOUBLE), 6) AS emd
+    FROM w GROUP BY 1, 2, na, nb ORDER BY 1, 2
+"""
+
 ORACLE_SQL["source_corr_1m"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     p AS (SELECT a.source AS source_a, b.source AS source_b,
@@ -8043,6 +8139,7 @@ QUERIES = {
     "rolling_corr_24h": q_rolling_corr_24h,
     "changepoint_1m": q_changepoint_1m,
     "psi_drift": q_psi_drift,
+    "emd_sources": q_emd_sources,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
