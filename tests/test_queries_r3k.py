@@ -550,3 +550,35 @@ def test_emd_sources_one_bin_shift(ray_session, tmp_path_factory):
     assert got[("a", "b")] == (4, 1.0)
     assert got[("a", "c")] == (2, 0.5)
     assert got[("b", "c")] == (2, 0.5)
+
+
+def test_doc_keywords_hand_computed(ray_session, tmp_path_factory):
+    """4 docs; 'rare' appears only in doc0 (df=1, idf=ln 4) and beats
+    'shared' (df=4, idf=0). Zero-score ubiquitous tokens tie on token
+    byte order. NUL-embedded tokens exercise the no-hash-table df path."""
+    d = tmp_path_factory.mktemp("r3k_kw")
+    texts = [
+        "rare rare shared z\x00a z\x00b",
+        "shared z\x00a mid",
+        "shared mid",
+        "shared",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+         "text": pa.array(texts),
+         "lang": pa.array(["en"] * len(texts)),
+         "source": pa.array(["s1"] * len(texts)),
+         "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, str(d / "documents.parquet"))
+    eng = _run("doc_keywords", str(d))
+    ora = _canon(_oracle_docs("doc_keywords", str(d)))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    import math
+    d0 = eng[eng["doc_id"] == 0].sort_values("rn")
+    # scores: rare 2·ln4 = 2.77; z\0b 1·ln4 = 1.39 (df=1); z\0a 1·ln2
+    # = 0.69 (df=2, in docs 0 and 1); shared 0 (df=4) drops out of top-3
+    assert list(d0["token"]) == ["rare", "z\x00b", "z\x00a"]
+    assert d0.iloc[0]["tf"] == 2 and d0.iloc[0]["df"] == 1
+    assert abs(d0.iloc[0]["score"] - round(2 * math.log(4), 6)) < 1e-9
+    d3 = eng[eng["doc_id"] == 3]
+    assert len(d3) == 1 and d3.iloc[0]["score"] == 0.0

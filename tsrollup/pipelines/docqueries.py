@@ -4430,3 +4430,144 @@ DOC_ORACLE_SQL["dup_span_fraction"] = rf"""
     FROM g JOIN df USING (s)
     GROUP BY 1 ORDER BY 1
 """
+
+
+_KEYWORDS_K = 3  # keywords kept per document; the oracle SQL shares it
+
+
+def q_doc_keywords(sf_dir: str, k: int = _KEYWORDS_K):
+    """Per-document keyword extraction: the top-``k`` whitespace tokens
+    by tf·idf (idf = ln(N/df), raw tf), ROW_NUMBER ties broken by token
+    byte order — the per-doc complement of the corpus-level tfidf_topk.
+    Exactness: scores on both sides are the IDENTICAL float expression
+    (tf · ln(double(N)/df) from exact integers), so even the float
+    ordering ties out bit-for-bit.
+
+    Plan: (doc, token, tf) rows come out of one TokenBatch pass with an
+    adjacent-string-equality run scan (sorted by hash, runs confirmed on
+    the actual strings — collision-proof without a per-token hash
+    table); ONE token-keyed exchange counts df and annotates rows in the
+    same partition; ONE doc-keyed exchange ranks and keeps k. No
+    driver-side state beyond the scalar N."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from tsrollup.functions.tokens import TokenBatch
+    from tsrollup.pipelines.queries import _round6
+    from tsrollup.shuffle import map_key_partitions
+
+    N = _docs(sf_dir, ("doc_id",)).count()
+
+    def _tf_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "token": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        tb = TokenBatch(t.column("text"))
+        if tb.n_tokens == 0:
+            return empty
+        doc = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False), tb.doc_lens)
+        toks = tb.token_array()
+        if isinstance(toks, pa.ChunkedArray):  # normalize for take/compare
+            toks = toks.combine_chunks()
+        order = np.lexsort((tb.hashes, doc))
+        doc_o = doc[order]
+        tok_o = toks.take(pa.array(order))
+        h_o = tb.hashes[order]
+        new = np.ones(len(order), dtype=bool)
+        if len(order) > 1:
+            # hash runs confirmed on the real strings -> collision-proof
+            same_str = pc.equal(tok_o.slice(1), tok_o.slice(0, len(order) - 1))
+            same_str = same_str.to_numpy(zero_copy_only=False)
+            new[1:] = ((doc_o[1:] != doc_o[:-1]) | (h_o[1:] != h_o[:-1])
+                       | ~same_str)
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.r_[starts, len(order)])
+        return pa.table(
+            {"doc_id": pa.array(doc_o[starts].astype(np.int64)),
+             "token": tok_o.take(pa.array(starts)),
+             "tf": pa.array(tf.astype(np.int64))})
+
+    tf_rows = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        _tf_rows, batch_format="pyarrow")
+
+    def _df_annotate(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "token": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "df": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        # rows are unique per (doc, token), so df = per-token row count;
+        # counted via a sorted-run scan (comparison sort, NUL-safe) —
+        # never a pandas string hash table
+        tok = t["token"].to_numpy(zero_copy_only=False)
+        order = np.argsort(tok, kind="stable")  # comparison sort: NUL-safe
+        tok_o = tok[order]
+        new = np.ones(len(tok_o), dtype=bool)
+        new[1:] = tok_o[1:] != tok_o[:-1]
+        gid = np.cumsum(new) - 1
+        per = np.bincount(gid)
+        dfv = np.empty(len(tok_o), np.int64)
+        dfv[order] = per[gid]
+        return pa.table(
+            {"doc_id": t["doc_id"], "token": t["token"], "tf": t["tf"],
+             "df": pa.array(dfv)})
+
+    annotated = map_key_partitions(tf_rows, ["token"], _df_annotate)
+
+    def _topk(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "token": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "df": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64()),
+                          "rn": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        tfv = df["tf"].to_numpy(np.int64)
+        dfv = df["df"].to_numpy(np.int64)
+        score = np.array(
+            [tf_ * math.log(float(N) / float(df_))
+             for tf_, df_ in zip(tfv, dfv)])
+        df["score"] = score
+        df = df.sort_values(["doc_id", "score", "token"],
+                            ascending=[True, False, True], kind="stable")
+        df["rn"] = df.groupby("doc_id", sort=False).cumcount() + 1
+        df = df[df["rn"] <= k]
+        return pa.table(
+            {"doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+             "token": pa.array(df["token"].to_numpy(), pa.string()),
+             "tf": pa.array(df["tf"].to_numpy(np.int64)),
+             "df": pa.array(df["df"].to_numpy(np.int64)),
+             "score": pa.array(_round6(df["score"].to_numpy())),
+             "rn": pa.array(df["rn"].to_numpy(np.int64))})
+
+    return map_key_partitions(annotated, ["doc_id"], _topk)
+
+
+DOC_QUERIES["doc_keywords"] = q_doc_keywords
+
+DOC_ORACLE_SQL["doc_keywords"] = rf"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                  FROM {_DOCS_WS_NORM}),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    tf AS (SELECT doc_id, u.tok, COUNT(*) AS tf
+           FROM toks, UNNEST(t) AS u(tok) GROUP BY 1, 2),
+    dfc AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    s AS (SELECT tf.doc_id, tf.tok, tf.tf, dfc.df,
+                 tf.tf * LN(CAST(nd AS DOUBLE) / dfc.df) AS score
+          FROM tf JOIN dfc USING (tok), n)
+    SELECT doc_id, tok AS token, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, ROUND(score, 6) AS score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, tok)
+                AS BIGINT) AS rn
+    FROM s
+    QUALIFY rn <= {_KEYWORDS_K}
+    ORDER BY 1, 6
+"""
