@@ -582,3 +582,48 @@ def test_doc_keywords_hand_computed(ray_session, tmp_path_factory):
     assert abs(d0.iloc[0]["score"] - round(2 * math.log(4), 6)) < 1e-9
     d3 = eng[eng["doc_id"] == 3]
     assert len(d3) == 1 and d3.iloc[0]["score"] == 0.0
+
+
+def test_mase_perfectly_seasonal(ray_session, tmp_path_factory):
+    """A series that repeats exactly every 1440 minutes: seasonal-naive
+    error is 0 -> MASE exactly 0.0; the one-step error is nonzero."""
+    d = tmp_path_factory.mktemp("r3k_mase")
+    n = 2 * 1440 + 1
+    rows = [("a", BASE_US + i * MIN_US, ((i % 1440) % 7 + 1) / 100 + 1e-9, 1)
+            for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {"event_id": pa.array(range(n), pa.int64()),
+             "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+             "user_id": pa.array([r[3] for r in rows], pa.int64()),
+             "event_type": pa.array([r[0] for r in rows], pa.string()),
+             "value": pa.array([r[2] for r in rows], pa.float64()),
+             "props": pa.array(["{}"] * n, pa.string())}
+        ),
+        d / "events.parquet",
+    )
+    eng = _run("mase_naive", str(d))
+    ora = _canon(_oracle_at("mase_naive", str(d)))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    assert len(eng) == 1
+    assert eng.iloc[0]["sae_seasonal"] == 0 and eng.iloc[0]["mase"] == 0.0
+    assert eng.iloc[0]["n_seasonal"] == n - 1440
+    assert eng.iloc[0]["sae_naive"] > 0
+
+
+def test_k_anonymity_flags_small_combos(ray_session, tmp_path_factory):
+    """combo (a, dow, hod=0): 5 users -> safe; hod=1: 2 users over 6 rows
+    -> flagged with the ROW count preserved."""
+    d = tmp_path_factory.mktemp("r3k_kanon")
+    rows = []
+    for u in range(5):                       # hod 0: 5 distinct users
+        rows.append(("a", BASE_US, 100 + u))
+    for i in range(6):                       # hod 1: 6 rows, 2 users
+        rows.append(("a", BASE_US + HOUR_US + i, 200 + (i % 2)))
+    _write_events(d, rows)
+    eng = _run("k_anonymity", str(d))
+    ora = _canon(_oracle_at("k_anonymity", str(d)))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    assert len(eng) == 1
+    v = eng.iloc[0]
+    assert (v["hod"], v["n_users"], v["n_rows"]) == (1, 2, 6)

@@ -2775,6 +2775,119 @@ def q_emd_sources(sf_dir: str):
          "emd": np.array([r[3] for r in rows], np.float64)})
 
 
+_MASE_SEASON = 1440  # seasonal lag (minutes/day); the oracle shares it
+
+
+def q_mase_naive(sf_dir: str):
+    """Forecast-evaluation metric: per source, the MASE denominator
+    decomposition for the SEASONAL-NAIVE forecaster — Σ|x_t − x_{t−1440}|
+    (yesterday-same-minute error) against Σ|x_t − x_{t−1}| (one-step
+    naive error) over the rolled 1m series, plus their ratio. MASE < 1
+    means daily seasonality genuinely predicts. All sums are exact
+    integers (absolute differences of int64 cents, folded per source);
+    the ratio is one float64 division of exact integers, 6dp. Rows are
+    position-lags over the bucket-ORDERED existing minutes (gaps don't
+    interpolate), matching the oracle's LAG windows."""
+
+    def _mase(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "n_seasonal": pd.Series(dtype=np.int64),
+             "sae_seasonal": pd.Series(dtype=np.int64),
+             "n_naive": pd.Series(dtype=np.int64),
+             "sae_naive": pd.Series(dtype=np.int64),
+             "mase": pd.Series(dtype=np.float64)})
+        S = _MASE_SEASON
+        if len(df) <= S:
+            return empty
+        df = df.sort_values("bucket", kind="stable")
+        x = df["sum_tok"].to_numpy().astype(np.int64)
+        d1 = np.abs(np.diff(x))
+        dS = np.abs(x[S:] - x[:-S])
+        sae_n, sae_s = int(d1.sum()), int(dS.sum())
+        if sae_n == 0:
+            return empty  # constant series: scaling undefined
+        # both SAE counts normalize per comparison before the ratio, the
+        # textbook MASE shape: (sae_s/n_s) / (sae_n/n_n) — evaluated as
+        # the identical float sequence on both sides
+        mase = _round6((float(sae_s) / float(len(dS)))
+                       / (float(sae_n) / float(len(d1))))
+        return pd.DataFrame(
+            {"source": df["source"].iloc[:1].to_numpy(),
+             "n_seasonal": np.array([len(dS)], np.int64),
+             "sae_seasonal": np.array([sae_s], np.int64),
+             "n_naive": np.array([len(d1)], np.int64),
+             "sae_naive": np.array([sae_n], np.int64),
+             "mase": np.array([mase], np.float64)})
+
+    return map_key_groups(_rolled_events(sf_dir), ["source"], _mase,
+                          batch_format="pandas")
+
+
+_K_ANON = 5  # minimum distinct users per quasi-identifier combo; oracle-shared
+
+
+def q_k_anonymity(sf_dir: str, k: int = _K_ANON):
+    """Privacy audit: k-anonymity over the quasi-identifier combination
+    (event_type, day-of-week, hour-of-day) — every combo observed with
+    fewer than ``k`` DISTINCT users is a re-identification risk and is
+    reported with its user count and row count. One user-keyed exchange
+    makes distinct (combo, user) pairs countable locally (the
+    distinct_users_1h pattern); the tiny combo-keyed combine then sums
+    partials — no raw-event reshuffle, exact counts."""
+    from ray.data.aggregate import Sum
+
+    from tsrollup.hashing import safe_factorize
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "dow": pa.array([], pa.int64()),
+             "hod": pa.array([], pa.int64()),
+             "n_users": pa.array([], pa.int64()),
+             "n_rows": pa.array([], pa.int64())})
+        t = t.filter(pc.is_valid(t["user_id"]))
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        us = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        days = us // 86_400_000_000
+        dow = (days + 4) % 7  # epoch day 0 = Thursday; 0 = Sunday like DuckDB
+        hod = (us // 3_600_000_000) % 24
+        cs, srcs = safe_factorize(
+            t["event_type"].to_numpy(zero_copy_only=False))
+        cu = pd.factorize(uid)[0]
+        combo = (cs.astype(np.int64) * 168 + dow * 24 + hod)
+        order = np.lexsort((cu, combo))
+        cb_o, cu_o = combo[order], cu[order]
+        rows_per = np.bincount(cb_o)
+        first = np.ones(len(cb_o), dtype=bool)
+        first[1:] = (cb_o[1:] != cb_o[:-1]) | (cu_o[1:] != cu_o[:-1])
+        users_per = np.bincount(cb_o[first])
+        nz = np.flatnonzero(rows_per)
+        return pa.table(
+            {"source": pa.array(srcs[nz // 168], pa.string()),
+             "dow": pa.array(((nz % 168) // 24).astype(np.int64)),
+             "hod": pa.array((nz % 24).astype(np.int64)),
+             "n_users": pa.array(users_per[nz].astype(np.int64)),
+             "n_rows": pa.array(rows_per[nz].astype(np.int64))})
+
+    folded = (
+        map_key_partitions(ds, ["user_id"], _partial)
+        .groupby(["source", "dow", "hod"])
+        .aggregate(Sum("n_users", alias_name="n_users"),
+                   Sum("n_rows", alias_name="n_rows"))
+    )
+
+    def _violations(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["n_users"], k))
+
+    return folded.map_batches(_violations, batch_format="pyarrow")
+
+
 _CUSUM_H_MULT = 4  # alarm when cusum > h_mult * target; oracle shares this
 
 
@@ -7937,6 +8050,43 @@ ORACLE_SQL["emd_sources"] = f"""
     FROM w GROUP BY 1, 2, na, nb ORDER BY 1, 2
 """
 
+ORACLE_SQL["mase_naive"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    l AS (SELECT source, sum_cents,
+                 LAG(sum_cents, 1) OVER w AS p1,
+                 LAG(sum_cents, {_MASE_SEASON}) OVER w AS pS
+          FROM r WINDOW w AS (PARTITION BY source ORDER BY bucket)),
+    agg AS (SELECT source,
+                   COUNT(pS) AS n_seasonal,
+                   COALESCE(SUM(ABS(sum_cents - pS)), 0) AS sae_seasonal,
+                   COUNT(p1) AS n_naive,
+                   COALESCE(SUM(ABS(sum_cents - p1)), 0) AS sae_naive
+            FROM l GROUP BY 1)
+    SELECT source,
+           CAST(n_seasonal AS BIGINT) AS n_seasonal,
+           CAST(sae_seasonal AS BIGINT) AS sae_seasonal,
+           CAST(n_naive AS BIGINT) AS n_naive,
+           CAST(sae_naive AS BIGINT) AS sae_naive,
+           ROUND((CAST(sae_seasonal AS DOUBLE) / n_seasonal)
+                 / (CAST(sae_naive AS DOUBLE) / n_naive), 6) AS mase
+    FROM agg WHERE n_seasonal > 0 AND sae_naive > 0
+    ORDER BY 1
+"""
+
+ORACLE_SQL["k_anonymity"] = f"""
+    WITH e AS (SELECT event_type AS source,
+                      dayofweek(ts) AS dow,
+                      (epoch_us(ts) // 3600000000) % 24 AS hod,
+                      user_id
+               FROM events WHERE user_id IS NOT NULL)
+    SELECT source, CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM e GROUP BY 1, 2, 3
+    HAVING COUNT(DISTINCT user_id) < {_K_ANON}
+    ORDER BY 1, 2, 3
+"""
+
 ORACLE_SQL["source_corr_1m"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY}),
     p AS (SELECT a.source AS source_a, b.source AS source_b,
@@ -8140,6 +8290,8 @@ QUERIES = {
     "changepoint_1m": q_changepoint_1m,
     "psi_drift": q_psi_drift,
     "emd_sources": q_emd_sources,
+    "mase_naive": q_mase_naive,
+    "k_anonymity": q_k_anonymity,
     # rows-only (no SQL equivalent)
     "wavelet_points": q_wavelet_points,
     "gorilla_compression": q_gorilla_compression,
