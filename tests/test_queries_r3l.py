@@ -1,0 +1,143 @@
+"""Round-3l operators: FastSS edit-distance pairs (engine vs DuckDB's
+byte-based levenshtein on adversarial prefixes) plus unit coverage of the
+vectorized ED<=1 verifier."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tsrollup.pipelines.docqueries import (
+    DOC_ORACLE_SQL,
+    DOC_QUERIES,
+    EDITDIST_PREFIX,
+    _byte_matrix,
+    _ed1_verify,
+)
+
+
+def _ed1_ref(a: str, b: str) -> int:
+    """Reference byte-level Levenshtein, capped at 2."""
+    x, y = a.encode(), b.encode()
+    if len(x) < len(y):
+        x, y = y, x
+    prev = list(range(len(y) + 1))
+    for i, cx in enumerate(x, 1):
+        cur = [i] + [0] * len(y)
+        for j, cy in enumerate(y, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (cx != cy))
+        prev = cur
+    return min(prev[-1], 2)
+
+
+CASES = [
+    ("hello world!", "hello world!", 0),
+    ("hello world!", "hello worlds", 1),   # substitution
+    ("hello world", "hello worl", 1),      # deletion
+    ("hello worl", "hello world", 1),      # insertion (orientation swap)
+    ("ab", "ba", 2),                       # shares deletion variants, ED 2
+    ("", "", 0),
+    ("", "x", 1),
+    ("a\x00b", "a\x00b", 0),               # genuine NUL byte
+    ("a\x00b", "ab", 1),                   # NUL deletion
+    ("a\x00b", "a\x00c", 1),
+    ("Zürich12345", "Zurich12345", 2),     # ü is 2 bytes: byte-ED 2
+    ("中文", "中文", 0),
+    ("中文", "丮文", 1),                    # U+4E2D vs U+4E2E: one UTF-8 byte
+]
+
+
+def test_ed1_verify_cases():
+    ka = pa.array([a for a, _, _ in CASES], pa.string())
+    kb = pa.array([b for _, b, _ in CASES], pa.string())
+    am, al = _byte_matrix(ka, 4 * EDITDIST_PREFIX)
+    bm, bl = _byte_matrix(kb, 4 * EDITDIST_PREFIX)
+    got = _ed1_verify(am, al, bm, bl)
+    for (a, b, want), g in zip(CASES, got):
+        assert g == want == _ed1_ref(a, b), (a, b, want, g)
+
+
+def test_ed1_verify_random():
+    rng = np.random.default_rng(7)
+    alphabet = list("abAB\x00é中")
+    pairs = []
+    for _ in range(400):
+        la = int(rng.integers(0, 9))
+        a = "".join(rng.choice(alphabet, la))
+        mode = rng.integers(0, 4)
+        if mode == 0:
+            b = a
+        elif mode == 1 and la:
+            p = int(rng.integers(0, la))
+            b = a[:p] + str(rng.choice(alphabet)) + a[p + 1:]
+        elif mode == 2 and la:
+            p = int(rng.integers(0, la))
+            b = a[:p] + a[p + 1:]
+        else:
+            lb = int(rng.integers(0, 9))
+            b = "".join(rng.choice(alphabet, lb))
+        pairs.append((a, b))
+    am, al = _byte_matrix(pa.array([a for a, _ in pairs], pa.string()), 48)
+    bm, bl = _byte_matrix(pa.array([b for _, b in pairs], pa.string()), 48)
+    got = _ed1_verify(am, al, bm, bl)
+    for (a, b), g in zip(pairs, got):
+        assert g == _ed1_ref(a, b), (a, b, g, _ed1_ref(a, b))
+
+
+def _mutate(rng, base: str) -> str:
+    p = int(rng.integers(0, max(len(base), 1)))
+    c = str(rng.choice(list("abz\x00é中🦀")))
+    mode = rng.integers(0, 4)
+    if mode == 0:
+        return base[:p] + c + base[p + 1:]            # substitution
+    if mode == 1:
+        return base[:p] + base[p + 1:]                # deletion
+    if mode == 2:
+        return base[:p] + c + base[p:]                # insertion
+    if len(base) >= p + 2:
+        return base[:p] + base[p + 1] + base[p] + base[p + 2:]  # transpose
+    return base
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_editdist_pairs_random_vs_oracle(ray_session, tmp_path_factory, seed):
+    import duckdb
+
+    rng = np.random.default_rng(seed)
+    bases = ["abcdefghijkl", "hello world ", "中文字テスト", "a\x00b\x00cdefgh",
+             "🦀rusty crab", "short", ""]
+    texts: list[str | None] = []
+    for _ in range(90):
+        kind = rng.integers(0, 12)
+        if kind == 0:
+            texts.append(None)
+        elif kind == 1:
+            texts.append("")
+        else:
+            t = str(rng.choice(bases))
+            for _ in range(int(rng.integers(0, 3))):
+                t = _mutate(rng, t)
+            texts.append(t + " trailing suffix beyond the prefix window")
+    n = len(texts)
+    tbl = pa.table(
+        {"doc_id": pa.array(np.arange(n), pa.int64()),
+         "text": pa.array(texts, pa.string()),
+         "lang": pa.array(["en"] * n),
+         "source": pa.array(["web"] * n),
+         "n_chars": pa.array([len(t) if t else 0 for t in texts], pa.int64())})
+    d = tmp_path_factory.mktemp(f"ed{seed}")
+    pq.write_table(tbl, d / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    got = DOC_QUERIES["editdist_pairs"](str(d)).to_pandas()
+    want = con.execute(DOC_ORACLE_SQL["editdist_pairs"]).df()
+    key = ["doc_a", "doc_b", "dist"]
+    got = got[key].sort_values(key).reset_index(drop=True)
+    want = want[key].sort_values(key).reset_index(drop=True)
+    assert len(want) > 0, "sweep must generate real pairs"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -25,6 +25,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from tsrollup.util import BROADCAST_ACTOR_ARGS, read_parquet_clean
@@ -599,6 +600,211 @@ def q_dedup_containment(sf_dir: str, threshold: float = CONTAIN_THRESHOLD,
         sf_dir, k, threshold, "containment",
         lambda inter, la, lb: inter / min(la, lb),
     )
+
+
+# prefix length for the FastSS edit-distance pass; the oracle SQL is
+# generated from this constant (shared-constant contract, ADVICE r2 #3)
+EDITDIST_PREFIX = 12
+
+
+def _byte_matrix(col: pa.ChunkedArray | pa.Array, width: int):
+    """(n, width) uint8 matrix of each string's UTF-8 bytes (zero-padded) +
+    true byte lengths, built with one ragged scatter from the flat Arrow
+    buffer — no per-row Python. A genuine 0x00 byte inside a key equals the
+    pad value, which is harmless: positions < the TRUE length always hold
+    the correct byte and the verifier never reads past the length."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_string(arr.type):
+        arr = pc.cast(arr, pa.binary())
+    elif pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.large_binary())
+    n = len(arr)
+    mat = np.zeros((n, width), dtype=np.uint8)
+    if n == 0:
+        return mat, np.zeros(0, dtype=np.int64)
+    osize = 8 if pa.types.is_large_binary(arr.type) else 4
+    odt = np.int64 if osize == 8 else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=odt,
+                         count=n + 1, offset=arr.offset * osize).astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = offs[1:] - offs[:-1]
+    total = int(lens.sum())
+    rows = np.repeat(np.arange(n), lens)
+    cols = np.arange(total) - np.repeat(np.cumsum(np.r_[0, lens[:-1]]), lens)
+    # byte j of row i lives at offs[i] + j in the flat buffer
+    mat[rows, cols] = data[np.repeat(offs[:-1], lens) + cols]
+    return mat, lens
+
+
+_FNV_OFF = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _fnv_rows(mat: np.ndarray, lens: np.ndarray,
+              skip: int | None = None) -> np.ndarray:
+    """Vectorized FNV-1a over each row's first ``lens`` bytes, optionally
+    skipping byte position ``skip`` (= hashing the single-byte-deletion
+    variant WITHOUT materializing it). Column-at-a-time: width iterations of
+    whole-array ops, no per-row Python."""
+    n, width = mat.shape
+    h = np.full(n, _FNV_OFF, dtype=np.uint64)
+    for i in range(width):
+        if i == skip:
+            continue
+        active = lens > i
+        if not active.any():
+            break
+        hi = h[active]
+        h[active] = (hi ^ mat[active, i].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
+def _ed1_verify(a_mat, a_len, b_mat, b_len) -> np.ndarray:
+    """Exact Levenshtein<=1 verdict (0, 1, or 2=reject) for row-aligned key
+    pairs, fully vectorized. Equal length: <=1 substitution. Length diff 1:
+    the shorter must be the longer with ONE codepoint deleted — checked via
+    prefix-equal/suffix-shifted-equal cumulative masks (there must exist a
+    split point p with a[:p]==b[:p] and a[p+1:]==b[p:])."""
+    n, width = a_mat.shape
+    dist = np.full(n, 2, dtype=np.int64)
+    if n == 0:
+        return dist
+    # orient so a is the longer (or equal) key
+    swap = b_len > a_len
+    if swap.any():
+        a_mat, b_mat = np.where(swap[:, None], b_mat, a_mat), \
+            np.where(swap[:, None], a_mat, b_mat)
+        a_len, b_len = np.where(swap, b_len, a_len), np.where(swap, a_len, b_len)
+    eq_mask = np.arange(width)[None, :] < a_len[:, None]
+    same = a_len == b_len
+    if same.any():
+        mism = ((a_mat != b_mat) & eq_mask).sum(axis=1)
+        dist[same] = np.minimum(mism, 2)[same]
+    del1 = a_len == b_len + 1
+    if del1.any():
+        # prefix_ok[:, p]: a[:p] == b[:p]; suffix_ok[:, p]: a[p+1:] == b[p:]
+        pe = np.cumprod(a_mat == b_mat, axis=1, dtype=bool)
+        prefix_ok = np.ones((n, width), dtype=bool)
+        prefix_ok[:, 1:] = pe[:, :-1]
+        shifted = np.ones((n, width), dtype=bool)
+        shifted[:, :-1] = a_mat[:, 1:] == b_mat[:, :-1]
+        # positions at/after the shorter key's end compare pad-vs-pad: force
+        # True beyond b_len - 1 handled naturally since both pads are 0 and
+        # a's last real codepoint aligns against b's pad only at p = b_len,
+        # where suffix beyond is all-pad
+        suffix_ok = np.flip(np.cumprod(np.flip(shifted, axis=1),
+                                       axis=1, dtype=bool), axis=1)
+        valid_p = np.arange(width)[None, :] < a_len[:, None]
+        hit = (prefix_ok & suffix_ok & valid_p).any(axis=1) & del1
+        dist[hit] = 1
+    return dist
+
+
+def q_editdist_pairs(sf_dir: str, prefix_len: int = EDITDIST_PREFIX):
+    """Edit-distance near-dup pairs: documents whose first ``prefix_len``
+    characters are within Levenshtein distance 1 — the FastSS / SymSpell
+    deletion-neighborhood algorithm (Bocek et al. 2007; public). Every key
+    emits its L+1 single-deletion variants (itself included); two strings at
+    distance <= 1 MUST share a variant (substitution at i -> both delete i;
+    insert/delete -> the shorter IS a variant of the longer; equality is the
+    identity variant), so ONE keyed exchange replaces the O(N^2) all-pairs
+    scan with linear data movement + per-bucket verification. Sharing a
+    variant does NOT imply distance <= 1 ('ab' vs 'ba' share both 'a' and
+    'b' at distance 2), so candidates re-verify exactly via the vectorized
+    O(L) check in ``_ed1_verify``; a pair surfacing in several buckets
+    dedups in the final (a, b)-keyed distinct exchange.
+
+    The pass runs in BYTE space (variants = single-byte deletions of the
+    key's UTF-8 encoding, distance = byte-level Levenshtein) to match
+    DuckDB's byte-based ``levenshtein`` on arbitrary Unicode, and the
+    exchange key is the int64 FNV-1a of each variant — hashed WITHOUT
+    materializing variant strings (``_fnv_rows(skip=d)``); hash collisions
+    only add candidates that exact verification rejects, never lose a pair.
+    Scale: data moved is (L+1) x keys regardless of corpus size; hot
+    buckets are exact-duplicate groups whose pairs are all true output
+    anyway."""
+    from tsrollup.shuffle import group_slices, map_key_partitions
+
+    width = 4 * prefix_len  # max UTF-8 bytes of a prefix_len-char key
+    ds = _docs(sf_dir, ("doc_id", "text"))
+
+    def _variants(t: pa.Table) -> pa.Table:
+        # NULL texts pair with nothing (the oracle's levenshtein(NULL, x)
+        # IS NULL drops them); empty texts are real keys
+        t = t.filter(pc.is_valid(t["text"]))
+        text = t["text"]
+        key = pc.utf8_slice_codeunits(
+            text.combine_chunks() if isinstance(text, pa.ChunkedArray)
+            else text, 0, prefix_len)
+        doc = t["doc_id"].cast(pa.int64())
+        if isinstance(doc, pa.ChunkedArray):
+            doc = doc.combine_chunks()
+        mat, lens = _byte_matrix(key, width)
+        docs, keys, hashes = [doc], [key], [_fnv_rows(mat, lens)]
+        for d in range(width):
+            sel = lens > d
+            if not sel.any():
+                break
+            idx = pa.array(np.flatnonzero(sel))
+            docs.append(doc.take(idx))
+            keys.append(key.take(idx))
+            hashes.append(_fnv_rows(mat[sel], lens[sel], skip=d))
+        return pa.table({
+            "vh": pa.array(np.concatenate(hashes).view(np.int64)),
+            "doc_id": pa.concat_arrays(
+                [d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+                 for d in docs]),
+            "key": pa.concat_arrays(
+                [k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+                 for k in keys])})
+
+    def _bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        parts = []
+        for g in group_slices(t, ["vh"]):
+            n = g.num_rows
+            if n < 2:
+                continue
+            iu, ju = np.triu_indices(n, k=1)
+            doc = g["doc_id"].to_numpy(zero_copy_only=False)
+            key = g["key"].to_numpy(zero_copy_only=False)
+            keep = doc[iu] != doc[ju]  # same doc via two variants
+            parts.append((doc[iu][keep], doc[ju][keep],
+                          key[iu][keep], key[ju][keep]))
+        if not parts:
+            return empty
+        da = np.concatenate([x[0] for x in parts])
+        db = np.concatenate([x[1] for x in parts])
+        ka = pa.array(np.concatenate([x[2] for x in parts]), pa.string())
+        kb = pa.array(np.concatenate([x[3] for x in parts]), pa.string())
+        a_mat, a_len = _byte_matrix(ka, width)
+        b_mat, b_len = _byte_matrix(kb, width)
+        dist = _ed1_verify(a_mat, a_len, b_mat, b_len)
+        ok = dist <= 1
+        lo = np.minimum(da[ok], db[ok])
+        hi = np.maximum(da[ok], db[ok])
+        return pa.table({"doc_a": pa.array(lo, pa.int64()),
+                         "doc_b": pa.array(hi, pa.int64()),
+                         "dist": pa.array(dist[ok], pa.int64())})
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        keep = np.ones(len(order), dtype=bool)
+        keep[1:] = (np.diff(a[order]) != 0) | (np.diff(b[order]) != 0)
+        return t.take(pa.array(order[keep]))
+
+    cand = map_key_partitions(
+        ds.map_batches(_variants, batch_format="pyarrow"),
+        ["vh"], _bucket_pairs)
+    return map_key_partitions(cand, ["doc_a", "doc_b"], _distinct)
 
 
 def q_multimodal_decode(sf_dir: str):
@@ -3766,6 +3972,7 @@ DOC_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
     "dedup_containment": q_dedup_containment,
+    "editdist_pairs": q_editdist_pairs,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_pipeline": q_multimodal_pipeline,
     "ann_topk": q_ann_topk,
@@ -3789,6 +3996,19 @@ DOC_QUERIES = {
     "line_dedup": q_line_dedup,
     "vocab_overlap": q_vocab_overlap,
 }
+
+# byte-level Levenshtein (DuckDB's levenshtein is byte-based; the engine's
+# FastSS pass + verifier run in UTF-8 byte space to match) over the first
+# EDITDIST_PREFIX CHARACTERS (substr is character-based on both sides)
+DOC_ORACLE_SQL["editdist_pairs"] = f"""
+    WITH k AS (
+        SELECT doc_id, substr(text, 1, {EDITDIST_PREFIX}) AS key
+        FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+    FROM k a JOIN k b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.key, b.key) <= 1
+"""
 
 DOC_ORACLE_SQL["decontaminate"] = f"""
     WITH toks AS (SELECT doc_id, source,
