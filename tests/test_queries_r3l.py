@@ -88,6 +88,42 @@ def test_ed1_verify_random():
         assert g == _ed1_ref(a, b), (a, b, g, _ed1_ref(a, b))
 
 
+@pytest.mark.parametrize("seed", [3, 19])
+def test_skyline_docs_random_vs_oracle(ray_session, tmp_path_factory, seed):
+    """Random docs with duplicated texts (ties on both axes) and a tiny
+    value domain so front points repeat — exercises the equal-point and
+    equal-coordinate branches of the sweep."""
+    import duckdb
+
+    rng = np.random.default_rng(seed)
+    words = ["a", "bb", "ccc", "dddd"]
+    texts = []
+    for _ in range(150):
+        k = int(rng.integers(0, 12))
+        texts.append(" ".join(str(rng.choice(words)) for _ in range(k)))
+    texts += texts[:20]                      # exact duplicates
+    texts += [None, "", "   "]
+    n = len(texts)
+    tbl = pa.table(
+        {"doc_id": pa.array(np.arange(n), pa.int64()),
+         "text": pa.array(texts, pa.string()),
+         "lang": pa.array(["en"] * n),
+         "source": pa.array(["web"] * n),
+         "n_chars": pa.array([len(t) if t else 0 for t in texts], pa.int64())})
+    d = tmp_path_factory.mktemp(f"sky{seed}")
+    pq.write_table(tbl, d / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    got = DOC_QUERIES["skyline_docs"](str(d)).to_pandas()
+    want = con.execute(DOC_ORACLE_SQL["skyline_docs"]).df()
+    key = ["doc_id", "n_chars", "n_tok"]
+    got = got[key].sort_values(key).reset_index(drop=True)
+    want = want[key].sort_values(key).reset_index(drop=True)
+    assert len(want) > 1
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def _mutate(rng, base: str) -> str:
     p = int(rng.integers(0, max(len(base), 1)))
     c = str(rng.choice(list("abz\x00é中🦀")))

@@ -807,6 +807,60 @@ def q_editdist_pairs(sf_dir: str, prefix_len: int = EDITDIST_PREFIX):
     return map_key_partitions(cand, ["doc_a", "doc_b"], _distinct)
 
 
+def _skyline_block(t: pa.Table) -> pa.Table:
+    """Keep the 2-D Pareto front (MINIMIZE n_chars, MAXIMIZE n_tok — the
+    token-density frontier) of one block — lossless prune: a point dominated
+    inside a block is dominated globally, so block fronts union to a
+    superset of the global front. Vectorized sweep over the maximize-both
+    form (negate n_chars): after sorting by (-n_chars desc, n_tok desc), a
+    point survives iff its n_tok equals its n_chars-group's max AND that max
+    strictly exceeds the best n_tok of every strictly-better n_chars group
+    (equal points don't dominate each other — duplicates of a front point
+    all survive, matching SQL NOT EXISTS semantics)."""
+    if t.num_rows == 0:
+        return t
+    c = -t["n_chars"].to_numpy(zero_copy_only=False)
+    k = t["n_tok"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((-k, -c))
+    c_s, k_s = c[order], k[order]
+    first = np.ones(len(c_s), dtype=bool)
+    first[1:] = c_s[1:] != c_s[:-1]
+    gidx = np.cumsum(first) - 1
+    gmax = k_s[first]                       # per-group max (desc within group)
+    run = np.maximum.accumulate(gmax)
+    best_prev = np.full(len(gmax), np.iinfo(np.int64).min, dtype=np.int64)
+    best_prev[1:] = run[:-1]                # best of strictly-greater groups
+    keep = (k_s == gmax[gidx]) & (gmax[gidx] > best_prev[gidx])
+    return t.take(pa.array(order[keep]))
+
+
+def q_skyline_docs(sf_dir: str):
+    """Skyline / Pareto-front query: documents not dominated on the
+    (minimize n_chars, maximize n_tok) plane — the classic multi-criteria
+    selection operator (Börzsönyi et al., ICDE 2001) aimed at the corpus'
+    token-DENSITY frontier (most tokens for the fewest characters), where
+    the two criteria genuinely trade off. Distributed as the standard
+    two-phase skyline: a vectorized per-block front prune (lossless —
+    block-dominated implies globally dominated, so data volume collapses
+    from N to the tiny union of block fronts) followed by one
+    single-partition final sweep."""
+    ds = _docs(sf_dir, ("doc_id", "text", "n_chars"))
+
+    def _derive(t: pa.Table) -> pa.Table:
+        n_tok = pa.array(
+            text.count_tokens_batch(t).to_numpy().astype(np.int64))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "n_chars": t["n_chars"].cast(pa.int64()),
+                         "n_tok": n_tok})
+
+    return (
+        ds.map_batches(_derive, batch_format="pyarrow")
+        .map_batches(_skyline_block, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_skyline_block, batch_format="pyarrow")
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing demo: deterministic fake media table -> actor-pool
     decode stage -> per-media feature norm (rows-only; real decoders are
@@ -3973,6 +4027,7 @@ DOC_QUERIES = {
     "dedup_ngram": q_dedup_ngram,
     "dedup_containment": q_dedup_containment,
     "editdist_pairs": q_editdist_pairs,
+    "skyline_docs": q_skyline_docs,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_pipeline": q_multimodal_pipeline,
     "ann_topk": q_ann_topk,
@@ -4008,6 +4063,21 @@ DOC_ORACLE_SQL["editdist_pairs"] = f"""
            CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
     FROM k a JOIN k b ON a.doc_id < b.doc_id
     WHERE levenshtein(a.key, b.key) <= 1
+"""
+
+# n_tok matches the engine's count_tokens_batch (nulls -> 0, Unicode
+# whitespace via the normalizing view); textbook NOT EXISTS dominance test
+DOC_ORACLE_SQL["skyline_docs"] = rf"""
+    WITH t AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(coalesce(text, ''), '\S+'))
+                    AS BIGINT) AS n_tok
+        FROM {_DOCS_WS_NORM})
+    SELECT d.doc_id, d.n_chars, d.n_tok FROM t d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM t o
+        WHERE o.n_chars <= d.n_chars AND o.n_tok >= d.n_tok
+          AND (o.n_chars < d.n_chars OR o.n_tok > d.n_tok))
 """
 
 DOC_ORACLE_SQL["decontaminate"] = f"""
