@@ -28,6 +28,8 @@ SWEEP = [
     "fano_factor", "peak_minute_1h", "source_share_1h",
     # round-3k family
     "source_corr_1m", "cusum_1m",
+    # round-3l family
+    "session_paths",
 ]
 
 

@@ -826,6 +826,66 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30):
     return map_key_partitions(ds, ["user_id"], _sess_block)
 
 
+# top-k constant shared by q_session_paths and its oracle SQL
+SESSION_PATHS_K = 20
+
+
+def q_session_paths(sf_dir: str, gap_minutes: int = 30, k: int = SESSION_PATHS_K):
+    """Session PATH mining: the top-``k`` most frequent complete per-session
+    event-type sequences (types joined by '>'), ranked (count desc, path
+    asc) — the sequence-pattern summary behind funnel design. Same
+    session-window contract as q_sessionize (gap > ``gap_minutes``, order by
+    ts then event_id). Paths are built WITHOUT per-session Python: inside
+    each user-keyed partition one sort + one diff finds session starts, and
+    a single ``pc.binary_join`` over a ListArray built from those offsets
+    concatenates every session's types in one kernel. Per-partition partial
+    counts fold through one (path)-keyed aggregate — rows moved are bounded
+    by DISTINCT paths per partition, not events — and the final top-k uses
+    the lossless per-block prune (shuffle.topk_rows)."""
+    from ray.data.aggregate import Sum
+
+    from tsrollup.hashing import safe_factorize
+    from tsrollup.shuffle import map_key_partitions, topk_rows
+
+    gap_us = gap_minutes * 60_000_000
+
+    def _path_counts(t: pa.Table) -> pa.Table:
+        empty = pa.table({"path": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        # NULL event types join as NULL in SQL's string_agg; drop them on
+        # both sides (the oracle filters event_type IS NOT NULL)
+        t = t.filter(pc.is_valid(t["event_type"]))
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        new_sess = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (np.diff(ts) > gap_us)))
+        offsets = np.concatenate(
+            (np.flatnonzero(new_sess), [t.num_rows])).astype(np.int64)
+        types = t["event_type"].combine_chunks()
+        paths_list = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), types.cast(pa.large_string()))
+        paths = pc.binary_join(
+            paths_list, pa.scalar(">", pa.large_string())).cast(pa.string())
+        codes, uniq = safe_factorize(paths.to_numpy(zero_copy_only=False))
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"path": pa.array(uniq, pa.string()),
+                         "c": pa.array(counts)})
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    counts = (
+        map_key_partitions(ds, ["user_id"], _path_counts)
+        .groupby("path")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+    return topk_rows(counts, ["n", "path"], [True, False], k)
+
+
 def q_top_tokens(sf_dir: str, k: int = 20):
     """Corpus vocabulary stats: top-k whitespace tokens by frequency across
     documents — per-batch partial counts, tiny final combine, deterministic
@@ -6748,6 +6808,31 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM d GROUP BY 1 ORDER BY 1
     """,
+    # same session contract as "sessionize" (gap > 30m, epoch_us); ties at
+    # equal ts break on event_id on both sides
+    "session_paths": f"""
+        WITH e AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                             > 1800000000
+                        THEN 1 ELSE 0 END AS nb
+            FROM events WHERE event_type IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT *, SUM(nb) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM e),
+        p AS (
+            SELECT user_id, sid,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM s GROUP BY 1, 2),
+        c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1)
+        SELECT path, n FROM c
+        QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, path ASC)
+                <= {SESSION_PATHS_K}
+    """,
     # RE2 '\S' is ASCII-only: normalize Unicode whitespace to ' ' first so
     # the oracle tokenizer agrees with the engine's pc.utf8_split_whitespace
     # on arbitrary input (same normalization as the documents oracles,
@@ -8244,6 +8329,7 @@ QUERIES = {
     "coverage_1h": q_coverage_1h,
     "wau_7d": q_wau_7d,
     "sessionize": q_sessionize,
+    "session_paths": q_session_paths,
     "pagerank_types": q_pagerank_types,
     "props_extract": q_props_extract,
     "window_funnel": q_window_funnel,
