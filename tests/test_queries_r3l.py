@@ -124,6 +124,46 @@ def test_skyline_docs_random_vs_oracle(ray_session, tmp_path_factory, seed):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+@pytest.mark.parametrize("seed,langs", [
+    (1, ["en", "de", "fr", None]),
+    (2, ["en"]),                       # n_neg = 0 -> NULL auc edge
+    (3, ["de", "zh"]),                 # n_pos = 0 -> NULL auc edge
+])
+def test_quality_auc_random_vs_oracle(ray_session, tmp_path_factory,
+                                      seed, langs):
+    import duckdb
+
+    rng = np.random.default_rng(seed)
+    n = 120
+    nchars = rng.integers(0, 25, size=n)   # tiny domain: heavy ties
+    tbl = pa.table(
+        {"doc_id": pa.array(np.arange(n), pa.int64()),
+         "text": pa.array(["x"] * n, pa.string()),
+         "lang": pa.array([langs[i % len(langs)] for i in range(n)],
+                          pa.string()),
+         "source": pa.array(["web"] * n),
+         "n_chars": pa.array(nchars, pa.int64())})
+    d = tmp_path_factory.mktemp(f"auc{seed}")
+    pq.write_table(tbl, d / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    got = DOC_QUERIES["quality_auc"](str(d)).reset_index(drop=True)
+    want = con.execute(DOC_ORACLE_SQL["quality_auc"]).df()
+    cols = ["n_pos", "n_neg", "u2", "auc"]
+    pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
+    # sanity: engine AUC equals scipy-free reference on the raw rows
+    if got["auc"].notna().all():
+        pos = nchars[np.array([langs[i % len(langs)] == "en"
+                               for i in range(n)])]
+        neg = nchars[np.array([langs[i % len(langs)] != "en"
+                               for i in range(n)])]
+        wins = (pos[:, None] > neg[None, :]).sum()
+        ties = (pos[:, None] == neg[None, :]).sum()
+        ref = (wins + ties / 2) / (len(pos) * len(neg))
+        assert abs(got["auc"].iloc[0] - ref) < 1e-12
+
+
 def _mutate(rng, base: str) -> str:
     p = int(rng.integers(0, max(len(base), 1)))
     c = str(rng.choice(list("abz\x00é中🦀")))

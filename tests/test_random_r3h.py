@@ -29,7 +29,7 @@ SWEEP = [
     # round-3k family
     "source_corr_1m", "cusum_1m",
     # round-3l family
-    "session_paths",
+    "session_paths", "kendall_tau_1h",
 ]
 
 

@@ -861,6 +861,61 @@ def q_skyline_docs(sf_dir: str):
     )
 
 
+def q_quality_auc(sf_dir: str):
+    """Ranking-metric evaluation: the exact Mann-Whitney AUC of ``n_chars``
+    as a classifier score for ``lang = 'en'`` — the model-evaluation
+    operator of a data-quality pipeline (does a cheap heuristic separate a
+    target class?). AUC = P(score+ > score-) + P(tie)/2 computed from the
+    rank-sum identity with MIDRANKS, which stays in exact integer space:
+    2*sum(midranks of positives) = sum over values v of
+    tp_v * (2*cum_less(v) + t_v + 1), so u2 = 2U is an exact integer and the
+    single float is one final division of exact integers (bit-identical in
+    DuckDB and NumPy/CPython).
+
+    Distribution: per-batch partial (value, pos_count, total_count) folds
+    through one value-keyed aggregate — rows moved are bounded by the
+    DISTINCT score domain, not corpus size — and the final sweep runs
+    driver-side over that reduced table in Python bignums (no int64
+    overflow at any scale; the SQL side's HUGEINT matches)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["n_chars"]))
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = pc.fill_null(pc.equal(t["lang"], "en"), False) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        uv, inv = np.unique(v, return_inverse=True)
+        tp = np.bincount(inv, weights=pos, minlength=len(uv)).astype(np.int64)
+        tv = np.bincount(inv, minlength=len(uv)).astype(np.int64)
+        return pa.table({"v": pa.array(uv), "tp": pa.array(tp),
+                         "tv": pa.array(tv)})
+
+    agg = (
+        _docs(sf_dir, ("n_chars", "lang"))
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("tp", alias_name="tp"), Sum("tv", alias_name="tv"))
+        .to_pandas()  # bounded by the distinct score domain
+    ).sort_values("v")
+    # Python bignum fold: exact at any corpus size
+    vs = agg["tv"].tolist()
+    ps = agg["tp"].tolist()
+    sum2r, cum_less, n1, n = 0, 0, 0, 0
+    for tp, tv in zip(ps, vs):
+        sum2r += tp * (2 * cum_less + tv + 1)
+        cum_less += tv
+        n1 += tp
+        n += tv
+    n0 = n - n1
+    u2 = sum2r - n1 * (n1 + 1)
+    auc = float(u2) / float(2 * n1 * n0) if n1 and n0 else None
+    return pd.DataFrame(
+        {"n_pos": pd.array([n1], dtype="int64"),
+         "n_neg": pd.array([n0], dtype="int64"),
+         "u2": pd.array([u2], dtype="int64"),
+         "auc": pd.array([auc], dtype="float64")})
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing demo: deterministic fake media table -> actor-pool
     decode stage -> per-media feature norm (rows-only; real decoders are
@@ -4028,6 +4083,7 @@ DOC_QUERIES = {
     "dedup_containment": q_dedup_containment,
     "editdist_pairs": q_editdist_pairs,
     "skyline_docs": q_skyline_docs,
+    "quality_auc": q_quality_auc,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_pipeline": q_multimodal_pipeline,
     "ann_topk": q_ann_topk,
@@ -4078,6 +4134,36 @@ DOC_ORACLE_SQL["skyline_docs"] = rf"""
         SELECT 1 FROM t o
         WHERE o.n_chars <= d.n_chars AND o.n_tok >= d.n_tok
           AND (o.n_chars < d.n_chars OR o.n_tok > d.n_tok))
+"""
+
+# exact rank-sum AUC: u2 = 2*U stays integer via midrank identity
+# 2*sum(R+) = sum_v tp_v*(2*cum_less + t_v + 1); the only float is one
+# division of exact integers, evaluated identically on both sides
+DOC_ORACLE_SQL["quality_auc"] = """
+    WITH t AS (
+        SELECT n_chars AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents WHERE n_chars IS NOT NULL),
+    agg AS (
+        SELECT v, CAST(SUM(pos) AS BIGINT) AS tp,
+               CAST(COUNT(*) AS BIGINT) AS tv
+        FROM t GROUP BY v),
+    r AS (
+        SELECT v, tp, tv,
+               COALESCE(SUM(tv) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS cum_less
+        FROM agg),
+    s AS (
+        SELECT SUM(tp) AS n1, SUM(tv) - SUM(tp) AS n0,
+               SUM(tp * (2 * cum_less + tv + 1)) AS sum2r
+        FROM r)
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           CAST(sum2r - n1 * (n1 + 1) AS BIGINT) AS u2,
+           CASE WHEN n1 = 0 OR n0 = 0 THEN NULL
+                ELSE CAST(sum2r - n1 * (n1 + 1) AS DOUBLE)
+                     / CAST(2 * n1 * n0 AS DOUBLE) END AS auc
+    FROM s
 """
 
 DOC_ORACLE_SQL["decontaminate"] = f"""

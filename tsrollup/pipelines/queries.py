@@ -5996,6 +5996,109 @@ def q_source_corr_1m(sf_dir: str):
         ["source_a", "source_b"]).reset_index(drop=True)
 
 
+def q_kendall_tau_1h(sf_dir: str):
+    """Rank correlation between every two sources' HOURLY cents series over
+    their common hours: exact tie-aware Kendall tau-b — the robust
+    (outlier-insensitive) complement to q_source_corr_1m's Pearson. All
+    pair counts are exact integers: with the pair series sorted by
+    (x asc, y asc), a bucket pair i<j is concordant iff x_i < x_j and
+    y_i < y_j, discordant iff x_i < x_j and y_i > y_j (equal-x pairs can
+    contribute neither, because y ascends within an x-group); the tie
+    corrections n1/n2 come from x- and y-group sizes. The one float is
+    (C - D) / sqrt((n0-n1)(n0-n2)) evaluated as the identical
+    CAST-to-double expression on both sides, 6dp.
+
+    Shape: hourly cascade of the rolled 1m tier -> one bucket-keyed
+    exchange pairs up each hour's source vector -> one (source_a,
+    source_b)-keyed exchange makes every pair's full common-hour series
+    local, where the pair-count scan runs as a chunked vectorized
+    upper-triangle sweep. The per-pair cost is O(H^2) in common HOURS —
+    bounded by calendar span, not corpus volume (a decade is 87.6k hours);
+    beyond that, cascade one more tier (daily) or swap the sweep for a
+    merge-based inversion count — the exchange topology stays the same."""
+    import math
+
+    from tsrollup.shuffle import group_slices, map_key_partitions
+
+    def _pair_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source_a": pa.array([], pa.string()),
+             "source_b": pa.array([], pa.string()),
+             "x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame(
+            {"source": t["source"].to_numpy(zero_copy_only=False),
+             "bucket": t["bucket"].to_numpy(zero_copy_only=False),
+             "v": t["sum_tok"].to_numpy(zero_copy_only=False)})
+        m = df.merge(df, on="bucket", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        if not len(m):
+            return empty
+        return pa.table(
+            {"source_a": pa.array(m["source_a"].to_numpy(), pa.string()),
+             "source_b": pa.array(m["source_b"].to_numpy(), pa.string()),
+             "x": pa.array(m["v_a"].to_numpy(np.int64)),
+             "y": pa.array(m["v_b"].to_numpy(np.int64))})
+
+    def _tie_pairs(vals: np.ndarray) -> int:
+        _, cnt = np.unique(vals, return_counts=True)
+        c = cnt.astype(object)
+        return int((c * (c - 1) // 2).sum())
+
+    def _tau_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source_a": pa.array([], pa.string()),
+             "source_b": pa.array([], pa.string()),
+             "n_buckets": pa.array([], pa.int64()),
+             "tau": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        rows = []
+        for g in group_slices(t, ["source_a", "source_b"]):
+            x = g["x"].to_numpy(zero_copy_only=False)
+            y = g["y"].to_numpy(zero_copy_only=False)
+            n = len(x)
+            n0 = n * (n - 1) // 2
+            n1, n2 = _tie_pairs(x), _tie_pairs(y)
+            if n0 - n1 <= 0 or n0 - n2 <= 0:
+                continue  # a constant series has no defined rank order
+            order = np.lexsort((y, x))
+            xs, ys = x[order], y[order]
+            C = D = 0
+            step = 2048
+            for lo in range(0, n, step):
+                xi = xs[lo:lo + step, None]
+                yi = ys[lo:lo + step, None]
+                # j strictly after i: split the same chunk's upper
+                # triangle from the full tail
+                tri = np.triu(
+                    (xi < xs[None, lo:lo + step]), k=1)
+                C += int((tri & np.triu(
+                    yi < ys[None, lo:lo + step], k=1)).sum())
+                D += int((tri & np.triu(
+                    yi > ys[None, lo:lo + step], k=1)).sum())
+                tail_x = xs[None, lo + step:]
+                if tail_x.size:
+                    lt = xi < tail_x
+                    C += int((lt & (yi < ys[None, lo + step:])).sum())
+                    D += int((lt & (yi > ys[None, lo + step:])).sum())
+            tau = float(C - D) / math.sqrt(float(n0 - n1) * float(n0 - n2))
+            rows.append((g["source_a"][0].as_py(), g["source_b"][0].as_py(),
+                         n, _round6(tau)))
+        if not rows:
+            return empty
+        return pa.table(
+            {"source_a": pa.array([r[0] for r in rows], pa.string()),
+             "source_b": pa.array([r[1] for r in rows], pa.string()),
+             "n_buckets": pa.array([r[2] for r in rows], pa.int64()),
+             "tau": pa.array([r[3] for r in rows], pa.float64())})
+
+    hourly = cascade_tier(_rolled_events(sf_dir), 60)
+    pairs = map_key_partitions(hourly, ["bucket"], _pair_rows)
+    return map_key_partitions(pairs, ["source_a", "source_b"], _tau_block)
+
+
 def q_peak_minute_1h(sf_dir: str):
     """Per-group argmax: for every (source, hour) the single minute with
     the highest cents sum (ties → earliest minute) — the 'when inside the
@@ -8191,6 +8294,38 @@ ORACLE_SQL["source_corr_1m"] = f"""
     ORDER BY 1, 2
 """
 
+# tie-aware Kendall tau-b: all pair counts exact integers from the O(H^2)
+# bucket-pair self-join; one float division+sqrt of exact ints, 6dp
+ORACLE_SQL["kendall_tau_1h"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    h AS (SELECT source, bucket // 60 AS b,
+                 CAST(SUM(sum_cents) AS BIGINT) AS v
+          FROM r GROUP BY 1, 2),
+    j AS (SELECT a.source AS sa, b.source AS sb, a.b AS b,
+                 a.v AS x, b.v AS y
+          FROM h a JOIN h b ON a.b = b.b AND a.source < b.source),
+    pp AS (SELECT p.sa, p.sb,
+                  SUM(CASE WHEN (p.x < q.x AND p.y < q.y)
+                             OR (p.x > q.x AND p.y > q.y)
+                           THEN 1 ELSE 0 END) AS c,
+                  SUM(CASE WHEN (p.x < q.x AND p.y > q.y)
+                             OR (p.x > q.x AND p.y < q.y)
+                           THEN 1 ELSE 0 END) AS d,
+                  SUM(CASE WHEN p.x = q.x THEN 1 ELSE 0 END) AS n1,
+                  SUM(CASE WHEN p.y = q.y THEN 1 ELSE 0 END) AS n2,
+                  COUNT(*) AS n0
+           FROM j p JOIN j q
+             ON p.sa = q.sa AND p.sb = q.sb AND p.b < q.b
+           GROUP BY 1, 2),
+    nn AS (SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY 1, 2)
+    SELECT pp.sa AS source_a, pp.sb AS source_b, nn.n AS n_buckets,
+           ROUND(CAST(c - d AS DOUBLE)
+                 / SQRT(CAST(n0 - n1 AS DOUBLE)
+                        * CAST(n0 - n2 AS DOUBLE)), 6) AS tau
+    FROM pp JOIN nn ON pp.sa = nn.sa AND pp.sb = nn.sb
+    WHERE n0 - n1 > 0 AND n0 - n2 > 0
+"""
+
 ORACLE_SQL["peak_minute_1h"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY})
     SELECT source, bucket // 60 AS bucket_h, bucket AS peak_bucket,
@@ -8363,6 +8498,7 @@ QUERIES = {
     "peak_minute_1h": q_peak_minute_1h,
     "source_share_1h": q_source_share_1h,
     "source_corr_1m": q_source_corr_1m,
+    "kendall_tau_1h": q_kendall_tau_1h,
     "cusum_1m": q_cusum_1m,
     "profile_events": q_profile_events,
     "sliding_distinct_24h": q_sliding_distinct_24h,
