@@ -164,6 +164,40 @@ def test_quality_auc_random_vs_oracle(ray_session, tmp_path_factory,
         assert abs(got["auc"].iloc[0] - ref) < 1e-12
 
 
+@pytest.mark.parametrize("seed", [8, 21])
+def test_throttle_events_dense_vs_oracle(ray_session, tmp_path_factory, seed):
+    """Sub-5s gaps everywhere: events land microseconds-to-seconds apart so
+    the debounce actually drops most rows (the coarse-grained testdata only
+    drops equal-ts duplicates)."""
+    import duckdb
+
+    from tsrollup.pipelines.queries import ORACLE_SQL, QUERIES
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    ts_us = np.sort(rng.integers(0, 200_000_000, size=n))  # 200s span
+    tbl = pa.table(
+        {"event_id": pa.array(np.arange(n), pa.int64()),
+         "ts": pa.array(ts_us.astype("int64"), pa.timestamp("us")),
+         "user_id": pa.array(rng.integers(1, 5, size=n), pa.int64()),
+         "event_type": pa.array(rng.choice(["a", "b"], size=n)),
+         "value": pa.array(np.zeros(n), pa.float64()),
+         "props": pa.array([""] * n, pa.string())})
+    d = tmp_path_factory.mktemp(f"thr{seed}")
+    pq.write_table(tbl, d / "events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    got = QUERIES["throttle_events"](str(d)).to_pandas()
+    want = con.execute(ORACLE_SQL["throttle_events"]).df()
+    assert 0 < len(want) < n, "sweep must drop a real fraction"
+    key = ["event_id", "user_id", "event_type", "ts"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values("event_id").reset_index(drop=True),
+        want[key].sort_values("event_id").reset_index(drop=True),
+        check_dtype=False)
+
+
 def _mutate(rng, base: str) -> str:
     p = int(rng.integers(0, max(len(base), 1)))
     c = str(rng.choice(list("abz\x00é中🦀")))

@@ -29,7 +29,8 @@ SWEEP = [
     # round-3k family
     "source_corr_1m", "cusum_1m",
     # round-3l family
-    "session_paths", "kendall_tau_1h",
+    "session_paths", "kendall_tau_1h", "quantiles_cont",
+    "throttle_events", "ks_2samp_sources",
 ]
 
 

@@ -18,6 +18,8 @@ SWEEP = [
     "token_drift", "bigram_entropy", "bpe_pairs", "utf8_profile",
     "doclen_quantiles", "trending_tokens", "source_perplexity",
     "token_pareto", "lexicon_score", "corpus_grep", "stratified_sample",
+    # round-3l family
+    "token_simpson",
 ]
 
 _WORDS = ["a", "ab", "the", "x\x00y", "x\x00z", "Zürich", "ému", "q1",

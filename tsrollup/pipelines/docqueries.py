@@ -861,6 +861,54 @@ def q_skyline_docs(sf_dir: str):
     )
 
 
+def q_token_simpson(sf_dir: str):
+    """Per-source Simpson diversity of the token distribution:
+    lambda = sum_i c_i*(c_i - 1) / (N*(N - 1)) — the probability two
+    tokens drawn WITHOUT replacement are equal (1 - lambda is the
+    Gini-Simpson diversity), the ecology-standard concentration metric
+    complementing token_entropy (Shannon) and gini_sources. Exact: both
+    numerator and denominator are integers from the memoized
+    (source, token) count fold; the one float is their division. Sources
+    with N < 2 have no defined pair probability and are excluded on both
+    sides. Int64 bound: c_i^2 must stay under 2^63 (c_i < ~3e9 per token
+    per source) — guarded loudly, and the SQL side sums in HUGEINT."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(c) and int(c.max()) >= 3_037_000_499:  # isqrt(2^63 - 1)
+            raise ValueError(
+                "token_simpson: a per-(source, token) count squares past "
+                "int64; shard the corpus or widen the partial dtype")
+        df = pd.DataFrame(
+            {"source": t["source"].to_numpy(zero_copy_only=False),
+             "s2": c * (c - 1), "n": c})
+        g = df.groupby("source", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (
+        _source_token_counts(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("s2", alias_name="s2"), Sum("n", alias_name="n"))
+        .to_pandas()  # bounded by source count
+    )
+    rows = []
+    for r in agg.itertuples(index=False):
+        n = int(r.n)
+        if n < 2:
+            continue
+        rows.append({"source": r.source, "n_tokens": np.int64(n),
+                     "simpson": float(int(r.s2)) / float(n * (n - 1))})
+    out = pd.DataFrame(
+        rows, columns=["source", "n_tokens", "simpson"]) if rows else \
+        pd.DataFrame({"source": pd.Series(dtype=object),
+                      "n_tokens": pd.Series(dtype=np.int64),
+                      "simpson": pd.Series(dtype=np.float64)})
+    return out.sort_values("source").reset_index(drop=True) if rows else out
+
+
 def q_quality_auc(sf_dir: str):
     """Ranking-metric evaluation: the exact Mann-Whitney AUC of ``n_chars``
     as a classifier score for ``lang = 'en'`` — the model-evaluation
@@ -4084,6 +4132,7 @@ DOC_QUERIES = {
     "editdist_pairs": q_editdist_pairs,
     "skyline_docs": q_skyline_docs,
     "quality_auc": q_quality_auc,
+    "token_simpson": q_token_simpson,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_pipeline": q_multimodal_pipeline,
     "ann_topk": q_ann_topk,
@@ -4164,6 +4213,21 @@ DOC_ORACLE_SQL["quality_auc"] = """
                 ELSE CAST(sum2r - n1 * (n1 + 1) AS DOUBLE)
                      / CAST(2 * n1 * n0 AS DOUBLE) END AS auc
     FROM s
+"""
+
+# Simpson's lambda from exact integer token counts; HUGEINT sums, one
+# final division of exact integers; N < 2 sources excluded on both sides
+DOC_ORACLE_SQL["token_simpson"] = rf"""
+    WITH toks AS (
+        SELECT source, UNNEST(regexp_extract_all(text, '\S+')) AS token
+        FROM {_DOCS_WS_NORM}),
+    c AS (SELECT source, token, CAST(COUNT(*) AS HUGEINT) AS c
+          FROM toks GROUP BY 1, 2),
+    s AS (SELECT source, SUM(c * (c - 1)) AS s2, SUM(c) AS n
+          FROM c GROUP BY 1)
+    SELECT source, CAST(n AS BIGINT) AS n_tokens,
+           CAST(s2 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS simpson
+    FROM s WHERE n >= 2 ORDER BY 1
 """
 
 DOC_ORACLE_SQL["decontaminate"] = f"""

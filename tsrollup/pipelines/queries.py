@@ -717,6 +717,171 @@ def q_quantiles(sf_dir: str):
     return map_key_groups(hist, ["source"], _q, batch_format="pandas")
 
 
+def q_quantiles_cont(sf_dir: str):
+    """Per-source INTERPOLATED quartiles (q1, median, q3, iqr) from the same
+    exact mergeable histogram as q_quantiles — the ``quantile_cont``
+    complement to its ``quantile_disc``. Restricted to quartiles on
+    purpose: the interpolation fractions {0, .25, .5, .75} are exact binary
+    doubles, so lo + frac*(hi-lo) over integer cents is EXACT in float64
+    (verified: 0.9/0.99 interpolation is NOT bit-stable across engines and
+    stays in q_quantiles' disc convention)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        d = _derive_events(t)
+        df = pd.DataFrame(
+            {"source": d["source"].to_numpy(zero_copy_only=False),
+             "cents": d["n_tok"].to_numpy(zero_copy_only=False)})
+        out = df.groupby(["source", "cents"], sort=False).size() \
+            .reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    hist = (
+        _events(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _qc(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ("q1", "median", "q3", "iqr")
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object),
+                 "n_rows": pd.Series(dtype=np.int64),
+                 **{c: pd.Series(dtype=np.float64) for c in cols}})
+        df = df.sort_values("cents")
+        vals = df["cents"].to_numpy()
+        cum = np.cumsum(df["n"].to_numpy())
+        n = int(cum[-1])
+
+        def _at(pos: int) -> int:          # 0-based sorted position
+            return int(vals[np.searchsorted(cum, pos + 1)])
+
+        out = {"source": df["source"].iloc[0], "n_rows": n}
+        qv = {}
+        for name, q in (("q1", 0.25), ("median", 0.5), ("q3", 0.75)):
+            idx = (n - 1) * q
+            lo = int(np.floor(idx))
+            frac = idx - lo
+            v_lo = _at(lo)
+            qv[name] = float(v_lo) if frac == 0.0 \
+                else v_lo + frac * (_at(lo + 1) - v_lo)
+            out[name] = qv[name]
+        out["iqr"] = qv["q3"] - qv["q1"]
+        return pd.DataFrame([out])
+
+    return map_key_groups(hist, ["source"], _qc, batch_format="pandas")
+
+
+def q_throttle_events(sf_dir: str, min_gap_seconds: int = 5):
+    """Event debouncing/throttling — the ingestion-hygiene operator that
+    drops an event arriving within ``min_gap_seconds`` of the PREVIOUS
+    event of the same (user_id, event_type), lag-based (each event compares
+    to its literal predecessor, the stateless-window form every SQL engine
+    agrees on). Returns the kept events. One user-keyed exchange; inside a
+    partition one lexsort + one diff covers every (user, type) run — no
+    per-group Python. Ties at identical ts (gap 0 < min_gap) drop all but
+    the first by event_id, deterministically on both sides."""
+    from tsrollup.shuffle import map_key_partitions
+
+    gap_us = min_gap_seconds * 1_000_000
+
+    def _keep(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "event_type": pa.array([], pa.string()),
+                          "ts": pa.array([], pa.timestamp("us"))})
+        t = t.filter(pc.and_kleene(pc.is_valid(t["user_id"]),
+                                   pc.is_valid(t["event_type"])))
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("user_id", "ascending"), ("event_type", "ascending"),
+                       ("ts", "ascending"), ("event_id", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # compare event_type columns directly in the run mask (compound
+        # string keys must not go through factorize-hash shortcuts)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        new_run = np.ones(t.num_rows, dtype=bool)
+        new_run[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        keep = new_run.copy()
+        keep[1:] |= np.diff(ts) >= gap_us
+        return t.filter(pa.array(keep)).select(
+            ["event_id", "user_id", "event_type", "ts"])
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"])
+    return map_key_partitions(ds, ["user_id"], _keep)
+
+
+def q_ks_2samp_sources(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov distance between every two sources'
+    cents distributions — the classic distribution-drift test
+    complementing psi_drift (binned) and emd_sources (mass transport).
+    EXACT: D = max_v |ECDF_a(v) - ECDF_b(v)| evaluated as the integer
+    maximum of |cum_a(v)*n_b - cum_b(v)*n_a| over the union of observed
+    values, so the only float is one final division of exact integers.
+    Shape: the same bounded-domain (source, cents) histogram as
+    q_quantiles, folded per SOURCE PAIR over the merged value axis inside
+    one driver-side sweep over the histogram (rows = distinct values x
+    sources, independent of corpus size; the n_a*cum products run in
+    Python bignum — no overflow at any scale)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        d = _derive_events(t)
+        df = pd.DataFrame(
+            {"source": d["source"].to_numpy(zero_copy_only=False),
+             "cents": d["n_tok"].to_numpy(zero_copy_only=False)})
+        out = df.groupby(["source", "cents"], sort=False).size() \
+            .reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    hist = (
+        _events(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: sources x distinct cents
+    )
+    empty = pd.DataFrame(
+        {"source_a": pd.Series(dtype=object),
+         "source_b": pd.Series(dtype=object),
+         "d_stat": pd.Series(dtype=np.float64)})
+    if not len(hist):
+        return empty
+    sources = sorted(hist["source"].unique().tolist())
+    vals = np.sort(hist["cents"].unique())
+    # dense per-source cumulative counts over the union value axis
+    cums, totals = {}, {}
+    for s in sources:
+        sub = hist[hist["source"] == s]
+        dense = np.zeros(len(vals), dtype=np.int64)
+        dense[np.searchsorted(vals, sub["cents"].to_numpy())] = \
+            sub["n"].to_numpy()
+        cums[s] = np.cumsum(dense)
+        totals[s] = int(cums[s][-1])
+    rows = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            na, nb = totals[a], totals[b]
+            if na == 0 or nb == 0:
+                continue
+            # integer max of |cum_a*nb - cum_b*na| (object dtype: bignum)
+            diff = np.abs(cums[a].astype(object) * nb
+                          - cums[b].astype(object) * na)
+            d_num = int(max(diff))
+            rows.append({"source_a": a, "source_b": b,
+                         "d_stat": _round6(float(d_num) / float(na * nb))})
+    return pd.DataFrame(rows) if rows else empty
+
+
 def q_quantiles_kll(sf_dir: str, k: int = 200):
     """Approximate per-source percentiles via mergeable KLL sketches — the
     100 TB scale path for ``q_quantiles`` when the value domain is UNBOUNDED
@@ -8326,6 +8491,66 @@ ORACLE_SQL["kendall_tau_1h"] = f"""
     WHERE n0 - n1 > 0 AND n0 - n2 > 0
 """
 
+# quartile interpolation fractions {0, .25, .5, .75} are exact binary, so
+# lo + frac*(hi-lo) over integer cents is bit-identical across engines
+# (0.9/0.99 interpolation is NOT — verified — and stays disc-only)
+ORACLE_SQL["quantiles_cont"] = """
+    SELECT event_type AS source, COUNT(*) AS n_rows,
+           quantile_cont(CAST(FLOOR(value * 100) AS BIGINT), 0.25) AS q1,
+           quantile_cont(CAST(FLOOR(value * 100) AS BIGINT), 0.5) AS median,
+           quantile_cont(CAST(FLOOR(value * 100) AS BIGINT), 0.75) AS q3,
+           quantile_cont(CAST(FLOOR(value * 100) AS BIGINT), 0.75)
+               - quantile_cont(CAST(FLOOR(value * 100) AS BIGINT), 0.25)
+               AS iqr
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+
+# lag-based debounce: every event compares to its literal predecessor in
+# the same (user, type) stream; ties at equal ts order by event_id
+ORACLE_SQL["throttle_events"] = """
+    WITH d AS (
+        SELECT event_id, user_id, event_type, ts,
+               LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS prev
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+    SELECT event_id, user_id, event_type, ts FROM d
+    WHERE prev IS NULL OR epoch_us(ts) - prev >= 5000000
+"""
+
+# exact KS distance: D's numerator max|cum_a*n_b - cum_b*n_a| is an
+# integer over the union value axis; one division of exact integers, 6dp
+ORACLE_SQL["ks_2samp_sources"] = f"""
+    WITH r AS (
+        SELECT event_type AS source,
+               CAST(FLOOR(value * 100) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    tot AS (SELECT source, SUM(n) AS nt FROM r GROUP BY 1),
+    axis AS (SELECT DISTINCT v FROM r),
+    dense AS (SELECT t.source, a.v, COALESCE(r.n, 0) AS n
+              FROM tot t CROSS JOIN axis a
+              LEFT JOIN r ON r.source = t.source AND r.v = a.v),
+    grid AS (SELECT source, v,
+                    SUM(n) OVER (PARTITION BY source ORDER BY v) AS cum
+             FROM dense),
+    pairs AS (
+        SELECT ga.source AS source_a, gb.source AS source_b,
+               MAX(ABS(CAST(ga.cum AS HUGEINT) * tb.nt
+                       - CAST(gb.cum AS HUGEINT) * ta.nt)) AS d_num,
+               ANY_VALUE(ta.nt) AS na, ANY_VALUE(tb.nt) AS nb
+        FROM grid ga
+        JOIN grid gb ON ga.v = gb.v AND ga.source < gb.source
+        JOIN tot ta ON ta.source = ga.source
+        JOIN tot tb ON tb.source = gb.source
+        GROUP BY 1, 2)
+    SELECT source_a, source_b,
+           ROUND(CAST(d_num AS DOUBLE) / CAST(na * nb AS DOUBLE), 6)
+               AS d_stat
+    FROM pairs WHERE na > 0 AND nb > 0
+"""
+
 ORACLE_SQL["peak_minute_1h"] = f"""
     WITH r AS ({_ROLLUP_SQL_BODY})
     SELECT source, bucket // 60 AS bucket_h, bucket AS peak_bucket,
@@ -8499,6 +8724,9 @@ QUERIES = {
     "source_share_1h": q_source_share_1h,
     "source_corr_1m": q_source_corr_1m,
     "kendall_tau_1h": q_kendall_tau_1h,
+    "quantiles_cont": q_quantiles_cont,
+    "throttle_events": q_throttle_events,
+    "ks_2samp_sources": q_ks_2samp_sources,
     "cusum_1m": q_cusum_1m,
     "profile_events": q_profile_events,
     "sliding_distinct_24h": q_sliding_distinct_24h,
