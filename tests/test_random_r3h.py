@@ -30,7 +30,7 @@ SWEEP = [
     "source_corr_1m", "cusum_1m",
     # round-3l family
     "session_paths", "kendall_tau_1h", "quantiles_cont",
-    "throttle_events", "ks_2samp_sources",
+    "throttle_events", "ks_2samp_sources", "spearman_rho_1h",
 ]
 
 

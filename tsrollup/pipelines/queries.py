@@ -6264,6 +6264,87 @@ def q_kendall_tau_1h(sf_dir: str):
     return map_key_partitions(pairs, ["source_a", "source_b"], _tau_block)
 
 
+def q_spearman_rho_1h(sf_dir: str):
+    """Spearman rank correlation between every two sources' hourly cents
+    series — completes the co-movement family (Pearson q_source_corr_1m,
+    Kendall q_kendall_tau_1h). Tie-aware and EXACT up to the final float:
+    midranks are half-integers, so DOUBLED midranks (2*rank_min + t - 1)
+    are integers; rho is then the textbook Pearson moment form over those
+    integer ranks (scale factors cancel), with per-pair sums in Python
+    bignum (n*sxx reaches n^4 — past int64 at ~55k common hours) and ONE
+    identical CAST-to-double divide+sqrt on both sides, 6dp. Same exchange
+    topology as Kendall: bucket-keyed pair-up, then (source_a, source_b)-
+    keyed per-pair fold; per-pair cost is O(H log H) in common hours."""
+    import math
+
+    from tsrollup.shuffle import group_slices, map_key_partitions
+
+    def _pair_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source_a": pa.array([], pa.string()),
+             "source_b": pa.array([], pa.string()),
+             "x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame(
+            {"source": t["source"].to_numpy(zero_copy_only=False),
+             "bucket": t["bucket"].to_numpy(zero_copy_only=False),
+             "v": t["sum_tok"].to_numpy(zero_copy_only=False)})
+        m = df.merge(df, on="bucket", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        if not len(m):
+            return empty
+        return pa.table(
+            {"source_a": pa.array(m["source_a"].to_numpy(), pa.string()),
+             "source_b": pa.array(m["source_b"].to_numpy(), pa.string()),
+             "x": pa.array(m["v_a"].to_numpy(np.int64)),
+             "y": pa.array(m["v_b"].to_numpy(np.int64))})
+
+    def _midrank2(v: np.ndarray) -> np.ndarray:
+        """Doubled midranks: 2*rank_min + tie_count - 1 (exact integers)."""
+        _, inv, cnt = np.unique(v, return_inverse=True, return_counts=True)
+        rank_min = np.concatenate(([0], np.cumsum(cnt)[:-1])) + 1
+        return (2 * rank_min + cnt - 1)[inv]
+
+    def _rho_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source_a": pa.array([], pa.string()),
+             "source_b": pa.array([], pa.string()),
+             "n_buckets": pa.array([], pa.int64()),
+             "rho": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        rows = []
+        for g in group_slices(t, ["source_a", "source_b"]):
+            x = g["x"].to_numpy(zero_copy_only=False)
+            y = g["y"].to_numpy(zero_copy_only=False)
+            n = len(x)
+            rx = _midrank2(x).astype(object)   # bignum moment sums
+            ry = _midrank2(y).astype(object)
+            sx, sy = int(rx.sum()), int(ry.sum())
+            sxy = int((rx * ry).sum())
+            sxx, syy = int((rx * rx).sum()), int((ry * ry).sum())
+            d1 = n * sxx - sx * sx
+            d2 = n * syy - sy * sy
+            if d1 <= 0 or d2 <= 0:
+                continue  # constant series: rank order undefined
+            num = n * sxy - sx * sy
+            rows.append(
+                (g["source_a"][0].as_py(), g["source_b"][0].as_py(), n,
+                 _round6(float(num) / math.sqrt(float(d1) * float(d2)))))
+        if not rows:
+            return empty
+        return pa.table(
+            {"source_a": pa.array([r[0] for r in rows], pa.string()),
+             "source_b": pa.array([r[1] for r in rows], pa.string()),
+             "n_buckets": pa.array([r[2] for r in rows], pa.int64()),
+             "rho": pa.array([r[3] for r in rows], pa.float64())})
+
+    hourly = cascade_tier(_rolled_events(sf_dir), 60)
+    pairs = map_key_partitions(hourly, ["bucket"], _pair_rows)
+    return map_key_partitions(pairs, ["source_a", "source_b"], _rho_block)
+
+
 def q_peak_minute_1h(sf_dir: str):
     """Per-group argmax: for every (source, hour) the single minute with
     the highest cents sum (ties → earliest minute) — the 'when inside the
@@ -8491,6 +8572,36 @@ ORACLE_SQL["kendall_tau_1h"] = f"""
     WHERE n0 - n1 > 0 AND n0 - n2 > 0
 """
 
+# Spearman over DOUBLED midranks (2*RANK + tiecount - 1: exact integers);
+# identical moment-form float expression on both sides, 6dp
+ORACLE_SQL["spearman_rho_1h"] = f"""
+    WITH r AS ({{_RSB}}),
+    h AS (SELECT source, bucket // 60 AS b,
+                 CAST(SUM(sum_cents) AS BIGINT) AS v
+          FROM r GROUP BY 1, 2),
+    j AS (SELECT a.source AS sa, b.source AS sb, a.b AS b,
+                 a.v AS x, b.v AS y
+          FROM h a JOIN h b ON a.b = b.b AND a.source < b.source),
+    rk AS (SELECT sa, sb,
+                  2 * RANK() OVER (PARTITION BY sa, sb ORDER BY x)
+                      + COUNT(*) OVER (PARTITION BY sa, sb, x) - 1 AS rx,
+                  2 * RANK() OVER (PARTITION BY sa, sb ORDER BY y)
+                      + COUNT(*) OVER (PARTITION BY sa, sb, y) - 1 AS ry
+           FROM j),
+    p AS (SELECT sa, sb, CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(rx AS HUGEINT)) AS sx,
+                 SUM(CAST(ry AS HUGEINT)) AS sy,
+                 SUM(CAST(rx AS HUGEINT) * ry) AS sxy,
+                 SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+                 SUM(CAST(ry AS HUGEINT) * ry) AS syy
+          FROM rk GROUP BY 1, 2)
+    SELECT sa AS source_a, sb AS source_b, CAST(n AS BIGINT) AS n_buckets,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+    FROM p WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""".replace("{_RSB}", _ROLLUP_SQL_BODY)
+
 # quartile interpolation fractions {0, .25, .5, .75} are exact binary, so
 # lo + frac*(hi-lo) over integer cents is bit-identical across engines
 # (0.9/0.99 interpolation is NOT — verified — and stays disc-only)
@@ -8727,6 +8838,7 @@ QUERIES = {
     "quantiles_cont": q_quantiles_cont,
     "throttle_events": q_throttle_events,
     "ks_2samp_sources": q_ks_2samp_sources,
+    "spearman_rho_1h": q_spearman_rho_1h,
     "cusum_1m": q_cusum_1m,
     "profile_events": q_profile_events,
     "sliding_distinct_24h": q_sliding_distinct_24h,
