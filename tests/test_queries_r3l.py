@@ -198,6 +198,35 @@ def test_throttle_events_dense_vs_oracle(ray_session, tmp_path_factory, seed):
         check_dtype=False)
 
 
+@pytest.mark.parametrize("seed,n,k", [(0, 150, 5), (4, 37, 5), (9, 3, 5),
+                                      (12, 64, 7)])
+def test_ntile_exact_vs_reference(ray_session, seed, n, k):
+    """Distributed NTILE against the in-memory formula, with heavy ties —
+    pins the per-bucket ordinal fix (a hash partition holds several range
+    buckets; ordinals must reset per bucket)."""
+    import ray
+
+    from tsrollup.pipelines.queries import _ntile_exact
+
+    rng = np.random.default_rng(seed)
+    uid = np.arange(n, dtype=np.int64)
+    v = rng.integers(-500, 500, size=n).astype(np.int64)
+    if n > 30:
+        v[10:30] = v[5]  # tie block
+    ds = ray.data.from_arrow(
+        pa.table({"user_id": pa.array(uid), "m": pa.array(v)}))
+    got = (_ntile_exact(ds, "m", k).to_pandas()
+           .set_index("user_id")["tile"].reindex(uid).to_numpy())
+    order = np.lexsort((uid, v))
+    rank0 = np.empty(n, np.int64)
+    rank0[order] = np.arange(n)
+    big, rem = divmod(n, k)
+    boundary = rem * (big + 1)
+    want = np.where(rank0 < boundary, rank0 // (big + 1) + 1,
+                    rem + (rank0 - boundary) // max(big, 1) + 1)
+    assert (got == want).all()
+
+
 def _mutate(rng, base: str) -> str:
     p = int(rng.integers(0, max(len(base), 1)))
     c = str(rng.choice(list("abz\x00é中🦀")))

@@ -6264,6 +6264,161 @@ def q_kendall_tau_1h(sf_dir: str):
     return map_key_partitions(pairs, ["source_a", "source_b"], _tau_block)
 
 
+def _ntile_exact(ds: ray.data.Dataset, col: str, k: int,
+                 n_range_buckets: int = 64) -> ray.data.Dataset:
+    """Exact distributed NTILE(k) OVER (ORDER BY col, user_id) WITHOUT a
+    global sort: values hash into RANGE buckets; one bucket-keyed exchange
+    localizes each range, where a lexsort gives every row its in-bucket
+    ordinal; per-bucket totals (<= n_range_buckets rows) reach the driver
+    for exclusive prefix offsets; a second pass turns base + ordinal into
+    the 0-based global rank and applies the standard NTILE split (the
+    first N mod k tiles get the extra row). Rows are unique by user_id, so
+    the (col, user_id) order is total and the result deterministic."""
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = ds.aggregate(Min(col), Max(col), Count())
+    n_total = int(stats["count()"])
+    if n_total == 0:
+        import ray as _ray
+
+        return _ray.data.from_arrow(pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "tile": pa.array([], pa.int64())}))
+    mn, mx = int(stats[f"min({col})"]), int(stats[f"max({col})"])
+    width = max(1, (mx - mn) // n_range_buckets + 1)
+
+    def _bucketize(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bkt": pa.array((v - mn) // width),
+                         "user_id": t["user_id"].cast(pa.int64()),
+                         "v": pa.array(v)})
+
+    def _ordinals(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bkt": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "ord": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        v = t["v"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        bkt = t["bkt"].to_numpy(zero_copy_only=False)
+        # a hash partition holds SEVERAL range buckets: ordinals must be
+        # per bucket, so subtract each bucket-run's start position
+        order = np.lexsort((uid, v, bkt))
+        bs = bkt[order]
+        new_bkt = np.concatenate(([True], bs[1:] != bs[:-1]))
+        run_start = np.maximum.accumulate(
+            np.where(new_bkt, np.arange(len(bs)), 0))
+        ords = np.empty(len(order), np.int64)
+        ords[order] = np.arange(len(bs)) - run_start
+        return pa.table({"bkt": t["bkt"],
+                         "user_id": t["user_id"],
+                         "ord": pa.array(ords)})
+
+    from tsrollup.shuffle import map_key_partitions
+
+    ranked = map_key_partitions(
+        ds.map_batches(_bucketize, batch_format="pyarrow"),
+        ["bkt"], _ordinals,
+    ).materialize()  # consumed twice: bucket totals + the tile pass
+
+    from ray.data.aggregate import Count as _Cnt
+
+    totals = (ranked.groupby("bkt").aggregate(_Cnt())
+              .to_pandas().sort_values("bkt"))  # <= n_range_buckets rows
+    base = dict(zip(totals["bkt"].astype(np.int64),
+                    np.r_[0, totals["count()"].to_numpy(np.int64)[:-1]
+                          .cumsum()]))
+    big, rem = divmod(n_total, k)
+    boundary = rem * (big + 1)
+
+    def _tiles(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "tile": pa.array([], pa.int64())})
+        bkt = t["bkt"].to_numpy(zero_copy_only=False)
+        rank0 = (np.vectorize(base.__getitem__, otypes=[np.int64])(bkt)
+                 + t["ord"].to_numpy(zero_copy_only=False))
+        tile = np.where(
+            rank0 < boundary,
+            rank0 // (big + 1) + 1,
+            rem + (np.maximum(rank0 - boundary, 0) // max(big, 1)) + 1,
+        ).astype(np.int64)
+        return pa.table({"user_id": t["user_id"], "tile": pa.array(tile)})
+
+    return ranked.map_batches(_tiles, batch_format="pyarrow")
+
+
+def q_rfm_segments(sf_dir: str, k: int = 5):
+    """RFM segmentation — the composite customer-analytics pipeline: per
+    user compute Recency (days since the user's last event, relative to
+    the corpus' max day), Frequency (event count) and Monetary (cents
+    sum); assign each an exact NTILE(k) quintile ordered (metric asc,
+    user_id asc); report segment sizes over the (r_q, f_q, m_q) cube
+    (<= k^3 rows). One user-keyed aggregate builds the fold; each metric
+    pays one range-bucket exchange in the exact distributed NTILE (no
+    global sort — see _ntile_exact); a final user-keyed tagged-union
+    exchange zips the three tiles back together."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from tsrollup.shuffle import map_key_partitions
+
+    def _derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["user_id"]))
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.floor(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                         "day": pa.array(ts_us // 86_400_000_000),
+                         "cents": cents})
+
+    fold = (
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "value"])
+        .map_batches(_derive, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("day", alias_name="last_day"),
+                   Count(alias_name="f"),
+                   Sum("cents", alias_name="m"))
+    ).materialize()  # users-bounded; consumed by max-day + three ntiles
+    gmax = int(fold.aggregate(Max("last_day"))["max(last_day)"])
+    fold = fold.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                            "r": pc.subtract(pa.scalar(gmax, pa.int64()),
+                                             t["last_day"].cast(pa.int64())),
+                            "f": t["f"].cast(pa.int64()),
+                            "m": t["m"].cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    tagged = []
+    for i, col in enumerate(("r", "f", "m")):
+        tiles = _ntile_exact(fold.select_columns(["user_id", col]), col, k)
+        tagged.append(tiles.map_batches(
+            lambda t, which=i: t.append_column(
+                "which", pa.array(np.full(t.num_rows, which, np.int64))),
+            batch_format="pyarrow"))
+    union = tagged[0].union(tagged[1]).union(tagged[2])
+
+    def _zip(t: pa.Table) -> pa.Table:
+        empty = pa.table({f"{c}_q": pa.array([], pa.int64())
+                          for c in ("r", "f", "m")} | {
+                              "user_id": pa.array([], pa.int64())})
+        empty = empty.select(["user_id", "r_q", "f_q", "m_q"])
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas().pivot(index="user_id", columns="which",
+                                 values="tile")
+        return pa.table({"user_id": pa.array(df.index.to_numpy(np.int64)),
+                         "r_q": pa.array(df[0].to_numpy(np.int64)),
+                         "f_q": pa.array(df[1].to_numpy(np.int64)),
+                         "m_q": pa.array(df[2].to_numpy(np.int64))})
+
+    segs = map_key_partitions(union, ["user_id"], _zip)
+    from ray.data.aggregate import Count as _Cnt2
+
+    return (segs.groupby(["r_q", "f_q", "m_q"])
+            .aggregate(_Cnt2(alias_name="n_users")))
+
+
 def q_spearman_rho_1h(sf_dir: str):
     """Spearman rank correlation between every two sources' hourly cents
     series — completes the co-movement family (Pearson q_source_corr_1m,
@@ -8572,6 +8727,27 @@ ORACLE_SQL["kendall_tau_1h"] = f"""
     WHERE n0 - n1 > 0 AND n0 - n2 > 0
 """
 
+# exact NTILE(5) cube over the per-user RFM fold; (metric, user_id) is a
+# total order so every tile is deterministic
+ORACLE_SQL["rfm_segments"] = """
+    WITH u AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS f,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS m,
+               MAX(epoch_us(ts) // 86400000000) AS last_day
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    g AS (SELECT MAX(last_day) AS gmax FROM u),
+    q AS (SELECT user_id,
+                 NTILE(5) OVER (ORDER BY gmax - last_day, user_id) AS r_q,
+                 NTILE(5) OVER (ORDER BY f, user_id) AS f_q,
+                 NTILE(5) OVER (ORDER BY m, user_id) AS m_q
+          FROM u, g)
+    SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+           CAST(m_q AS BIGINT) AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM q GROUP BY 1, 2, 3
+"""
+
 # Spearman over DOUBLED midranks (2*RANK + tiecount - 1: exact integers);
 # identical moment-form float expression on both sides, 6dp
 ORACLE_SQL["spearman_rho_1h"] = f"""
@@ -8839,6 +9015,7 @@ QUERIES = {
     "throttle_events": q_throttle_events,
     "ks_2samp_sources": q_ks_2samp_sources,
     "spearman_rho_1h": q_spearman_rho_1h,
+    "rfm_segments": q_rfm_segments,
     "cusum_1m": q_cusum_1m,
     "profile_events": q_profile_events,
     "sliding_distinct_24h": q_sliding_distinct_24h,
