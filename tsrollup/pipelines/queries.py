@@ -6264,63 +6264,63 @@ def q_kendall_tau_1h(sf_dir: str):
     return map_key_partitions(pairs, ["source_a", "source_b"], _tau_block)
 
 
-def _ntile_exact(ds: ray.data.Dataset, col: str, k: int,
-                 n_range_buckets: int = 64) -> ray.data.Dataset:
-    """Exact distributed NTILE(k) OVER (ORDER BY col, user_id) WITHOUT a
-    global sort: values hash into RANGE buckets; one bucket-keyed exchange
-    localizes each range, where a lexsort gives every row its in-bucket
-    ordinal; per-bucket totals (<= n_range_buckets rows) reach the driver
-    for exclusive prefix offsets; a second pass turns base + ordinal into
-    the 0-based global rank and applies the standard NTILE split (the
-    first N mod k tiles get the extra row). Rows are unique by user_id, so
-    the (col, user_id) order is total and the result deterministic."""
+def _global_ordinals(ds: ray.data.Dataset, value_col: str, id_col: str,
+                     n_range_buckets: int = 64):
+    """Exact 0-based global ordinal of every row under the total order
+    (value_col asc, id_col asc) WITHOUT a global sort — the shared core of
+    NTILE / systematic sampling: values hash into RANGE buckets; one
+    bucket-keyed exchange localizes each range, a per-bucket lexsort gives
+    in-bucket ordinals; per-bucket totals (<= n_range_buckets rows) reach
+    the driver for exclusive prefix offsets; a second pass emits
+    rank0 = base + ordinal. Returns (Dataset[id_col, rank0], n_total).
+    ``id_col`` must be unique, making the order total and deterministic.
+    Uniform range splits are correctness-neutral (skew only unbalances
+    buckets)."""
     from ray.data.aggregate import Count, Max, Min
 
-    stats = ds.aggregate(Min(col), Max(col), Count())
-    n_total = int(stats["count()"])
-    if n_total == 0:
-        import ray as _ray
+    from tsrollup.shuffle import map_key_partitions
 
-        return _ray.data.from_arrow(pa.table(
-            {"user_id": pa.array([], pa.int64()),
-             "tile": pa.array([], pa.int64())}))
-    mn, mx = int(stats[f"min({col})"]), int(stats[f"max({col})"])
+    stats = ds.aggregate(Min(value_col), Max(value_col), Count())
+    n_total = int(stats["count()"])
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "rank0": pa.array([], pa.int64())})
+    if n_total == 0:
+        return ray.data.from_arrow(empty), 0
+    mn = int(stats[f"min({value_col})"])
+    mx = int(stats[f"max({value_col})"])
     width = max(1, (mx - mn) // n_range_buckets + 1)
 
     def _bucketize(t: pa.Table) -> pa.Table:
-        v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"bkt": pa.array((v - mn) // width),
-                         "user_id": t["user_id"].cast(pa.int64()),
+                         id_col: t[id_col].cast(pa.int64()),
                          "v": pa.array(v)})
 
     def _ordinals(t: pa.Table) -> pa.Table:
-        empty = pa.table({"bkt": pa.array([], pa.int64()),
-                          "user_id": pa.array([], pa.int64()),
-                          "ord": pa.array([], pa.int64())})
+        oempty = pa.table({"bkt": pa.array([], pa.int64()),
+                           id_col: pa.array([], pa.int64()),
+                           "ord": pa.array([], pa.int64())})
         if t.num_rows == 0:
-            return empty
+            return oempty
         v = t["v"].to_numpy(zero_copy_only=False)
-        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        rid = t[id_col].to_numpy(zero_copy_only=False)
         bkt = t["bkt"].to_numpy(zero_copy_only=False)
-        # a hash partition holds SEVERAL range buckets: ordinals must be
-        # per bucket, so subtract each bucket-run's start position
-        order = np.lexsort((uid, v, bkt))
+        # a hash partition holds SEVERAL range buckets: ordinals must
+        # reset per bucket, so subtract each bucket-run's start position
+        order = np.lexsort((rid, v, bkt))
         bs = bkt[order]
         new_bkt = np.concatenate(([True], bs[1:] != bs[:-1]))
         run_start = np.maximum.accumulate(
             np.where(new_bkt, np.arange(len(bs)), 0))
         ords = np.empty(len(order), np.int64)
         ords[order] = np.arange(len(bs)) - run_start
-        return pa.table({"bkt": t["bkt"],
-                         "user_id": t["user_id"],
+        return pa.table({"bkt": t["bkt"], id_col: t[id_col],
                          "ord": pa.array(ords)})
-
-    from tsrollup.shuffle import map_key_partitions
 
     ranked = map_key_partitions(
         ds.map_batches(_bucketize, batch_format="pyarrow"),
         ["bkt"], _ordinals,
-    ).materialize()  # consumed twice: bucket totals + the tile pass
+    ).materialize()  # consumed twice: bucket totals + the rank pass
 
     from ray.data.aggregate import Count as _Cnt
 
@@ -6329,6 +6329,28 @@ def _ntile_exact(ds: ray.data.Dataset, col: str, k: int,
     base = dict(zip(totals["bkt"].astype(np.int64),
                     np.r_[0, totals["count()"].to_numpy(np.int64)[:-1]
                           .cumsum()]))
+
+    def _rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        bkt = t["bkt"].to_numpy(zero_copy_only=False)
+        rank0 = (np.vectorize(base.__getitem__, otypes=[np.int64])(bkt)
+                 + t["ord"].to_numpy(zero_copy_only=False))
+        return pa.table({id_col: t[id_col], "rank0": pa.array(rank0)})
+
+    return ranked.map_batches(_rank, batch_format="pyarrow"), n_total
+
+
+def _ntile_exact(ds: ray.data.Dataset, col: str, k: int,
+                 n_range_buckets: int = 64) -> ray.data.Dataset:
+    """Exact distributed NTILE(k) OVER (ORDER BY col, user_id) from
+    ``_global_ordinals`` + the standard NTILE split (the first N mod k
+    tiles get the extra row)."""
+    ranks, n_total = _global_ordinals(ds, col, "user_id", n_range_buckets)
+    if n_total == 0:
+        return ray.data.from_arrow(pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "tile": pa.array([], pa.int64())}))
     big, rem = divmod(n_total, k)
     boundary = rem * (big + 1)
 
@@ -6336,9 +6358,7 @@ def _ntile_exact(ds: ray.data.Dataset, col: str, k: int,
         if t.num_rows == 0:
             return pa.table({"user_id": pa.array([], pa.int64()),
                              "tile": pa.array([], pa.int64())})
-        bkt = t["bkt"].to_numpy(zero_copy_only=False)
-        rank0 = (np.vectorize(base.__getitem__, otypes=[np.int64])(bkt)
-                 + t["ord"].to_numpy(zero_copy_only=False))
+        rank0 = t["rank0"].to_numpy(zero_copy_only=False)
         tile = np.where(
             rank0 < boundary,
             rank0 // (big + 1) + 1,
@@ -6346,7 +6366,39 @@ def _ntile_exact(ds: ray.data.Dataset, col: str, k: int,
         ).astype(np.int64)
         return pa.table({"user_id": t["user_id"], "tile": pa.array(tile)})
 
-    return ranked.map_batches(_tiles, batch_format="pyarrow")
+    return ranks.map_batches(_tiles, batch_format="pyarrow")
+
+
+def q_systematic_sample(sf_dir: str, step: int = 97):
+    """Systematic (every k-th) sampling under the total order (ts,
+    event_id) — the deterministic, join-stable alternative to random
+    sampling for eyeball QA sets: keeps rows whose exact 0-based global
+    ordinal is a multiple of ``step``. Built on the same range-bucket
+    ordinal machinery as NTILE (no global sort; one exchange + one tiny
+    driver prefix)."""
+
+    def _derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": t["event_id"].cast(pa.int64()),
+             "ts_us": t["ts"].cast(pa.int64())})
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    ).map_batches(_derive, batch_format="pyarrow")
+    ranks, n_total = _global_ordinals(ds, "ts_us", "event_id")
+    if n_total == 0:
+        return ranks.map_batches(
+            lambda t: pa.table({"event_id": pa.array([], pa.int64()),
+                                "sample_rank": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+
+    def _pick(t: pa.Table) -> pa.Table:
+        r = t["rank0"].to_numpy(zero_copy_only=False)
+        keep = r % step == 0
+        return pa.table({"event_id": t["event_id"].filter(pa.array(keep)),
+                         "sample_rank": pa.array(r[keep] // step)})
+
+    return ranks.map_batches(_pick, batch_format="pyarrow")
 
 
 def q_rfm_segments(sf_dir: str, k: int = 5):
@@ -8727,6 +8779,15 @@ ORACLE_SQL["kendall_tau_1h"] = f"""
     WHERE n0 - n1 > 0 AND n0 - n2 > 0
 """
 
+# every 97th row under the total order (ts, event_id)
+ORACLE_SQL["systematic_sample"] = """
+    SELECT event_id,
+           (ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1) // 97
+               AS sample_rank
+    FROM events
+    QUALIFY (ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1) % 97 = 0
+"""
+
 # exact NTILE(5) cube over the per-user RFM fold; (metric, user_id) is a
 # total order so every tile is deterministic
 ORACLE_SQL["rfm_segments"] = """
@@ -9016,6 +9077,7 @@ QUERIES = {
     "ks_2samp_sources": q_ks_2samp_sources,
     "spearman_rho_1h": q_spearman_rho_1h,
     "rfm_segments": q_rfm_segments,
+    "systematic_sample": q_systematic_sample,
     "cusum_1m": q_cusum_1m,
     "profile_events": q_profile_events,
     "sliding_distinct_24h": q_sliding_distinct_24h,
