@@ -2450,6 +2450,73 @@ def q_token_entropy(sf_dir: str):
     return folded.map_batches(_final, batch_format="pyarrow")
 
 
+def q_kl_divergence_sources(sf_dir: str):
+    """Per-source KL divergence from the corpus token distribution —
+    KL(p_source || p_corpus) = (1/N)·Σ_t c·(ln c + ln M − ln N − ln d),
+    the domain-shift score a data-mixing pipeline tracks (how far does
+    each source's unigram distribution sit from the mixture it feeds?).
+    Exactness follows token_entropy's fixed-point discipline: the
+    order-sensitive pieces Σ c·(F(c) − F(d)) (F = floor(ln·1e9)) are
+    order-free integer sums, the N·(F(M) − F(N)) correction folds on the
+    driver over the sources-sized table, and ``kl`` is one division of
+    the exact integer ``kl_fp``. Distribution: the memoized
+    (source, token) counts take ONE token-keyed exchange (the corpus
+    count d of a token is the in-partition sum over sources), emitting
+    per-(partition, source) partials — rows moved are vocabulary-bounded."""
+    from ray.data.aggregate import Sum
+
+    from tsrollup.shuffle import map_key_partitions
+
+    counts = _source_token_counts(sf_dir)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_tok": pa.array([], pa.int64()),
+                          "pfp": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        from tsrollup.hashing import safe_factorize
+
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tcodes, _ = safe_factorize(t["token"].to_numpy(zero_copy_only=False))
+        d = np.bincount(tcodes, weights=c).astype(np.int64)[tcodes]
+        uniq = np.unique(np.concatenate([c, d]))
+        if len(uniq) and int(uniq[-1]) * _ln_fp(int(uniq[-1])) >= 2**62:
+            raise ValueError(
+                f"token count {int(uniq[-1])} overflows the int64 "
+                "fixed-point product; shard the corpus or widen to hi/lo")
+        fmap = {int(v): _ln_fp(int(v)) for v in uniq}
+        fc = np.array([fmap[int(v)] for v in c], dtype=np.int64)
+        fd = np.array([fmap[int(v)] for v in d], dtype=np.int64)
+        # per-row partials; the NUL-safe fold is Ray's Arrow groupby below
+        return pa.table({"source": t["source"], "n_tok": pa.array(c),
+                         "pfp": pa.array(c * (fc - fd))})
+
+    folded = (
+        map_key_partitions(counts, ["token"], _partial)
+        .groupby("source")
+        .aggregate(Sum("n_tok", alias_name="n_tok"),
+                   Sum("pfp", alias_name="pfp"))
+        .to_pandas()  # sources-bounded
+    )
+    if not len(folded):
+        return pd.DataFrame({"source": pd.Series(dtype=object),
+                             "n_tok": pd.Series(dtype=np.int64),
+                             "kl_fp": pd.Series(dtype=np.int64),
+                             "kl": pd.Series(dtype=np.float64)})
+    m = int(folded["n_tok"].sum())
+    fm = _ln_fp(m)
+    rows = []
+    for r in folded.itertuples(index=False):
+        n = int(r.n_tok)
+        kl_fp = int(r.pfp) + n * (fm - _ln_fp(n))
+        rows.append({"source": r.source, "n_tok": np.int64(n),
+                     "kl_fp": np.int64(kl_fp),
+                     "kl": float(np.round(
+                         float(kl_fp) / (float(n) * _FP_SCALE), 6))})
+    return pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+
+
 _ULP_V = 4096  # unigram-LM vocabulary size; the oracle SQL shares this
 
 
@@ -4133,6 +4200,7 @@ DOC_QUERIES = {
     "skyline_docs": q_skyline_docs,
     "quality_auc": q_quality_auc,
     "token_simpson": q_token_simpson,
+    "kl_divergence_sources": q_kl_divergence_sources,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_pipeline": q_multimodal_pipeline,
     "ann_topk": q_ann_topk,
@@ -4213,6 +4281,38 @@ DOC_ORACLE_SQL["quality_auc"] = """
                 ELSE CAST(sum2r - n1 * (n1 + 1) AS DOUBLE)
                      / CAST(2 * n1 * n0 AS DOUBLE) END AS auc
     FROM s
+"""
+
+# KL in the shared floor(ln*1e9) fixed point: kl_fp is an exact integer
+# on both sides (HUGEINT sums in SQL); kl is one division of it
+DOC_ORACLE_SQL["kl_divergence_sources"] = rf"""
+    WITH toks AS (
+        SELECT source, UNNEST(regexp_extract_all(text, '\S+')) AS token
+        FROM {_DOCS_WS_NORM}),
+    c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks GROUP BY 1, 2),
+    d AS (SELECT token, SUM(c) AS d FROM c GROUP BY 1),
+    ns AS (SELECT source, SUM(c) AS n FROM c GROUP BY 1),
+    mm AS (SELECT SUM(n) AS m FROM ns),
+    part AS (
+        SELECT c.source,
+               SUM(CAST(c.c AS HUGEINT)
+                   * (CAST(FLOOR(LN(c.c) * {_FP_SCALE}) AS BIGINT)
+                      - CAST(FLOOR(LN(d.d) * {_FP_SCALE}) AS BIGINT)))
+                   AS pfp
+        FROM c JOIN d USING (token) GROUP BY 1)
+    SELECT p.source, CAST(ns.n AS BIGINT) AS n_tok,
+           CAST(p.pfp + ns.n
+                * (CAST(FLOOR(LN(mm.m) * {_FP_SCALE}) AS BIGINT)
+                   - CAST(FLOOR(LN(ns.n) * {_FP_SCALE}) AS BIGINT))
+                AS BIGINT) AS kl_fp,
+           ROUND(CAST(p.pfp + ns.n
+                      * (CAST(FLOOR(LN(mm.m) * {_FP_SCALE}) AS BIGINT)
+                         - CAST(FLOOR(LN(ns.n) * {_FP_SCALE}) AS BIGINT))
+                      AS DOUBLE)
+                 / (CAST(ns.n AS DOUBLE) * {_FP_SCALE}), 6) AS kl
+    FROM part p JOIN ns ON ns.source = p.source
+    CROSS JOIN mm ORDER BY 1
 """
 
 # Simpson's lambda from exact integer token counts; HUGEINT sums, one
