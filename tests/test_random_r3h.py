@@ -31,7 +31,7 @@ SWEEP = [
     # round-3l family
     "session_paths", "kendall_tau_1h", "quantiles_cont",
     "throttle_events", "ks_2samp_sources", "spearman_rho_1h",
-    "rfm_segments", "systematic_sample",
+    "rfm_segments", "systematic_sample", "tukey_outliers",
 ]
 
 

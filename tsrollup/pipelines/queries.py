@@ -882,6 +882,73 @@ def q_ks_2samp_sources(sf_dir: str):
     return pd.DataFrame(rows) if rows else empty
 
 
+def q_tukey_outliers(sf_dir: str):
+    """Tukey-fence outlier audit per source: count of events outside
+    [q1 - 1.5·IQR, q3 + 1.5·IQR] — the boxplot rule, the robust screen a
+    data-quality dashboard runs before z-scores (which outliers themselves
+    distort). Quartiles come interpolated from the same exact mergeable
+    histogram as q_quantiles_cont, and the fences stay EXACT dyadic
+    floats (quarters × 1.5 = eighths), so the integer-vs-fence
+    comparisons are bit-identical across engines. The outlier count is a
+    second pass over the per-source HISTOGRAM (distinct values), never a
+    re-scan of raw rows."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        d = _derive_events(t)
+        df = pd.DataFrame(
+            {"source": d["source"].to_numpy(zero_copy_only=False),
+             "cents": d["n_tok"].to_numpy(zero_copy_only=False)})
+        out = df.groupby(["source", "cents"], sort=False).size() \
+            .reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    hist = (
+        _events(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _fences(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object),
+                 "n_rows": pd.Series(dtype=np.int64),
+                 "n_outliers": pd.Series(dtype=np.int64),
+                 "lo_fence": pd.Series(dtype=np.float64),
+                 "hi_fence": pd.Series(dtype=np.float64)})
+        df = df.sort_values("cents")
+        vals = df["cents"].to_numpy()
+        cnt = df["n"].to_numpy()
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+
+        def _at(pos: int) -> int:
+            return int(vals[np.searchsorted(cum, pos + 1)])
+
+        def _qc(q: float) -> float:
+            idx = (n - 1) * q
+            lo = int(np.floor(idx))
+            frac = idx - lo
+            v_lo = _at(lo)
+            return float(v_lo) if frac == 0.0 \
+                else v_lo + frac * (_at(lo + 1) - v_lo)
+
+        q1, q3 = _qc(0.25), _qc(0.75)
+        iqr = q3 - q1
+        lo_f, hi_f = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        n_out = int(cnt[(vals < lo_f) | (vals > hi_f)].sum())
+        return pd.DataFrame(
+            [{"source": df["source"].iloc[0], "n_rows": np.int64(n),
+              "n_outliers": np.int64(n_out),
+              "lo_fence": lo_f, "hi_fence": hi_f}])
+
+    return map_key_groups(hist, ["source"], _fences, batch_format="pandas")
+
+
 def q_quantiles_kll(sf_dir: str, k: int = 200):
     """Approximate per-source percentiles via mergeable KLL sketches — the
     100 TB scale path for ``q_quantiles`` when the value domain is UNBOUNDED
@@ -8779,6 +8846,26 @@ ORACLE_SQL["kendall_tau_1h"] = f"""
     WHERE n0 - n1 > 0 AND n0 - n2 > 0
 """
 
+# Tukey fences from exact-dyadic interpolated quartiles; integer-vs-fence
+# comparisons are bit-identical
+ORACLE_SQL["tukey_outliers"] = """
+    WITH v AS (SELECT event_type AS source,
+                      CAST(FLOOR(value * 100) AS BIGINT) AS c
+               FROM events),
+    q AS (SELECT source,
+                 quantile_cont(c, 0.25) AS q1,
+                 quantile_cont(c, 0.75) AS q3,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM v GROUP BY 1)
+    SELECT v.source, ANY_VALUE(q.n) AS n_rows,
+           CAST(SUM(CASE WHEN v.c < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR v.c > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ANY_VALUE(q.q1 - 1.5 * (q.q3 - q.q1)) AS lo_fence,
+           ANY_VALUE(q.q3 + 1.5 * (q.q3 - q.q1)) AS hi_fence
+    FROM v JOIN q USING (source) GROUP BY 1 ORDER BY 1
+"""
+
 # every 97th row under the total order (ts, event_id)
 ORACLE_SQL["systematic_sample"] = """
     SELECT event_id,
@@ -9078,6 +9165,7 @@ QUERIES = {
     "spearman_rho_1h": q_spearman_rho_1h,
     "rfm_segments": q_rfm_segments,
     "systematic_sample": q_systematic_sample,
+    "tukey_outliers": q_tukey_outliers,
     "cusum_1m": q_cusum_1m,
     "profile_events": q_profile_events,
     "sliding_distinct_24h": q_sliding_distinct_24h,
