@@ -227,6 +227,53 @@ def test_ntile_exact_vs_reference(ray_session, seed, n, k):
     assert (got == want).all()
 
 
+def test_null_users_and_empty_edges(ray_session, tmp_path_factory):
+    """Code-review regressions: NULL user_ids must not fragment sessions
+    (engine filters them; oracle WHERE matches), and zero-user / empty
+    corpora return empty frames instead of crashing or emitting 0-rows
+    where the oracle emits none."""
+    import duckdb
+
+    from tsrollup.pipelines.docqueries import DOC_ORACLE_SQL as DOSQL
+    from tsrollup.pipelines.docqueries import DOC_QUERIES as DQ
+    from tsrollup.pipelines.queries import ORACLE_SQL, QUERIES
+
+    d = tmp_path_factory.mktemp("nulledge")
+    n = 6
+    tbl = pa.table(
+        {"event_id": pa.array(np.arange(n), pa.int64()),
+         "ts": pa.array((np.arange(n) * 60_000_000).astype("int64"),
+                        pa.timestamp("us")),
+         "user_id": pa.array([None] * n, pa.int64()),  # ALL null users
+         "event_type": pa.array(["a", "b"] * 3),
+         "value": pa.array(np.ones(n), pa.float64()),
+         "props": pa.array([""] * n, pa.string())})
+    pq.write_table(tbl, d / "events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    for name in ("session_paths", "rfm_segments", "throttle_events"):
+        res = QUERIES[name](str(d))
+        got = res.to_pandas() if hasattr(res, "to_pandas") else res
+        want = con.execute(ORACLE_SQL[name]).df()
+        assert len(got) == len(want) == 0, (name, len(got), len(want))
+
+    # empty documents corpus -> quality_auc yields 0 rows on both sides
+    d2 = tmp_path_factory.mktemp("emptydocs")
+    pq.write_table(pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "text": pa.array([], pa.string()),
+         "lang": pa.array([], pa.string()),
+         "source": pa.array([], pa.string()),
+         "n_chars": pa.array([], pa.int64())}), d2 / "documents.parquet")
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d2}/documents.parquet')")
+    got = DQ["quality_auc"](str(d2))
+    want = con2.execute(DOSQL["quality_auc"]).df()
+    assert len(got) == len(want) == 0
+
+
 def _mutate(rng, base: str) -> str:
     p = int(rng.integers(0, max(len(base), 1)))
     c = str(rng.choice(list("abz\x00é中🦀")))

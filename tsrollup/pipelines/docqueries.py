@@ -870,30 +870,46 @@ def q_token_simpson(sf_dir: str):
     numerator and denominator are integers from the memoized
     (source, token) count fold; the one float is their division. Sources
     with N < 2 have no defined pair probability and are excluded on both
-    sides. Int64 bound: c_i^2 must stay under 2^63 (c_i < ~3e9 per token
-    per source) — guarded loudly, and the SQL side sums in HUGEINT."""
-    from ray.data.aggregate import Sum
+    sides. Per-batch Σc(c−1) partials are computed in Python bignum and
+    LOUDLY checked against int64 before emission; the cross-batch combine
+    runs in bignum on the driver (rows = batches × sources), so no silent
+    wrap at any scale — the SQL side's matching sums run in HUGEINT."""
+    from tsrollup.hashing import safe_factorize
 
     def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "s2": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
         c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(c) and int(c.max()) >= 3_037_000_499:  # isqrt(2^63 - 1)
+        scodes, sunq = safe_factorize(
+            t["source"].to_numpy(zero_copy_only=False))
+        s2 = (c.astype(object) * (c - 1).astype(object))
+        sums = np.zeros(len(sunq), dtype=object)
+        np.add.at(sums, scodes, s2)
+        if any(int(s) >= 2**62 for s in sums):
             raise ValueError(
-                "token_simpson: a per-(source, token) count squares past "
-                "int64; shard the corpus or widen the partial dtype")
-        df = pd.DataFrame(
-            {"source": t["source"].to_numpy(zero_copy_only=False),
-             "s2": c * (c - 1), "n": c})
-        g = df.groupby("source", sort=False, as_index=False).sum()
-        return pa.Table.from_pandas(
-            g, preserve_index=False).replace_schema_metadata(None)
+                "token_simpson partial sum overflows int64; shrink "
+                "batches or widen the partial to hi/lo")
+        ntok = np.bincount(scodes, weights=c,
+                           minlength=len(sunq)).astype(np.int64)
+        return pa.table({"source": pa.array(sunq, pa.string()),
+                         "s2": pa.array(sums.astype(np.int64)),
+                         "n": pa.array(ntok)})
 
-    agg = (
+    partials = (
         _source_token_counts(sf_dir)
         .map_batches(_partial, batch_format="pyarrow")
-        .groupby("source")
-        .aggregate(Sum("s2", alias_name="s2"), Sum("n", alias_name="n"))
-        .to_pandas()  # bounded by source count
+        .to_pandas()  # bounded: batches x sources
     )
+    if not len(partials):
+        return pd.DataFrame({"source": pd.Series(dtype=object),
+                             "n_tokens": pd.Series(dtype=np.int64),
+                             "simpson": pd.Series(dtype=np.float64)})
+    for col in ("s2", "n"):
+        partials[col] = partials[col].astype(object)  # exact bignum combine
+    agg = partials.groupby("source", as_index=False).sum()
     rows = []
     for r in agg.itertuples(index=False):
         n = int(r.n)
@@ -944,7 +960,14 @@ def q_quality_auc(sf_dir: str):
         .groupby("v")
         .aggregate(Sum("tp", alias_name="tp"), Sum("tv", alias_name="tv"))
         .to_pandas()  # bounded by the distinct score domain
-    ).sort_values("v")
+    )
+    if not len(agg):  # empty corpus: the oracle's WHERE n1 IS NOT NULL
+        return pd.DataFrame(  # drops its all-NULL aggregate row too
+            {"n_pos": pd.Series(dtype=np.int64),
+             "n_neg": pd.Series(dtype=np.int64),
+             "u2": pd.Series(dtype=np.int64),
+             "auc": pd.Series(dtype=np.float64)})
+    agg = agg.sort_values("v")
     # Python bignum fold: exact at any corpus size
     vs = agg["tv"].tolist()
     ps = agg["tp"].tolist()
@@ -2462,9 +2485,12 @@ def q_kl_divergence_sources(sf_dir: str):
     the exact integer ``kl_fp``. Distribution: the memoized
     (source, token) counts take ONE token-keyed exchange (the corpus
     count d of a token is the in-partition sum over sources), emitting
-    per-(partition, source) partials — rows moved are vocabulary-bounded."""
-    from ray.data.aggregate import Sum
-
+    per-(partition, source) SUM partials — each LOUDLY guarded against
+    int64 overflow — that combine on the driver in Python bignum (rows =
+    partitions × sources), so no silent wrap at any scale (the oracle's
+    matching sums run in HUGEINT)."""
+    from tsrollup.hashing import safe_factorize
+    from tsrollup.pipelines.queries import _round6
     from tsrollup.shuffle import map_key_partitions
 
     counts = _source_token_counts(sf_dir)
@@ -2475,8 +2501,6 @@ def q_kl_divergence_sources(sf_dir: str):
                           "pfp": pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
-        from tsrollup.hashing import safe_factorize
-
         c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
         tcodes, _ = safe_factorize(t["token"].to_numpy(zero_copy_only=False))
         d = np.bincount(tcodes, weights=c).astype(np.int64)[tcodes]
@@ -2488,22 +2512,34 @@ def q_kl_divergence_sources(sf_dir: str):
         fmap = {int(v): _ln_fp(int(v)) for v in uniq}
         fc = np.array([fmap[int(v)] for v in c], dtype=np.int64)
         fd = np.array([fmap[int(v)] for v in d], dtype=np.int64)
-        # per-row partials; the NUL-safe fold is Ray's Arrow groupby below
-        return pa.table({"source": t["source"], "n_tok": pa.array(c),
-                         "pfp": pa.array(c * (fc - fd))})
+        scodes, sunq = safe_factorize(
+            t["source"].to_numpy(zero_copy_only=False))
+        # per-(partition, source) sums in object dtype (bignum-safe), then
+        # a LOUD int64 check before emitting — the cross-partition combine
+        # below is bignum on the driver, so this is the only narrowing
+        pfp = (c * (fc - fd)).astype(object)
+        sums = np.zeros(len(sunq), dtype=object)
+        np.add.at(sums, scodes, pfp)
+        ntok = np.bincount(scodes, weights=c,
+                           minlength=len(sunq)).astype(np.int64)
+        if any(abs(int(s)) >= 2**62 for s in sums):
+            raise ValueError(
+                "kl_divergence partial sum overflows int64; shrink "
+                "partitions or widen the partial to hi/lo")
+        return pa.table({"source": pa.array(sunq, pa.string()),
+                         "n_tok": pa.array(ntok),
+                         "pfp": pa.array(sums.astype(np.int64))})
 
-    folded = (
-        map_key_partitions(counts, ["token"], _partial)
-        .groupby("source")
-        .aggregate(Sum("n_tok", alias_name="n_tok"),
-                   Sum("pfp", alias_name="pfp"))
-        .to_pandas()  # sources-bounded
-    )
-    if not len(folded):
+    partials = map_key_partitions(counts, ["token"], _partial) \
+        .to_pandas()  # bounded: partitions x sources
+    if not len(partials):
         return pd.DataFrame({"source": pd.Series(dtype=object),
                              "n_tok": pd.Series(dtype=np.int64),
                              "kl_fp": pd.Series(dtype=np.int64),
                              "kl": pd.Series(dtype=np.float64)})
+    for col in ("n_tok", "pfp"):
+        partials[col] = partials[col].astype(object)  # exact bignum combine
+    folded = partials.groupby("source", as_index=False).sum()
     m = int(folded["n_tok"].sum())
     fm = _ln_fp(m)
     rows = []
@@ -2512,8 +2548,8 @@ def q_kl_divergence_sources(sf_dir: str):
         kl_fp = int(r.pfp) + n * (fm - _ln_fp(n))
         rows.append({"source": r.source, "n_tok": np.int64(n),
                      "kl_fp": np.int64(kl_fp),
-                     "kl": float(np.round(
-                         float(kl_fp) / (float(n) * _FP_SCALE), 6))})
+                     "kl": float(_round6(
+                         float(kl_fp) / (float(n) * _FP_SCALE)))})
     return pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
 
 
@@ -4280,7 +4316,7 @@ DOC_ORACLE_SQL["quality_auc"] = """
            CASE WHEN n1 = 0 OR n0 = 0 THEN NULL
                 ELSE CAST(sum2r - n1 * (n1 + 1) AS DOUBLE)
                      / CAST(2 * n1 * n0 AS DOUBLE) END AS auc
-    FROM s
+    FROM s WHERE n1 IS NOT NULL
 """
 
 # KL in the shared floor(ln*1e9) fixed point: kl_fp is an exact integer

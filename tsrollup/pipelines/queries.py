@@ -673,29 +673,10 @@ def q_quantiles(sf_dir: str):
     same shape carries any mergeable sketch (HLL/KLL) at 100 TB.
 
     Quantile convention matches DuckDB's ``quantile_disc``:
-    sorted[ceil(q * n) - 1]."""
-
-    def _partial(t: pa.Table) -> pa.Table:
-        d = _derive_events(t)
-        df = pd.DataFrame(
-            {
-                "source": d["source"].to_numpy(zero_copy_only=False),
-                "cents": d["n_tok"].to_numpy(zero_copy_only=False),
-            }
-        )
-        g = df.groupby(["source", "cents"], sort=False).size()
-        out = g.reset_index(name="n")
-        out["n"] = out["n"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
-
-    from ray.data.aggregate import Sum
-
-    hist = (
-        _events(sf_dir)
-        .map_batches(_partial, batch_format="pyarrow")
-        .groupby(["source", "cents"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    sorted[ceil(q * n) - 1]. The histogram itself is the shared memoized
+    ``_cents_histogram`` (one events scan serves the whole
+    quantile/KS/Tukey family per session)."""
+    hist = _cents_histogram(sf_dir)
 
     def _q(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -717,15 +698,16 @@ def q_quantiles(sf_dir: str):
     return map_key_groups(hist, ["source"], _q, batch_format="pandas")
 
 
-def q_quantiles_cont(sf_dir: str):
-    """Per-source INTERPOLATED quartiles (q1, median, q3, iqr) from the same
-    exact mergeable histogram as q_quantiles — the ``quantile_cont``
-    complement to its ``quantile_disc``. Restricted to quartiles on
-    purpose: the interpolation fractions {0, .25, .5, .75} are exact binary
-    doubles, so lo + frac*(hi-lo) over integer cents is EXACT in float64
-    (verified: 0.9/0.99 interpolation is NOT bit-stable across engines and
-    stays in q_quantiles' disc convention)."""
+def _cents_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Memoized exact per-(source, cents) count histogram — the mergeable
+    bounded-domain 'sketch' shared by the quantile / KS / Tukey family
+    (one events scan serves all of them per session; volume is bounded by
+    sources × distinct cents, so pinning is safe)."""
+    import os
+
     from ray.data.aggregate import Sum
+
+    from tsrollup.util import memoized_dataset
 
     def _partial(t: pa.Table) -> pa.Table:
         d = _derive_events(t)
@@ -738,12 +720,42 @@ def q_quantiles_cont(sf_dir: str):
         return pa.Table.from_pandas(
             out, preserve_index=False).replace_schema_metadata(None)
 
-    hist = (
-        _events(sf_dir)
-        .map_batches(_partial, batch_format="pyarrow")
-        .groupby(["source", "cents"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    def _build():
+        return (
+            _events(sf_dir)
+            .map_batches(_partial, batch_format="pyarrow")
+            .groupby(["source", "cents"])
+            .aggregate(Sum("n", alias_name="n"))
+        )
+
+    return memoized_dataset(
+        os.path.join(sf_dir, "events.parquet"), "cents_hist", _build)
+
+
+def _interp_quartile(vals: np.ndarray, cum: np.ndarray, n: int,
+                     q: float) -> float:
+    """quantile_cont at q from a sorted (value, cumulative-count) histogram.
+    Exact for q in {0, .25, .5, .75}: the interpolation fraction is an
+    exact binary double, so lo + frac*(hi-lo) over integer values is
+    bit-identical across engines (0.9/0.99 are NOT — verified — and stay
+    in q_quantiles' disc convention)."""
+
+    def _at(pos: int) -> int:          # 0-based sorted position
+        return int(vals[np.searchsorted(cum, pos + 1)])
+
+    idx = (n - 1) * q
+    lo = int(np.floor(idx))
+    frac = idx - lo
+    v_lo = _at(lo)
+    return float(v_lo) if frac == 0.0 else v_lo + frac * (_at(lo + 1) - v_lo)
+
+
+def q_quantiles_cont(sf_dir: str):
+    """Per-source INTERPOLATED quartiles (q1, median, q3, iqr) from the
+    shared memoized histogram (_cents_histogram) — the ``quantile_cont``
+    complement to q_quantiles' ``quantile_disc``. Quartiles only: see
+    _interp_quartile for the bit-stability contract."""
+    hist = _cents_histogram(sf_dir)
 
     def _qc(df: pd.DataFrame) -> pd.DataFrame:
         cols = ("q1", "median", "q3", "iqr")
@@ -756,21 +768,10 @@ def q_quantiles_cont(sf_dir: str):
         vals = df["cents"].to_numpy()
         cum = np.cumsum(df["n"].to_numpy())
         n = int(cum[-1])
-
-        def _at(pos: int) -> int:          # 0-based sorted position
-            return int(vals[np.searchsorted(cum, pos + 1)])
-
         out = {"source": df["source"].iloc[0], "n_rows": n}
-        qv = {}
         for name, q in (("q1", 0.25), ("median", 0.5), ("q3", 0.75)):
-            idx = (n - 1) * q
-            lo = int(np.floor(idx))
-            frac = idx - lo
-            v_lo = _at(lo)
-            qv[name] = float(v_lo) if frac == 0.0 \
-                else v_lo + frac * (_at(lo + 1) - v_lo)
-            out[name] = qv[name]
-        out["iqr"] = qv["q3"] - qv["q1"]
+            out[name] = _interp_quartile(vals, cum, n, q)
+        out["iqr"] = out["q3"] - out["q1"]
         return pd.DataFrame([out])
 
     return map_key_groups(hist, ["source"], _qc, batch_format="pandas")
@@ -825,31 +826,12 @@ def q_ks_2samp_sources(sf_dir: str):
     EXACT: D = max_v |ECDF_a(v) - ECDF_b(v)| evaluated as the integer
     maximum of |cum_a(v)*n_b - cum_b(v)*n_a| over the union of observed
     values, so the only float is one final division of exact integers.
-    Shape: the same bounded-domain (source, cents) histogram as
-    q_quantiles, folded per SOURCE PAIR over the merged value axis inside
-    one driver-side sweep over the histogram (rows = distinct values x
-    sources, independent of corpus size; the n_a*cum products run in
-    Python bignum — no overflow at any scale)."""
-    from ray.data.aggregate import Sum
-
-    def _partial(t: pa.Table) -> pa.Table:
-        d = _derive_events(t)
-        df = pd.DataFrame(
-            {"source": d["source"].to_numpy(zero_copy_only=False),
-             "cents": d["n_tok"].to_numpy(zero_copy_only=False)})
-        out = df.groupby(["source", "cents"], sort=False).size() \
-            .reset_index(name="n")
-        out["n"] = out["n"].astype(np.int64)
-        return pa.Table.from_pandas(
-            out, preserve_index=False).replace_schema_metadata(None)
-
-    hist = (
-        _events(sf_dir)
-        .map_batches(_partial, batch_format="pyarrow")
-        .groupby(["source", "cents"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # bounded: sources x distinct cents
-    )
+    Shape: the shared memoized (source, cents) histogram
+    (_cents_histogram), folded per SOURCE PAIR over the merged value axis
+    inside one driver-side sweep (rows = distinct values x sources,
+    independent of corpus size; the n_a*cum products run in Python bignum
+    — no overflow at any scale)."""
+    hist = _cents_histogram(sf_dir).to_pandas()  # sources x distinct cents
     empty = pd.DataFrame(
         {"source_a": pd.Series(dtype=object),
          "source_b": pd.Series(dtype=object),
@@ -892,25 +874,7 @@ def q_tukey_outliers(sf_dir: str):
     comparisons are bit-identical across engines. The outlier count is a
     second pass over the per-source HISTOGRAM (distinct values), never a
     re-scan of raw rows."""
-    from ray.data.aggregate import Sum
-
-    def _partial(t: pa.Table) -> pa.Table:
-        d = _derive_events(t)
-        df = pd.DataFrame(
-            {"source": d["source"].to_numpy(zero_copy_only=False),
-             "cents": d["n_tok"].to_numpy(zero_copy_only=False)})
-        out = df.groupby(["source", "cents"], sort=False).size() \
-            .reset_index(name="n")
-        out["n"] = out["n"].astype(np.int64)
-        return pa.Table.from_pandas(
-            out, preserve_index=False).replace_schema_metadata(None)
-
-    hist = (
-        _events(sf_dir)
-        .map_batches(_partial, batch_format="pyarrow")
-        .groupby(["source", "cents"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    hist = _cents_histogram(sf_dir)
 
     def _fences(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -925,19 +889,8 @@ def q_tukey_outliers(sf_dir: str):
         cnt = df["n"].to_numpy()
         cum = np.cumsum(cnt)
         n = int(cum[-1])
-
-        def _at(pos: int) -> int:
-            return int(vals[np.searchsorted(cum, pos + 1)])
-
-        def _qc(q: float) -> float:
-            idx = (n - 1) * q
-            lo = int(np.floor(idx))
-            frac = idx - lo
-            v_lo = _at(lo)
-            return float(v_lo) if frac == 0.0 \
-                else v_lo + frac * (_at(lo + 1) - v_lo)
-
-        q1, q3 = _qc(0.25), _qc(0.75)
+        q1 = _interp_quartile(vals, cum, n, 0.25)
+        q3 = _interp_quartile(vals, cum, n, 0.75)
         iqr = q3 - q1
         lo_f, hi_f = q1 - 1.5 * iqr, q3 + 1.5 * iqr
         n_out = int(cnt[(vals < lo_f) | (vals > hi_f)].sum())
@@ -1084,9 +1037,11 @@ def q_session_paths(sf_dir: str, gap_minutes: int = 30, k: int = SESSION_PATHS_K
     def _path_counts(t: pa.Table) -> pa.Table:
         empty = pa.table({"path": pa.array([], pa.string()),
                           "c": pa.array([], pa.int64())})
-        # NULL event types join as NULL in SQL's string_agg; drop them on
-        # both sides (the oracle filters event_type IS NOT NULL)
-        t = t.filter(pc.is_valid(t["event_type"]))
+        # NULL event types join as NULL in SQL's string_agg, and NULL
+        # user_ids would fragment (NaN != NaN per row) where SQL groups
+        # them: drop both on both sides (oracle WHERE matches)
+        t = t.filter(pc.and_kleene(pc.is_valid(t["event_type"]),
+                                   pc.is_valid(t["user_id"])))
         if t.num_rows == 0:
             return empty
         t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
@@ -2821,7 +2776,7 @@ def q_rolling_corr_24h(sf_dir: str):
              "x": pa.array(m["c_a"].to_numpy(np.int64)),
              "y": pa.array(m["c_b"].to_numpy(np.int64))})
 
-    pairs = map_key_partitions(hourly, ["bucket"], _pair_rows)
+    pairs = map_key_partitions(hourly, ["bucket"], _hourly_pair_rows)
 
     def _roll(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -6228,6 +6183,31 @@ def q_source_corr_1m(sf_dir: str):
         ["source_a", "source_b"]).reset_index(drop=True)
 
 
+def _hourly_pair_rows(t: pa.Table) -> pa.Table:
+    """Bucket-local source-pair self-merge shared by the rank-correlation
+    family (Kendall/Spearman): one (source_a < source_b) pair row per
+    common bucket, carrying both cents values."""
+    empty = pa.table(
+        {"source_a": pa.array([], pa.string()),
+         "source_b": pa.array([], pa.string()),
+         "x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
+    if t.num_rows == 0:
+        return empty
+    df = pd.DataFrame(
+        {"source": t["source"].to_numpy(zero_copy_only=False),
+         "bucket": t["bucket"].to_numpy(zero_copy_only=False),
+         "v": t["sum_tok"].to_numpy(zero_copy_only=False)})
+    m = df.merge(df, on="bucket", suffixes=("_a", "_b"))
+    m = m[m["source_a"] < m["source_b"]]
+    if not len(m):
+        return empty
+    return pa.table(
+        {"source_a": pa.array(m["source_a"].to_numpy(), pa.string()),
+         "source_b": pa.array(m["source_b"].to_numpy(), pa.string()),
+         "x": pa.array(m["v_a"].to_numpy(np.int64)),
+         "y": pa.array(m["v_b"].to_numpy(np.int64))})
+
+
 def q_kendall_tau_1h(sf_dir: str):
     """Rank correlation between every two sources' HOURLY cents series over
     their common hours: exact tie-aware Kendall tau-b — the robust
@@ -6251,27 +6231,6 @@ def q_kendall_tau_1h(sf_dir: str):
     import math
 
     from tsrollup.shuffle import group_slices, map_key_partitions
-
-    def _pair_rows(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"source_a": pa.array([], pa.string()),
-             "source_b": pa.array([], pa.string()),
-             "x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
-        if t.num_rows == 0:
-            return empty
-        df = pd.DataFrame(
-            {"source": t["source"].to_numpy(zero_copy_only=False),
-             "bucket": t["bucket"].to_numpy(zero_copy_only=False),
-             "v": t["sum_tok"].to_numpy(zero_copy_only=False)})
-        m = df.merge(df, on="bucket", suffixes=("_a", "_b"))
-        m = m[m["source_a"] < m["source_b"]]
-        if not len(m):
-            return empty
-        return pa.table(
-            {"source_a": pa.array(m["source_a"].to_numpy(), pa.string()),
-             "source_b": pa.array(m["source_b"].to_numpy(), pa.string()),
-             "x": pa.array(m["v_a"].to_numpy(np.int64)),
-             "y": pa.array(m["v_b"].to_numpy(np.int64))})
 
     def _tie_pairs(vals: np.ndarray) -> int:
         _, cnt = np.unique(vals, return_counts=True)
@@ -6327,7 +6286,7 @@ def q_kendall_tau_1h(sf_dir: str):
              "tau": pa.array([r[3] for r in rows], pa.float64())})
 
     hourly = cascade_tier(_rolled_events(sf_dir), 60)
-    pairs = map_key_partitions(hourly, ["bucket"], _pair_rows)
+    pairs = map_key_partitions(hourly, ["bucket"], _hourly_pair_rows)
     return map_key_partitions(pairs, ["source_a", "source_b"], _tau_block)
 
 
@@ -6499,6 +6458,11 @@ def q_rfm_segments(sf_dir: str, k: int = 5):
                    Count(alias_name="f"),
                    Sum("cents", alias_name="m"))
     ).materialize()  # users-bounded; consumed by max-day + three ntiles
+    if fold.count() == 0:  # no non-null users: the oracle returns 0 rows
+        return pd.DataFrame({"r_q": pd.Series(dtype=np.int64),
+                             "f_q": pd.Series(dtype=np.int64),
+                             "m_q": pd.Series(dtype=np.int64),
+                             "n_users": pd.Series(dtype=np.int64)})
     gmax = int(fold.aggregate(Max("last_day"))["max(last_day)"])
     fold = fold.map_batches(
         lambda t: pa.table({"user_id": t["user_id"].cast(pa.int64()),
@@ -6553,27 +6517,6 @@ def q_spearman_rho_1h(sf_dir: str):
 
     from tsrollup.shuffle import group_slices, map_key_partitions
 
-    def _pair_rows(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"source_a": pa.array([], pa.string()),
-             "source_b": pa.array([], pa.string()),
-             "x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
-        if t.num_rows == 0:
-            return empty
-        df = pd.DataFrame(
-            {"source": t["source"].to_numpy(zero_copy_only=False),
-             "bucket": t["bucket"].to_numpy(zero_copy_only=False),
-             "v": t["sum_tok"].to_numpy(zero_copy_only=False)})
-        m = df.merge(df, on="bucket", suffixes=("_a", "_b"))
-        m = m[m["source_a"] < m["source_b"]]
-        if not len(m):
-            return empty
-        return pa.table(
-            {"source_a": pa.array(m["source_a"].to_numpy(), pa.string()),
-             "source_b": pa.array(m["source_b"].to_numpy(), pa.string()),
-             "x": pa.array(m["v_a"].to_numpy(np.int64)),
-             "y": pa.array(m["v_b"].to_numpy(np.int64))})
-
     def _midrank2(v: np.ndarray) -> np.ndarray:
         """Doubled midranks: 2*rank_min + tie_count - 1 (exact integers)."""
         _, inv, cnt = np.unique(v, return_inverse=True, return_counts=True)
@@ -6615,7 +6558,7 @@ def q_spearman_rho_1h(sf_dir: str):
              "rho": pa.array([r[3] for r in rows], pa.float64())})
 
     hourly = cascade_tier(_rolled_events(sf_dir), 60)
-    pairs = map_key_partitions(hourly, ["bucket"], _pair_rows)
+    pairs = map_key_partitions(hourly, ["bucket"], _hourly_pair_rows)
     return map_key_partitions(pairs, ["source_a", "source_b"], _rho_block)
 
 
@@ -7440,7 +7383,8 @@ ORACLE_SQL: dict[str, str] = {
                           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
                              > 1800000000
                         THEN 1 ELSE 0 END AS nb
-            FROM events WHERE event_type IS NOT NULL
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         s AS (
             SELECT *, SUM(nb) OVER (
