@@ -902,6 +902,102 @@ def q_tukey_outliers(sf_dir: str):
     return map_key_groups(hist, ["source"], _fences, batch_format="pandas")
 
 
+def q_mwu_sources(sf_dir: str):
+    """Pairwise Mann-Whitney U between sources' cents distributions — the
+    nonparametric location test completing the two-sample family
+    (ks_2samp_sources tests shape, this tests stochastic dominance). Same
+    exact integer midrank identity as quality_auc, applied per source pair
+    over the merged value axis of the shared histogram: u2 = 2*U is an
+    exact integer (Python bignum fold — no overflow at any scale), and
+    the common-language effect size cles = u2/(2*na*nb) is one division
+    of exact integers. Pairs where either side is empty are skipped."""
+    hist = _cents_histogram(sf_dir).to_pandas()  # sources x distinct cents
+    empty = pd.DataFrame(
+        {"source_a": pd.Series(dtype=object),
+         "source_b": pd.Series(dtype=object),
+         "u2": pd.Series(dtype=np.int64),
+         "cles": pd.Series(dtype=np.float64)})
+    if not len(hist):
+        return empty
+    sources = sorted(hist["source"].unique().tolist())
+    rows = []
+    by_src = {s: hist[hist["source"] == s].sort_values("cents")
+              for s in sources}
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            ha, hb = by_src[a], by_src[b]
+            va = ha["cents"].to_numpy()
+            ca = ha["n"].to_numpy()
+            vb = hb["cents"].to_numpy()
+            cb = hb["n"].to_numpy()
+            vals = np.union1d(va, vb)
+            ta = np.zeros(len(vals), dtype=np.int64)
+            tb = np.zeros(len(vals), dtype=np.int64)
+            ta[np.searchsorted(vals, va)] = ca
+            tb[np.searchsorted(vals, vb)] = cb
+            na, nb = int(ta.sum()), int(tb.sum())
+            if na == 0 or nb == 0:
+                continue
+            tv = ta + tb
+            cum_less = np.concatenate(([0], np.cumsum(tv)[:-1]))
+            # 2*sum of a-side midranks over the merged ranking (bignum)
+            sum2r = int((ta.astype(object)
+                         * (2 * cum_less.astype(object) + tv + 1)).sum())
+            u2 = sum2r - na * (na + 1)
+            rows.append({"source_a": a, "source_b": b,
+                         "u2": np.int64(u2),
+                         "cles": _round6(float(u2) / float(2 * na * nb))})
+    return pd.DataFrame(rows) if rows else empty
+
+
+def q_welch_t_sources(sf_dir: str):
+    """Pairwise Welch t-statistic between sources' cents means — the
+    unequal-variance mean-difference test (the parametric complement to
+    mwu_sources). All moments are exact integers from the shared
+    histogram (Σc, Σc·v, Σc·v² per source, bignum fold); the t value is
+    the LITERAL same float expression evaluated on both sides: two
+    divisions for the means, the two variance terms, one sqrt, one final
+    division — each step correctly-rounded IEEE from exact-integer casts,
+    so the 6dp values hash-match. Pairs need n >= 2 on both sides and a
+    positive variance sum."""
+    import math
+
+    hist = _cents_histogram(sf_dir).to_pandas()
+    empty = pd.DataFrame(
+        {"source_a": pd.Series(dtype=object),
+         "source_b": pd.Series(dtype=object),
+         "n_a": pd.Series(dtype=np.int64),
+         "n_b": pd.Series(dtype=np.int64),
+         "t_stat": pd.Series(dtype=np.float64)})
+    if not len(hist):
+        return empty
+    sources = sorted(hist["source"].unique().tolist())
+    mom = {}
+    for s in sources:
+        sub = hist[hist["source"] == s]
+        v = sub["cents"].to_numpy().astype(object)
+        c = sub["n"].to_numpy().astype(object)
+        mom[s] = (int(c.sum()), int((c * v).sum()), int((c * v * v).sum()))
+    rows = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            (na, sa, qa), (nb, sb, qb) = mom[a], mom[b]
+            if na < 2 or nb < 2:
+                continue
+            # sample variances from exact integers: (n*q - s^2)/(n*(n-1))
+            var_a = float(na * qa - sa * sa) / float(na * (na - 1))
+            var_b = float(nb * qb - sb * sb) / float(nb * (nb - 1))
+            se2 = var_a / float(na) + var_b / float(nb)
+            if se2 <= 0:
+                continue
+            t = (float(sa) / float(na) - float(sb) / float(nb)) \
+                / math.sqrt(se2)
+            rows.append({"source_a": a, "source_b": b,
+                         "n_a": np.int64(na), "n_b": np.int64(nb),
+                         "t_stat": _round6(t)})
+    return pd.DataFrame(rows) if rows else empty
+
+
 def q_quantiles_kll(sf_dir: str, k: int = 200):
     """Approximate per-source percentiles via mergeable KLL sketches — the
     100 TB scale path for ``q_quantiles`` when the value domain is UNBOUNDED
@@ -8790,6 +8886,68 @@ ORACLE_SQL["kendall_tau_1h"] = f"""
     WHERE n0 - n1 > 0 AND n0 - n2 > 0
 """
 
+# Mann-Whitney per source pair via the exact integer midrank identity
+# over the merged value axis; u2 = 2U is exact, cles one division
+ORACLE_SQL["mwu_sources"] = """
+    WITH v AS (SELECT event_type AS source,
+                      CAST(FLOOR(value * 100) AS BIGINT) AS val
+               FROM events),
+    h AS (SELECT source, val, CAST(COUNT(*) AS BIGINT) AS n
+          FROM v GROUP BY 1, 2),
+    ax AS (SELECT a.source AS sa, b.source AS sb, vv.val
+           FROM (SELECT DISTINCT source FROM h) a
+           JOIN (SELECT DISTINCT source FROM h) b ON a.source < b.source
+           CROSS JOIN (SELECT DISTINCT val FROM h) vv),
+    d AS (SELECT ax.sa, ax.sb, ax.val,
+                 COALESCE(h1.n, 0) AS ta, COALESCE(h2.n, 0) AS tb
+          FROM ax
+          LEFT JOIN h h1 ON h1.source = ax.sa AND h1.val = ax.val
+          LEFT JOIN h h2 ON h2.source = ax.sb AND h2.val = ax.val
+          WHERE COALESCE(h1.n, 0) + COALESCE(h2.n, 0) > 0),
+    r AS (SELECT sa, sb, ta, tb, ta + tb AS tv,
+                 COALESCE(SUM(ta + tb) OVER (
+                     PARTITION BY sa, sb ORDER BY val
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cum_less
+          FROM d),
+    s AS (SELECT sa, sb, SUM(ta) AS na, SUM(tb) AS nb,
+                 SUM(CAST(ta AS HUGEINT) * (2 * cum_less + tv + 1))
+                     AS sum2r
+          FROM r GROUP BY 1, 2)
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(sum2r - na * (na + 1) AS BIGINT) AS u2,
+           ROUND(CAST(sum2r - na * (na + 1) AS DOUBLE)
+                 / CAST(2 * na * nb AS DOUBLE), 6) AS cles
+    FROM s WHERE na > 0 AND nb > 0
+"""
+
+# Welch t from exact integer moments; the t expression is evaluated as
+# the LITERAL same chain of IEEE ops on both sides, 6dp
+ORACLE_SQL["welch_t_sources"] = """
+    WITH v AS (SELECT event_type AS source,
+                      CAST(FLOOR(value * 100) AS BIGINT) AS c
+               FROM events),
+    m AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(c AS HUGEINT)) AS s,
+                 SUM(CAST(c AS HUGEINT) * c) AS q
+          FROM v GROUP BY 1),
+    p AS (SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb,
+                 CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                     - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS md,
+                 CAST(a.n * a.q - a.s * a.s AS DOUBLE)
+                     / CAST(a.n * (a.n - 1) AS DOUBLE)
+                     / CAST(a.n AS DOUBLE)
+                 + CAST(b.n * b.q - b.s * b.s AS DOUBLE)
+                     / CAST(b.n * (b.n - 1) AS DOUBLE)
+                     / CAST(b.n AS DOUBLE) AS se2
+          FROM m a JOIN m b ON a.source < b.source
+          WHERE a.n >= 2 AND b.n >= 2)
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(md / SQRT(se2), 6) AS t_stat
+    FROM p WHERE se2 > 0
+"""
+
 # Tukey fences from exact-dyadic interpolated quartiles; integer-vs-fence
 # comparisons are bit-identical
 ORACLE_SQL["tukey_outliers"] = """
@@ -9110,6 +9268,8 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "systematic_sample": q_systematic_sample,
     "tukey_outliers": q_tukey_outliers,
+    "mwu_sources": q_mwu_sources,
+    "welch_t_sources": q_welch_t_sources,
     "cusum_1m": q_cusum_1m,
     "profile_events": q_profile_events,
     "sliding_distinct_24h": q_sliding_distinct_24h,
