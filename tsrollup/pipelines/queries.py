@@ -998,6 +998,103 @@ def q_welch_t_sources(sf_dir: str):
     return pd.DataFrame(rows) if rows else empty
 
 
+def q_survival_km(sf_dir: str):
+    """Kaplan-Meier survival curve with right-censoring — time from a
+    user's first 'signup' to their first subsequent 'purchase'; users who
+    never purchase are censored at the corpus' last timestamp. The
+    survival-analysis shape (churn/conversion curves) no plain aggregate
+    expresses: at every observed event time t, n_risk = users still under
+    observation, d = conversions at t, and ln S(t) = Σ ln(1 − d/n) folds
+    EXACTLY as the fixed-point integer Σ (F(n−d) − F(n)) (F = floor(ln·1e9),
+    the token_entropy recipe), so the cumulative product needs no float
+    chain. Terminal steps where everyone at risk converts (n == d, S → 0)
+    are excluded on both sides.
+
+    Shape: one user-keyed exchange builds (duration, observed) per signup
+    user; the (t, d, c) step histogram is bounded by distinct durations
+    (calendar minutes), so the suffix-cumsum risk set and the KM fold run
+    driver-side over that reduced table."""
+    from ray.data.aggregate import Max, Sum
+
+    from tsrollup.pipelines.docqueries import _FP_SCALE, _ln_fp
+    from tsrollup.shuffle import map_key_partitions
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"])
+    # corpus max ts in us (tiny aggregate over the pruned ts column)
+    gmax_us = int(np.datetime64(
+        ev.aggregate(Max("ts"))["max(ts)"], "us").astype(np.int64))
+
+    def _durations(t: pa.Table) -> pa.Table:
+        empty = pa.table({"t": pa.array([], pa.int64()),
+                          "d": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        t = t.filter(pc.and_kleene(
+            pc.is_valid(t["user_id"]),
+            pc.is_in(t["event_type"], value_set=pa.array(
+                ["signup", "purchase"]))))
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        is_su = pc.equal(t["event_type"], "signup") \
+            .to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([True], uid[1:] != uid[:-1]))
+        gidx = np.cumsum(starts) - 1
+        n_users = int(starts.sum())
+        s_ts = np.full(n_users, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(s_ts, gidx[is_su], ts[is_su])
+        # first purchase at/after the user's first signup
+        p_ts = np.full(n_users, np.iinfo(np.int64).max, dtype=np.int64)
+        is_pu = ~is_su
+        pu_ok = is_pu & (ts >= s_ts[gidx])
+        np.minimum.at(p_ts, gidx[pu_ok], ts[pu_ok])
+        has_su = s_ts != np.iinfo(np.int64).max
+        obs = has_su & (p_ts != np.iinfo(np.int64).max)
+        dur = np.where(obs, p_ts - s_ts, gmax_us - s_ts)[has_su] \
+            // 60_000_000
+        ob = obs[has_su].astype(np.int64)
+        key = dur * 2 + ob
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({"t": pa.array(uk // 2),
+                         "d": pa.array((uk % 2) * cnt),
+                         "c": pa.array(cnt)})
+
+    steps = (
+        map_key_partitions(ev, ["user_id"], _durations)
+        .groupby("t")
+        .aggregate(Sum("d", alias_name="d"), Sum("c", alias_name="c"))
+        .to_pandas()  # bounded by distinct durations (calendar minutes)
+    )
+    empty = pd.DataFrame(
+        {"t_min": pd.Series(dtype=np.int64),
+         "n_risk": pd.Series(dtype=np.int64),
+         "n_events": pd.Series(dtype=np.int64),
+         "lns_fp": pd.Series(dtype=np.int64),
+         "ln_survival": pd.Series(dtype=np.float64)})
+    if not len(steps):
+        return empty
+    steps = steps.sort_values("t")
+    c = steps["c"].to_numpy(np.int64)
+    d = steps["d"].to_numpy(np.int64)
+    t = steps["t"].to_numpy(np.int64)
+    n_risk = np.cumsum(c[::-1])[::-1]  # users with duration >= t
+    rows, lnfp = [], 0
+    for ti, ni, di in zip(t, n_risk, d):
+        if di == 0:
+            continue  # censor-only time: no KM step
+        if ni <= di:
+            break  # terminal step: S -> 0, ln undefined (excluded both sides)
+        lnfp += _ln_fp(int(ni - di)) - _ln_fp(int(ni))
+        rows.append({"t_min": np.int64(ti), "n_risk": np.int64(ni),
+                     "n_events": np.int64(di), "lns_fp": np.int64(lnfp),
+                     "ln_survival": float(_round6(
+                         float(lnfp) / float(_FP_SCALE)))})
+    return pd.DataFrame(rows) if rows else empty
+
+
 def q_quantiles_kll(sf_dir: str, k: int = 200):
     """Approximate per-source percentiles via mergeable KLL sketches — the
     100 TB scale path for ``q_quantiles`` when the value domain is UNBOUNDED
@@ -8886,6 +8983,43 @@ ORACLE_SQL["kendall_tau_1h"] = f"""
     WHERE n0 - n1 > 0 AND n0 - n2 > 0
 """
 
+# Kaplan-Meier in the shared floor(ln*1e9) fixed point: ln S(t) folds as
+# the exact integer sum of F(n-d) - F(n); censored-at-corpus-end users
+# stay in the risk set; terminal n == d steps excluded on both sides
+ORACLE_SQL["survival_km"] = """
+    WITH su AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+                WHERE event_type = 'signup' AND user_id IS NOT NULL
+                GROUP BY 1),
+    pu AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+           FROM events e JOIN su USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+           GROUP BY 1),
+    mx AS (SELECT MAX(ts) AS m FROM events),
+    durs AS (SELECT su.user_id,
+                    CASE WHEN pu.p_ts IS NOT NULL
+                         THEN (epoch_us(pu.p_ts) - epoch_us(su.s_ts))
+                              // 60000000
+                         ELSE (epoch_us(mx.m) - epoch_us(su.s_ts))
+                              // 60000000 END AS t,
+                    CASE WHEN pu.p_ts IS NOT NULL THEN 1 ELSE 0 END AS obs
+             FROM su LEFT JOIN pu USING (user_id) CROSS JOIN mx),
+    steps AS (SELECT t, CAST(SUM(obs) AS BIGINT) AS d
+              FROM durs GROUP BY t HAVING SUM(obs) > 0),
+    risk AS (SELECT s.t, s.d,
+                    (SELECT CAST(COUNT(*) AS BIGINT) FROM durs
+                     WHERE durs.t >= s.t) AS n
+             FROM steps s),
+    km AS (SELECT t, n, d,
+                  SUM(CAST(FLOOR(LN(n - d) * 1000000000) AS BIGINT)
+                      - CAST(FLOOR(LN(n) * 1000000000) AS BIGINT))
+                      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnfp
+           FROM risk WHERE n > d)
+    SELECT t AS t_min, n AS n_risk, d AS n_events,
+           CAST(lnfp AS BIGINT) AS lns_fp,
+           ROUND(CAST(lnfp AS DOUBLE) / 1000000000, 6) AS ln_survival
+    FROM km
+"""
+
 # Mann-Whitney per source pair via the exact integer midrank identity
 # over the merged value axis; u2 = 2U is exact, cles one division
 ORACLE_SQL["mwu_sources"] = """
@@ -9270,6 +9404,7 @@ QUERIES = {
     "tukey_outliers": q_tukey_outliers,
     "mwu_sources": q_mwu_sources,
     "welch_t_sources": q_welch_t_sources,
+    "survival_km": q_survival_km,
     "cusum_1m": q_cusum_1m,
     "profile_events": q_profile_events,
     "sliding_distinct_24h": q_sliding_distinct_24h,
