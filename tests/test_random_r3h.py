@@ -32,7 +32,7 @@ SWEEP = [
     "session_paths", "kendall_tau_1h", "quantiles_cont",
     "throttle_events", "ks_2samp_sources", "spearman_rho_1h",
     "rfm_segments", "systematic_sample", "tukey_outliers",
-    "mwu_sources", "welch_t_sources", "survival_km",
+    "mwu_sources", "welch_t_sources", "survival_km", "hill_tail_index",
 ]
 
 

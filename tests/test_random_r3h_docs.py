@@ -19,7 +19,7 @@ SWEEP = [
     "doclen_quantiles", "trending_tokens", "source_perplexity",
     "token_pareto", "lexicon_score", "corpus_grep", "stratified_sample",
     # round-3l family
-    "token_simpson", "kl_divergence_sources",
+    "token_simpson", "kl_divergence_sources", "readability",
 ]
 
 _WORDS = ["a", "ab", "the", "x\x00y", "x\x00z", "Zürich", "ému", "q1",

@@ -925,6 +925,67 @@ def q_token_simpson(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True) if rows else out
 
 
+def q_readability(sf_dir: str):
+    """Per-source Flesch reading-ease estimate — the classic readability
+    screen of a text-quality pipeline, reduced to exactly-verifiable
+    counts: words = whitespace tokens, sentences = [.!?] occurrences plus
+    one per non-empty document (the standard "unterminated text is one
+    sentence" convention), syllables ~ vowel runs [aeiouAEIOU]+ (the
+    standard regex
+    approximation; RE2 semantics identical in Arrow and DuckDB — probed).
+    All three are exact integer sums per source; the score
+    206.835 − 1.015·(W/S) − 84.6·(Y/W) is the LITERAL same float
+    expression on both sides, 6dp. Sources with zero sentences or words
+    are excluded on both sides."""
+    from ray.data.aggregate import Sum
+
+    from tsrollup.pipelines.queries import _round6
+
+    def _partial(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        words = text.count_tokens_batch(t).to_numpy().astype(np.int64)
+        sents = pc.fill_null(pc.count_substring_regex(
+            txt, pattern=r"[.!?]"), 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64) + (words > 0)
+        syls = pc.fill_null(pc.count_substring_regex(
+            txt, pattern=r"[aeiouAEIOU]+"), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"source": t["source"],
+                         "w": pa.array(words), "s": pa.array(sents),
+                         "y": pa.array(syls)})
+
+    agg = (
+        _docs(sf_dir, ("source", "text"))
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("w", alias_name="w"), Sum("s", alias_name="s"),
+                   Sum("y", alias_name="y"))
+        .to_pandas()  # sources-bounded
+    )
+    empty = pd.DataFrame(
+        {"source": pd.Series(dtype=object),
+         "n_words": pd.Series(dtype=np.int64),
+         "n_sentences": pd.Series(dtype=np.int64),
+         "n_syllables": pd.Series(dtype=np.int64),
+         "flesch": pd.Series(dtype=np.float64)})
+    if not len(agg):
+        return empty
+    rows = []
+    for r in agg.itertuples(index=False):
+        w, s, y = int(r.w), int(r.s), int(r.y)
+        if w == 0 or s == 0:
+            continue
+        score = 206.835 - 1.015 * (float(w) / float(s)) \
+            - 84.6 * (float(y) / float(w))
+        rows.append({"source": r.source, "n_words": np.int64(w),
+                     "n_sentences": np.int64(s), "n_syllables": np.int64(y),
+                     "flesch": float(_round6(score))})
+    return pd.DataFrame(rows).sort_values("source").reset_index(drop=True) \
+        if rows else empty
+
+
 def q_quality_auc(sf_dir: str):
     """Ranking-metric evaluation: the exact Mann-Whitney AUC of ``n_chars``
     as a classifier score for ``lang = 'en'`` — the model-evaluation
@@ -4237,6 +4298,7 @@ DOC_QUERIES = {
     "quality_auc": q_quality_auc,
     "token_simpson": q_token_simpson,
     "kl_divergence_sources": q_kl_divergence_sources,
+    "readability": q_readability,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_pipeline": q_multimodal_pipeline,
     "ann_topk": q_ann_topk,
@@ -4317,6 +4379,35 @@ DOC_ORACLE_SQL["quality_auc"] = """
                 ELSE CAST(sum2r - n1 * (n1 + 1) AS DOUBLE)
                      / CAST(2 * n1 * n0 AS DOUBLE) END AS auc
     FROM s WHERE n1 IS NOT NULL
+"""
+
+# Flesch from exact integer counts (words / [.!?] / vowel runs); the
+# score is the literal same float expression on both sides, 6dp. Words
+# use the Unicode-whitespace-normalized view; vowel/sentence counts are
+# unaffected by it (1-char-for-1-char whitespace mapping)
+DOC_ORACLE_SQL["readability"] = rf"""
+    WITH c AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(coalesce(text, ''), '\S+'))
+                    AS BIGINT) AS w,
+               CAST(len(regexp_extract_all(coalesce(text, ''), '[.!?]'))
+                    + CASE WHEN len(regexp_extract_all(
+                               coalesce(text, ''), '\S+')) > 0
+                           THEN 1 ELSE 0 END AS BIGINT) AS s,
+               CAST(len(regexp_extract_all(coalesce(text, ''),
+                                           '[aeiouAEIOU]+'))
+                    AS BIGINT) AS y
+        FROM {_DOCS_WS_NORM}),
+    a AS (SELECT source, SUM(w) AS w, SUM(s) AS s, SUM(y) AS y
+          FROM c GROUP BY 1)
+    SELECT source, CAST(w AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(y AS BIGINT) AS n_syllables,
+           ROUND(206.835
+                 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                 - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)), 6)
+               AS flesch
+    FROM a WHERE w > 0 AND s > 0 ORDER BY 1
 """
 
 # KL in the shared floor(ln*1e9) fixed point: kl_fp is an exact integer

@@ -1095,6 +1095,81 @@ def q_survival_km(sf_dir: str):
     return pd.DataFrame(rows) if rows else empty
 
 
+# Hill-estimator order-statistic count; the oracle SQL shares this
+_HILL_K = 64
+
+
+def q_hill_tail_index(sf_dir: str, k: int = _HILL_K):
+    """Hill estimator of each source's heavy-tail index over its
+    per-minute event counts — the extreme-value-statistics screen
+    (is traffic volume power-law-tailed, and how heavy?). The classic
+    estimator gamma = (1/k)·Σ_{i<=k} ln(x_(i) / x_(k+1)) over the top-k
+    order statistics is EXACT in the shared floor(ln·1e9) fixed point:
+    hill_fp = Σ F(x_(i)) − k·F(x_(k+1)) is an integer (ties at the
+    boundary are value-identical, so the multiset of top-k values — and
+    the sum — is deterministic even though tied ROW_NUMBERs aren't), and
+    gamma is one division. Sources with fewer than k+1 minutes are
+    excluded on both sides. Shape: per-batch (source, count-value)
+    histogram partials fold through one keyed aggregate (bounded by the
+    value domain, not minutes); the top-k sweep runs driver-side over
+    that reduced table."""
+    from ray.data.aggregate import Sum
+
+    from tsrollup.pipelines.docqueries import _FP_SCALE, _ln_fp
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "v": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame(
+            {"source": t["source"].to_numpy(zero_copy_only=False),
+             "v": t["n_rows"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["source", "v"], sort=False).size() \
+            .reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    hist = (
+        _rolled_events(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # bounded: sources x distinct per-minute counts
+    )
+    empty = pd.DataFrame(
+        {"source": pd.Series(dtype=object),
+         "hill_fp": pd.Series(dtype=np.int64),
+         "gamma": pd.Series(dtype=np.float64)})
+    if not len(hist):
+        return empty
+    rows = []
+    for s in sorted(hist["source"].unique().tolist()):
+        sub = hist[hist["source"] == s].sort_values("v", ascending=False)
+        v = sub["v"].to_numpy(np.int64)
+        c = sub["c"].to_numpy(np.int64)
+        total = int(c.sum())
+        if total < k + 1:
+            continue
+        cum = np.cumsum(c)
+        # sum of F over the top-k multiset (partial count at the boundary)
+        top_fp, taken = 0, 0
+        for vi, ci in zip(v, c):
+            take = min(int(ci), k - taken)
+            top_fp += take * _ln_fp(int(vi))
+            taken += take
+            if taken == k:
+                break
+        xk1 = int(v[np.searchsorted(cum, k + 1)])  # (k+1)-th largest
+        hill_fp = top_fp - k * _ln_fp(xk1)
+        rows.append({"source": s, "hill_fp": np.int64(hill_fp),
+                     "gamma": float(_round6(
+                         float(hill_fp) / float(k * _FP_SCALE)))})
+    return pd.DataFrame(rows) if rows else empty
+
+
 def q_quantiles_kll(sf_dir: str, k: int = 200):
     """Approximate per-source percentiles via mergeable KLL sketches — the
     100 TB scale path for ``q_quantiles`` when the value domain is UNBOUNDED
@@ -8983,6 +9058,27 @@ ORACLE_SQL["kendall_tau_1h"] = f"""
     WHERE n0 - n1 > 0 AND n0 - n2 > 0
 """
 
+# Hill tail estimator in fixed point over the top-k per-minute counts;
+# tied ROW_NUMBERs are value-identical, so the sum is deterministic
+ORACLE_SQL["hill_tail_index"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    o AS (SELECT source, n_rows AS v,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_rows DESC) AS rn
+          FROM r),
+    th AS (SELECT source, v AS xk1 FROM o WHERE rn = {_HILL_K} + 1),
+    s AS (SELECT o.source,
+                 SUM(CAST(FLOOR(LN(o.v) * 1000000000) AS BIGINT)
+                     - CAST(FLOOR(LN(th.xk1) * 1000000000) AS BIGINT))
+                     AS hfp
+          FROM o JOIN th USING (source)
+          WHERE o.rn <= {_HILL_K} GROUP BY 1)
+    SELECT source, CAST(hfp AS BIGINT) AS hill_fp,
+           ROUND(CAST(hfp AS DOUBLE) / ({_HILL_K} * 1000000000.0), 6)
+               AS gamma
+    FROM s ORDER BY 1
+"""
+
 # Kaplan-Meier in the shared floor(ln*1e9) fixed point: ln S(t) folds as
 # the exact integer sum of F(n-d) - F(n); censored-at-corpus-end users
 # stay in the risk set; terminal n == d steps excluded on both sides
@@ -9405,6 +9501,7 @@ QUERIES = {
     "mwu_sources": q_mwu_sources,
     "welch_t_sources": q_welch_t_sources,
     "survival_km": q_survival_km,
+    "hill_tail_index": q_hill_tail_index,
     "cusum_1m": q_cusum_1m,
     "profile_events": q_profile_events,
     "sliding_distinct_24h": q_sliding_distinct_24h,
