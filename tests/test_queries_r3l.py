@@ -274,6 +274,29 @@ def test_null_users_and_empty_edges(ray_session, tmp_path_factory):
     assert len(got) == len(want) == 0
 
 
+def test_dtw_int_vs_reference():
+    """Anti-diagonal vectorized DTW against the textbook O(n^2) DP."""
+    from tsrollup.pipelines.queries import _dtw_int
+
+    def ref(a, b):
+        big = float("inf")
+        dp = [[big] * (len(b) + 1) for _ in range(len(a) + 1)]
+        dp[0][0] = 0
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                c = abs(a[i - 1] - b[j - 1])
+                dp[i][j] = c + min(dp[i - 1][j], dp[i][j - 1],
+                                   dp[i - 1][j - 1])
+        return dp[len(a)][len(b)]
+
+    rng = np.random.default_rng(2)
+    for _ in range(200):
+        a = rng.integers(-50, 50, size=int(rng.integers(1, 25)))
+        b = rng.integers(-50, 50, size=int(rng.integers(1, 25)))
+        assert _dtw_int(a.astype(np.int64), b.astype(np.int64)) \
+            == ref(a.tolist(), b.tolist())
+
+
 def _mutate(rng, base: str) -> str:
     p = int(rng.integers(0, max(len(base), 1)))
     c = str(rng.choice(list("abz\x00é中🦀")))

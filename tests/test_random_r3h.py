@@ -33,6 +33,7 @@ SWEEP = [
     "throttle_events", "ks_2samp_sources", "spearman_rho_1h",
     "rfm_segments", "systematic_sample", "tukey_outliers",
     "mwu_sources", "welch_t_sources", "survival_km", "hill_tail_index",
+    "dtw_pairs_1h",
 ]
 
 

@@ -1095,6 +1095,129 @@ def q_survival_km(sf_dir: str):
     return pd.DataFrame(rows) if rows else empty
 
 
+def _dtw_int(a: np.ndarray, b: np.ndarray) -> int:
+    """Exact integer dynamic-time-warping distance (|x−y| step cost,
+    unconstrained band) via anti-diagonal vectorization: every cell on
+    diagonal d = i+j depends only on diagonals d−1 (up/left) and d−2
+    (match), so the DP runs as Ha+Hb−1 whole-diagonal NumPy steps with no
+    per-cell Python. int64 throughout with a loud magnitude guard."""
+    ha, hb = len(a), len(b)
+    if ha == 0 or hb == 0:
+        raise ValueError("DTW over an empty series")
+    if max(int(np.abs(a).max()), int(np.abs(b).max())) * (ha + hb) >= 2**61:
+        raise ValueError("DTW cost overflows int64; pre-scale the series")
+    inf = np.int64(2**62)
+    prev1 = prev2 = None
+    lo1 = lo2 = 0
+    for d in range(ha + hb - 1):
+        i_lo = max(0, d - hb + 1)
+        i_hi = min(d, ha - 1)
+        ii = np.arange(i_lo, i_hi + 1)
+        c = np.abs(a[ii] - b[d - ii])
+        if d == 0:
+            cur = c.astype(np.int64)
+        else:
+            best = np.full(len(ii), inf)
+            # up-neighbor (i-1, j): diagonal d-1, index (i-1) - lo1
+            k = ii - 1 - lo1
+            m = (k >= 0) & (k < len(prev1))
+            best[m] = np.minimum(best[m], prev1[k[m]])
+            # left-neighbor (i, j-1): diagonal d-1, index i - lo1
+            k = ii - lo1
+            m = (k >= 0) & (k < len(prev1))
+            best[m] = np.minimum(best[m], prev1[k[m]])
+            # match (i-1, j-1): diagonal d-2, index (i-1) - lo2
+            if prev2 is not None:
+                k = ii - 1 - lo2
+                m = (k >= 0) & (k < len(prev2))
+                best[m] = np.minimum(best[m], prev2[k[m]])
+            cur = c + best
+        prev2, lo2 = prev1, lo1
+        prev1, lo1 = cur, i_lo
+    return int(prev1[0])  # the last diagonal is the single corner cell
+
+
+def q_dtw_pairs_1h(sf_dir: str):
+    """Dynamic-time-warping distance between every two sources' hourly
+    cents series — the classic elastic timeseries distance (alignment
+    tolerant of phase shifts, where Pearson/Kendall are not). EXACT: the
+    |x−y| step costs and the min-plus DP are pure int64 (loud magnitude
+    guard in _dtw_int), so the result hashes deterministically; the
+    oracle replays the identical DP as a recursive CTE over
+    anti-diagonals (each diagonal depends only on the previous two, so
+    the working set carries two diagonal generations per pair).
+
+    Shape: each source's FULL hourly series (not just common buckets —
+    DTW aligns unequal lengths) is replicated once per pair through one
+    (source_a, source_b)-keyed exchange; per-pair cost is
+    O(Ha·Hb) cells at O(Ha+Hb) NumPy diagonal steps — bounded by
+    calendar span squared, the same documented envelope as
+    kendall_tau_1h (cascade to the daily tier past ~100k hours)."""
+    from tsrollup.shuffle import group_slices, map_key_partitions
+
+    hourly = cascade_tier(_rolled_events(sf_dir), 60)
+    sources = sorted(
+        r["source"] for r in hourly.groupby("source").count().take_all())
+    pair_list = [(a, b) for i, a in enumerate(sources)
+                 for b in sources[i + 1:]]
+
+    def _emit(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source_a": pa.array([], pa.string()),
+             "source_b": pa.array([], pa.string()),
+             "side": pa.array([], pa.int64()),
+             "bucket": pa.array([], pa.int64()),
+             "v": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        src = t["source"]
+        out = [empty]
+        for sa, sb in pair_list:
+            for side, s in ((0, sa), (1, sb)):
+                sel = t.filter(pc.equal(src, s))
+                if sel.num_rows == 0:
+                    continue
+                n = sel.num_rows
+                out.append(pa.table(
+                    {"source_a": pa.array([sa] * n, pa.string()),
+                     "source_b": pa.array([sb] * n, pa.string()),
+                     "side": pa.array(np.full(n, side, np.int64)),
+                     "bucket": sel["bucket"].cast(pa.int64()),
+                     "v": sel["sum_tok"].cast(pa.int64())}))
+        return pa.concat_tables(out)
+
+    def _dtw_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source_a": pa.array([], pa.string()),
+             "source_b": pa.array([], pa.string()),
+             "n_a": pa.array([], pa.int64()),
+             "n_b": pa.array([], pa.int64()),
+             "dtw": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        rows = []
+        for g in group_slices(t, ["source_a", "source_b"]):
+            g = g.sort_by([("side", "ascending"), ("bucket", "ascending")])
+            side = g["side"].to_numpy(zero_copy_only=False)
+            v = g["v"].to_numpy(zero_copy_only=False)
+            a, b = v[side == 0], v[side == 1]
+            if len(a) == 0 or len(b) == 0:
+                continue
+            rows.append((g["source_a"][0].as_py(), g["source_b"][0].as_py(),
+                         len(a), len(b), _dtw_int(a, b)))
+        if not rows:
+            return empty
+        return pa.table(
+            {"source_a": pa.array([r[0] for r in rows], pa.string()),
+             "source_b": pa.array([r[1] for r in rows], pa.string()),
+             "n_a": pa.array([r[2] for r in rows], pa.int64()),
+             "n_b": pa.array([r[3] for r in rows], pa.int64()),
+             "dtw": pa.array([r[4] for r in rows], pa.int64())})
+
+    pairs = hourly.map_batches(_emit, batch_format="pyarrow")
+    return map_key_partitions(pairs, ["source_a", "source_b"], _dtw_block)
+
+
 # Hill-estimator order-statistic count; the oracle SQL shares this
 _HILL_K = 64
 
@@ -9058,6 +9181,74 @@ ORACLE_SQL["kendall_tau_1h"] = f"""
     WHERE n0 - n1 > 0 AND n0 - n2 > 0
 """
 
+# exact integer DTW replayed as a recursive CTE over anti-diagonals:
+# each step computes diagonal k+1 from the carried generations k (cur)
+# and k-1 (prev); a pair's rows stop recursing past k = ha + hb
+ORACLE_SQL["dtw_pairs_1h"] = f"""
+    WITH RECURSIVE
+    r AS ({_ROLLUP_SQL_BODY}),
+    h AS (SELECT source, bucket // 60 AS b,
+                 CAST(SUM(sum_cents) AS BIGINT) AS v
+          FROM r GROUP BY 1, 2),
+    idx AS (SELECT source, v,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY b) AS i
+            FROM h),
+    dims AS (SELECT source, MAX(i) AS n FROM idx GROUP BY 1),
+    prs AS (SELECT a.source AS sa, b.source AS sb, a.n AS ha, b.n AS hb
+            FROM dims a JOIN dims b ON a.source < b.source),
+    cost AS (SELECT p.sa, p.sb, x.i AS i, y.i AS j, ABS(x.v - y.v) AS c
+             FROM prs p JOIN idx x ON x.source = p.sa
+                        JOIN idx y ON y.source = p.sb),
+    dp AS (
+        SELECT sa, sb, 2 AS k, CAST(1 AS BIGINT) AS i,
+               CAST(1 AS BIGINT) AS j, CAST(c AS HUGEINT) AS val,
+               TRUE AS cur
+        FROM cost WHERE i = 1 AND j = 1
+        UNION ALL
+        SELECT * FROM (
+            WITH st AS (SELECT * FROM dp),
+            d AS (SELECT sa, sb, MAX(k) AS k FROM st GROUP BY 1, 2),
+            cand AS (
+                SELECT d.sa, d.sb, d.k + 1 AS k, c.i, c.j, c.c, p.val
+                FROM d
+                JOIN cost c ON c.sa = d.sa AND c.sb = d.sb
+                           AND c.i + c.j = d.k + 1
+                JOIN st p ON p.sa = d.sa AND p.sb = d.sb
+                         AND p.i = c.i - 1 AND p.j = c.j
+                UNION ALL
+                SELECT d.sa, d.sb, d.k + 1, c.i, c.j, c.c, p.val
+                FROM d
+                JOIN cost c ON c.sa = d.sa AND c.sb = d.sb
+                           AND c.i + c.j = d.k + 1
+                JOIN st p ON p.sa = d.sa AND p.sb = d.sb
+                         AND p.i = c.i AND p.j = c.j - 1
+                UNION ALL
+                SELECT d.sa, d.sb, d.k + 1, c.i, c.j, c.c, p.val
+                FROM d
+                JOIN cost c ON c.sa = d.sa AND c.sb = d.sb
+                           AND c.i + c.j = d.k + 1
+                JOIN st p ON p.sa = d.sa AND p.sb = d.sb
+                         AND p.i = c.i - 1 AND p.j = c.j - 1),
+            nxt AS (SELECT sa, sb, k, i, j, c + MIN(val) AS val,
+                           TRUE AS cur
+                    FROM cand GROUP BY sa, sb, k, i, j, c),
+            keep AS (SELECT p.sa, p.sb, d.k + 1 AS k, p.i, p.j, p.val,
+                            FALSE AS cur
+                     FROM d JOIN st p
+                       ON p.sa = d.sa AND p.sb = d.sb AND p.cur)
+            SELECT * FROM nxt UNION ALL SELECT * FROM keep
+        ) t
+        WHERE EXISTS (SELECT 1 FROM prs q
+                      WHERE q.sa = t.sa AND q.sb = t.sb
+                        AND t.k <= q.ha + q.hb))
+    SELECT p.sa AS source_a, p.sb AS source_b,
+           CAST(p.ha AS BIGINT) AS n_a, CAST(p.hb AS BIGINT) AS n_b,
+           CAST(MAX(dp.val) FILTER (WHERE dp.i = p.ha AND dp.j = p.hb)
+                AS BIGINT) AS dtw
+    FROM prs p JOIN dp ON dp.sa = p.sa AND dp.sb = p.sb
+    GROUP BY 1, 2, 3, 4
+"""
+
 # Hill tail estimator in fixed point over the top-k per-minute counts;
 # tied ROW_NUMBERs are value-identical, so the sum is deterministic
 ORACLE_SQL["hill_tail_index"] = f"""
@@ -9502,6 +9693,7 @@ QUERIES = {
     "welch_t_sources": q_welch_t_sources,
     "survival_km": q_survival_km,
     "hill_tail_index": q_hill_tail_index,
+    "dtw_pairs_1h": q_dtw_pairs_1h,
     "cusum_1m": q_cusum_1m,
     "profile_events": q_profile_events,
     "sliding_distinct_24h": q_sliding_distinct_24h,
