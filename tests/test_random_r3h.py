@@ -33,7 +33,7 @@ SWEEP = [
     "throttle_events", "ks_2samp_sources", "spearman_rho_1h",
     "rfm_segments", "systematic_sample", "tukey_outliers",
     "mwu_sources", "welch_t_sources", "survival_km", "hill_tail_index",
-    "dtw_pairs_1h",
+    "dtw_pairs_1h", "mk_trend_1h", "runs_test_1m",
 ]
 
 

@@ -1218,6 +1218,117 @@ def q_dtw_pairs_1h(sf_dir: str):
     return map_key_partitions(pairs, ["source_a", "source_b"], _dtw_block)
 
 
+def q_mk_trend_1h(sf_dir: str):
+    """Mann-Kendall monotonic-trend test per source over the hourly cents
+    series — the nonparametric "is it drifting?" screen (no linearity or
+    normality assumption, unlike trend_ols). S = Σ sign(v_j − v_i) over
+    time-ordered pairs i<j is an exact integer from a chunked
+    upper-triangle sweep (time has no ties — buckets are distinct), and
+    tau-b's denominator correction uses the y-tie groups exactly as in
+    kendall_tau_1h. One float: S / sqrt(n0·(n0−n2)), 6dp, evaluated
+    identically on both sides."""
+    import math
+
+    from tsrollup.shuffle import map_key_partitions
+
+    def _mk_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "n_buckets": pa.array([], pa.int64()),
+             "s_stat": pa.array([], pa.int64()),
+             "tau": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        from tsrollup.shuffle import group_slices
+
+        rows = []
+        for g in group_slices(t, ["source"]):
+            g = g.sort_by([("bucket", "ascending")])
+            v = g["sum_tok"].to_numpy(zero_copy_only=False)
+            n = len(v)
+            n0 = n * (n - 1) // 2
+            _, cnt = np.unique(v, return_counts=True)
+            co = cnt.astype(object)
+            n2 = int((co * (co - 1) // 2).sum())
+            if n0 == 0 or n0 - n2 <= 0:
+                continue
+            s = 0
+            step = 2048
+            for lo in range(0, n, step):
+                vi = v[lo:lo + step, None]
+                blk = v[None, lo:lo + step]
+                s += int(np.triu(vi < blk, k=1).sum()) \
+                    - int(np.triu(vi > blk, k=1).sum())
+                tail = v[None, lo + step:]
+                if tail.size:
+                    s += int((vi < tail).sum()) - int((vi > tail).sum())
+            tau = float(s) / math.sqrt(float(n0) * float(n0 - n2))
+            rows.append((g["source"][0].as_py(), n, s, _round6(tau)))
+        if not rows:
+            return empty
+        return pa.table(
+            {"source": pa.array([r[0] for r in rows], pa.string()),
+             "n_buckets": pa.array([r[1] for r in rows], pa.int64()),
+             "s_stat": pa.array([r[2] for r in rows], pa.int64()),
+             "tau": pa.array([r[3] for r in rows], pa.float64())})
+
+    hourly = cascade_tier(_rolled_events(sf_dir), 60)
+    return map_key_partitions(hourly, ["source"], _mk_block)
+
+
+def q_runs_test_1m(sf_dir: str):
+    """Wald-Wolfowitz runs test per source: is the minute-sum series
+    random around its median, or does it cluster? Values equal to the
+    per-source ``quantile_disc`` median are excluded (the standard
+    convention); R = number of sign runs, and the z-score's
+    μ = 2ab/n + 1 and σ² = 2ab(2ab−n)/(n²(n−1)) are rationals of exact
+    integers — z is the literal same float chain on both sides, 6dp.
+    One source-keyed exchange; the run count is one vectorized diff."""
+    import math
+
+    from tsrollup.shuffle import group_slices, map_key_partitions
+
+    def _runs_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "n_above": pa.array([], pa.int64()),
+             "n_below": pa.array([], pa.int64()),
+             "n_runs": pa.array([], pa.int64()),
+             "z": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        rows = []
+        for g in group_slices(t, ["source"]):
+            g = g.sort_by([("bucket", "ascending")])
+            v = g["sum_tok"].to_numpy(zero_copy_only=False)
+            n_all = len(v)
+            med = int(np.sort(v)[max(1, int(np.ceil(0.5 * n_all))) - 1])
+            sign = v[v != med] > med
+            a, b = int(sign.sum()), int((~sign).sum())
+            n = a + b
+            if a == 0 or b == 0 or n < 2:
+                continue
+            r = 1 + int((sign[1:] != sign[:-1]).sum())
+            two_ab = 2 * a * b
+            mu = float(two_ab) / float(n) + 1.0
+            var = float(two_ab * (two_ab - n)) / float(n * n * (n - 1))
+            if var <= 0:
+                continue
+            z = (float(r) - mu) / math.sqrt(var)
+            rows.append((g["source"][0].as_py(), a, b, r, _round6(z)))
+        if not rows:
+            return empty
+        return pa.table(
+            {"source": pa.array([r[0] for r in rows], pa.string()),
+             "n_above": pa.array([r[1] for r in rows], pa.int64()),
+             "n_below": pa.array([r[2] for r in rows], pa.int64()),
+             "n_runs": pa.array([r[3] for r in rows], pa.int64()),
+             "z": pa.array([r[4] for r in rows], pa.float64())})
+
+    return map_key_partitions(_rolled_events(sf_dir), ["source"],
+                              _runs_block)
+
+
 # Hill-estimator order-statistic count; the oracle SQL shares this
 _HILL_K = 64
 
@@ -9181,6 +9292,65 @@ ORACLE_SQL["kendall_tau_1h"] = f"""
     WHERE n0 - n1 > 0 AND n0 - n2 > 0
 """
 
+# Mann-Kendall S as an exact integer pair count (time is tie-free);
+# tau-b's y-tie correction matches kendall_tau_1h; one float, 6dp
+ORACLE_SQL["mk_trend_1h"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    h AS (SELECT source, bucket // 60 AS b,
+                 CAST(SUM(sum_cents) AS BIGINT) AS v
+          FROM r GROUP BY 1, 2),
+    p AS (SELECT x.source,
+                 CAST(SUM(CASE WHEN y.v > x.v THEN 1
+                               WHEN y.v < x.v THEN -1 ELSE 0 END)
+                      AS BIGINT) AS s
+          FROM h x JOIN h y ON x.source = y.source AND x.b < y.b
+          GROUP BY 1),
+    nn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
+    tt AS (SELECT source,
+                  CAST(SUM(CAST(c AS HUGEINT) * (c - 1) // 2) AS BIGINT)
+                      AS n2
+           FROM (SELECT source, v, COUNT(*) AS c FROM h GROUP BY 1, 2)
+           GROUP BY 1)
+    SELECT nn.source, nn.n AS n_buckets, p.s AS s_stat,
+           ROUND(CAST(p.s AS DOUBLE)
+                 / SQRT(CAST(nn.n * (nn.n - 1) // 2 AS DOUBLE)
+                        * CAST(nn.n * (nn.n - 1) // 2 - tt.n2 AS DOUBLE)),
+                 6) AS tau
+    FROM nn JOIN p USING (source) JOIN tt USING (source)
+    WHERE nn.n * (nn.n - 1) // 2 > 0
+      AND nn.n * (nn.n - 1) // 2 - tt.n2 > 0
+"""
+
+# Wald-Wolfowitz runs test around the quantile_disc median; the z chain
+# is the literal same sequence of IEEE ops on both sides, 6dp
+ORACLE_SQL["runs_test_1m"] = f"""
+    WITH r AS ({_ROLLUP_SQL_BODY}),
+    m AS (SELECT source, quantile_disc(sum_cents, 0.5) AS med
+          FROM r GROUP BY 1),
+    f AS (SELECT r.source, r.bucket, r.sum_cents > m.med AS sgn
+          FROM r JOIN m USING (source) WHERE r.sum_cents <> m.med),
+    fl AS (SELECT source, sgn,
+                  CASE WHEN sgn <> LAG(sgn) OVER (
+                           PARTITION BY source ORDER BY bucket)
+                       THEN 1 ELSE 0 END AS brk
+           FROM f),
+    rr AS (SELECT source, 1 + SUM(brk) AS nruns,
+                  SUM(CASE WHEN sgn THEN 1 ELSE 0 END) AS a,
+                  SUM(CASE WHEN sgn THEN 0 ELSE 1 END) AS b
+           FROM fl GROUP BY 1),
+    s AS (SELECT source, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                 CAST(nruns AS BIGINT) AS nruns, a + b AS n,
+                 CAST(2 * a * b AS HUGEINT) AS tab
+          FROM rr WHERE a > 0 AND b > 0 AND a + b >= 2)
+    SELECT source, a AS n_above, b AS n_below, nruns AS n_runs,
+           ROUND((CAST(nruns AS DOUBLE)
+                  - (CAST(tab AS DOUBLE) / CAST(n AS DOUBLE) + 1.0))
+                 / SQRT(CAST(tab * (tab - n) AS DOUBLE)
+                        / CAST(CAST(n AS HUGEINT) * n * (n - 1)
+                               AS DOUBLE)), 6) AS z
+    FROM s WHERE tab * (tab - n) > 0
+"""
+
 # exact integer DTW replayed as a recursive CTE over anti-diagonals:
 # each step computes diagonal k+1 from the carried generations k (cur)
 # and k-1 (prev); a pair's rows stop recursing past k = ha + hb
@@ -9694,6 +9864,8 @@ QUERIES = {
     "survival_km": q_survival_km,
     "hill_tail_index": q_hill_tail_index,
     "dtw_pairs_1h": q_dtw_pairs_1h,
+    "mk_trend_1h": q_mk_trend_1h,
+    "runs_test_1m": q_runs_test_1m,
     "cusum_1m": q_cusum_1m,
     "profile_events": q_profile_events,
     "sliding_distinct_24h": q_sliding_distinct_24h,
