@@ -3278,7 +3278,7 @@ def q_rolling_corr_24h(sf_dir: str):
              "x": pa.array(m["c_a"].to_numpy(np.int64)),
              "y": pa.array(m["c_b"].to_numpy(np.int64))})
 
-    pairs = map_key_partitions(hourly, ["bucket"], _hourly_pair_rows)
+    pairs = map_key_partitions(hourly, ["bucket"], _pair_rows)
 
     def _roll(t: pa.Table) -> pa.Table:
         empty = pa.table(
