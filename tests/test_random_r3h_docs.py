@@ -20,6 +20,7 @@ SWEEP = [
     "token_pareto", "lexicon_score", "corpus_grep", "stratified_sample",
     # round-3l family
     "token_simpson", "kl_divergence_sources", "readability",
+    "cosine_sources",
 ]
 
 _WORDS = ["a", "ab", "the", "x\x00y", "x\x00z", "Zürich", "ému", "q1",

@@ -2614,6 +2614,86 @@ def q_kl_divergence_sources(sf_dir: str):
     return pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
 
 
+def q_cosine_sources(sf_dir: str):
+    """Frequency-weighted cosine similarity between every two sources'
+    token-count vectors — the drift/mixture-similarity complement to
+    vocab_overlap (which is set-based and ignores frequency). Exact up to
+    the final float: dot products and squared norms are integer sums over
+    the memoized (source, token) counts (per-partition partials loudly
+    int64-guarded, driver combine in Python bignum; the SQL side sums in
+    HUGEINT), and cosine is one divide+sqrt chain of exact integers, 6dp.
+    One token-keyed exchange computes every pair's dot in-partition;
+    pairs sharing no token have no row on either side."""
+    from tsrollup.hashing import safe_factorize
+    from tsrollup.pipelines.queries import _round6
+    from tsrollup.shuffle import group_slices, map_key_partitions
+
+    counts = _source_token_counts(sf_dir)
+
+    def _partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"sa": pa.array([], pa.string()),
+                          "sb": pa.array([], pa.string()),
+                          "dot": pa.array([], pa.int64()),
+                          "sq": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tcodes, _ = safe_factorize(t["token"].to_numpy(zero_copy_only=False))
+        scodes, sunq = safe_factorize(
+            t["source"].to_numpy(zero_copy_only=False))
+        n_tok, n_src = int(tcodes.max()) + 1, len(sunq)
+        # guarded int64 Gram matmul (the bollinger fast-path discipline):
+        # every partial dot is bounded by n_tok * max_c^2
+        mc = int(c.max()) if len(c) else 0
+        if n_tok * mc * mc >= 2**62:
+            raise ValueError(
+                "cosine partial overflows int64; shrink partitions or "
+                "widen the partial to hi/lo")
+        m = np.zeros((n_tok, n_src), dtype=np.int64)
+        m[tcodes, scodes] = c
+        gram = m.T @ m
+        order = np.argsort(sunq, kind="stable")
+        rows_a, rows_b, rows_d, rows_q = [], [], [], []
+        for oi in range(n_src):
+            i = order[oi]
+            rows_a.append(sunq[i]); rows_b.append("")  # norm row marker
+            rows_d.append(0); rows_q.append(int(gram[i, i]))
+            for oj in range(oi + 1, n_src):
+                j = order[oj]
+                if gram[i, j]:
+                    rows_a.append(sunq[i]); rows_b.append(sunq[j])
+                    rows_d.append(int(gram[i, j])); rows_q.append(0)
+        return pa.table({"sa": pa.array(rows_a, pa.string()),
+                         "sb": pa.array(rows_b, pa.string()),
+                         "dot": pa.array(rows_d, pa.int64()),
+                         "sq": pa.array(rows_q, pa.int64())})
+
+    partials = map_key_partitions(counts, ["token"], _partials) \
+        .to_pandas()  # bounded: partitions x source-pairs
+    empty = pd.DataFrame({"source_a": pd.Series(dtype=object),
+                          "source_b": pd.Series(dtype=object),
+                          "cosine": pd.Series(dtype=np.float64)})
+    if not len(partials):
+        return empty
+    for col in ("dot", "sq"):
+        partials[col] = partials[col].astype(object)  # bignum combine
+    agg = partials.groupby(["sa", "sb"], as_index=False).sum()
+    norms = {r.sa: int(r.sq) for r in agg[agg["sb"] == ""].itertuples()}
+    import math
+
+    rows = []
+    for r in agg[agg["sb"] != ""].itertuples(index=False):
+        qa, qb = norms.get(r.sa, 0), norms.get(r.sb, 0)
+        if qa <= 0 or qb <= 0:
+            continue
+        rows.append({"source_a": r.sa, "source_b": r.sb,
+                     "cosine": float(_round6(
+                         float(int(r.dot))
+                         / math.sqrt(float(qa) * float(qb))))})
+    return pd.DataFrame(rows).sort_values(
+        ["source_a", "source_b"]).reset_index(drop=True) if rows else empty
+
+
 _ULP_V = 4096  # unigram-LM vocabulary size; the oracle SQL shares this
 
 
@@ -4299,6 +4379,7 @@ DOC_QUERIES = {
     "token_simpson": q_token_simpson,
     "kl_divergence_sources": q_kl_divergence_sources,
     "readability": q_readability,
+    "cosine_sources": q_cosine_sources,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_pipeline": q_multimodal_pipeline,
     "ann_topk": q_ann_topk,
@@ -4379,6 +4460,28 @@ DOC_ORACLE_SQL["quality_auc"] = """
                 ELSE CAST(sum2r - n1 * (n1 + 1) AS DOUBLE)
                      / CAST(2 * n1 * n0 AS DOUBLE) END AS auc
     FROM s WHERE n1 IS NOT NULL
+"""
+
+# cosine of token-count vectors from exact HUGEINT dots/norms; pairs
+# sharing no token are absent on both sides
+DOC_ORACLE_SQL["cosine_sources"] = rf"""
+    WITH toks AS (
+        SELECT source, UNNEST(regexp_extract_all(text, '\S+')) AS token
+        FROM {_DOCS_WS_NORM}),
+    c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks GROUP BY 1, 2),
+    d AS (SELECT a.source AS sa, b.source AS sb,
+                 SUM(CAST(a.c AS HUGEINT) * b.c) AS dot
+          FROM c a JOIN c b ON a.token = b.token AND a.source < b.source
+          GROUP BY 1, 2),
+    s AS (SELECT source, SUM(CAST(c AS HUGEINT) * c) AS sq
+          FROM c GROUP BY 1)
+    SELECT d.sa AS source_a, d.sb AS source_b,
+           ROUND(CAST(d.dot AS DOUBLE)
+                 / SQRT(CAST(na.sq AS DOUBLE) * CAST(nb.sq AS DOUBLE)), 6)
+               AS cosine
+    FROM d JOIN s na ON na.source = d.sa JOIN s nb ON nb.source = d.sb
+    WHERE na.sq > 0 AND nb.sq > 0 ORDER BY 1, 2
 """
 
 # Flesch from exact integer counts (words / [.!?] / vowel runs); the

@@ -1329,6 +1329,47 @@ def q_runs_test_1m(sf_dir: str):
                               _runs_block)
 
 
+def q_growth_accounting(sf_dir: str):
+    """Daily growth accounting: per calendar day, how many ACTIVE users
+    are brand-new (first day ever) vs returning — the standard product
+    growth decomposition. One user-keyed exchange derives each user's
+    first day and distinct active days vectorized (sort + dedup masks,
+    no per-user Python); the per-day fold is a tiny keyed aggregate."""
+    from ray.data.aggregate import Sum
+
+    from tsrollup.shuffle import map_key_partitions
+
+    def _per_user(t: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.int64()),
+                          "new": pa.array([], pa.int64()),
+                          "ret": pa.array([], pa.int64())})
+        t = t.filter(pc.is_valid(t["user_id"]))
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            // 86_400_000_000
+        first_row = np.concatenate(([True], uid[1:] != uid[:-1]))
+        gidx = np.cumsum(first_row) - 1
+        fday = day[first_row]  # min day per user (ts-sorted)
+        keep = first_row | np.concatenate(([True], day[1:] != day[:-1]))
+        d_k, g_k = day[keep], gidx[keep]
+        is_new = (d_k == fday[g_k]).astype(np.int64)
+        return pa.table({"day": pa.array(d_k),
+                         "new": pa.array(is_new),
+                         "ret": pa.array(1 - is_new)})
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return (
+        map_key_partitions(ds, ["user_id"], _per_user)
+        .groupby("day")
+        .aggregate(Sum("new", alias_name="new_users"),
+                   Sum("ret", alias_name="returning_users"))
+    )
+
+
 # Hill-estimator order-statistic count; the oracle SQL shares this
 _HILL_K = 64
 
@@ -9292,6 +9333,20 @@ ORACLE_SQL["kendall_tau_1h"] = f"""
     WHERE n0 - n1 > 0 AND n0 - n2 > 0
 """
 
+# daily new-vs-returning decomposition over distinct (user, day) activity
+ORACLE_SQL["growth_accounting"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+               FROM events WHERE user_id IS NOT NULL),
+    f AS (SELECT user_id, MIN(day) AS fday FROM e GROUP BY 1),
+    a AS (SELECT DISTINCT user_id, day FROM e)
+    SELECT a.day,
+           CAST(SUM(CASE WHEN f.fday = a.day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN f.fday < a.day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM a JOIN f USING (user_id) GROUP BY 1 ORDER BY 1
+"""
+
 # Mann-Kendall S as an exact integer pair count (time is tie-free);
 # tau-b's y-tie correction matches kendall_tau_1h; one float, 6dp
 ORACLE_SQL["mk_trend_1h"] = f"""
@@ -9866,6 +9921,7 @@ QUERIES = {
     "dtw_pairs_1h": q_dtw_pairs_1h,
     "mk_trend_1h": q_mk_trend_1h,
     "runs_test_1m": q_runs_test_1m,
+    "growth_accounting": q_growth_accounting,
     "cusum_1m": q_cusum_1m,
     "profile_events": q_profile_events,
     "sliding_distinct_24h": q_sliding_distinct_24h,
