@@ -2694,6 +2694,61 @@ def q_cosine_sources(sf_dir: str):
         ["source_a", "source_b"]).reset_index(drop=True) if rows else empty
 
 
+def q_gini_tokens(sf_dir: str):
+    """Gini coefficient of the corpus token-frequency distribution — the
+    vocabulary-inequality number behind 'a handful of tokens dominate the
+    corpus' (complements zipf_fit's slope with a single concentration
+    scalar). G = 2·Σ i·c_(i) / (n·Σc) − (n+1)/n over counts sorted
+    ascending; the rank-weighted sum is computed from the (count-value,
+    multiplicity) histogram — each value-group contributes
+    v·(m·cum_before + m(m+1)/2), so ties need no per-token ranking and
+    the sum is exact in Python bignum (SQL: HUGEINT over ROW_NUMBER,
+    invariant under tie order). One float chain, 6dp. Two vocabulary-
+    bounded exchanges: (source, token) counts → token totals → count
+    histogram; the fold runs driver-side over distinct count VALUES."""
+    from ray.data.aggregate import Sum
+
+    from tsrollup.pipelines.queries import _round6
+
+    totals = (
+        _source_token_counts(sf_dir)
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def _hist(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uv, cnt = np.unique(c, return_counts=True)
+        return pa.table({"v": pa.array(uv),
+                         "m": pa.array(cnt.astype(np.int64))})
+
+    hist = (
+        totals.map_batches(_hist, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("m", alias_name="m"))
+        .to_pandas()  # bounded by distinct count values
+    )
+    empty = pd.DataFrame({"n_tokens": pd.Series(dtype=np.int64),
+                          "total": pd.Series(dtype=np.int64),
+                          "gini": pd.Series(dtype=np.float64)})
+    if not len(hist):
+        return empty
+    hist = hist.sort_values("v")
+    s1, cum, s, n = 0, 0, 0, 0
+    for r in hist.itertuples(index=False):
+        v, m = int(r.v), int(r.m)
+        s1 += v * (m * cum + m * (m + 1) // 2)
+        cum += m
+        s += v * m
+        n += m
+    if n == 0 or s == 0:
+        return empty
+    gini = 2.0 * float(s1) / (float(n) * float(s)) \
+        - float(n + 1) / float(n)
+    return pd.DataFrame([{"n_tokens": np.int64(n), "total": np.int64(s),
+                          "gini": float(_round6(gini))}])
+
+
 _ULP_V = 4096  # unigram-LM vocabulary size; the oracle SQL shares this
 
 
@@ -4380,6 +4435,7 @@ DOC_QUERIES = {
     "kl_divergence_sources": q_kl_divergence_sources,
     "readability": q_readability,
     "cosine_sources": q_cosine_sources,
+    "gini_tokens": q_gini_tokens,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_pipeline": q_multimodal_pipeline,
     "ann_topk": q_ann_topk,
@@ -4460,6 +4516,26 @@ DOC_ORACLE_SQL["quality_auc"] = """
                 ELSE CAST(sum2r - n1 * (n1 + 1) AS DOUBLE)
                      / CAST(2 * n1 * n0 AS DOUBLE) END AS auc
     FROM s WHERE n1 IS NOT NULL
+"""
+
+# Gini over corpus token counts; ROW_NUMBER tie order is irrelevant to
+# the rank-weighted sum (equal values commute), HUGEINT exact
+DOC_ORACLE_SQL["gini_tokens"] = rf"""
+    WITH toks AS (
+        SELECT UNNEST(regexp_extract_all(text, '\S+')) AS token
+        FROM {_DOCS_WS_NORM}),
+    tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1),
+    o AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM tc),
+    s AS (SELECT SUM(CAST(rn AS HUGEINT) * c) AS s1,
+                 SUM(CAST(c AS HUGEINT)) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM o)
+    SELECT n AS n_tokens, CAST(s AS BIGINT) AS total,
+           ROUND(2.0 * CAST(s1 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                 - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+    FROM s WHERE n > 0 AND s > 0
 """
 
 # cosine of token-count vectors from exact HUGEINT dots/norms; pairs

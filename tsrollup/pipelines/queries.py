@@ -1370,6 +1370,71 @@ def q_growth_accounting(sf_dir: str):
     )
 
 
+def q_session_durations(sf_dir: str, gap_minutes: int = 30):
+    """Session-duration distribution: sessionize every user stream (same
+    gap > 30m contract as q_sessionize) and report the corpus-wide
+    session count plus exact p50/p90/max duration in whole minutes — the
+    engagement summary a product dashboard tracks. Durations are floor
+    minute integers, so the quantile_disc convention
+    (sorted[ceil(q·n) − 1]) hashes exactly. One user-keyed exchange emits
+    per-session durations vectorized (sort + boundary masks +
+    np.subtract.reduceat-style endpoints); the duration histogram fold is
+    bounded by the distinct-duration domain."""
+    from ray.data.aggregate import Sum
+
+    from tsrollup.shuffle import map_key_partitions
+
+    gap_us = gap_minutes * 60_000_000
+
+    def _durs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"d": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        t = t.filter(pc.is_valid(t["user_id"]))
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        new_sess = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (np.diff(ts) > gap_us)))
+        starts = np.flatnonzero(new_sess)
+        ends = np.concatenate((starts[1:], [t.num_rows])) - 1
+        dur = (ts[ends] - ts[starts]) // 60_000_000
+        uv, cnt = np.unique(dur, return_counts=True)
+        return pa.table({"d": pa.array(uv),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    hist = (
+        map_key_partitions(
+            read_parquet_clean(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id"]),
+            ["user_id"], _durs)
+        .groupby("d")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # bounded by distinct durations
+    )
+    empty = pd.DataFrame(
+        {"n_sessions": pd.Series(dtype=np.int64),
+         "p50_min": pd.Series(dtype=np.int64),
+         "p90_min": pd.Series(dtype=np.int64),
+         "max_min": pd.Series(dtype=np.int64)})
+    if not len(hist):
+        return empty
+    hist = hist.sort_values("d")
+    vals = hist["d"].to_numpy(np.int64)
+    cum = np.cumsum(hist["c"].to_numpy(np.int64))
+    n = int(cum[-1])
+
+    def _q(q: float) -> int:
+        rank = max(1, int(np.ceil(q * n)))
+        return int(vals[np.searchsorted(cum, rank)])
+
+    return pd.DataFrame(
+        [{"n_sessions": np.int64(n), "p50_min": np.int64(_q(0.5)),
+          "p90_min": np.int64(_q(0.9)), "max_min": np.int64(vals[-1])}])
+
+
 # Hill-estimator order-statistic count; the oracle SQL shares this
 _HILL_K = 64
 
@@ -9333,6 +9398,31 @@ ORACLE_SQL["kendall_tau_1h"] = f"""
     WHERE n0 - n1 > 0 AND n0 - n2 > 0
 """
 
+# session durations under the q_sessionize contract; quantile_disc over
+# whole-minute integers
+ORACLE_SQL["session_durations"] = """
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS nb
+        FROM events WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id,
+                 SUM(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid,
+                 epoch_us(ts) AS t
+          FROM e),
+    d AS (SELECT (MAX(t) - MIN(t)) // 60000000 AS dur
+          FROM s GROUP BY user_id, sid)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(quantile_disc(dur, 0.5) AS BIGINT) AS p50_min,
+           CAST(quantile_disc(dur, 0.9) AS BIGINT) AS p90_min,
+           CAST(MAX(dur) AS BIGINT) AS max_min
+    FROM d
+"""
+
 # daily new-vs-returning decomposition over distinct (user, day) activity
 ORACLE_SQL["growth_accounting"] = """
     WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
@@ -9922,6 +10012,7 @@ QUERIES = {
     "mk_trend_1h": q_mk_trend_1h,
     "runs_test_1m": q_runs_test_1m,
     "growth_accounting": q_growth_accounting,
+    "session_durations": q_session_durations,
     "cusum_1m": q_cusum_1m,
     "profile_events": q_profile_events,
     "sliding_distinct_24h": q_sliding_distinct_24h,
