@@ -2626,7 +2626,7 @@ def q_cosine_sources(sf_dir: str):
     pairs sharing no token have no row on either side."""
     from tsrollup.hashing import safe_factorize
     from tsrollup.pipelines.queries import _round6
-    from tsrollup.shuffle import group_slices, map_key_partitions
+    from tsrollup.shuffle import map_key_partitions
 
     counts = _source_token_counts(sf_dir)
 

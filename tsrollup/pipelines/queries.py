@@ -1019,11 +1019,13 @@ def q_survival_km(sf_dir: str):
     from tsrollup.pipelines.docqueries import _FP_SCALE, _ln_fp
     from tsrollup.shuffle import map_key_partitions
 
+    # corpus max ts from a dedicated ts-only read (the main pass below
+    # stays a single pipelined consumption of its own read)
+    gmax_us = int(np.datetime64(
+        read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+        .aggregate(Max("ts"))["max(ts)"], "us").astype(np.int64))
     ev = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"])
-    # corpus max ts in us (tiny aggregate over the pruned ts column)
-    gmax_us = int(np.datetime64(
-        ev.aggregate(Max("ts"))["max(ts)"], "us").astype(np.int64))
 
     def _durations(t: pa.Table) -> pa.Table:
         empty = pa.table({"t": pa.array([], pa.int64()),
@@ -1155,7 +1157,11 @@ def q_dtw_pairs_1h(sf_dir: str):
     kendall_tau_1h (cascade to the daily tier past ~100k hours)."""
     from tsrollup.shuffle import group_slices, map_key_partitions
 
-    hourly = cascade_tier(_rolled_events(sf_dir), 60)
+    from tsrollup.shuffle import group_slices as _gs
+
+    # materialize: the hourly cascade is consumed twice (source list +
+    # the emit pass) and is tiny (sources x hours)
+    hourly = cascade_tier(_rolled_events(sf_dir), 60).materialize()
     sources = sorted(
         r["source"] for r in hourly.groupby("source").count().take_all())
     pair_list = [(a, b) for i, a in enumerate(sources)
@@ -1170,12 +1176,13 @@ def q_dtw_pairs_1h(sf_dir: str):
              "v": pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
-        src = t["source"]
+        # slice the batch per source ONCE; each pair reuses its slices
+        by_src = {g["source"][0].as_py(): g for g in _gs(t, ["source"])}
         out = [empty]
         for sa, sb in pair_list:
             for side, s in ((0, sa), (1, sb)):
-                sel = t.filter(pc.equal(src, s))
-                if sel.num_rows == 0:
+                sel = by_src.get(s)
+                if sel is None or sel.num_rows == 0:
                     continue
                 n = sel.num_rows
                 out.append(pa.table(
