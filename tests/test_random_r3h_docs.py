@@ -20,7 +20,7 @@ SWEEP = [
     "token_pareto", "lexicon_score", "corpus_grep", "stratified_sample",
     # round-3l family
     "token_simpson", "kl_divergence_sources", "readability",
-    "cosine_sources", "gini_tokens",
+    "cosine_sources", "gini_tokens", "g2_collocations",
 ]
 
 _WORDS = ["a", "ab", "the", "x\x00y", "x\x00z", "Zürich", "ému", "q1",

@@ -1643,26 +1643,21 @@ _ASSOC_MIN = 3   # minimum bigram count to be a candidate
 _ASSOC_K = 30    # top-k by lift
 
 
-def q_assoc_bigrams(sf_dir: str, min_count: int = _ASSOC_MIN, k: int = _ASSOC_K):
-    """Collocation mining: top-k bigrams by association LIFT
-    ``c_ab * N / (c_a * c_b)`` (the monotone core of PMI — same ranking, no
-    logarithm), reported as the exact integer ``lift_ppm = (c_ab * N * 1e6)
-    // (c_a * c_b)`` so the oracle hash-compares bit for bit (HUGEINT floor
-    division on both sides; a corpus large enough to overflow int64 output
-    fails loudly in the Arrow cast rather than wrapping).
-
-    Physical plan (all counts distributed): bigram partial counts ->
-    groupby-sum -> min-count filter (the candidate cut) -> TWO keyed
-    exchanges on token (tok_a, then tok_b) that union candidates with the
-    unigram-count rows and attach c_a / c_b per partition — a distributed
-    hash join on the vocabulary, never a broadcast of it — then lift + the
-    per-block-pruned global top-k. N comes off the unigram fold as a scalar."""
+def _bigram_with_counts(sf_dir: str, min_count: int):
+    """Shared collocation join plan: bigram candidates (count >= min_count)
+    with their unigram marginals attached — (tok_a, tok_b, c_ab, c_a, c_b)
+    plus the corpus token total N. All counts distributed: bigram partial
+    counts -> groupby-sum -> min-count cut -> TWO keyed exchanges on token
+    (tok_a, then tok_b) that union candidates with the unigram-count rows
+    and attach c_a / c_b per partition — a distributed hash join on the
+    vocabulary, never a broadcast of it. Used by q_assoc_bigrams (lift)
+    and q_g2_collocations (Dunning log-likelihood)."""
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Sum
 
     from tsrollup.functions import tokens as tk
-    from tsrollup.shuffle import map_key_partitions, topk_rows
+    from tsrollup.shuffle import map_key_partitions
 
     def _uni_partial(t: pa.Table) -> pa.Table:
         sp = tk.split_whitespace(t.column("text"))
@@ -1772,6 +1767,20 @@ def q_assoc_bigrams(sf_dir: str, min_count: int = _ASSOC_MIN, k: int = _ASSOC_K)
         uni.map_batches(lambda t: tag_uni2(t, True), batch_format="pyarrow")
     )
     full = map_key_partitions(u2, ["key"], lambda t: _attach(t, "c_b"))
+    return full, n_total
+
+
+def q_assoc_bigrams(sf_dir: str, min_count: int = _ASSOC_MIN, k: int = _ASSOC_K):
+    """Collocation mining: top-k bigrams by association LIFT
+    ``c_ab * N / (c_a * c_b)`` (the monotone core of PMI — same ranking, no
+    logarithm), reported as the exact integer ``lift_ppm = (c_ab * N * 1e6)
+    // (c_a * c_b)`` so the oracle hash-compares bit for bit (HUGEINT floor
+    division on both sides; a corpus large enough to overflow int64 output
+    fails loudly in the Arrow cast rather than wrapping). Join plan shared
+    with q_g2_collocations — see _bigram_with_counts."""
+    from tsrollup.shuffle import topk_rows
+
+    full, n_total = _bigram_with_counts(sf_dir, min_count)
 
     def _lift(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1791,6 +1800,57 @@ def q_assoc_bigrams(sf_dir: str, min_count: int = _ASSOC_MIN, k: int = _ASSOC_K)
 
     scored = full.map_batches(_lift, batch_format="pyarrow")
     return topk_rows(scored, ["lift_ppm", "tok_a", "tok_b"],
+                     [True, False, False], k)
+
+
+def q_g2_collocations(sf_dir: str, min_count: int = _ASSOC_MIN,
+                      k: int = _ASSOC_K):
+    """Collocations ranked by Dunning's log-likelihood ratio G² (Dunning
+    1993) — the statistically-grounded complement to q_assoc_bigrams'
+    lift (lift over-rewards rare pairs; G² weighs evidence mass). For the
+    2×2 contingency of (first=a) × (second=b): G² = 2·Σ O·ln(O·N/(R·C)),
+    computed EXACTLY in the shared floor(ln·1e9) fixed point as
+    g2_fp = 2·Σ O·(F(O·N) − F(R·C)) with zero cells contributing 0 —
+    order-free integer sums on both sides (HUGEINT in SQL). Degenerate
+    corpus-spanning marginals (c_a == N or c_b == N) are excluded on both
+    sides (a zero complement gives an undefined expected count). Same
+    distributed join plan as assoc_bigrams (_bigram_with_counts); ranking
+    is the lossless per-block-pruned top-k by (g2_fp desc, tok_a, tok_b)."""
+    from tsrollup.shuffle import topk_rows
+
+    full, n_total = _bigram_with_counts(sf_dir, min_count)
+
+    def _g2(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
+                            ("c_ab", pa.int64()), ("g2_fp", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        c_ab = t["c_ab"].to_numpy(zero_copy_only=False)
+        c_a = t["c_a"].to_numpy(zero_copy_only=False)
+        c_b = t["c_b"].to_numpy(zero_copy_only=False)
+        n = n_total
+        keep, fps = [], []
+        for ab, a, b in zip(c_ab, c_a, c_b):
+            a, b, ab = int(a), int(b), int(ab)
+            if a >= n or b >= n:
+                keep.append(False); fps.append(0)
+                continue
+            cells = ((ab, a, b), (a - ab, a, n - b),
+                     (b - ab, n - a, b), (n - a - b + ab, n - a, n - b))
+            g2 = 0
+            for o, r, c in cells:
+                if o > 0:
+                    g2 += o * (_ln_fp(o * n) - _ln_fp(r * c))
+            keep.append(True); fps.append(2 * g2)
+        keep = np.array(keep, dtype=bool)
+        return pa.table({"tok_a": t["tok_a"].filter(pa.array(keep)),
+                         "tok_b": t["tok_b"].filter(pa.array(keep)),
+                         "c_ab": t["c_ab"].filter(pa.array(keep)),
+                         "g2_fp": pa.array(
+                             np.array(fps, dtype=np.int64)[keep])})
+
+    scored = full.map_batches(_g2, batch_format="pyarrow")
+    return topk_rows(scored, ["g2_fp", "tok_a", "tok_b"],
                      [True, False, False], k)
 
 
@@ -4436,6 +4496,7 @@ DOC_QUERIES = {
     "readability": q_readability,
     "cosine_sources": q_cosine_sources,
     "gini_tokens": q_gini_tokens,
+    "g2_collocations": q_g2_collocations,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_pipeline": q_multimodal_pipeline,
     "ann_topk": q_ann_topk,
@@ -4516,6 +4577,57 @@ DOC_ORACLE_SQL["quality_auc"] = """
                 ELSE CAST(sum2r - n1 * (n1 + 1) AS DOUBLE)
                      / CAST(2 * n1 * n0 AS DOUBLE) END AS auc
     FROM s WHERE n1 IS NOT NULL
+"""
+
+# Dunning G² in the shared fixed point: 2·Σ O·(F(O·N) − F(R·C)) over the
+# 2×2 cells, zero cells contribute 0; ln args stay < 2^53 at any corpus
+# where counts fit BIGINT products (HUGEINT->DOUBLE is exact there)
+DOC_ORACLE_SQL["g2_collocations"] = rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        FROM {_DOCS_WS_NORM}),
+    u AS (SELECT UNNEST(t) AS tok FROM toks),
+    uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+    b AS (SELECT t[i] AS tok_a, t[i + 1] AS tok_b
+          FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+          WHERE len(t) >= 2),
+    bc AS (SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM b
+           GROUP BY 1, 2 HAVING COUNT(*) >= {_ASSOC_MIN}),
+    j AS (SELECT bc.tok_a, bc.tok_b, bc.c_ab, ua.c AS ca, ub.c AS cb,
+                 nt.n AS n
+          FROM bc, nt
+          JOIN uc ua ON ua.tok = bc.tok_a
+          JOIN uc ub ON ub.tok = bc.tok_b
+          WHERE ua.c < nt.n AND ub.c < nt.n),
+    s AS (SELECT tok_a, tok_b, c_ab,
+        2 * (
+          CASE WHEN c_ab > 0 THEN CAST(c_ab AS HUGEINT)
+               * (CAST(FLOOR(LN(CAST(c_ab AS HUGEINT) * n)
+                        * 1000000000) AS BIGINT)
+                  - CAST(FLOOR(LN(CAST(ca AS HUGEINT) * cb)
+                         * 1000000000) AS BIGINT)) ELSE 0 END
+        + CASE WHEN ca - c_ab > 0 THEN CAST(ca - c_ab AS HUGEINT)
+               * (CAST(FLOOR(LN(CAST(ca - c_ab AS HUGEINT) * n)
+                        * 1000000000) AS BIGINT)
+                  - CAST(FLOOR(LN(CAST(ca AS HUGEINT) * (n - cb))
+                         * 1000000000) AS BIGINT)) ELSE 0 END
+        + CASE WHEN cb - c_ab > 0 THEN CAST(cb - c_ab AS HUGEINT)
+               * (CAST(FLOOR(LN(CAST(cb - c_ab AS HUGEINT) * n)
+                        * 1000000000) AS BIGINT)
+                  - CAST(FLOOR(LN(CAST(n - ca AS HUGEINT) * cb)
+                         * 1000000000) AS BIGINT)) ELSE 0 END
+        + CASE WHEN n - ca - cb + c_ab > 0
+               THEN CAST(n - ca - cb + c_ab AS HUGEINT)
+               * (CAST(FLOOR(LN(CAST(n - ca - cb + c_ab AS HUGEINT) * n)
+                        * 1000000000) AS BIGINT)
+                  - CAST(FLOOR(LN(CAST(n - ca AS HUGEINT) * (n - cb))
+                         * 1000000000) AS BIGINT)) ELSE 0 END
+        ) AS g2_fp
+        FROM j)
+    SELECT tok_a, tok_b, c_ab, CAST(g2_fp AS BIGINT) AS g2_fp FROM s
+    QUALIFY ROW_NUMBER() OVER (ORDER BY g2_fp DESC, tok_a, tok_b)
+            <= {_ASSOC_K}
 """
 
 # Gini over corpus token counts; ROW_NUMBER tie order is irrelevant to
