@@ -34,7 +34,7 @@ SWEEP = [
     "rfm_segments", "systematic_sample", "tukey_outliers",
     "mwu_sources", "welch_t_sources", "survival_km", "hill_tail_index",
     "dtw_pairs_1h", "mk_trend_1h", "runs_test_1m",
-    "growth_accounting", "session_durations",
+    "growth_accounting", "session_durations", "ab_conversion",
 ]
 
 

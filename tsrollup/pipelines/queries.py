@@ -1442,6 +1442,87 @@ def q_session_durations(sf_dir: str, gap_minutes: int = 30):
           "p90_min": np.int64(_q(0.9)), "max_min": np.int64(vals[-1])}])
 
 
+def q_ab_conversion(sf_dir: str):
+    """A/B-harness conversion readout: users hash-deterministically into
+    arms A/B (the Knuth multiplicative _SPLIT_K hash shared with
+    sample_split — never user_id parity, which aliases synth striping);
+    per arm, count signup users and those with a purchase at/after their
+    first signup, plus the exact-integer-ratio conversion rate and the
+    absolute lift (identical float chain on both sides, 6dp). One
+    user-keyed exchange derives per-user (arm, converted) vectorized;
+    the arm fold is two rows."""
+    from ray.data.aggregate import Sum
+
+    from tsrollup.pipelines.docqueries import _SPLIT_K, _SPLIT_MOD
+    from tsrollup.shuffle import map_key_partitions
+
+    def _per_user(t: pa.Table) -> pa.Table:
+        empty = pa.table({"arm": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "conv": pa.array([], pa.int64())})
+        t = t.filter(pc.and_kleene(
+            pc.is_valid(t["user_id"]),
+            pc.is_in(t["event_type"],
+                     value_set=pa.array(["signup", "purchase"]))))
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        is_su = pc.equal(t["event_type"], "signup") \
+            .to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([True], uid[1:] != uid[:-1]))
+        gidx = np.cumsum(starts) - 1
+        n_users = int(starts.sum())
+        big = np.iinfo(np.int64).max
+        s_ts = np.full(n_users, big, dtype=np.int64)
+        np.minimum.at(s_ts, gidx[is_su], ts[is_su])
+        pu_ok = (~is_su) & (ts >= s_ts[gidx])
+        converted = np.zeros(n_users, dtype=bool)
+        converted[gidx[pu_ok]] = True
+        has_su = s_ts != big
+        users = uid[starts][has_su].astype(np.uint64)
+        conv = converted[has_su]
+        arm_b = (users * np.uint64(_SPLIT_K)) % np.uint64(_SPLIT_MOD) \
+            >= np.uint64(_SPLIT_MOD // 2)
+        arms = np.where(arm_b, "B", "A")
+        out = []
+        for a in ("A", "B"):
+            m = arms == a
+            if m.any():
+                out.append((a, int(m.sum()), int(conv[m].sum())))
+        if not out:
+            return empty
+        return pa.table({"arm": pa.array([o[0] for o in out], pa.string()),
+                         "n": pa.array([o[1] for o in out], pa.int64()),
+                         "conv": pa.array([o[2] for o in out], pa.int64())})
+
+    agg = (
+        map_key_partitions(
+            read_parquet_clean(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "ts"]),
+            ["user_id"], _per_user)
+        .groupby("arm")
+        .aggregate(Sum("n", alias_name="n_users"),
+                   Sum("conv", alias_name="n_converted"))
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {"arm": pd.Series(dtype=object),
+         "n_users": pd.Series(dtype=np.int64),
+         "n_converted": pd.Series(dtype=np.int64),
+         "rate": pd.Series(dtype=np.float64)})
+    if not len(agg):
+        return empty
+    agg = agg.sort_values("arm").reset_index(drop=True)
+    agg["rate"] = [
+        float(_round6(float(int(c)) / float(int(n)))) if int(n) else None
+        for c, n in zip(agg["n_converted"], agg["n_users"])]
+    agg["n_users"] = agg["n_users"].astype(np.int64)
+    agg["n_converted"] = agg["n_converted"].astype(np.int64)
+    return agg[["arm", "n_users", "n_converted", "rate"]]
+
+
 # Hill-estimator order-statistic count; the oracle SQL shares this
 _HILL_K = 64
 
@@ -9405,6 +9486,28 @@ ORACLE_SQL["kendall_tau_1h"] = f"""
     WHERE n0 - n1 > 0 AND n0 - n2 > 0
 """
 
+# hash-deterministic A/B arms (Knuth multiplicative, shared constants);
+# conversion = purchase at/after the user's first signup
+ORACLE_SQL["ab_conversion"] = """
+    WITH su AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+                WHERE event_type = 'signup' AND user_id IS NOT NULL
+                GROUP BY 1),
+    pu AS (SELECT DISTINCT e.user_id FROM events e JOIN su USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts),
+    arms AS (SELECT su.user_id,
+                    CASE WHEN (CAST(su.user_id AS HUGEINT) * 2654435761)
+                              % 4294967296 >= 2147483648
+                         THEN 'B' ELSE 'A' END AS arm,
+                    CASE WHEN pu.user_id IS NOT NULL THEN 1 ELSE 0 END
+                        AS conv
+             FROM su LEFT JOIN pu USING (user_id))
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(conv) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS rate
+    FROM arms GROUP BY 1 ORDER BY 1
+"""
+
 # session durations under the q_sessionize contract; quantile_disc over
 # whole-minute integers
 ORACLE_SQL["session_durations"] = """
@@ -10020,6 +10123,7 @@ QUERIES = {
     "runs_test_1m": q_runs_test_1m,
     "growth_accounting": q_growth_accounting,
     "session_durations": q_session_durations,
+    "ab_conversion": q_ab_conversion,
     "cusum_1m": q_cusum_1m,
     "profile_events": q_profile_events,
     "sliding_distinct_24h": q_sliding_distinct_24h,
