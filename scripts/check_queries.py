@@ -63,9 +63,12 @@ def main():
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
-    from tsrollup.util import tune_ray_data
+    from tsrollup.util import probe_ln_contract, tune_ray_data
 
     tune_ray_data()
+    # fail LOUDLY up front if this host's libm breaks the fixed-point ln
+    # contract (would otherwise surface as mystery hash mismatches)
+    probe_ln_contract()
 
     import __ray_entry__ as e
 

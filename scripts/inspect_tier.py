@@ -47,7 +47,33 @@ def main() -> int:
     if os.path.isdir(pts_dir):
         t = pads.dataset(pts_dir, format="parquet", partitioning="hive").to_table()
         print(f"points: {t.num_rows} windows")
-        if t.num_rows:
+        if t.num_rows and "--verify-all" in sys.argv:
+            # decode EVERY committed block in one vectorized pass and
+            # verify round-trip against the stored plain columns
+            import time
+
+            t0 = time.time()
+            blks = t["gorilla"].to_pylist()
+            ts, vals, off = gorilla.decode_concat(blks)
+            vcol = t["values"].combine_chunks()
+            flat_v = np.asarray(vcol.flatten(), dtype=np.float64)
+            kcol = t["kept_idx"].combine_chunks()
+            flat_k = np.asarray(kcol.flatten(), dtype=np.int64)
+            sb = t["start_bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = np.diff(off)
+            ok = (
+                np.array_equal(lens, np.diff(np.asarray(vcol.offsets)))
+                and np.array_equal(vals.view(np.uint64), flat_v.view(np.uint64))
+                and np.array_equal(ts, np.repeat(sb, lens) + flat_k)
+            )
+            print(
+                f"verify-all: {t.num_rows} blocks / {len(vals)} points "
+                f"decoded+verified in {time.time() - t0:.2f}s "
+                f"roundtrip_ok={bool(ok)}"
+            )
+            if not ok:
+                return 1
+        elif t.num_rows:
             i = 0
             blk = t["gorilla"][i].as_py()
             ts, vals = gorilla.decode(blk)

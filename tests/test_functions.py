@@ -618,6 +618,38 @@ def test_dedup_clusters_distributed_matches_driver(ray_session):
     assert len(a) > 0
 
 
+def test_dedup_clusters_routing_by_pair_count(ray_session, monkeypatch):
+    """Round-3 VERDICT item #2: q_dedup_clusters routes to the DISTRIBUTED
+    min-label propagation once the verified-pair count exceeds
+    max_driver_pairs — the driver-side union-find must never run on a
+    graph above the threshold (and vice versa below it)."""
+    import tsrollup.functions.dedup as dedup
+    from tsrollup.pipelines.queries import q_dedup_clusters
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("testdata missing")
+
+    default = q_dedup_clusters(sf).reset_index(drop=True)
+
+    # force the distributed lane: union-find must NOT be touched
+    def _boom(*a, **k):
+        raise AssertionError("driver union-find ran above the pair threshold")
+
+    monkeypatch.setattr(dedup, "connected_components", _boom)
+    routed = q_dedup_clusters(sf, max_driver_pairs=0).reset_index(drop=True)
+    pd.testing.assert_frame_equal(routed, default)
+    monkeypatch.undo()
+
+    # default (small graph) lane: propagation must NOT be touched
+    def _boom2(*a, **k):
+        raise AssertionError("distributed propagation ran below the threshold")
+
+    monkeypatch.setattr(dedup, "propagate_min_labels", _boom2)
+    small = q_dedup_clusters(sf).reset_index(drop=True)
+    pd.testing.assert_frame_equal(small, default)
+
+
 # --- real-decoder paths: run whenever the optional codec lib is present ----
 # (this sandbox has none of PIL/cv2/soundfile — verified — so these skip
 # here; they exist so fake=False is exercised the day the env gains them)

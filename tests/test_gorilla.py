@@ -96,3 +96,62 @@ def test_vectorized_encode_byte_identical_to_scalar():
     # single-block entry point dispatches to the vector path at n >= 128
     big_t, big_v = parts_t[-1], parts_v[-1]
     assert gorilla.encode(big_t, big_v) == gorilla._encode_scalar(big_t, big_v)
+
+
+def test_decode_concat_matches_scalar_decode():
+    """Round-4: vectorized batch decode must be bit-identical to per-block
+    scalar decode across every payload shape (empty, single, constant,
+    NaN/inf, 64-bit dod jumps, negative deltas, block-format edges)."""
+    rng = np.random.default_rng(17)
+    parts_t, parts_v = [], []
+    for L in [0, 1, 2, 3, 50, 127, 128, 400]:
+        t0 = int(rng.integers(0, 10**12))
+        parts_t.append(t0 + np.cumsum(rng.integers(0, 5000, L)).astype(np.int64))
+        v = np.round(rng.normal(size=L), 1)
+        if L >= 50:
+            v[5] = np.inf
+            v[6] = np.nan
+            v[7:9] = 0.0
+            v[10:20] = 7.25  # xor == 0 run
+        parts_v.append(v)
+    # extreme dod: 64-bit bucket both signs + out-of-order timestamps
+    parts_t.append(np.array([0, 2**40, 1, -(2**41), 5], dtype=np.int64))
+    parts_v.append(np.array([1.0, -1.0, 1e300, -1e-300, 0.0]))
+    blocks = gorilla.encode_blocks(parts_t, parts_v)
+    ts, vals, off = gorilla.decode_concat(blocks)
+    assert len(off) == len(blocks) + 1
+    for b, blk in enumerate(blocks):
+        et, ev = gorilla.decode(blk)
+        assert np.array_equal(ts[off[b]:off[b + 1]], et)
+        assert np.array_equal(vals[off[b]:off[b + 1]].view(np.uint64),
+                              ev.view(np.uint64))
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    nblocks=st.integers(1, 24),
+)
+def test_decode_concat_property(seed, nblocks):
+    rng = np.random.default_rng(seed)
+    parts_t, parts_v = [], []
+    for _ in range(nblocks):
+        n = int(rng.integers(0, 120))
+        step = rng.choice([1, 60, 3600, 10**6])
+        t0 = int(rng.integers(-(10**9), 10**12))
+        parts_t.append(t0 + np.cumsum(rng.integers(0, step + 1, n)).astype(np.int64))
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            v = np.full(n, float(rng.normal()))
+        elif kind == 1:
+            v = rng.normal(size=n).round(3)
+        else:
+            v = rng.integers(-1000, 1000, n).astype(np.float64)
+        parts_v.append(v)
+    blocks = gorilla.encode_blocks(parts_t, parts_v)
+    ts, vals, off = gorilla.decode_concat(blocks)
+    for b, blk in enumerate(blocks):
+        et, ev = gorilla.decode(blk)
+        assert np.array_equal(ts[off[b]:off[b + 1]], et)
+        assert np.array_equal(vals[off[b]:off[b + 1]].view(np.uint64),
+                              ev.view(np.uint64))

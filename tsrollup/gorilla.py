@@ -399,3 +399,157 @@ def encode_blocks(ts_lists, val_lists) -> list[bytes]:
     ts = np.concatenate(ts_parts) if ts_parts else np.empty(0, np.int64)
     vals = np.concatenate(val_parts) if val_parts else np.empty(0, np.float64)
     return encode_concat(ts, vals, offsets)
+
+
+def _gather_bits(data: np.ndarray, offs: np.ndarray, widths: np.ndarray) -> np.ndarray:
+    """Vectorized variable-width MSB-first bit extraction — the exact
+    reverse of :func:`_pack_bits`' 9-byte window: for each element, read the
+    9 bytes covering bits [offs, offs+71), assemble the 64-bit window that
+    starts AT the offset, and keep its top ``widths`` bits. ``data`` must be
+    padded with >= 16 zero bytes past the last real bit so speculative reads
+    never index out of bounds. widths in [0, 64]; width 0 returns 0."""
+    offs = np.asarray(offs, dtype=np.int64)
+    w = np.asarray(widths, dtype=np.uint64)
+    b = offs >> 3
+    sh = (offs & 7).astype(np.uint64)
+    mat = data[b[:, None] + np.arange(9)]
+    hi = mat[:, 0].astype(np.uint64)
+    for k in range(1, 8):
+        hi = (hi << np.uint64(8)) | mat[:, k]
+    lo8 = mat[:, 8].astype(np.uint64)
+    win = (hi << sh) | ((lo8 >> (np.uint64(7) - sh)) >> np.uint64(1))
+    out = win >> ((np.uint64(64) - w) % np.uint64(64))
+    return np.where(w == 0, np.uint64(0), out)
+
+
+def _seg_cumsum(x: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-segment cumulative sum of the flat array ``x`` (segment s is
+    [starts[s], starts[s+1])) — one global cumsum + one repeat."""
+    cs = np.cumsum(x)
+    base = np.zeros(len(starts) - 1, dtype=cs.dtype)
+    if len(starts) > 2:
+        base[1:] = cs[np.maximum(starts[1:-1] - 1, 0)]
+        base[1:][starts[1:-1] == 0] = 0  # all-empty prefix
+    return cs - np.repeat(base, np.diff(starts))
+
+
+def _seg_xor_accumulate(x: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-segment prefix XOR (the value-chain inverse: bits[i] =
+    bits[i-1] ^ xor[i]) — one global xor-accumulate + one repeat."""
+    xs = np.bitwise_xor.accumulate(x)
+    base = np.zeros(len(starts) - 1, dtype=xs.dtype)
+    if len(starts) > 2:
+        base[1:] = xs[np.maximum(starts[1:-1] - 1, 0)]
+        base[1:][starts[1:-1] == 0] = 0
+    return xs ^ np.repeat(base, np.diff(starts))
+
+
+def decode_concat(blocks) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY Gorilla blocks in one vectorized pass (round-3 VERDICT
+    item #6 — the encode_concat bit-window technique in reverse). Returns
+    ``(ts, vals, offsets)`` in the Arrow ListArray layout encode_concat
+    consumes: block b decodes to ``ts[offsets[b]:offsets[b+1]]`` /
+    ``vals[...]``.
+
+    A bitstream's field boundaries depend on decoded tags, so single-block
+    decode is inherently sequential — but ACROSS blocks the tag state
+    machines are independent. The loop therefore runs over point index i
+    in lockstep, each iteration decoding point i of EVERY still-active
+    block with vectorized speculative bit-window gathers (reads past a
+    block's final field land in the next block's bytes but are case-masked
+    before use, so they never affect output). Python cost is O(max block
+    length); vector work is O(total points). Timestamp and value chains
+    are then rebuilt with segmented cumsum / prefix-XOR — no per-point
+    Python anywhere."""
+    B = len(blocks)
+    n_b = np.zeros(B, dtype=np.int64)
+    t0 = np.zeros(B, dtype=np.int64)
+    v0 = np.zeros(B, dtype=np.uint64)
+    pay_off = np.zeros(B, dtype=np.int64)  # bit offset of payload start
+    parts = []
+    cur_bytes = 0
+    for b, blk in enumerate(blocks):
+        n = struct.unpack_from("<I", blk, 0)[0]
+        n_b[b] = n
+        if n >= 1:
+            t0[b] = struct.unpack_from("<q", blk, 4)[0]
+            v0[b] = struct.unpack_from("<Q", blk, 12)[0]
+        if n >= 2:
+            pay_off[b] = cur_bytes * 8
+            parts.append(blk[20:])
+            cur_bytes += len(blk) - 20
+    out_offsets = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(n_b, out=out_offsets[1:])
+    N = int(out_offsets[-1])
+    ts = np.empty(N, dtype=np.int64)
+    vals = np.empty(N, dtype=np.float64)
+    bits = vals.view(np.uint64)
+    has = n_b >= 1
+    ts[out_offsets[:-1][has]] = t0[has]
+    bits[out_offsets[:-1][has]] = v0[has]
+
+    e_b = np.maximum(n_b - 1, 0)
+    enc_starts = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(e_b, out=enc_starts[1:])
+    E = int(enc_starts[-1])
+    if E == 0:
+        return ts, vals, out_offsets
+
+    data = np.frombuffer(b"".join(parts) + b"\x00" * 16, dtype=np.uint8)
+    dod_flat = np.zeros(E, dtype=np.int64)
+    xor_flat = np.zeros(E, dtype=np.uint64)
+
+    cursor = pay_off.copy()
+    prev_lead = np.full(B, -1, dtype=np.int64)
+    prev_mlen = np.full(B, -1, dtype=np.int64)
+    max_n = int(n_b.max())
+    for i in range(1, max_n):
+        act = np.nonzero(n_b > i)[0]
+        enc_idx = enc_starts[act] + (i - 1)
+        m = len(act)
+        # --- timestamp: speculative 4-bit tag read; the leading-ones count
+        # decides the bucket, and garbage bits past the real (shorter) tag
+        # can never change it (each case is decided before they're reached)
+        cur = cursor[act]
+        tag4 = _gather_bits(data, cur, np.full(m, 4, np.int64)).astype(np.int64)
+        ones = np.select(
+            [tag4 < 0b1000, tag4 < 0b1100, tag4 < 0b1110, tag4 < 0b1111],
+            [0, 1, 2, 3], 4)
+        consumed = np.minimum(ones + 1, 4)
+        w = np.select([ones == 0, ones == 1, ones == 2, ones == 3],
+                      [0, 7, 9, 12], 64)
+        payload = _gather_bits(data, cur + consumed, w)
+        p64 = payload.astype(np.int64)  # zigzag payload < 2^64 viewed signed
+        unzig = (payload >> np.uint64(1)).astype(np.int64) ^ -(p64 & 1)
+        dod_flat[enc_idx] = np.select(
+            [ones == 0, ones == 1, ones == 2, ones == 3],
+            [np.zeros(m, np.int64), p64 - 63, p64 - 255, p64 - 2047], unzig)
+        cur = cur + consumed + w
+
+        # --- value: speculative 2-bit tag, then speculative lead/mlen
+        t2 = _gather_bits(data, cur, np.full(m, 2, np.int64)).astype(np.int64)
+        is_zero = t2 < 0b10
+        is_new = t2 == 0b11
+        lead_new = _gather_bits(data, cur + 2, np.full(m, 5, np.int64)).astype(np.int64)
+        mlen_new = _gather_bits(data, cur + 7, np.full(m, 6, np.int64)).astype(np.int64) + 1
+        lead = np.where(is_new, lead_new, prev_lead[act])
+        mlen = np.where(is_new, mlen_new, prev_mlen[act])
+        hdr = np.where(is_zero, 1, np.where(is_new, 13, 2))
+        pw = np.where(is_zero, 0, mlen)
+        payload = _gather_bits(data, cur + hdr, pw)
+        shift = np.clip(64 - lead - mlen, 0, 63).astype(np.uint64)
+        xor_flat[enc_idx] = np.where(is_zero, np.uint64(0), payload << shift)
+        upd = act[is_new]
+        prev_lead[upd] = lead_new[is_new]
+        prev_mlen[upd] = mlen_new[is_new]
+        cursor[act] = cur + hdr + pw
+
+    # --- rebuild chains: delta = cumsum(dod), ts = t0 + cumsum(delta),
+    # bits = v0 ^ prefix-xor(xor) — all segmented, no per-point Python
+    deltas = _seg_cumsum(dod_flat, enc_starts)
+    toff = _seg_cumsum(deltas, enc_starts)
+    xacc = _seg_xor_accumulate(xor_flat, enc_starts)
+    pos = np.arange(E) + np.repeat(out_offsets[:-1] + 1 - enc_starts[:-1], e_b)
+    ts[pos] = np.repeat(t0, e_b) + toff
+    bits[pos] = np.repeat(v0, e_b) ^ xacc
+    return ts, vals, out_offsets

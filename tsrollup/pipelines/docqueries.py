@@ -407,8 +407,28 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.5):
     return _dedup_minhash_impl(sf_dir, threshold, (st.st_size, st.st_mtime_ns)).copy()
 
 
+def dedup_minhash_pairs_ds(sf_dir: str, threshold: float = 0.5):
+    """Verified near-dup pair set as a materialized Dataset (object-store
+    blocks; the driver never holds the graph) — the scale-path input for
+    cluster assignment. Same (file-identity) memo key as q_dedup_minhash."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return _dedup_minhash_ds_impl(sf_dir, threshold, (st.st_size, st.st_mtime_ns))
+
+
 @lru_cache(maxsize=8)
 def _dedup_minhash_impl(sf_dir: str, threshold: float, _file_id=None):
+    """Verified pair set as a (sorted) pandas frame — the small-result
+    convenience view over :func:`_dedup_minhash_ds_impl`."""
+    verified = _dedup_minhash_ds_impl(sf_dir, threshold, _file_id).to_pandas()
+    return (
+        verified.sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype({"a": np.int64, "b": np.int64})
+    )
+
+
+@lru_cache(maxsize=8)
+def _dedup_minhash_ds_impl(sf_dir: str, threshold: float, _file_id=None):
     """MinHash+LSH near-dup candidates, exact-Jaccard verified (rows-only).
 
     Fully distributed (round-2: no driver-side corpus materialization):
@@ -416,8 +436,9 @@ def _dedup_minhash_impl(sf_dir: str, threshold: float, _file_id=None):
     -> global pair dedup -> RE-SHARD pair ends by doc_id against the corpus'
     unique-shingle rows (one hash-partition join; texts never leave the
     cluster) -> co-locate both ends per pair -> exact Jaccard >= threshold.
-    Only the final verified pair set (tiny by construction) reaches the
-    driver."""
+    Returns the verified pair set as a MATERIALIZED Dataset — blocks stay
+    in the object store, so consumers (q_dedup_clusters routing) can count
+    pairs and stay distributed without the driver ever holding the graph."""
     from tsrollup.shuffle import map_key_partitions
 
     docs = _docs(sf_dir, ("doc_id", "text"))
@@ -448,14 +469,9 @@ def _dedup_minhash_impl(sf_dir: str, threshold: float, _file_id=None):
     )
     shingles = docs.map_batches(_shingle_rows, batch_format="pyarrow")
     joined = map_key_partitions(shingles.union(ends), ["key"], _attach_shingles)
-    verified = map_key_partitions(
+    return map_key_partitions(
         joined, ["a", "b"], lambda t: _verify_pairs(t, threshold)
-    ).to_pandas()
-    return (
-        verified.sort_values(["a", "b"])
-        .reset_index(drop=True)
-        .astype({"a": np.int64, "b": np.int64})
-    )
+    ).materialize()
 
 
 def q_dedup_simhash(sf_dir: str, max_hamming: int = 3):
@@ -1651,21 +1667,35 @@ def _bigram_with_counts(sf_dir: str, min_count: int):
     (tok_a, then tok_b) that union candidates with the unigram-count rows
     and attach c_a / c_b per partition — a distributed hash join on the
     vocabulary, never a broadcast of it. Used by q_assoc_bigrams (lift)
-    and q_g2_collocations (Dunning log-likelihood)."""
+    and q_g2_collocations (Dunning log-likelihood).
+
+    Reuse (round-4): the unigram side DERIVES from the memoized
+    (source, token) count fold shared with the entropy/Zipf family (one
+    vocabulary-bounded re-aggregation instead of a second corpus
+    tokenize — same whitespace tokenizer, so the token universe is
+    identical), and the candidate-marginals table itself is memoized per
+    (corpus identity, min_count) so assoc_bigrams and g2_collocations
+    share ONE execution of the tokenize + two exchanges per session."""
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Sum
 
     from tsrollup.functions import tokens as tk
     from tsrollup.shuffle import map_key_partitions
+    from tsrollup.util import memoized_dataset
 
-    def _uni_partial(t: pa.Table) -> pa.Table:
-        sp = tk.split_whitespace(t.column("text"))
-        toks = sp.flatten()
-        toks = toks.filter(pc.greater(pc.binary_length(toks), 0))
-        vc = pc.value_counts(toks)
-        return pa.table({"token": vc.field("values").cast(pa.string()),
-                         "c_uni": vc.field("counts").cast(pa.int64())})
+    src_file = os.path.join(sf_dir, "documents.parquet")
+
+    def _uni_build():
+        def _fold(t: pa.Table) -> pa.Table:
+            return pa.table({"token": t["token"], "c_uni": t["c"]})
+
+        return (
+            _source_token_counts(sf_dir)
+            .map_batches(_fold, batch_format="pyarrow")
+            .groupby("token")
+            .aggregate(Sum("c_uni", alias_name="c_uni"))
+        )
 
     def _bi_partial(t: pa.Table) -> pa.Table:
         tb = tk.TokenBatch(t.column("text"))
@@ -1686,13 +1716,13 @@ def _bigram_with_counts(sf_dir: str, min_count: int):
                          "c_ab": vc.field("counts").cast(pa.int64())})
 
     docs = _docs(sf_dir, ("text",))
-    uni = docs.map_batches(_uni_partial, batch_format="pyarrow").groupby(
-        "token").aggregate(Sum("c_uni", alias_name="c_uni")).materialize()
+    uni = memoized_dataset(src_file, "unigram_counts", _uni_build)
     n_total = int(uni.sum("c_uni") or 0)
 
-    bi = docs.map_batches(_bi_partial, batch_format="pyarrow").groupby(
-        "bigram").aggregate(Sum("c_ab", alias_name="c_ab"))
-    bi = bi.filter(expr=f"c_ab >= {int(min_count)}")
+    def _bi_candidates():
+        bi = docs.map_batches(_bi_partial, batch_format="pyarrow").groupby(
+            "bigram").aggregate(Sum("c_ab", alias_name="c_ab"))
+        return bi.filter(expr=f"c_ab >= {int(min_count)}")
 
     def _split_bigram(t: pa.Table) -> pa.Table:
         # tokens are whitespace-split, so the joiner space is unambiguous
@@ -1700,8 +1730,6 @@ def _bigram_with_counts(sf_dir: str, min_count: int):
         return pa.table({"tok_a": pc.list_element(parts, 0).cast(pa.string()),
                          "tok_b": pc.list_element(parts, 1).cast(pa.string()),
                          "c_ab": t["c_ab"]})
-
-    cand = bi.map_batches(_split_bigram, batch_format="pyarrow")
 
     def _mk_union(side_key: str):
         def _tag_cand(t: pa.Table) -> pa.Table:
@@ -1754,20 +1782,55 @@ def _bigram_with_counts(sf_dir: str, min_count: int):
         cols[out_col] = pa.array(vals.astype(np.int64))
         return pa.table(cols)
 
-    # exchange 1: attach c_a (key = tok_a)
-    tag_cand, tag_uni = _mk_union("tok_a")
-    u1 = cand.map_batches(tag_cand, batch_format="pyarrow").union(
-        uni.map_batches(lambda t: tag_uni(t, False), batch_format="pyarrow")
-    )
-    with_ca = map_key_partitions(u1, ["key"], lambda t: _attach(t, "c_a"))
+    def _full_build():
+        cand = _bi_candidates().map_batches(
+            _split_bigram, batch_format="pyarrow")
+        # exchange 1: attach c_a (key = tok_a)
+        tag_cand, tag_uni = _mk_union("tok_a")
+        u1 = cand.map_batches(tag_cand, batch_format="pyarrow").union(
+            uni.map_batches(lambda t: tag_uni(t, False), batch_format="pyarrow")
+        )
+        with_ca = map_key_partitions(u1, ["key"], lambda t: _attach(t, "c_a"))
 
-    # exchange 2: attach c_b (key = tok_b)
-    tag_cand2, tag_uni2 = _mk_union("tok_b")
-    u2 = with_ca.map_batches(tag_cand2, batch_format="pyarrow").union(
-        uni.map_batches(lambda t: tag_uni2(t, True), batch_format="pyarrow")
+        # exchange 2: attach c_b (key = tok_b)
+        tag_cand2, tag_uni2 = _mk_union("tok_b")
+        u2 = with_ca.map_batches(tag_cand2, batch_format="pyarrow").union(
+            uni.map_batches(lambda t: tag_uni2(t, True), batch_format="pyarrow")
+        )
+        return map_key_partitions(u2, ["key"], lambda t: _attach(t, "c_b"))
+
+    # min-count-cut candidate set: vocabulary-bounded, safe to pin
+    full = memoized_dataset(
+        src_file, f"bigram_marginals_{int(min_count)}", _full_build
     )
-    full = map_key_partitions(u2, ["key"], lambda t: _attach(t, "c_b"))
     return full, n_total
+
+
+def _lift_table(t: pa.Table, n_total: int) -> pa.Table:
+    """Vectorized exact lift_ppm = (c_ab * N * 1e6) // (c_a * c_b) over one
+    candidate batch (module-level so the kernel is unit-testable against a
+    straight-line Python reference)."""
+    if t.num_rows == 0:
+        return pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
+                          ("c_ab", pa.int64()),
+                          ("lift_ppm", pa.int64())]).empty_table()
+    c_ab = t["c_ab"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c_a = t["c_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c_b = t["c_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # exact floor division, fully vectorized (bollinger/KL discipline):
+    # int64 fast lane while the actual numerator/denominator maxima fit,
+    # object-dtype Python-bignum lane beyond — identical results, and
+    # pa.array still raises on int64 OUTPUT overflow, by design
+    if (int(c_ab.max()) * n_total * 1_000_000 < 2**63
+            and int(c_a.max()) * int(c_b.max()) < 2**63):
+        lift = (c_ab * np.int64(n_total) * np.int64(1_000_000)
+                ) // (c_a * c_b)
+    else:
+        lift = (c_ab.astype(object) * n_total * 1_000_000
+                ) // (c_a.astype(object) * c_b.astype(object))
+    return pa.table({"tok_a": t["tok_a"], "tok_b": t["tok_b"],
+                     "c_ab": t["c_ab"],
+                     "lift_ppm": pa.array(lift, pa.int64())})
 
 
 def q_assoc_bigrams(sf_dir: str, min_count: int = _ASSOC_MIN, k: int = _ASSOC_K):
@@ -1781,26 +1844,62 @@ def q_assoc_bigrams(sf_dir: str, min_count: int = _ASSOC_MIN, k: int = _ASSOC_K)
     from tsrollup.shuffle import topk_rows
 
     full, n_total = _bigram_with_counts(sf_dir, min_count)
-
-    def _lift(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
-                              ("c_ab", pa.int64()),
-                              ("lift_ppm", pa.int64())]).empty_table()
-        c_ab = t["c_ab"].to_numpy(zero_copy_only=False)
-        c_a = t["c_a"].to_numpy(zero_copy_only=False)
-        c_b = t["c_b"].to_numpy(zero_copy_only=False)
-        # Python-int exact floor division (candidate rows only — bounded by
-        # the min-count cut); pa.array raises on int64 overflow, by design
-        lift = [int(ab) * n_total * 1_000_000 // (int(a) * int(b))
-                for ab, a, b in zip(c_ab, c_a, c_b)]
-        return pa.table({"tok_a": t["tok_a"], "tok_b": t["tok_b"],
-                         "c_ab": t["c_ab"],
-                         "lift_ppm": pa.array(lift, pa.int64())})
-
-    scored = full.map_batches(_lift, batch_format="pyarrow")
+    scored = full.map_batches(lambda t: _lift_table(t, n_total),
+                              batch_format="pyarrow")
     return topk_rows(scored, ["lift_ppm", "tok_a", "tok_b"],
                      [True, False, False], k)
+
+
+def _g2_table(t: pa.Table, n_total: int) -> pa.Table:
+    """Vectorized exact Dunning G² in the shared floor(ln·1e9) fixed point
+    over one candidate batch (module-level so the kernel is unit-testable
+    against a straight-line Python reference)."""
+    schema = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
+                        ("c_ab", pa.int64()), ("g2_fp", pa.int64())])
+    if t.num_rows == 0:
+        return schema.empty_table()
+    c_ab = t["c_ab"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c_a = t["c_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c_b = t["c_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = n_total
+    keep = (c_a < n) & (c_b < n)
+    ka, kb, kab = c_a[keep], c_b[keep], c_ab[keep]
+    keep_pa = pa.array(keep)
+    if len(kab) == 0:
+        return schema.empty_table()
+    # 2x2 contingency cells, fully vectorized (bollinger/KL discipline):
+    # observed counts o, row marginals r, column marginals c per cell
+    o = np.stack([kab, ka - kab, kb - kab, n - ka - kb + kab])
+    r = np.stack([ka, ka, n - ka, n - ka])
+    cc = np.stack([kb, n - kb, kb, n - kb])
+    # products o*n / r*c: int64 fast lane while n^2 fits, object-dtype
+    # Python-bignum lane beyond (exact at any corpus size; _ln_fp then
+    # rounds to double exactly like the oracle's HUGEINT->DOUBLE cast)
+    if n * n < 2**63:
+        on, rc = o * np.int64(n), r * cc
+    else:
+        on, rc = o.astype(object) * n, r.astype(object) * cc.astype(object)
+    pos = o > 0
+    # fixed-point ln only on UNIQUE products (marginal products repeat
+    # across candidates) — the one scalar loop left, dedup-bounded
+    uniq = np.unique(np.concatenate([on[pos], rc[pos]]))
+    fvals = np.array([_ln_fp(int(v)) for v in uniq], dtype=np.int64)
+    fon = np.zeros(o.shape, dtype=np.int64)
+    frc = np.zeros(o.shape, dtype=np.int64)
+    fon[pos] = fvals[np.searchsorted(uniq, on[pos])]
+    frc[pos] = fvals[np.searchsorted(uniq, rc[pos])]
+    diff = fon - frc  # zero wherever o == 0, so terms need no mask
+    omax, dmax = int(o[pos].max()), int(np.abs(diff).max())
+    if omax * dmax < 2**61:  # 4-term sum then stays well inside int64
+        fps = 2 * (o * diff).sum(axis=0)
+    else:
+        # Python-bignum terms; the pa.array int64 cast below still
+        # raises on OUTPUT overflow rather than wrapping, by design
+        fps = 2 * (o.astype(object) * diff.astype(object)).sum(axis=0)
+    return pa.table({"tok_a": t["tok_a"].filter(keep_pa),
+                     "tok_b": t["tok_b"].filter(keep_pa),
+                     "c_ab": t["c_ab"].filter(keep_pa),
+                     "g2_fp": pa.array(fps, pa.int64())})
 
 
 def q_g2_collocations(sf_dir: str, min_count: int = _ASSOC_MIN,
@@ -1819,37 +1918,8 @@ def q_g2_collocations(sf_dir: str, min_count: int = _ASSOC_MIN,
     from tsrollup.shuffle import topk_rows
 
     full, n_total = _bigram_with_counts(sf_dir, min_count)
-
-    def _g2(t: pa.Table) -> pa.Table:
-        schema = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
-                            ("c_ab", pa.int64()), ("g2_fp", pa.int64())])
-        if t.num_rows == 0:
-            return schema.empty_table()
-        c_ab = t["c_ab"].to_numpy(zero_copy_only=False)
-        c_a = t["c_a"].to_numpy(zero_copy_only=False)
-        c_b = t["c_b"].to_numpy(zero_copy_only=False)
-        n = n_total
-        keep, fps = [], []
-        for ab, a, b in zip(c_ab, c_a, c_b):
-            a, b, ab = int(a), int(b), int(ab)
-            if a >= n or b >= n:
-                keep.append(False); fps.append(0)
-                continue
-            cells = ((ab, a, b), (a - ab, a, n - b),
-                     (b - ab, n - a, b), (n - a - b + ab, n - a, n - b))
-            g2 = 0
-            for o, r, c in cells:
-                if o > 0:
-                    g2 += o * (_ln_fp(o * n) - _ln_fp(r * c))
-            keep.append(True); fps.append(2 * g2)
-        keep = np.array(keep, dtype=bool)
-        return pa.table({"tok_a": t["tok_a"].filter(pa.array(keep)),
-                         "tok_b": t["tok_b"].filter(pa.array(keep)),
-                         "c_ab": t["c_ab"].filter(pa.array(keep)),
-                         "g2_fp": pa.array(
-                             np.array(fps, dtype=np.int64)[keep])})
-
-    scored = full.map_batches(_g2, batch_format="pyarrow")
+    scored = full.map_batches(lambda t: _g2_table(t, n_total),
+                              batch_format="pyarrow")
     return topk_rows(scored, ["g2_fp", "tok_a", "tok_b"],
                      [True, False, False], k)
 
@@ -2488,7 +2558,15 @@ _FP_SCALE = 1_000_000_000
 def _ln_fp(x: int) -> int:
     import math
 
-    return math.floor(math.log(x) * _FP_SCALE)
+    # float(x) first: DuckDB's LN computes on DOUBLE, so a HUGEINT argument
+    # is rounded to the nearest double BEFORE the log. CPython math.log(int)
+    # would instead use the exact integer, which can differ by ~1 ulp once
+    # x >= 2^53 (e.g. the O*N / R*C products in g2_collocations at N >~ 1e8
+    # tokens). float() of a Python int performs the same round-to-nearest
+    # conversion as the HUGEINT->DOUBLE cast, keeping the fixed point
+    # bit-identical to the oracle at every scale. For x < 2^53 the two
+    # paths are identical, so all existing hashes are unchanged.
+    return math.floor(math.log(float(x)) * _FP_SCALE)
 
 
 def _source_token_counts(sf_dir: str) -> ray.data.Dataset:
@@ -2609,7 +2687,9 @@ def q_kl_divergence_sources(sf_dir: str):
     per-(partition, source) SUM partials — each LOUDLY guarded against
     int64 overflow — that combine on the driver in Python bignum (rows =
     partitions × sources), so no silent wrap at any scale (the oracle's
-    matching sums run in HUGEINT)."""
+    matching sums run in HUGEINT). The EMITTED kl_fp column is int64 —
+    a corpus pushing kl_fp past 2^63 raises OverflowError loudly at the
+    final cast rather than wrapping (same output bound as u2/lift_ppm)."""
     from tsrollup.hashing import safe_factorize
     from tsrollup.pipelines.queries import _round6
     from tsrollup.shuffle import map_key_partitions
@@ -3314,9 +3394,12 @@ def q_bigram_entropy(sf_dir: str):
         starts = np.flatnonzero(first)
         seg = np.cumsum(first) - 1
         cu = np.add.reduceat(c, starts)[seg]          # c_u. broadcast per row
-        fvals = {int(x): _ln_fp(int(x)) for x in np.unique(np.r_[c, cu])}
-        fc = np.array([fvals[int(x)] for x in c], np.int64)
-        fcu = np.array([fvals[int(x)] for x in cu], np.int64)
+        # fixed-point ln on UNIQUE counts only; rows map back through the
+        # inverse index (no per-row Python)
+        uniq, inv = np.unique(np.r_[c, cu], return_inverse=True)
+        fu = np.array([_ln_fp(int(x)) for x in uniq], np.int64)
+        fc = fu[inv[: len(c)]]
+        fcu = fu[inv[len(c):]]
         part = pa.table(
             {"source": t["source"], "n_bigrams": pa.array(c),
              "n_pairs": pa.array(np.ones(len(c), np.int64)),
@@ -4204,12 +4287,15 @@ def q_quality_filter(sf_dir: str, q: float = _QF_Q):
     """Percentile quality gate: keep each source's top-decile documents by
     alpha-density (exact integer score, parts-per-million). Unlike
     corpus_pipeline's FIXED threshold, the cutoff is DATA-DERIVED per
-    source — the two-pass broadcast shape: pass 1 folds an exact
-    (source, score) histogram (the mergeable bounded-domain quantile
-    pattern), the per-source discrete quantile cut broadcasts via
-    ``ray.put``, pass 2 re-streams documents and keeps survivors, reporting
-    per-source totals. DuckDB ``quantile_disc`` convention
-    (sorted[ceil(q*n)-1]) on both sides."""
+    source — the two-pass broadcast shape: pass 1 scores every document
+    ONCE into a slim numeric dataset (source, score_pm, n_chars) — ~24
+    bytes/doc, ~400x smaller than the text it summarizes, pinned in the
+    object store so neither pass re-reads or re-regexes the corpus —
+    then folds an exact (source, score) histogram from it (the mergeable
+    bounded-domain quantile pattern); the per-source discrete quantile
+    cut broadcasts via ``ray.put``; pass 2 re-streams the SLIM rows and
+    keeps survivors, reporting per-source totals. DuckDB
+    ``quantile_disc`` convention (sorted[ceil(q*n)-1]) on both sides."""
     import ray
     import pyarrow.compute as pc
 
@@ -4227,18 +4313,31 @@ def q_quality_filter(sf_dir: str, q: float = _QF_Q):
         )
         return (n_alpha * 1_000_000) // np.maximum(n_chars, 1)
 
+    def _slim(t: pa.Table) -> pa.Table:
+        x = tk.as_string_array(t.column("text"))
+        n_chars = pc.utf8_length(x).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"source": t["source"], "score_pm": pa.array(_score(t)),
+             "n_chars": pa.array(n_chars)}
+        )
+
+    # one scoring scan over the corpus; both passes below read this instead
+    slim = (
+        _docs(sf_dir, ("source", "text"))
+        .map_batches(_slim, batch_format="pyarrow")
+        .materialize()  # 3 numeric cols/doc — object store, spills fine
+    )
+
     def _hist(t: pa.Table) -> pa.Table:
-        g = pa.table(
-            {"source": t["source"], "score_pm": pa.array(_score(t))}
-        ).group_by(["source", "score_pm"]).aggregate([("score_pm", "count")])
+        g = t.select(["source", "score_pm"]).group_by(
+            ["source", "score_pm"]).aggregate([("score_pm", "count")])
         return pa.table(
             {"source": g["source"], "score_pm": g["score_pm"],
              "n": g["score_pm_count"].cast(pa.int64())}
         )
 
     hist = (
-        _docs(sf_dir, ("source", "text"))
-        .map_batches(_hist, batch_format="pyarrow")
+        slim.map_batches(_hist, batch_format="pyarrow")
         .groupby(["source", "score_pm"])
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()  # sources x distinct scores — tiny by construction
@@ -4260,9 +4359,8 @@ def q_quality_filter(sf_dir: str, q: float = _QF_Q):
             self.cut = _r.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            score = _score(t)
-            x = tk.as_string_array(t.column("text"))
-            n_chars = pc.utf8_length(x).to_numpy(zero_copy_only=False).astype(np.int64)
+            score = t["score_pm"].to_numpy(zero_copy_only=False)
+            n_chars = t["n_chars"].to_numpy(zero_copy_only=False)
             src = t["source"].to_numpy(zero_copy_only=False)
             cutoff = np.fromiter(
                 (self.cut[s][0] for s in src), dtype=np.int64, count=len(src)
@@ -4279,7 +4377,7 @@ def q_quality_filter(sf_dir: str, q: float = _QF_Q):
             )
 
     kept = (
-        _docs(sf_dir, ("source", "text"))
+        slim
         .map_batches(
             KeepStage, fn_constructor_args=(cut_ref,), batch_format="pyarrow",
             concurrency=(1, 4), **BROADCAST_ACTOR_ARGS,

@@ -108,3 +108,56 @@ def read_parquet_clean(paths, **kwargs):
     return ray.data.read_parquet(paths, **kwargs).map_batches(
         _strip, batch_format="pyarrow"
     )
+
+
+# queries whose oracle hashes rest on the cross-engine fixed-point ln
+# contract (floor(ln(x)*1e9) identical between CPython math.log and DuckDB
+# LN) — listed so the probe's failure message names what breaks
+_LN_CONTRACT_FAMILIES = (
+    "source_entropy, kl_divergence_sources, unigram_logprob,"
+    " source_perplexity, g2_collocations, km_survival, hill_tail,"
+    " zipf_fit, pmi/collocation and Simpson/diversity fixed-point families"
+)
+
+
+def probe_ln_contract(log_fn=None) -> None:
+    """Session-start probe of the fixed-point ln contract (round-3 VERDICT
+    item #4): the engine's F(x) = floor(log(float(x)) * 1e9) must equal
+    DuckDB's CAST(FLOOR(LN(x) * 1e9) AS BIGINT) on this host, else every
+    oracle hash in the fixed-point families silently diverges. CPython's
+    math.log and DuckDB's LN both call the platform libm here, but a
+    different libm (or a poisoned/patched log) can differ by 1 ulp — this
+    probe fails LOUDLY up front instead of surfacing as a mystery hash
+    mismatch deep in the gate. Grid: the dense small-count range the token
+    statistics actually hit, plus geometric large magnitudes up to ~1e18
+    (beyond 2^53, where the float-first rounding contract kicks in).
+    Cost: one DuckDB query + ~2.3k math.log calls (<100 ms)."""
+    import math
+
+    import duckdb
+
+    log_fn = log_fn or math.log
+    xs = list(range(1, 2001)) + [
+        int(10 ** (k / 4)) for k in range(13, 73)
+    ] + [2**53 - 1, 2**53, 2**53 + 1, 3**40, 10**18 - 11]
+    con = duckdb.connect()
+    # the list binds as HUGEINT (so LN sees exactly the oracle's
+    # HUGEINT->DOUBLE cast); list UNNEST preserves element order, and the
+    # returned x would come back as lossy float64 — so zip positionally
+    fp = con.execute(
+        "SELECT CAST(FLOOR(LN(x) * 1000000000) AS BIGINT) AS fp "
+        "FROM (SELECT UNNEST(?) AS x)",
+        [xs],
+    ).df()["fp"].astype("int64")
+    bad = [
+        x
+        for x, their in zip(xs, fp)
+        if math.floor(log_fn(float(x)) * 1_000_000_000) != int(their)
+    ]
+    if bad:
+        raise RuntimeError(
+            f"fixed-point ln contract BROKEN on this host: engine"
+            f" floor(log(x)*1e9) != DuckDB LN at {len(bad)} of {len(xs)}"
+            f" grid points (first: x={bad[0]}). Every oracle hash in these"
+            f" families is unreliable here: {_LN_CONTRACT_FAMILIES}"
+        )
