@@ -843,6 +843,57 @@ def q_throttle_events(sf_dir: str, min_gap_seconds: int = _THROTTLE_GAP_S):
     return map_key_partitions(ds, ["user_id"], _keep)
 
 
+def _pair_hist_rows(sf_dir: str) -> ray.data.Dataset:
+    """Histogram rows replicated per source pair — the (source_a, source_b)
+    keyed exchange feeding the two-sample family (KS / MWU), the same
+    topology as the rank-correlation family (kendall/spearman): each
+    (source, cents, n) histogram row is emitted once per pair containing
+    its source, tagged side 0/1 for the pair's lexicographically first /
+    second member, so every pair's full merged value axis is LOCAL to one
+    partition. Exchange volume is O(S · S·V) histogram rows (the dtw_pairs
+    envelope — bounded by sources × distinct values, never corpus rows);
+    only the S-length source list touches the driver."""
+    import pyarrow.compute as pc
+
+    hist = _cents_histogram(sf_dir)
+    srcs_df = hist.map_batches(
+        lambda t: pa.table({"source": pc.unique(t["source"])}),
+        batch_format="pyarrow",
+    ).to_pandas()  # partitions x sources — tiny
+    srcs = np.array(sorted(set(srcs_df["source"].astype(str))), dtype=object)
+    S = len(srcs)
+    empty = pa.table(
+        {"source_a": pa.array([], pa.string()),
+         "source_b": pa.array([], pa.string()),
+         "side": pa.array([], pa.int8()),
+         "cents": pa.array([], pa.int64()),
+         "n": pa.array([], pa.int64())})
+    if S < 2:
+        return ray.data.from_arrow(empty)
+
+    def _rep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        src = t["source"].to_numpy(zero_copy_only=False).astype(object)
+        idx = np.searchsorted(srcs, src)
+        m = len(src)
+        grid = np.broadcast_to(np.arange(S), (m, S))
+        partner = grid[grid != idx[:, None]].reshape(m, S - 1).ravel()
+        row_rep = np.repeat(np.arange(m), S - 1)
+        si = idx[row_rep]
+        a = np.minimum(si, partner)
+        b = np.maximum(si, partner)
+        take = pa.array(row_rep)
+        return pa.table(
+            {"source_a": pa.array(srcs[a], pa.string()),
+             "source_b": pa.array(srcs[b], pa.string()),
+             "side": pa.array((si != a).astype(np.int8)),
+             "cents": t["cents"].take(take),
+             "n": t["n"].take(take)})
+
+    return hist.map_batches(_rep, batch_format="pyarrow")
+
+
 def q_ks_2samp_sources(sf_dir: str):
     """Two-sample Kolmogorov-Smirnov distance between every two sources'
     cents distributions — the classic distribution-drift test
@@ -850,42 +901,51 @@ def q_ks_2samp_sources(sf_dir: str):
     EXACT: D = max_v |ECDF_a(v) - ECDF_b(v)| evaluated as the integer
     maximum of |cum_a(v)*n_b - cum_b(v)*n_a| over the union of observed
     values, so the only float is one final division of exact integers.
-    Shape: the shared memoized (source, cents) histogram
-    (_cents_histogram), folded per SOURCE PAIR over the merged value axis
-    inside one driver-side sweep (rows = distinct values x sources,
-    independent of corpus size; the n_a*cum products run in Python bignum,
-    and the emitted d_stat is one float division — exact at any scale)."""
-    hist = _cents_histogram(sf_dir).to_pandas()  # sources x distinct cents
-    empty = pd.DataFrame(
-        {"source_a": pd.Series(dtype=object),
-         "source_b": pd.Series(dtype=object),
-         "d_stat": pd.Series(dtype=np.float64)})
-    if not len(hist):
-        return empty
-    sources = sorted(hist["source"].unique().tolist())
-    vals = np.sort(hist["cents"].unique())
-    # dense per-source cumulative counts over the union value axis
-    cums, totals = {}, {}
-    for s in sources:
-        sub = hist[hist["source"] == s]
-        dense = np.zeros(len(vals), dtype=np.int64)
-        dense[np.searchsorted(vals, sub["cents"].to_numpy())] = \
-            sub["n"].to_numpy()
-        cums[s] = np.cumsum(dense)
-        totals[s] = int(cums[s][-1])
-    rows = []
-    for i, a in enumerate(sources):
-        for b in sources[i + 1:]:
-            na, nb = totals[a], totals[b]
+    Shape (round-4, ADVICE r3): the shared memoized (source, cents)
+    histogram feeds a (source_a, source_b)-keyed exchange
+    (_pair_hist_rows) and each pair folds DISTRIBUTED inside its
+    partition — vectorized merge + bignum cross-products per pair; the
+    driver only ever sees the S^2-row result."""
+    from tsrollup.shuffle import group_slices, map_key_partitions
+
+    empty = pa.table(
+        {"source_a": pa.array([], pa.string()),
+         "source_b": pa.array([], pa.string()),
+         "d_stat": pa.array([], pa.float64())})
+
+    def _ks_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        rows = []
+        for g in group_slices(t, ["source_a", "source_b"]):
+            side = g["side"].to_numpy(zero_copy_only=False)
+            cents = g["cents"].to_numpy(zero_copy_only=False)
+            cnt = g["n"].to_numpy(zero_copy_only=False)
+            vals = np.unique(cents)
+            ta = np.zeros(len(vals), dtype=np.int64)
+            tb = np.zeros(len(vals), dtype=np.int64)
+            am, bm = side == 0, side == 1
+            ta[np.searchsorted(vals, cents[am])] = cnt[am]
+            tb[np.searchsorted(vals, cents[bm])] = cnt[bm]
+            cum_a, cum_b = np.cumsum(ta), np.cumsum(tb)
+            na, nb = int(cum_a[-1]), int(cum_b[-1])
             if na == 0 or nb == 0:
                 continue
             # integer max of |cum_a*nb - cum_b*na| (object dtype: bignum)
-            diff = np.abs(cums[a].astype(object) * nb
-                          - cums[b].astype(object) * na)
+            diff = np.abs(cum_a.astype(object) * nb
+                          - cum_b.astype(object) * na)
             d_num = int(max(diff))
-            rows.append({"source_a": a, "source_b": b,
-                         "d_stat": _round6(float(d_num) / float(na * nb))})
-    return pd.DataFrame(rows) if rows else empty
+            rows.append((g["source_a"][0].as_py(), g["source_b"][0].as_py(),
+                         _round6(float(d_num) / float(na * nb))))
+        if not rows:
+            return empty
+        return pa.table(
+            {"source_a": pa.array([r[0] for r in rows], pa.string()),
+             "source_b": pa.array([r[1] for r in rows], pa.string()),
+             "d_stat": pa.array([r[2] for r in rows], pa.float64())})
+
+    return map_key_partitions(
+        _pair_hist_rows(sf_dir), ["source_a", "source_b"], _ks_block)
 
 
 def q_tukey_outliers(sf_dir: str):
@@ -937,31 +997,31 @@ def q_mwu_sources(sf_dir: str):
     OverflowError loudly rather than wrapping, the same output bound the
     lift_ppm operators document), and the common-language effect size
     cles = u2/(2*na*nb) is one division of exact integers. Pairs where
-    either side is empty are skipped."""
-    hist = _cents_histogram(sf_dir).to_pandas()  # sources x distinct cents
-    empty = pd.DataFrame(
-        {"source_a": pd.Series(dtype=object),
-         "source_b": pd.Series(dtype=object),
-         "u2": pd.Series(dtype=np.int64),
-         "cles": pd.Series(dtype=np.float64)})
-    if not len(hist):
-        return empty
-    sources = sorted(hist["source"].unique().tolist())
-    rows = []
-    by_src = {s: hist[hist["source"] == s].sort_values("cents")
-              for s in sources}
-    for i, a in enumerate(sources):
-        for b in sources[i + 1:]:
-            ha, hb = by_src[a], by_src[b]
-            va = ha["cents"].to_numpy()
-            ca = ha["n"].to_numpy()
-            vb = hb["cents"].to_numpy()
-            cb = hb["n"].to_numpy()
-            vals = np.union1d(va, vb)
+    either side is empty are skipped. Shape (round-4, ADVICE r3): the
+    same (source_a, source_b)-keyed exchange as ks_2samp_sources — each
+    pair's merged axis folds inside its partition, never on the driver."""
+    from tsrollup.shuffle import group_slices, map_key_partitions
+
+    empty = pa.table(
+        {"source_a": pa.array([], pa.string()),
+         "source_b": pa.array([], pa.string()),
+         "u2": pa.array([], pa.int64()),
+         "cles": pa.array([], pa.float64())})
+
+    def _mwu_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        rows = []
+        for g in group_slices(t, ["source_a", "source_b"]):
+            side = g["side"].to_numpy(zero_copy_only=False)
+            cents = g["cents"].to_numpy(zero_copy_only=False)
+            cnt = g["n"].to_numpy(zero_copy_only=False)
+            vals = np.unique(cents)
             ta = np.zeros(len(vals), dtype=np.int64)
             tb = np.zeros(len(vals), dtype=np.int64)
-            ta[np.searchsorted(vals, va)] = ca
-            tb[np.searchsorted(vals, vb)] = cb
+            am, bm = side == 0, side == 1
+            ta[np.searchsorted(vals, cents[am])] = cnt[am]
+            tb[np.searchsorted(vals, cents[bm])] = cnt[bm]
             na, nb = int(ta.sum()), int(tb.sum())
             if na == 0 or nb == 0:
                 continue
@@ -971,10 +1031,19 @@ def q_mwu_sources(sf_dir: str):
             sum2r = int((ta.astype(object)
                          * (2 * cum_less.astype(object) + tv + 1)).sum())
             u2 = sum2r - na * (na + 1)
-            rows.append({"source_a": a, "source_b": b,
-                         "u2": np.int64(u2),
-                         "cles": _round6(float(u2) / float(2 * na * nb))})
-    return pd.DataFrame(rows) if rows else empty
+            rows.append((g["source_a"][0].as_py(), g["source_b"][0].as_py(),
+                         u2, _round6(float(u2) / float(2 * na * nb))))
+        if not rows:
+            return empty
+        return pa.table(
+            {"source_a": pa.array([r[0] for r in rows], pa.string()),
+             "source_b": pa.array([r[1] for r in rows], pa.string()),
+             # int64 output bound: raises on overflow rather than wrapping
+             "u2": pa.array([r[2] for r in rows], pa.int64()),
+             "cles": pa.array([r[3] for r in rows], pa.float64())})
+
+    return map_key_partitions(
+        _pair_hist_rows(sf_dir), ["source_a", "source_b"], _mwu_block)
 
 
 def q_welch_t_sources(sf_dir: str):
@@ -986,25 +1055,52 @@ def q_welch_t_sources(sf_dir: str):
     divisions for the means, the two variance terms, one sqrt, one final
     division — each step correctly-rounded IEEE from exact-integer casts,
     so the 6dp values hash-match. Pairs need n >= 2 on both sides and a
-    positive variance sum."""
+    positive variance sum. Shape (round-4, ADVICE r3): moments fold
+    per-source inside a keyed exchange; the driver's pair loop runs over
+    the S-row moment table only — the value axis never leaves the cluster."""
     import math
 
-    hist = _cents_histogram(sf_dir).to_pandas()
+    from tsrollup.shuffle import group_slices, map_key_partitions
+
     empty = pd.DataFrame(
         {"source_a": pd.Series(dtype=object),
          "source_b": pd.Series(dtype=object),
          "n_a": pd.Series(dtype=np.int64),
          "n_b": pd.Series(dtype=np.int64),
          "t_stat": pd.Series(dtype=np.float64)})
-    if not len(hist):
+
+    def _mom_block(t: pa.Table) -> pa.Table:
+        """Per-source exact moments (n, Σc·v, Σc·v²) from the histogram,
+        folded inside the source's partition (round-4: the driver never
+        sees the value axis). Object-dtype bignum sums; the int64 emit
+        raises LOUDLY on overflow (the shared output-bound contract)."""
+        out = pa.table(
+            {"source": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64()),
+             "s1": pa.array([], pa.int64()),
+             "s2": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return out
+        rows = []
+        for g in group_slices(t, ["source"]):
+            v = g["cents"].to_numpy(zero_copy_only=False).astype(object)
+            c = g["n"].to_numpy(zero_copy_only=False).astype(object)
+            rows.append((g["source"][0].as_py(), int(c.sum()),
+                         int((c * v).sum()), int((c * v * v).sum())))
+        return pa.table(
+            {"source": pa.array([r[0] for r in rows], pa.string()),
+             "n": pa.array([r[1] for r in rows], pa.int64()),
+             "s1": pa.array([r[2] for r in rows], pa.int64()),
+             "s2": pa.array([r[3] for r in rows], pa.int64())})
+
+    mom_df = map_key_partitions(
+        _cents_histogram(sf_dir), ["source"], _mom_block
+    ).to_pandas()  # S rows
+    if not len(mom_df):
         return empty
-    sources = sorted(hist["source"].unique().tolist())
-    mom = {}
-    for s in sources:
-        sub = hist[hist["source"] == s]
-        v = sub["cents"].to_numpy().astype(object)
-        c = sub["n"].to_numpy().astype(object)
-        mom[s] = (int(c.sum()), int((c * v).sum()), int((c * v * v).sum()))
+    sources = sorted(mom_df["source"].astype(str).tolist())
+    mom = {str(r.source): (int(r.n), int(r.s1), int(r.s2))
+           for r in mom_df.itertuples()}
     rows = []
     for i, a in enumerate(sources):
         for b in sources[i + 1:]:
