@@ -46,6 +46,10 @@ def _init_ray(num_cpus: int):
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # keep worker stdout off the driver's stdout: the bench contract
+            # is ONE JSON line, and a forwarded worker print would corrupt
+            # the driver's capture
+            log_to_driver=False,
         )
     from tsrollup.util import tune_ray_data
 

@@ -154,3 +154,27 @@ def test_gorilla_compression_roundtrip_counter(ray_session):
     assert len(df) > 0
     assert (df["roundtrip_ok"] == df["n_blocks"]).all()
     assert (df["encoded_bytes"] < df["raw_bytes"]).all()
+
+
+def test_propagate_min_labels_lanes_agree(ray_session):
+    """The single-task local lane and the multi-round exchange lane of
+    propagate_min_labels must produce identical (node, label) tables, both
+    equal to the driver union-find."""
+    import pandas as pd
+
+    from tsrollup.functions import dedup
+
+    rng = np.random.default_rng(5)
+    # several chains + cliques + singleton-free random edges
+    a = rng.integers(0, 500, 800).astype(np.int64)
+    b = rng.integers(0, 500, 800).astype(np.int64)
+    keep = a != b
+    pairs = pd.DataFrame({"a": np.minimum(a, b)[keep],
+                          "b": np.maximum(a, b)[keep]})
+    cc = dedup.connected_components(pairs)
+    exp = (pd.DataFrame({"node": list(cc), "label": [cc[n] for n in cc]})
+           .astype(np.int64).sort_values("node").reset_index(drop=True))
+    for lane_kw in ({}, {"local_max_edge_rows": 0}):
+        got = (dedup.propagate_min_labels(pairs, **lane_kw).to_pandas()
+               .astype(np.int64).sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp)

@@ -297,7 +297,39 @@ def _cc_min_block(t: pa.Table) -> pa.Table:
     return pa.table({"node": pa.array(node[starts]), "label": pa.array(label[starts])})
 
 
-def propagate_min_labels(pairs, max_rounds: int = 64):
+# both-orientation edge rows up to this count run the single-task local
+# lane (~64 MB of (key, val) int64 pairs — comfortably one worker's heap)
+_LOCAL_CC_MAX_EDGE_ROWS = 4_000_000
+
+
+def _local_cc_block(t: pa.Table) -> pa.Table:
+    """Connected components of one in-memory edge block (both-orientation
+    (key, val) rows): compressed node ids + iterated scatter-min over
+    neighbors + pointer jumping, all numpy. Label = min node id of the
+    component — identical to ``connected_components`` / the exchange path."""
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64())})
+    if t.num_rows == 0:
+        return empty
+    a = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t["val"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, ia, lab[ib])  # pull neighbor labels
+        new = np.minimum(new, new[new])  # pointer jump
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    # nodes ascend, so the min label INDEX is the min node id
+    return pa.table({"node": pa.array(nodes), "label": pa.array(nodes[lab])})
+
+
+def propagate_min_labels(pairs, max_rounds: int = 64,
+                         local_max_edge_rows: int | None = None):
     """Distributed connected components by min-label propagation over Ray
     Data — the 100 TB path for dedup-cluster assignment (round-2 VERDICT
     'What's missing' #3; the driver-side union-find above stays as the
@@ -388,18 +420,43 @@ def propagate_min_labels(pairs, max_rounds: int = 64):
             }
         )
 
+    # partition count sized to the GRAPH, not the cluster: every keyed
+    # exchange costs O(P) tasks of fixed latency, so a small verified-pair
+    # graph must not pay a cluster-wide shuffle width (round-4: this was
+    # the whole cost of the query on small graphs)
+    n_edge_rows = edges.count()
+    local_max = (_LOCAL_CC_MAX_EDGE_ROWS if local_max_edge_rows is None
+                 else local_max_edge_rows)
+    if n_edge_rows <= local_max:
+        # graph fits ONE worker task: compute components there in a single
+        # vectorized pass (numpy min-propagation + pointer jumping — in-
+        # memory, O(log n) sweeps). The driver still never touches the
+        # graph; the multi-round exchange below remains the path for
+        # graphs too large for one worker's heap.
+        return edges.repartition(1).map_batches(
+            _local_cc_block, batch_format="pyarrow", batch_size=None
+        )
+    P = max(4, min(64, n_edge_rows // 500_000 + 1))
+
     def _propagate(edge_ds, label_ds):
-        msgs = map_key_partitions(edge_ds.union(label_ds), ["key"], _cc_msg_block)
-        new_labels = map_key_partitions(msgs, ["node"], _cc_min_block)
+        msgs = map_key_partitions(
+            edge_ds.union(label_ds), ["key"], _cc_msg_block, num_partitions=P
+        )
+        new_labels = map_key_partitions(
+            msgs, ["node"], _cc_min_block, num_partitions=P
+        )
         return new_labels.map_batches(_as_label_rows, batch_format="pyarrow")
 
     prev = None
     for _ in range(max_rounds):
-        # A: spread along real edges (1 hop)
-        labels = _propagate(edges, labels)
-        # B: spread along label links (pointer jumping)
+        # ONE fused exchange per round spreads along real edges (1 hop)
+        # AND along label links (pointer jumping) together — halves the
+        # shuffles per round vs sequential phases; the min-fold is
+        # order-free so fusing changes neither the fixed point nor the
+        # monotone-checksum termination proof (round 1's links are all
+        # self-links and drop out, so it degenerates to a pure edge hop)
         links = labels.map_batches(_label_links, batch_format="pyarrow")
-        labels = _propagate(links, labels).materialize()
+        labels = _propagate(edges.union(links), labels).materialize()
         chk = _label_sum(labels)
         if chk == prev:
             break
