@@ -3,7 +3,11 @@ console monitor (ref real_time_monitoring.py:42-79): read a tier's rolled and
 points parquet, print per-source summaries, and decode a Gorilla block to
 prove round-trip on the committed bytes. Pure pyarrow/duckdb (no Ray).
 
-    python scripts/inspect_tier.py <out_root> [tier]
+    python scripts/inspect_tier.py <out_root> [tier] [--verify-all]
+
+``--verify-all`` decodes EVERY committed Gorilla block in one vectorized
+pass and verifies round-trip against the stored plain columns; it may be
+given in any position (flags are never consumed as the tier positional).
 """
 
 from __future__ import annotations
@@ -22,8 +26,9 @@ from tsrollup.lineage import load_manifest
 
 
 def main() -> int:
-    out_root = sys.argv[1]
-    tier = sys.argv[2] if len(sys.argv) > 2 else "1m"
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_root = pos[0]
+    tier = pos[1] if len(pos) > 1 else "1m"
     man = load_manifest(out_root)
     rec = man["tiers"].get(tier)
     if not rec:

@@ -427,8 +427,23 @@ def _dedup_minhash_impl(sf_dir: str, threshold: float, _file_id=None):
     )
 
 
-@lru_cache(maxsize=8)
 def _dedup_minhash_ds_impl(sf_dir: str, threshold: float, _file_id=None):
+    """Memo wrapper over :func:`_dedup_minhash_ds_build`: a bare lru_cache
+    would pin a MATERIALIZED Dataset across ``ray.shutdown()``/``ray.init()``
+    and serve dead object-store refs — ``util.memoized_dataset`` keys on the
+    Ray job id (and file identity) so refs from a dead session are dropped.
+    ``_file_id`` is kept for caller compatibility; file identity is re-derived
+    inside the memo."""
+    from tsrollup.util import memoized_dataset
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    return memoized_dataset(
+        src, f"minhash_pairs_t{threshold!r}",
+        lambda: _dedup_minhash_ds_build(sf_dir, threshold),
+    )
+
+
+def _dedup_minhash_ds_build(sf_dir: str, threshold: float):
     """MinHash+LSH near-dup candidates, exact-Jaccard verified (rows-only).
 
     Fully distributed (round-2: no driver-side corpus materialization):
@@ -471,7 +486,7 @@ def _dedup_minhash_ds_impl(sf_dir: str, threshold: float, _file_id=None):
     joined = map_key_partitions(shingles.union(ends), ["key"], _attach_shingles)
     return map_key_partitions(
         joined, ["a", "b"], lambda t: _verify_pairs(t, threshold)
-    ).materialize()
+    )
 
 
 def q_dedup_simhash(sf_dir: str, max_hamming: int = 3):

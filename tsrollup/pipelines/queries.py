@@ -542,51 +542,10 @@ def q_gorilla_compression(sf_dir: str):
 
     pts = build_points(_rolled_events(sf_dir), "1m", RollupConfig())
 
-    def _stats(t: pa.Table) -> pa.Table:
-        # batch decode: ONE vectorized decode_concat over the whole block
-        # column, then flat-buffer comparisons against the Arrow list
-        # columns — no per-row Python decode loop (round-4)
-        blks = t["gorilla"].to_pylist()
-        ts, vals, off = gorilla.decode_concat(blks)
-        R = t.num_rows
-        vcol = t["values"].combine_chunks()
-        flat_v = np.asarray(vcol.flatten(), dtype=np.float64)
-        v_lens = np.diff(np.asarray(vcol.offsets))
-        kcol = t["kept_idx"].combine_chunks()
-        flat_k = np.asarray(kcol.flatten(), dtype=np.int64)
-        sb = t["start_bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dec_lens = np.diff(off)
-        len_ok = dec_lens == v_lens
-        # bitwise value equality (NaN-safe) + timestamp identity, folded
-        # back per row via bincount of mismatch positions
-        row_of = np.repeat(np.arange(R), dec_lens)
-        if len_ok.all():
-            neq = (vals.view(np.uint64) != flat_v.view(np.uint64)) | (
-                ts != np.repeat(sb, dec_lens) + flat_k
-            )
-            ok = (np.bincount(row_of[neq], minlength=R) == 0) & len_ok
-        else:  # shape drift: only compare rows whose lengths agree
-            ok = np.zeros(R, dtype=bool)
-            for i in np.nonzero(len_ok)[0]:
-                lo, hi = off[i], off[i + 1]
-                vlo = int(np.asarray(vcol.offsets)[i])
-                ok[i] = np.array_equal(
-                    vals[lo:hi], flat_v[vlo : vlo + dec_lens[i]]
-                )
-        enc_bytes = np.fromiter((len(b) for b in blks), np.int64, R)
-        df = pd.DataFrame(
-            {"source": t["source"].to_pylist(), "n_blocks": 1,
-             "encoded_bytes": enc_bytes, "raw_bytes": 16 * dec_lens,
-             "roundtrip_ok": ok.astype(np.int64)}
-        )
-        # metadata-free: pandas schema metadata is unhashable and trips
-        # Ray's block-schema dedup logging
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
-
     from ray.data.aggregate import Sum
 
     return (
-        pts.map_batches(_stats, batch_format="pyarrow")
+        pts.map_batches(_gorilla_stats_block, batch_format="pyarrow")
         .groupby("source")
         .aggregate(
             Sum("n_blocks", alias_name="n_blocks"),
@@ -595,6 +554,56 @@ def q_gorilla_compression(sf_dir: str):
             Sum("roundtrip_ok", alias_name="roundtrip_ok"),
         )
     )
+
+
+def _gorilla_stats_block(t: pa.Table) -> pa.Table:
+    """Per-block Gorilla round-trip stats (module-level so the shape-drift
+    fallback lane is unit-testable): batch decode — ONE vectorized
+    decode_concat over the whole block column, then flat-buffer comparisons
+    against the Arrow list columns — no per-row Python decode loop (round-4)."""
+    from tsrollup import gorilla
+
+    blks = t["gorilla"].to_pylist()
+    ts, vals, off = gorilla.decode_concat(blks)
+    R = t.num_rows
+    vcol = t["values"].combine_chunks()
+    flat_v = np.asarray(vcol.flatten(), dtype=np.float64)
+    v_lens = np.diff(np.asarray(vcol.offsets))
+    kcol = t["kept_idx"].combine_chunks()
+    flat_k = np.asarray(kcol.flatten(), dtype=np.int64)
+    sb = t["start_bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dec_lens = np.diff(off)
+    len_ok = dec_lens == v_lens
+    # bitwise value equality (NaN-safe) + timestamp identity, folded
+    # back per row via bincount of mismatch positions
+    row_of = np.repeat(np.arange(R), dec_lens)
+    if len_ok.all():
+        neq = (vals.view(np.uint64) != flat_v.view(np.uint64)) | (
+            ts != np.repeat(sb, dec_lens) + flat_k
+        )
+        ok = (np.bincount(row_of[neq], minlength=R) == 0) & len_ok
+    else:  # shape drift: only compare rows whose lengths agree, with
+        # the SAME predicate as the fast lane (uint64 bit equality is
+        # NaN-safe; timestamps must equal start_bucket + kept_idx)
+        ok = np.zeros(R, dtype=bool)
+        v_off = np.asarray(vcol.offsets, dtype=np.int64)
+        for i in np.nonzero(len_ok)[0]:
+            lo, hi = int(off[i]), int(off[i + 1])
+            vlo, vhi = int(v_off[i]), int(v_off[i + 1])
+            ok[i] = bool(
+                (vals[lo:hi].view(np.uint64)
+                 == flat_v[vlo:vhi].view(np.uint64)).all()
+                and (ts[lo:hi] == sb[i] + flat_k[vlo:vhi]).all()
+            )
+    enc_bytes = np.fromiter((len(b) for b in blks), np.int64, R)
+    df = pd.DataFrame(
+        {"source": t["source"].to_pylist(), "n_blocks": 1,
+         "encoded_bytes": enc_bytes, "raw_bytes": 16 * dec_lens,
+         "roundtrip_ok": ok.astype(np.int64)}
+    )
+    # metadata-free: pandas schema metadata is unhashable and trips
+    # Ray's block-schema dedup logging
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 def q_downsample_random(sf_dir: str, target: int = 50, seed: int = 42):
