@@ -4,6 +4,7 @@ lane, the Ray-job-aware minhash pair-set memo, and inspect_tier flag parsing."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -90,3 +91,34 @@ def test_inspect_tier_flags_not_positional(tmp_path, monkeypatch, capsys):
     assert rc == 1
     assert "--verify-all" not in outp  # flag did not become the tier name
     assert "'1m'" in outp  # default tier was looked up (empty manifest)
+
+
+def test_bigram_marginals_lanes_agree(ray_session, monkeypatch):
+    """The broadcast lane (vocab <= _BIGRAM_BCAST_MAX, single map_batches)
+    and the keyed-exchange lane of _bigram_with_counts must produce the
+    identical (tok_a, tok_b, c_ab, c_a, c_b) marginals table."""
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("testdata missing")
+    from tsrollup import util
+    from tsrollup.pipelines import docqueries as dq
+
+    def run():
+        # the full-marginals memo key is lane-independent; clear it so the
+        # second lane actually executes instead of returning the first's pin
+        for k in [k for k in list(util._DS_MEMO)
+                  if "bigram_marginals" in str(k[1])]:
+            del util._DS_MEMO[k]
+        full, n_total = dq._bigram_with_counts(sf, dq._ASSOC_MIN)
+        df = (full.to_pandas()
+              .sort_values(["tok_a", "tok_b"]).reset_index(drop=True))
+        return df, n_total
+
+    bcast_df, bcast_n = run()
+    monkeypatch.setattr(dq, "_BIGRAM_BCAST_MAX", 0)
+    exch_df, exch_n = run()
+    assert bcast_n == exch_n
+    assert len(bcast_df) > 0
+    pd.testing.assert_frame_equal(bcast_df, exch_df)

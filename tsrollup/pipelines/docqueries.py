@@ -1673,16 +1673,27 @@ def q_top_bigrams(sf_dir: str, k: int = 20):
 _ASSOC_MIN = 3   # minimum bigram count to be a candidate
 _ASSOC_K = 30    # top-k by lift
 
+# broadcast-vs-exchange cutover for attaching unigram marginals to bigram
+# candidates (q_asof_join posture): below this many distinct tokens the
+# unigram table is a genuine small side — ship it ONCE via ray.put and
+# attach c_a/c_b in a single map_batches, zero exchanges.  Above it (a
+# web-scale vocabulary is tens of millions of rows and NOT a small side)
+# the two token-keyed exchanges below remain the 100 TB plan.
+_BIGRAM_BCAST_MAX = 2_000_000
+
 
 def _bigram_with_counts(sf_dir: str, min_count: int):
     """Shared collocation join plan: bigram candidates (count >= min_count)
     with their unigram marginals attached — (tok_a, tok_b, c_ab, c_a, c_b)
     plus the corpus token total N. All counts distributed: bigram partial
-    counts -> groupby-sum -> min-count cut -> TWO keyed exchanges on token
-    (tok_a, then tok_b) that union candidates with the unigram-count rows
-    and attach c_a / c_b per partition — a distributed hash join on the
-    vocabulary, never a broadcast of it. Used by q_assoc_bigrams (lift)
-    and q_g2_collocations (Dunning log-likelihood).
+    counts -> groupby-sum -> min-count cut -> marginal attach, which picks
+    a lane by unigram-table size (``_BIGRAM_BCAST_MAX``): a vocabulary that
+    fits a ``ray.put`` payload broadcasts once and both marginals attach in
+    ONE map_batches (zero exchanges); above the cutover, TWO keyed
+    exchanges on token (tok_a, then tok_b) union candidates with the
+    unigram-count rows and attach c_a / c_b per partition — a distributed
+    hash join on the vocabulary. Used by q_assoc_bigrams (lift) and
+    q_g2_collocations (Dunning log-likelihood).
 
     Reuse (round-4): the unigram side DERIVES from the memoized
     (source, token) count fold shared with the entropy/Zipf family (one
@@ -1797,9 +1808,56 @@ def _bigram_with_counts(sf_dir: str, min_count: int):
         cols[out_col] = pa.array(vals.astype(np.int64))
         return pa.table(cols)
 
+    def _attach_broadcast(cand):
+        """Broadcast lane: unigram counts fit a single ``ray.put`` payload,
+        so both marginals attach inside ONE actor-pool map_batches over the
+        candidates — no exchange at all.  Lookup machinery (pd.Series
+        reindex on the token strings) is IDENTICAL to the exchange lane's
+        ``_attach`` so the two lanes cannot diverge on key semantics."""
+        import ray
+
+        u = uni.to_pandas()  # vocabulary-bounded: <= _BIGRAM_BCAST_MAX rows
+        ref = ray.put(pd.Series(
+            u["c_uni"].to_numpy(dtype=np.int64),
+            index=u["token"].to_numpy(dtype=object),
+        ))
+        out_schema = pa.schema(
+            [("tok_a", pa.string()), ("tok_b", pa.string()),
+             ("c_ab", pa.int64()), ("c_a", pa.int64()), ("c_b", pa.int64())])
+
+        class _AttachBoth:
+            def __init__(self, r):
+                import ray as _r
+
+                self.lut = _r.get(r)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return out_schema.empty_table()
+                c_a = self.lut.reindex(
+                    t["tok_a"].to_numpy(zero_copy_only=False)).to_numpy()
+                c_b = self.lut.reindex(
+                    t["tok_b"].to_numpy(zero_copy_only=False)).to_numpy()
+                if np.isnan(c_a).any() or np.isnan(c_b).any():
+                    raise AssertionError(
+                        "bigram token missing from unigram counts")
+                return pa.table(
+                    {"tok_a": t["tok_a"], "tok_b": t["tok_b"],
+                     "c_ab": t["c_ab"],
+                     "c_a": pa.array(c_a.astype(np.int64)),
+                     "c_b": pa.array(c_b.astype(np.int64))})
+
+        return cand.map_batches(
+            _AttachBoth, fn_constructor_kwargs={"r": ref},
+            batch_format="pyarrow", concurrency=(1, 4),
+            **BROADCAST_ACTOR_ARGS)
+
     def _full_build():
         cand = _bi_candidates().map_batches(
             _split_bigram, batch_format="pyarrow")
+        # uni is a materialized memo, so count() is a metadata read
+        if uni.count() <= _BIGRAM_BCAST_MAX:
+            return _attach_broadcast(cand)
         # exchange 1: attach c_a (key = tok_a)
         tag_cand, tag_uni = _mk_union("tok_a")
         u1 = cand.map_batches(tag_cand, batch_format="pyarrow").union(
