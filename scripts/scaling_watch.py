@@ -21,10 +21,16 @@ import bench  # noqa: E402
 
 LOG = "/tmp/scaling_watch.log"
 OUT = "/tmp/scaling_r4.json"
+OUT_416 = "/tmp/scaling_r4_416.json"
 LOCK = "/tmp/scaling_running"
 # round-3 record fired at probes 1.03 (8) / 1.89 (32); allow a touch looser
 THRESH_8 = 1.40
 THRESH_32 = 2.20
+# fallback pair when the host never frees 32 cores: 4 -> 16 is still an
+# N -> 4N two-parallelism-level measurement (the low leg's fixed Ray
+# runtime threads bias efficiency LOW at small N, so a pass is honest)
+THRESH_4 = 1.30
+THRESH_16 = 2.00
 INTERVAL_S = 180
 
 
@@ -33,42 +39,58 @@ def log(msg: str) -> None:
         f.write(f"{time.strftime('%H:%M:%S')} {msg}\n")
 
 
+def run_scaling(pair: str, out_path: str):
+    """One bench.py --scaling run at SCALING_CPUS=pair; returns result dict
+    or None."""
+    open(LOCK, "w").write(str(os.getpid()))
+    try:
+        env = dict(os.environ, SCALING_CPUS=pair)
+        r = subprocess.run(
+            [sys.executable, "bench.py", "--scaling"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=3600, env=env,
+        )
+        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        try:
+            res = json.loads(line)
+        except (json.JSONDecodeError, IndexError):
+            log(f"scaling run {pair} produced no JSON (rc={r.returncode}); "
+                f"stderr tail: {r.stderr[-300:]}")
+            return None
+        with open(out_path, "w") as f:
+            json.dump(res, f, indent=1)
+        log(f"scaling {pair} done: eff={res.get('scaling_efficiency')} "
+            f"probes={json.dumps({k: v for k, v in res.items() if 'probe' in k})}")
+        return res
+    finally:
+        if os.path.exists(LOCK):
+            os.remove(LOCK)
+
+
 def main() -> int:
     deadline = time.time() + float(os.environ.get("WATCH_MAX_S", 5 * 3600))
+    did_416 = os.path.exists(OUT_416)
     while time.time() < deadline:
         p8 = bench.host_probe(8)
         p32 = bench.host_probe(32)
         log(f"probe8={p8:.2f} probe32={p32:.2f}")
         if p8 <= THRESH_8 and p32 <= THRESH_32:
-            log("healthy window -> running bench.py --scaling")
-            open(LOCK, "w").write(str(os.getpid()))
-            try:
-                r = subprocess.run(
-                    [sys.executable, "bench.py", "--scaling"],
-                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    capture_output=True, text=True, timeout=3600,
-                )
-                line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
-                try:
-                    res = json.loads(line)
-                except (json.JSONDecodeError, IndexError):
-                    log(f"scaling run produced no JSON (rc={r.returncode}); "
-                        f"stderr tail: {r.stderr[-300:]}")
-                    continue
-                with open(OUT, "w") as f:
-                    json.dump(res, f, indent=1)
-                log(f"scaling done: eff={res.get('scaling_efficiency')} "
-                    f"probes={res.get('host_probe_sec_at_8')}/"
-                    f"{res.get('host_probe_sec_at_32')}")
-                eff = res.get("scaling_efficiency", 0)
-                if eff and eff >= 0.8:
-                    log("raw efficiency >= 0.8 -> done, exiting")
-                    return 0
-                log("efficiency < 0.8 (window may have closed mid-run); "
-                    "continuing to watch")
-            finally:
-                if os.path.exists(LOCK):
-                    os.remove(LOCK)
+            log("healthy 8/32 window -> running bench.py --scaling")
+            res = run_scaling("8,32", OUT)
+            eff = (res or {}).get("scaling_efficiency", 0)
+            if eff and eff >= 0.8:
+                log("raw efficiency >= 0.8 -> done, exiting")
+                return 0
+            log("efficiency < 0.8 (window may have closed mid-run); "
+                "continuing to watch")
+        elif not did_416 and p8 <= THRESH_4:
+            p16 = bench.host_probe(16)
+            log(f"probe16={p16:.2f}")
+            if p16 <= THRESH_16:
+                log("16-core window (32 blocked) -> fallback 4,16 run")
+                res = run_scaling("4,16", OUT_416)
+                if res is not None:
+                    did_416 = True  # one fallback record; 8/32 stays primary
         time.sleep(INTERVAL_S)
     log("deadline reached without a qualifying run")
     return 1
