@@ -1744,6 +1744,14 @@ def _bigram_with_counts(sf_dir: str, min_count: int):
     docs = _docs(sf_dir, ("text",))
     uni = memoized_dataset(src_file, "unigram_counts", _uni_build)
     n_total = int(uni.sum("c_uni") or 0)
+    import ray.data as _rd
+
+    if not isinstance(uni, _rd.dataset.MaterializedDataset):
+        # memoized_dataset stayed lazy because Ray wasn't initialized at
+        # call time (the sum above auto-inited it); re-memoize so the lane
+        # dispatch count() and the broadcast to_pandas() below consume the
+        # pinned fold instead of re-executing the corpus lineage
+        uni = memoized_dataset(src_file, "unigram_counts", lambda: uni)
 
     def _bi_candidates():
         bi = docs.map_batches(_bi_partial, batch_format="pyarrow").groupby(
