@@ -29,7 +29,7 @@ THRESH_32 = 2.20
 # fallback pair when the host never frees 32 cores: 4 -> 16 is still an
 # N -> 4N two-parallelism-level measurement (the low leg's fixed Ray
 # runtime threads bias efficiency LOW at small N, so a pass is honest)
-THRESH_4 = 1.40
+THRESH_4 = 1.55
 THRESH_16 = 2.00
 MAX_416_ATTEMPTS = 2
 INTERVAL_S = 180
