@@ -198,8 +198,44 @@ def main() -> int:
     # after-probe only once Ray is down (forking under a live Ray session
     # inherits its gRPC threads)
     out["host_probe_sec_after"] = host_probe(num_cpus)
-    print(json.dumps(out))
+    _emit_json(out)
     return 0
+
+
+# the driver records only the last ~2 KB of stdout; keep the FINAL line
+# under this so its head (metric/value) survives the tail capture
+# (round-4 VERDICT "What's wrong" #2: a ~4 KB one-liner parsed as null)
+_TAIL_CAPTURE_BUDGET = 1800
+
+
+def _emit_json(out: dict) -> None:
+    """Print the full one-line JSON record; if it exceeds the driver's tail
+    capture window, follow it with a COMPACT final line (same scalar fields,
+    slowest queries only, full per-query map spilled to a sidecar file) so
+    the tail parser always sees a complete JSON object."""
+    full = json.dumps(out)
+    print(full)
+    if len(full) <= _TAIL_CAPTURE_BUDGET:
+        return
+    try:
+        with open("/tmp/tsrollup_bench_last.json", "w") as f:
+            f.write(full + "\n")
+    except OSError:
+        pass
+    compact = {k: v for k, v in out.items() if not isinstance(v, dict)}
+    q = out.get("queries") or {}
+    compact["queries_n"] = len(q)
+    compact["queries_full_in"] = "line above / /tmp/tsrollup_bench_last.json"
+    slow = sorted(q.items(), key=lambda kv: -kv[1])
+    keep: dict = {}
+    for name, sec in slow:
+        keep[name] = round(sec, 2)
+        compact["queries"] = keep
+        if len(json.dumps(compact)) > _TAIL_CAPTURE_BUDGET:
+            del keep[name]
+            break
+    compact["queries"] = keep
+    print(json.dumps(compact))
 
 
 def _probe_work(_):
@@ -297,7 +333,7 @@ def scaling(sf_dir: str) -> int:
             min((lo["value"] / hi["value"]) / min(ceiling, factor), 1.5), 3
         ),
     }
-    print(json.dumps(out))
+    _emit_json(out)
     return 0
 
 

@@ -20,12 +20,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 
 LOG = "/tmp/scaling_watch.log"
-OUT = "/tmp/scaling_r4.json"
-OUT_416 = "/tmp/scaling_r4_416.json"
+OUT = "/tmp/scaling_r5.json"
+OUT_416 = "/tmp/scaling_r5_416.json"
 LOCK = "/tmp/scaling_running"
-# round-3 record fired at probes 1.03 (8) / 1.89 (32); allow a touch looser
-THRESH_8 = 1.40
-THRESH_32 = 2.20
+# session work (pytest / bench iterations) touches this file to pause the
+# watcher: a scaling run racing the gate's own load measures nothing
+BUSY = "/tmp/tsrollup_busy"
+# round-3 record fired at probes 1.03 (8) / 1.89 (32). Round-5 calibration:
+# a run fired at 1.27/2.16 measured raw 0.629 while the HOST's own probe
+# ceiling was 2.35x — at probe32 > ~1.9 the raw number measures the
+# neighbours, not the engine. Gate at the record's own bracket.
+THRESH_8 = 1.30
+THRESH_32 = 1.90
 # fallback pair when the host never frees 32 cores: 4 -> 16 is still an
 # N -> 4N two-parallelism-level measurement (the low leg's fixed Ray
 # runtime threads bias efficiency LOW at small N, so a pass is honest)
@@ -99,6 +105,9 @@ def main() -> int:
         except (OSError, json.JSONDecodeError):
             pass
     while time.time() < deadline:
+        if os.path.exists(BUSY):
+            time.sleep(60)
+            continue
         p8 = bench.host_probe(8)
         p32 = bench.host_probe(32)
         log(f"probe8={p8:.2f} probe32={p32:.2f}")

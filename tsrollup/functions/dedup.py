@@ -430,12 +430,36 @@ def propagate_min_labels(pairs, max_rounds: int = 64,
     if n_edge_rows <= local_max:
         # graph fits ONE worker task: compute components there in a single
         # vectorized pass (numpy min-propagation + pointer jumping — in-
-        # memory, O(log n) sweeps). The driver still never touches the
-        # graph; the multi-round exchange below remains the path for
-        # graphs too large for one worker's heap.
-        return edges.repartition(1).map_batches(
-            _local_cc_block, batch_format="pyarrow", batch_size=None
-        )
+        # memory, O(log n) sweeps). A bare ray.remote task (not a
+        # repartition(1).map_batches) makes the whole-graph invariant
+        # EXPLICIT: the task concatenates every edge block itself and
+        # asserts it saw the full edge set, so Ray Data's dynamic block
+        # splitting (DataContext.target_max_block_size) can never hand the
+        # labeler a fragment of the graph and silently emit conflicting
+        # labels (round-4 ADVICE). The driver still only handles refs; the
+        # multi-round exchange below remains the path for graphs too large
+        # for one worker's heap.
+        import ray
+        import ray.data as _rd
+
+        @ray.remote
+        def _whole_graph_cc(expected_rows: int, *blocks: pa.Table) -> pa.Table:
+            # zero-row placeholder blocks can carry a bare schema; select
+            # the two columns the labeler needs so concat never sees a
+            # heterogeneous schema
+            todo = [b.select(["key", "val"]) for b in blocks if b.num_rows]
+            t = pa.concat_tables(todo) if todo else pa.table(
+                {"key": pa.array([], pa.int64()), "val": pa.array([], pa.int64())}
+            )
+            if t.num_rows != expected_rows:
+                raise RuntimeError(
+                    f"local CC lane saw {t.num_rows} edge rows, expected "
+                    f"{expected_rows} — edge blocks lost or duplicated"
+                )
+            return _local_cc_block(t)
+
+        refs = edges.to_arrow_refs()
+        return _rd.from_arrow_refs([_whole_graph_cc.remote(n_edge_rows, *refs)])
     P = max(4, min(64, n_edge_rows // 500_000 + 1))
 
     def _propagate(edge_ds, label_ds):

@@ -76,6 +76,28 @@ def _date_us(s: str) -> int:
     return int(np.datetime64(s, "us").astype(np.int64))
 
 
+def _ts_filter(col: str, lo_us: int | None = None, hi_us: int | None = None,
+               lo_strict: bool = False):
+    """Predicate-pushdown expression for a timestamp[us] range, handed to
+    ``read_parquet`` as ``filter=`` so pyarrow prunes row groups whose
+    min/max statistics exclude the range and drops non-matching rows at
+    the scan itself — rows outside the date cut never enter the object
+    store (round-4 VERDICT next #3). Purely an IO/volume cut: every query
+    still applies its own exact per-batch mask, and the pushed predicate
+    is the SAME comparison on the same values (timestamp[us] order ==
+    the int64-microsecond order the batch masks use), so pruned rows are
+    exactly rows the mask would drop."""
+    f = pc.field(col)
+    e = None
+    if lo_us is not None:
+        lo_s = pa.scalar(lo_us, pa.timestamp("us"))
+        e = (f > lo_s) if lo_strict else (f >= lo_s)
+    if hi_us is not None:
+        e2 = f < pa.scalar(hi_us, pa.timestamp("us"))
+        e = e2 if e is None else e & e2
+    return e
+
+
 def _cents(x: np.ndarray) -> np.ndarray:
     """FLOOR(x * 100) as int64 — identical double arithmetic to DuckDB's
     FLOOR(x * 100), the events-table exactness recipe."""
@@ -281,6 +303,7 @@ def q_tpch_q6(sf_dir: str):
             f"{sf_dir}/lineitem.parquet",
             columns=["l_shipdate", "l_discount", "l_quantity",
                      "l_extendedprice"],
+            filter=_ts_filter("l_shipdate", lo, hi),
         )
         .map_batches(_partial, batch_format="pyarrow")
         .aggregate(Sum("revenue4", alias_name="revenue4"),
@@ -350,10 +373,12 @@ def q_tpch_q3(sf_dir: str):
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=_ts_filter("o_orderdate", hi_us=date_us),
     ).map_batches(_orders, batch_format="pyarrow")
     items = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=_ts_filter("l_shipdate", lo_us=date_us, lo_strict=True),
     ).map_batches(_items, batch_format="pyarrow")
 
     def _join_block(t: pa.Table) -> pa.Table:
@@ -467,6 +492,7 @@ def q_tpch_q5(sf_dir: str):
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=_ts_filter("o_orderdate", lo, hi),
     ).map_batches(_orders, batch_format="pyarrow")
     items = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
@@ -551,6 +577,7 @@ def q_tpch_q14(sf_dir: str):
             f"{sf_dir}/lineitem.parquet",
             columns=["l_partkey", "l_shipdate", "l_extendedprice",
                      "l_discount"],
+            filter=_ts_filter("l_shipdate", lo, hi),
         )
         .map_batches(_partial, batch_format="pyarrow")
         .aggregate(Sum("promo_rev4", alias_name="promo_rev4"),
@@ -759,6 +786,7 @@ def q_tpch_q4(sf_dir: str):
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=_ts_filter("o_orderdate", lo, hi),
     ).map_batches(_orders, batch_format="pyarrow")
     items = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
@@ -850,11 +878,14 @@ def q_tpch_q10(sf_dir: str):
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=_ts_filter("o_orderdate", lo, hi),
     ).map_batches(_orders, batch_format="pyarrow")
     items = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_extendedprice",
                  "l_discount"],
+        # string-equality pushdown: same comparison the batch mask applies
+        filter=pc.field("l_returnflag") == "R",
     ).map_batches(_items, batch_format="pyarrow")
 
     def _join_block(t: pa.Table) -> pa.Table:
@@ -933,6 +964,7 @@ def q_tpch_q15(sf_dir: str):
             f"{sf_dir}/lineitem.parquet",
             columns=["l_suppkey", "l_shipdate", "l_extendedprice",
                      "l_discount"],
+            filter=_ts_filter("l_shipdate", lo, hi),
         )
         .map_batches(_partial, batch_format="pyarrow")
         .groupby("s_suppkey")
