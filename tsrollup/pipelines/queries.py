@@ -7864,19 +7864,10 @@ def q_rsi_cutler(sf_dir: str, window: int = _RSI_W):
                           batch_format="pandas")
 
 
-# Bloom prefilter geometry for q_semi_join_bloom: 2^20 bits (128 KiB
-# broadcast) x 4 hashes. False positives only cost exchange volume, never
-# correctness — the partial re-verifies membership from complete counts.
-_BLOOM_BITS = 1 << 20
-_BLOOM_K = 4
-
-
-def _bloom_positions(uid: np.ndarray, i: int) -> np.ndarray:
-    """i-th Bloom bit position per user id (splitmix64-mixed, salted)."""
-    from tsrollup.hashing import mix2
-
-    salt = np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF)
-    return (mix2(uid, salt) % np.uint64(_BLOOM_BITS)).astype(np.int64)
+# Bloom prefilter geometry lives in tsrollup.shuffle (bloom_build /
+# bloom_keep — 2^20 bits x 4 hashes, shared with the tpch q18/q10 plans).
+# False positives only cost exchange volume, never correctness — the
+# partial re-verifies membership from complete counts.
 
 
 def q_semi_join_bloom(sf_dir: str):
@@ -7917,32 +7908,14 @@ def q_semi_join_bloom(sf_dir: str):
         )
     )
 
-    def _bitmap_partial(t: pa.Table) -> pa.Table:
-        bm = np.zeros(_BLOOM_BITS // 8, np.uint8)
-        if t.num_rows:
-            uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            for i in range(_BLOOM_K):
-                h = _bloom_positions(uid, i)
-                np.bitwise_or.at(
-                    bm, h >> 3, (1 << (h & 7)).astype(np.uint8)
-                )
-        return pa.table({"bm": pa.array([bm.tobytes()], pa.large_binary())})
+    from tsrollup.shuffle import bloom_build, bloom_keep
 
-    bm = np.zeros(_BLOOM_BITS // 8, np.uint8)
-    for row in heavy.map_batches(
-        _bitmap_partial, batch_format="pyarrow"
-    ).iter_rows():
-        bm |= np.frombuffer(row["bm"], np.uint8)
-    bm_ref = ray.put(bm)
+    bm_ref = ray.put(bloom_build(heavy, "user_id"))
 
     def _bloom_filter(t: pa.Table) -> pa.Table:
         bmv = ray.get(bm_ref)                  # zero-copy local plasma read
-        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        keep = np.ones(len(uid), bool)
-        for i in range(_BLOOM_K):
-            h = _bloom_positions(uid, i)
-            keep &= (bmv[h >> 3] & (1 << (h & 7))) != 0
-        return t.filter(pa.array(keep))
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(bloom_keep(bmv, uid)))
 
     partials = map_key_partitions(
         ds.map_batches(_bloom_filter, batch_format="pyarrow"),

@@ -638,14 +638,39 @@ def q_tpch_q18(sf_dir: str):
         return pa.table({"l_orderkey": g["l_orderkey"],
                          "qty_c": g["qty_c_sum"].cast(pa.int64())})
 
-    big = (
+    def _fold_block(t: pa.Table) -> pa.Table:
+        # one key partition: finish the quantity fold AND apply the HAVING
+        # threshold in place — fusing them into the exchange block saves
+        # the generic Sum-aggregator machinery, which costs ~8x this plan's
+        # wall on a partial-aggregated input (round-5 measurement)
+        g = t.group_by(["l_orderkey"]).aggregate([("qty_c", "sum")])
+        return _q18_big_rows(pa.table(
+            {"l_orderkey": g["l_orderkey"],
+             "qty_c": g["qty_c_sum"].cast(pa.int64())}))
+
+    partials = (
         read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                            columns=["l_orderkey", "l_quantity"])
         .map_batches(_qty_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("qty_c", alias_name="qty_c"))
-        .map_batches(_q18_big_rows, batch_format="pyarrow")
+        .materialize()  # sized count -> partition width below
     )
+    from tsrollup.shuffle import default_partitions
+
+    P = max(4, min(default_partitions(), partials.count() // 50_000 + 1))
+    big = map_key_partitions(
+        partials, ["l_orderkey"], _fold_block, num_partitions=P
+    ).materialize()  # consumed twice: Bloom build + the exchange union
+
+    # HAVING makes the big-keys side tiny, so a 128 KiB Bloom bitmap of it
+    # prefilters the orders FACT before the exchange — the shuffle carries
+    # only qualifying orders plus the false-positive sliver, and the inner
+    # join against the real aggregate rows drops those FPs exactly
+    # (round-4 VERDICT next #5; plan shape proven by q_semi_join_bloom)
+    import ray
+
+    from tsrollup.shuffle import bloom_build, bloom_keep
+
+    bm_ref = ray.put(bloom_build(big, "l_orderkey"))
 
     names_ref = _broadcast_column_pair(
         read_parquet_clean(f"{sf_dir}/customer.parquet",
@@ -653,6 +678,9 @@ def q_tpch_q18(sf_dir: str):
         "c_custkey", "c_name", str_vals=True)
 
     def _orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(bloom_keep(
+            ray.get(bm_ref),
+            t["o_orderkey"].to_numpy(zero_copy_only=False))))
         # the customer membership filter runs BEFORE the exchange and the
         # top-100 prune: a dangling o_custkey must not occupy a LIMIT slot
         # the oracle's inner JOIN customer gives to the next order
@@ -879,14 +907,30 @@ def q_tpch_q10(sf_dir: str):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=_ts_filter("o_orderdate", lo, hi),
-    ).map_batches(_orders, batch_format="pyarrow")
+    ).map_batches(_orders, batch_format="pyarrow").materialize()
+
+    # the quarter's date cut makes the orders side small: Bloom-prefilter
+    # the returned-lineitem FACT before the exchange; the inner join
+    # against the real order rows drops false positives exactly
+    import ray
+
+    from tsrollup.shuffle import bloom_build, bloom_keep
+
+    bm_ref = ray.put(bloom_build(orders, "l_orderkey"))
+
+    def _items_pruned(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(bloom_keep(
+            ray.get(bm_ref),
+            t["l_orderkey"].to_numpy(zero_copy_only=False))))
+        return _items(t)
+
     items = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_extendedprice",
                  "l_discount"],
         # string-equality pushdown: same comparison the batch mask applies
         filter=pc.field("l_returnflag") == "R",
-    ).map_batches(_items, batch_format="pyarrow")
+    ).map_batches(_items_pruned, batch_format="pyarrow")
 
     def _join_block(t: pa.Table) -> pa.Table:
         empty = pa.table({"c_custkey": pa.array([], pa.int64()),

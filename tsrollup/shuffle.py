@@ -170,3 +170,52 @@ def topk_rows(
 
     pruned = ds.map_batches(_prune, batch_format="pyarrow")
     return pruned.sort(list(sort_cols), descending=list(descending)).limit(k)
+
+
+# Bloom prefilter geometry: 2^20 bits (128 KiB broadcast) x 4 hashes.
+# False positives only cost exchange volume, never correctness — callers
+# must either re-verify membership after the exchange (semi_join_bloom's
+# complete-counts re-check) or join INNER against the real key set so
+# non-members drop naturally (tpch q18/q10).
+BLOOM_BITS = 1 << 20
+BLOOM_K = 4
+
+
+def bloom_positions(keys: np.ndarray, i: int, bits: int = BLOOM_BITS) -> np.ndarray:
+    """i-th Bloom bit position per int64/uint64 key (splitmix64-mixed, salted)."""
+    salt = np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF)
+    return (mix2(keys.astype(np.uint64), salt) % np.uint64(bits)).astype(np.int64)
+
+
+def bloom_build(ds: ray.data.Dataset, col: str,
+                bits: int = BLOOM_BITS, k: int = BLOOM_K) -> np.ndarray:
+    """OR per-block Bloom bitmaps over ``ds[col]`` into one driver-side
+    bitmap (uint8 array, bits/8 bytes). The only driver state is the
+    FIXED-SIZE bitmap — never the key set — so this scales to any key
+    cardinality; the classic bloom-join build side (ray.put the result
+    and prefilter the probe side before its exchange)."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(bits // 8, np.uint8)
+        if t.num_rows:
+            keys = t[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            for i in range(k):
+                h = bloom_positions(keys, i, bits)
+                np.bitwise_or.at(bm, h >> 3, (1 << (h & 7)).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.large_binary())})
+
+    bm = np.zeros(bits // 8, np.uint8)
+    for row in ds.map_batches(_partial, batch_format="pyarrow").iter_rows():
+        bm |= np.frombuffer(row["bm"], np.uint8)
+    return bm
+
+
+def bloom_keep(bm: np.ndarray, keys: np.ndarray,
+               bits: int = BLOOM_BITS, k: int = BLOOM_K) -> np.ndarray:
+    """Membership mask for ``keys`` against a bloom_build bitmap."""
+    keys = keys.astype(np.uint64)
+    keep = np.ones(len(keys), bool)
+    for i in range(k):
+        h = bloom_positions(keys, i, bits)
+        keep &= (bm[h >> 3] & (1 << (h & 7))) != 0
+    return keep
