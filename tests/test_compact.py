@@ -119,3 +119,55 @@ def test_compact_cli_and_uncommitted_tier(tmp_path, appended_out):
     (bogus / "1m").mkdir(parents=True)
     rep = compact(str(bogus), tiers=["1m"])
     assert "skipped" in rep["1m"]
+
+
+def test_append_compact_append_reuses_points(appended_out, tmp_path):
+    """Round-4 VERDICT next #8: OUTPUT compaction must never force the next
+    incremental append into a full recompute — _PROVENANCE.json travels
+    verbatim, so the post-compaction run diffs against exactly the
+    pre-compaction fragment base and reuses committed points."""
+    from tsrollup.synth import synth_table
+
+    d, out = appended_out
+    compact(out)
+    t = synth_table(seed=12, n_sources=3, base_span=43200)
+    pq.write_table(t.slice(0, 2000), os.path.join(d, "c.parquet"))
+    r = job.run(d, RollupConfig(out_root=out))
+    assert r["1m"]["incremental"] is True
+    assert r["1m"]["points_reused"] > 0
+
+
+def test_moved_input_root_stays_incremental(ray_session, tmp_path):
+    """fragment_delta matches on (rel_key, size) — the same move-stable
+    identity input_fingerprint hashes — so relocating the input ROOT plus
+    appending one fragment still takes the per-fragment incremental path."""
+    import shutil
+
+    from tsrollup.synth import synth_table
+
+    t = synth_table(seed=13, n_sources=2, base_span=43200)
+    d1 = tmp_path / "in1"
+    d1.mkdir()
+    pq.write_table(t.slice(0, t.num_rows // 2), str(d1 / "a.parquet"))
+    out = str(tmp_path / "out")
+    job.run(str(d1), RollupConfig(out_root=out))
+    d2 = tmp_path / "in2"
+    shutil.move(str(d1), str(d2))
+    pq.write_table(t.slice(t.num_rows // 2), str(d2 / "b.parquet"))
+    r = job.run(str(d2), RollupConfig(out_root=out))
+    assert r["1m"]["incremental"] is True
+
+
+def test_fragment_delta_legacy_two_field_provenance():
+    """Provenance written before the rel_key upgrade ([abs, size] pairs)
+    still diffs correctly (by abs path), so an existing committed output
+    survives the upgrade without a forced recompute."""
+    from tsrollup.lineage import fragment_delta
+
+    committed = [["/in/a.parquet", 100], ["/in/b.parquet", 200]]
+    current = [["/in/a.parquet", "a.parquet", 100],
+               ["/in/b.parquet", "b.parquet", 200],
+               ["/in/c.parquet", "c.parquet", 50]]
+    assert fragment_delta(committed, current) == ["/in/c.parquet"]
+    # size change on a committed fragment -> full recompute
+    assert fragment_delta([["/in/a.parquet", 999]], current) is None

@@ -58,25 +58,48 @@ def input_fingerprint(paths: list[str]) -> str:
 
 
 def input_fragments(paths: list[str]) -> list[list]:
-    """Per-fragment identity of the input: sorted [abs_path, size] pairs —
-    recorded in each tier's provenance (SURVEY §7.7 ``input_fragment_ids``)
-    so a later run can diff WHICH fragments changed instead of invalidating
-    every tier on any input change."""
-    return sorted([ap, size] for ap, _, size in _fragment_entries(paths))
+    """Per-fragment identity of the input: sorted [abs_path, rel_key, size]
+    triples — recorded in each tier's provenance (SURVEY §7.7
+    ``input_fragment_ids``) so a later run can diff WHICH fragments changed
+    instead of invalidating every tier on any input change. The rel_key is
+    the same root-relative identity ``input_fingerprint`` hashes, so the
+    append-only diff survives moving the input root."""
+    return sorted([ap, rel, size] for ap, rel, size in _fragment_entries(paths))
 
 
 def fragment_delta(committed: list | None, current: list) -> list[str] | None:
-    """APPEND-ONLY diff: the new fragment paths if every committed fragment is
-    still present with the same size, else None (modified/removed inputs fall
-    back to a full recompute)."""
+    """APPEND-ONLY diff: the new fragment abs paths if every committed
+    fragment is still present with the same size, else None (modified or
+    removed inputs fall back to a full recompute).
+
+    Matching identity is (rel_key, size) — exact and move-stable: renaming
+    or relocating the input ROOT keeps rel keys, so a committed base isn't
+    thrown away just because its mount point moved. Legacy 2-field
+    provenance entries ([abs_path, size]) match on abs path instead.
+    Deliberately NOT a statistics-based content fingerprint: parquet
+    footer stats (num_rows, min/max) cannot see a row rewrite inside the
+    min/max envelope, and a false "unchanged" here silently corrupts every
+    committed tier — size+key is the same trust contract as
+    ``input_fingerprint``. Note OUTPUT-tier compaction (--compact) never
+    reaches this code path at all: it copies ``_PROVENANCE.json`` verbatim,
+    so the next append diffs against exactly the pre-compaction base
+    (pinned by test_compact.test_append_compact_append_reuses_points)."""
     if not committed:
         return None
-    cur = {p: s for p, s in current}
-    for p, s in committed:
-        if cur.get(p) != s:
+    legacy = committed and len(committed[0]) == 2
+    if legacy:
+        cur = {ap: size for ap, _rel, size in current}
+        com_keys = {ap for ap, _ in committed}
+        items = [(ap, size) for ap, size in committed]
+        new = [ap for ap, _rel, _s in current if ap not in com_keys]
+    else:
+        cur = {rel: size for _ap, rel, size in current}
+        com_keys = {rel for _ap, rel, _s in committed}
+        items = [(rel, size) for _ap, rel, size in committed]
+        new = [ap for ap, rel, _s in current if rel not in com_keys]
+    for key, size in items:
+        if cur.get(key) != size:
             return None
-    com = {p for p, _ in committed}
-    new = [p for p in cur if p not in com]
     return new
 
 
