@@ -98,6 +98,29 @@ def _ts_filter(col: str, lo_us: int | None = None, hi_us: int | None = None,
     return e
 
 
+def _exchange_width(sf_dir: str, *tables: str) -> int:
+    """Keyed-exchange width sized to the FACT bytes feeding it (~128 MiB of
+    source parquet per partition, clamped to [4, default_partitions()]).
+    A keyed exchange costs O(P) fixed task latency regardless of volume,
+    so a small input must not pay cluster-wide width (the q18-fold lesson:
+    64 -> 12 partitions was most of that stage's wall at sf0.1), while the
+    default_partitions cap keeps large corpora at the cluster's width."""
+    import os as _os
+
+    from tsrollup.shuffle import default_partitions
+
+    total = 0
+    for t in tables:
+        p = f"{sf_dir}/{t}.parquet"
+        try:
+            total += (_os.path.getsize(p) if _os.path.isfile(p) else sum(
+                _os.path.getsize(_os.path.join(dp, f))
+                for dp, _dn, fn in _os.walk(p) for f in fn))
+        except OSError:
+            pass
+    return max(4, min(default_partitions(), total // (128 << 20) + 1))
+
+
 def _cents(x: np.ndarray) -> np.ndarray:
     """FLOOR(x * 100) as int64 — identical double arithmetic to DuckDB's
     FLOOR(x * 100), the events-table exactness recipe."""
@@ -412,7 +435,9 @@ def q_tpch_q3(sf_dir: str):
              "o_orderpriority": pa.array(prio, pa.string())}
         )
 
-    joined = map_key_partitions(orders.union(items), ["l_orderkey"], _join_block)
+    joined = map_key_partitions(
+        orders.union(items), ["l_orderkey"], _join_block,
+        num_partitions=_exchange_width(sf_dir, "orders", "lineitem"))
     return topk_rows(joined, ["revenue4", "l_orderkey"], [True, False], 10)
 
 
@@ -518,7 +543,9 @@ def q_tpch_q5(sf_dir: str):
         return pa.table({"nat": pa.array(nk), "revenue4": pa.array(rev)})
 
     folded = (
-        map_key_partitions(orders.union(items), ["l_orderkey"], _join_block)
+        map_key_partitions(
+            orders.union(items), ["l_orderkey"], _join_block,
+            num_partitions=_exchange_width(sf_dir, "orders", "lineitem"))
         .groupby("nat")
         .aggregate(Sum("revenue4", alias_name="revenue4"))
     )
@@ -732,7 +759,9 @@ def q_tpch_q18(sf_dir: str):
                  zero_copy_only=False)[~om][ok])}
         )
 
-    joined = map_key_partitions(orders.union(big), ["l_orderkey"], _join_block)
+    joined = map_key_partitions(
+        orders.union(big), ["l_orderkey"], _join_block,
+        num_partitions=_exchange_width(sf_dir, "orders"))
     top = topk_rows(joined, ["price_c", "odate", "l_orderkey"],
                     [True, False, False], 100)
 
@@ -843,7 +872,9 @@ def q_tpch_q4(sf_dir: str):
                          "n_orders": g["one_sum"].cast(pa.int64())})
 
     return (
-        map_key_partitions(orders.union(items), ["l_orderkey"], _exists_block)
+        map_key_partitions(
+            orders.union(items), ["l_orderkey"], _exists_block,
+            num_partitions=_exchange_width(sf_dir, "orders", "lineitem"))
         .groupby("o_orderpriority")
         .aggregate(Sum("n_orders", alias_name="n_orders"))
     )
@@ -949,7 +980,9 @@ def q_tpch_q10(sf_dir: str):
         return pa.table({"c_custkey": pa.array(uk), "revenue4": pa.array(s)})
 
     folded = (
-        map_key_partitions(orders.union(items), ["l_orderkey"], _join_block)
+        map_key_partitions(
+            orders.union(items), ["l_orderkey"], _join_block,
+            num_partitions=_exchange_width(sf_dir, "orders", "lineitem"))
         .groupby("c_custkey")
         .aggregate(Sum("revenue4", alias_name="revenue4"))
         .map_batches(
@@ -1148,6 +1181,7 @@ def q_tpch_q7(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_shipdate",
                  "l_extendedprice", "l_discount"],
+        filter=_ts_filter("l_shipdate", lo, hi),
     ).map_batches(_items, batch_format="pyarrow")
 
     def _join_block(t: pa.Table) -> pa.Table:
@@ -1181,30 +1215,27 @@ def q_tpch_q7(sf_dir: str):
              "l_year": g["l_year"].cast(pa.int64()),
              "revenue4": g["rev4_sum"].cast(pa.int64())})
 
-    folded = (
-        map_key_partitions(orders.union(items), ["l_orderkey"], _join_block)
-        .groupby(["supp_nat", "cust_nat", "l_year"])
-        .aggregate(Sum("revenue4", alias_name="revenue4"))
-    )
-
-    def _name(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"supp_nation": pa.array(
-                [names[int(k)] for k in
-                 t["supp_nat"].to_numpy(zero_copy_only=False)], pa.string()),
-             "cust_nation": pa.array(
-                 [names[int(k)] for k in
-                  t["cust_nat"].to_numpy(zero_copy_only=False)], pa.string()),
-             "l_year": t["l_year"].cast(pa.int64()),
-             "revenue4": t["revenue4"].cast(pa.int64())})
-
-    out = folded.map_batches(_name, batch_format="pyarrow").to_pandas()
-    if not len(out):
+    # each partition already folds to (supp, cust, year) — the whole
+    # remaining input is bounded by partitions x nations^2 x years, so the
+    # final combine is a driver-side bounded reduction (a distributed
+    # Sum-aggregator fold here is pure fixed overhead; same int64 bounds)
+    parts = map_key_partitions(
+        orders.union(items), ["l_orderkey"], _join_block,
+        num_partitions=_exchange_width(sf_dir, "orders", "lineitem"),
+    ).to_pandas()
+    if not len(parts):
         return pd.DataFrame(
             {"supp_nation": pd.Series(dtype=object),
              "cust_nation": pd.Series(dtype=object),
              "l_year": pd.Series(dtype=np.int64),
              "revenue4": pd.Series(dtype=np.int64)})
+    folded = parts.groupby(
+        ["supp_nat", "cust_nat", "l_year"], as_index=False)["revenue4"].sum()
+    out = pd.DataFrame(
+        {"supp_nation": [names[int(k)] for k in folded["supp_nat"]],
+         "cust_nation": [names[int(k)] for k in folded["cust_nat"]],
+         "l_year": folded["l_year"].astype(np.int64),
+         "revenue4": folded["revenue4"].astype(np.int64)})
     return out.sort_values(
         ["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
 
@@ -1287,6 +1318,7 @@ def q_tpch_q8(sf_dir: str):
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=_ts_filter("o_orderdate", lo, hi),
     ).map_batches(_orders, batch_format="pyarrow")
     items = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
@@ -1316,12 +1348,15 @@ def q_tpch_q8(sf_dir: str):
                          "nation_rev4": pa.array(nat),
                          "total_rev4": pa.array(tot)})
 
-    folded = (
-        map_key_partitions(orders.union(items), ["l_orderkey"], _join_block)
-        .groupby("o_year")
-        .aggregate(Sum("nation_rev4", alias_name="nation_rev4"),
-                   Sum("total_rev4", alias_name="total_rev4"))
+    # per-partition output is <= |years| rows: the final combine is a
+    # driver-side bounded reduction (a distributed Sum fold here is pure
+    # fixed overhead; same int64 bounds)
+    parts = map_key_partitions(
+        orders.union(items), ["l_orderkey"], _join_block,
+        num_partitions=_exchange_width(sf_dir, "orders", "lineitem"),
     ).to_pandas()
+    folded = parts.groupby("o_year", as_index=False)[
+        ["nation_rev4", "total_rev4"]].sum()
     if not len(folded):
         return pd.DataFrame({"o_year": pd.Series(dtype=np.int64),
                              "nation_rev4": pd.Series(dtype=np.int64),
@@ -1405,7 +1440,9 @@ def q_tpch_q13(sf_dir: str):
                          "custdist": pa.array(dist.astype(np.int64))})
 
     out = (
-        map_key_partitions(cust.union(orders), ["c_custkey"], _hist_block)
+        map_key_partitions(
+            cust.union(orders), ["c_custkey"], _hist_block,
+            num_partitions=_exchange_width(sf_dir, "customer", "orders"))
         .groupby("c_count")
         .aggregate(Sum("custdist", alias_name="custdist"))
     ).to_pandas()
@@ -1476,7 +1513,9 @@ def q_tpch_q17(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity", "l_extendedprice"],
     ).map_batches(_items, batch_format="pyarrow")
-    agg = map_key_partitions(items, ["l_partkey"], _small_block).aggregate(
+    agg = map_key_partitions(
+        items, ["l_partkey"], _small_block,
+        num_partitions=_exchange_width(sf_dir, "lineitem")).aggregate(
         Sum("total_ec", alias_name="total_ec"),
         Sum("n_small", alias_name="n_small"))
     total = int(agg["total_ec"] or 0)
@@ -1578,7 +1617,9 @@ def q_tpch_q22(sf_dir: str):
                          "totacctbal_c": pa.array(tot)})
 
     folded = (
-        map_key_partitions(cust.union(recent), ["c_custkey"], _anti_block)
+        map_key_partitions(
+            cust.union(recent), ["c_custkey"], _anti_block,
+            num_partitions=_exchange_width(sf_dir, "customer", "orders"))
         .groupby("nat")
         .aggregate(Sum("numcust", alias_name="numcust"),
                    Sum("totacctbal_c", alias_name="totacctbal_c"))
