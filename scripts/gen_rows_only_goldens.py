@@ -27,6 +27,14 @@ from check_queries import to_pandas, value_hash  # noqa: E402
 
 OUT = os.path.join(ROOT, "tests", "goldens", "rows_only_sf001.json")
 
+# sketch outputs whose VALUES legitimately depend on the session's
+# parallelism (block count changes the sketch merge order): golden-pin
+# rows+columns only — hash recorded as null so regeneration under any
+# session width never shows a spurious diff. The accuracy contract is
+# pinned separately (test_functions.test_quantiles_kll_close_to_exact).
+# tests/test_rows_only_goldens.py imports this as the single source.
+PARALLELISM_SENSITIVE = {"quantiles_kll"}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -48,10 +56,11 @@ def main() -> int:
     for name in rows_only:
         t0 = time.time()
         df = to_pandas(qs[name](sf_dir))
+        h = None if name in PARALLELISM_SENSITIVE else value_hash(df)
         goldens[name] = {"rows": int(len(df)),
                          "cols": sorted(map(str, df.columns)),
-                         "hash": value_hash(df)}
-        print(f"{name}: {len(df)} rows, {value_hash(df)} ({time.time()-t0:.1f}s)")
+                         "hash": h}
+        print(f"{name}: {len(df)} rows, {h} ({time.time()-t0:.1f}s)")
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         json.dump(dict(sorted(goldens.items())), f, indent=1)

@@ -165,9 +165,37 @@ def test_fragment_delta_legacy_two_field_provenance():
     from tsrollup.lineage import fragment_delta
 
     committed = [["/in/a.parquet", 100], ["/in/b.parquet", 200]]
-    current = [["/in/a.parquet", "a.parquet", 100],
-               ["/in/b.parquet", "b.parquet", 200],
-               ["/in/c.parquet", "c.parquet", 50]]
+    current = [["/in/a.parquet", "a.parquet", 100, 1],
+               ["/in/b.parquet", "b.parquet", 200, 2],
+               ["/in/c.parquet", "c.parquet", 50, 3]]
     assert fragment_delta(committed, current) == ["/in/c.parquet"]
     # size change on a committed fragment -> full recompute
     assert fragment_delta([["/in/a.parquet", 999]], current) is None
+
+
+def test_fragment_delta_move_stability_and_hazards():
+    """Move matching is (rel, size, mtime_ns): a true root move preserves
+    all three; a REPLACED file sharing rel+size (the review's hazard) has
+    a different mtime and forces a full recompute; a multi-root rel-key
+    collision falls back to abs-path matching so a colliding new fragment
+    is never silently dropped from the incremental merge."""
+    from tsrollup.lineage import fragment_delta
+
+    committed = [["/root1/x.parquet", "x.parquet", 100, 111]]
+    # true move: same rel+size+mtime under a new root, one appended file
+    moved = [["/root2/x.parquet", "x.parquet", 100, 111],
+             ["/root2/y.parquet", "y.parquet", 50, 222]]
+    assert fragment_delta(committed, moved) == ["/root2/y.parquet"]
+    # replaced root: same rel+size but different mtime -> full recompute
+    replaced = [["/root2/x.parquet", "x.parquet", 100, 999],
+                ["/root2/y.parquet", "y.parquet", 50, 222]]
+    assert fragment_delta(committed, replaced) is None
+    # rel-key collision across roots -> abs matching; committed abs gone
+    # -> full recompute rather than a merge that loses a colliding file
+    colliding = [["/a/p.parquet", "p.parquet", 100, 111],
+                 ["/b/p.parquet", "p.parquet", 100, 111]]
+    assert fragment_delta(committed, colliding) is None
+    # abs matching still finds pure appends under collisions when the
+    # committed file is untouched
+    committed2 = [["/a/p.parquet", "p.parquet", 100, 111]]
+    assert fragment_delta(committed2, colliding) == ["/b/p.parquet"]

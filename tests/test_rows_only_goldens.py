@@ -22,19 +22,13 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(ROOT, "scripts"))
 
 from check_queries import to_pandas, value_hash  # noqa: E402
+from gen_rows_only_goldens import PARALLELISM_SENSITIVE  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
 GOLDENS_PATH = os.path.join(ROOT, "tests", "goldens", "rows_only_sf001.json")
 
 with open(GOLDENS_PATH) as _f:
     GOLDENS = json.load(_f)
-
-# sketch outputs whose VALUES legitimately depend on the session's
-# parallelism (block count changes the sketch merge order): golden-pin
-# rows+columns only; their accuracy contract is pinned separately
-# (test_functions.test_quantiles_kll_close_to_exact brackets every
-# reported quantile against the exact siblings)
-PARALLELISM_SENSITIVE = {"quantiles_kll"}
 
 
 def test_goldens_cover_every_rows_only_query(ray_session):

@@ -564,6 +564,22 @@ def emit_alerts(
     ).map_batches(_alert_hour_partials, batch_format="pyarrow")
     res = map_key_partitions(ds, ["source"], _breach_block).to_pandas()
 
+    # completeness guard (same posture as the dedup local-CC lane): the
+    # 3σ baseline is NON-decomposable, so a source's hour rows must all
+    # land in one _breach_block invocation. Each invocation emits exactly
+    # one kind=0 high-water row per source it saw — a duplicate means Ray
+    # Data split a key partition across blocks (target_max_block_size),
+    # and the breach verdicts can't be trusted: fail loudly, never emit.
+    if len(res):
+        hw_sources = res.loc[res["kind"] == 0, "source"]
+        if hw_sources.duplicated().any():
+            dup = sorted(hw_sources[hw_sources.duplicated()].unique())
+            raise RuntimeError(
+                f"emit_alerts: source partition(s) {dup} were split across "
+                "blocks — hour-of-day baselines would be computed on "
+                "fragments; raise target_max_block_size or partition count"
+            )
+
     alerts: list[dict] = []
     for r in res.itertuples(index=False):
         if r.kind == 1:

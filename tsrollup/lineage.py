@@ -32,19 +32,23 @@ from tsrollup.ingest import QUARANTINE_SOURCE
 MANIFEST = "manifest.json"
 
 
-def _fragment_entries(paths: list[str]) -> list[tuple[str, str, int]]:
+def _fragment_entries(paths: list[str]) -> list[tuple[str, str, int, int]]:
     """ONE definition of 'which files constitute the input': sorted
-    (abs_path, rel_key, size) triples via ingest.list_parquet_files — both the
-    fingerprint and the fragment list derive from this walk, so they can never
-    disagree about the input's membership."""
+    (abs_path, rel_key, size, mtime_ns) tuples via ingest.list_parquet_files —
+    both the fingerprint and the fragment list derive from this walk, so they
+    can never disagree about the input's membership. mtime_ns rides along for
+    fragment_delta's move-stable matching only (rename/move preserves it; a
+    different file that coincidentally shares rel+size won't share it);
+    input_fingerprint deliberately ignores it."""
     from tsrollup.ingest import list_parquet_files
 
-    entries: list[tuple[str, str, int]] = []
+    entries: list[tuple[str, str, int, int]] = []
     for p in sorted(paths):
         is_dir = os.path.isdir(p)
         for fp in list_parquet_files(p):
             rel = os.path.relpath(fp, p) if is_dir else os.path.basename(fp)
-            entries.append((os.path.abspath(fp), rel, os.path.getsize(fp)))
+            st = os.stat(fp)
+            entries.append((os.path.abspath(fp), rel, st.st_size, st.st_mtime_ns))
     return sorted(entries)
 
 
@@ -53,18 +57,19 @@ def input_fingerprint(paths: list[str]) -> str:
     (relative keys, so the fingerprint survives moving the input root)."""
     import hashlib
 
-    entries = [[rel, size] for _, rel, size in _fragment_entries(paths)]
+    entries = [[rel, size] for _, rel, size, _mt in _fragment_entries(paths)]
     return hashlib.sha256(json.dumps(entries).encode()).hexdigest()[:16]
 
 
 def input_fragments(paths: list[str]) -> list[list]:
-    """Per-fragment identity of the input: sorted [abs_path, rel_key, size]
-    triples — recorded in each tier's provenance (SURVEY §7.7
+    """Per-fragment identity of the input: sorted [abs_path, rel_key, size,
+    mtime_ns] — recorded in each tier's provenance (SURVEY §7.7
     ``input_fragment_ids``) so a later run can diff WHICH fragments changed
-    instead of invalidating every tier on any input change. The rel_key is
-    the same root-relative identity ``input_fingerprint`` hashes, so the
-    append-only diff survives moving the input root."""
-    return sorted([ap, rel, size] for ap, rel, size in _fragment_entries(paths))
+    instead of invalidating every tier on any input change. rel_key is the
+    same root-relative identity ``input_fingerprint`` hashes and mtime_ns is
+    preserved by rename/move, so the append-only diff survives moving the
+    input root without trusting (rel, size) alone."""
+    return sorted([ap, rel, size, mt] for ap, rel, size, mt in _fragment_entries(paths))
 
 
 def fragment_delta(committed: list | None, current: list) -> list[str] | None:
@@ -72,35 +77,50 @@ def fragment_delta(committed: list | None, current: list) -> list[str] | None:
     fragment is still present with the same size, else None (modified or
     removed inputs fall back to a full recompute).
 
-    Matching identity is (rel_key, size) — exact and move-stable: renaming
-    or relocating the input ROOT keeps rel keys, so a committed base isn't
-    thrown away just because its mount point moved. Legacy 2-field
-    provenance entries ([abs_path, size]) match on abs path instead.
+    Matching identity is (rel_key, size, mtime_ns) — exact and move-stable:
+    rename/relocate preserves all three (POSIX rename and shutil.move keep
+    mtime), so a committed base isn't thrown away just because its mount
+    point moved, while a DIFFERENT file that coincidentally shares rel+size
+    (the review's replaced-root hazard) won't share the nanosecond mtime
+    and falls back to a full recompute. Rel matching additionally requires
+    rel keys to be UNIQUE on both sides — a multi-root input can repeat a
+    basename (part-000.parquet per day dir), and a dict keyed on a
+    colliding rel could mask a genuinely new or modified fragment; on
+    collision the diff matches exact abs paths instead. Older provenance
+    ([abs, size] or [abs, rel, size]) also matches by abs path.
     Deliberately NOT a statistics-based content fingerprint: parquet
     footer stats (num_rows, min/max) cannot see a row rewrite inside the
     min/max envelope, and a false "unchanged" here silently corrupts every
-    committed tier — size+key is the same trust contract as
-    ``input_fingerprint``. Note OUTPUT-tier compaction (--compact) never
-    reaches this code path at all: it copies ``_PROVENANCE.json`` verbatim,
-    so the next append diffs against exactly the pre-compaction base
-    (pinned by test_compact.test_append_compact_append_reuses_points)."""
+    committed tier. Note OUTPUT-tier compaction (--compact) never reaches
+    this code path at all: it copies ``_PROVENANCE.json`` verbatim, so the
+    next append diffs against exactly the pre-compaction base (pinned by
+    test_compact.test_append_compact_append_reuses_points)."""
     if not committed:
         return None
-    legacy = committed and len(committed[0]) == 2
-    if legacy:
-        cur = {ap: size for ap, _rel, size in current}
-        com_keys = {ap for ap, _ in committed}
-        items = [(ap, size) for ap, size in committed]
-        new = [ap for ap, _rel, _s in current if ap not in com_keys]
-    else:
-        cur = {rel: size for _ap, rel, size in current}
-        com_keys = {rel for _ap, rel, _s in committed}
-        items = [(rel, size) for _ap, rel, size in committed]
-        new = [ap for ap, rel, _s in current if rel not in com_keys]
-    for key, size in items:
-        if cur.get(key) != size:
+    new_format = len(committed[0]) == 4
+    rel_unique = new_format and (
+        len({e[1] for e in committed}) == len(committed)
+        and len({e[1] for e in current}) == len(current)
+    )
+    if rel_unique:
+        # identity = (rel, size, mtime_ns); value = presence
+        cur = {(rel, size, mt) for _ap, rel, size, mt in current}
+        com = {(rel, size, mt) for _ap, rel, size, mt in committed}
+        if not com <= cur:
             return None
-    return new
+        com_rels = {rel for _ap, rel, _s, _mt in committed}
+        return [ap for ap, rel, _s, _mt in current if rel not in com_rels]
+    # abs-path matching: legacy formats, or rel-key collisions
+    # (2-field entries carry size at e[1]; 3/4-field at e[2])
+    def _size(e):
+        return e[1] if len(e) == 2 else e[2]
+
+    cur_abs = {e[0]: _size(e) for e in current}
+    for e in committed:
+        if cur_abs.get(e[0]) != _size(e):
+            return None
+    com_keys = {e[0] for e in committed}
+    return [e[0] for e in current if e[0] not in com_keys]
 
 
 def load_manifest(out_root: str) -> dict:

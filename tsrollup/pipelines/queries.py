@@ -2106,23 +2106,26 @@ def q_dedup_clusters(sf_dir: str, threshold: float = 0.5,
     from tsrollup.pipelines.docqueries import dedup_minhash_pairs_ds
 
     pairs_ds = dedup_minhash_pairs_ds(sf_dir, threshold)
-    n_pairs = pairs_ds.count()
     import ray.data as _rd
 
     if not isinstance(pairs_ds, _rd.dataset.MaterializedDataset):
         # dedup_minhash_pairs_ds stayed lazy because Ray wasn't initialized
-        # at memo time (the count above auto-inited it); re-memoize so the
-        # consumer below reads the pinned pair blocks instead of re-running
-        # the whole MinHash+LSH+verify lineage (round-4 ADVICE)
+        # at memo time. Trigger Ray Data's auto-init on a trivial dataset
+        # (NOT by counting pairs_ds — that would execute the whole
+        # MinHash+LSH+verify lineage once before the memo materializes it
+        # again), then re-memoize so every consumer below reads the pinned
+        # pair blocks from ONE execution (round-4 ADVICE + review).
         import os as _os
 
         from tsrollup.util import memoized_dataset
 
+        _rd.range(1).count()
         _lazy = pairs_ds
         pairs_ds = memoized_dataset(
             _os.path.join(sf_dir, "documents.parquet"),
             f"minhash_pairs_t{threshold!r}", lambda: _lazy,
         )
+    n_pairs = pairs_ds.count()  # metadata count on the materialized memo
     if n_pairs > max_driver_pairs:
         return _cluster_labels_distributed(pairs_ds)
     pairs = pairs_ds.to_pandas()

@@ -655,8 +655,6 @@ def q_tpch_q18(sf_dir: str):
     set is a Dataset, never a driver list); customer names resolve via
     one broadcast dim lookup at the end. Top-100 by (totalprice desc,
     orderdate, orderkey) through the lossless per-block prune."""
-    from ray.data.aggregate import Sum
-
     def _qty_partial(t: pa.Table) -> pa.Table:
         qc = _cents(t["l_quantity"].to_numpy(zero_copy_only=False))
         g = pa.table(
@@ -1128,8 +1126,6 @@ def q_tpch_q7(sf_dir: str):
     + revenue; the direction predicate ((s in A and c in B) or (s in B
     and c in A)) runs vectorized inside one orderkey exchange, and the
     (supp, cust, year) fold is bounded by nations^2 x years."""
-    from ray.data.aggregate import Sum
-
     sn_keys, sn_names = _region_nations(sf_dir, _Q7_SUPP_REGION)
     cn_keys, cn_names = _region_nations(sf_dir, _Q7_CUST_REGION)
     both = np.union1d(sn_keys, cn_keys)
@@ -1260,8 +1256,6 @@ def q_tpch_q8(sf_dir: str):
     revenue; the per-year (target_rev, total_rev) fold runs inside one
     orderkey exchange and the share is one float division of exact
     integers per year."""
-    from ray.data.aggregate import Sum
-
     cust_nations, _ = _region_nations(sf_dir, _Q8_CUST_REGION)
     part_ref = _broadcast_column_pair(
         read_parquet_clean(f"{sf_dir}/part.parquet",
@@ -1355,8 +1349,11 @@ def q_tpch_q8(sf_dir: str):
         orders.union(items), ["l_orderkey"], _join_block,
         num_partitions=_exchange_width(sf_dir, "orders", "lineitem"),
     ).to_pandas()
-    folded = parts.groupby("o_year", as_index=False)[
-        ["nation_rev4", "total_rev4"]].sum()
+    if len(parts):
+        folded = parts.groupby("o_year", as_index=False)[
+            ["nation_rev4", "total_rev4"]].sum()
+    else:  # an empty Dataset yields a column-less frame
+        folded = parts
     if not len(folded):
         return pd.DataFrame({"o_year": pd.Series(dtype=np.int64),
                              "nation_rev4": pd.Series(dtype=np.int64),
