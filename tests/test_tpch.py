@@ -181,3 +181,21 @@ def test_tpch_all_empty_windows(ray_session, tmp_path_factory):
                 _canon(eng), _canon(ora), check_dtype=False)
         except AssertionError as e:
             raise AssertionError(f"{name} diverged on empty windows") from e
+
+
+def test_tpch_q18_lane_equivalence(ray_session, monkeypatch):
+    """q18's two join lanes (broadcast searchsorted vs Bloom-prefiltered
+    union exchange) must produce identical output: force the exchange
+    lane by zeroing the broadcast cutover and compare against the default
+    lane AND the oracle at sf0.001 (the bigram-lane-equivalence pattern —
+    the guarded fast lane must never be the only tested one)."""
+    import tsrollup.pipelines.tpch as tpch
+
+    sf = "/root/testdata/sf0.001"
+    bcast = _canon(QUERIES["tpch_q18"](sf).to_pandas())
+    monkeypatch.setattr(tpch, "_Q18_BCAST_MAX", -1)
+    exch = _canon(QUERIES["tpch_q18"](sf).to_pandas())
+    assert len(bcast), "q18 lane test needs non-empty sf0.001 output"
+    pd.testing.assert_frame_equal(bcast, exch, check_dtype=False)
+    pd.testing.assert_frame_equal(
+        bcast, _canon(_oracle("tpch_q18", sf)), check_dtype=False)

@@ -646,15 +646,114 @@ def _q18_big_rows(t: pa.Table) -> pa.Table:
     )
 
 
+# broadcast-lane cutover for q18's HAVING-survivor set: 16 B/entry ->
+# ~32 MB at the cap. TPC-H's sum(qty) > 300 keeps ~6 orders per SF, so
+# even a 100 TB corpus (~SF 100k) stays ~3 orders of magnitude below it;
+# the exchange lane exists for a hypothetical low-threshold variant.
+_Q18_BCAST_MAX = 2_000_000
+
+
+def _q18_name_fn(names_ref):
+    """Final broadcast customer-name attach shared by both q18 lanes."""
+    def _name(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"c_name": pa.array([], pa.string()),
+             "o_custkey": pa.array([], pa.int64()),
+             "l_orderkey": pa.array([], pa.int64()),
+             "o_orderdate": pa.array([], pa.string()),
+             "price_c": pa.array([], pa.int64()),
+             "sum_qty_c": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        ck = t["custkey"].to_numpy(zero_copy_only=False)
+        ok, names = _lookup(names_ref, ck)
+        if not ok.any():   # dangling custkeys drop, like the oracle's
+            return empty   # inner JOIN customer
+        return pa.table(
+            {"c_name": pa.array(names[ok], pa.string()),
+             "o_custkey": pa.array(ck[ok]),
+             "l_orderkey": t["l_orderkey"].filter(pa.array(ok)),
+             "o_orderdate": pa.array(
+                 _fmt_date(t["odate"].to_numpy(zero_copy_only=False)[ok]),
+                 pa.string()),
+             "price_c": t["price_c"].filter(pa.array(ok)),
+             "sum_qty_c": t["sum_qty_c"].filter(pa.array(ok))}
+        )
+
+    return _name
+
+
+def _q18_broadcast_tail(sf_dir: str, big, names_ref):
+    """q18 broadcast lane: the HAVING-surviving (orderkey, sum_qty) pairs
+    collect once (bounded — the lane guard admits <= _Q18_BCAST_MAX rows),
+    ship via one ``ray.put``, and the orders scan resolves membership and
+    attaches the sum with one vectorized searchsorted per batch. Zero
+    exchanges after the quantity fold — the union-exchange alternative
+    spent ~2.6 s of fixed all-to-all overhead moving ~100 rows at sf0.1."""
+    import ray
+
+    bdf = big.to_pandas()  # bounded: HAVING survivors only (lane guard)
+    if len(bdf):
+        keys = bdf["l_orderkey"].to_numpy().astype(np.int64)
+        qty = bdf["qty_c"].to_numpy().astype(np.int64)
+    else:  # an empty Dataset yields a column-less frame
+        keys = np.array([], np.int64)
+        qty = np.array([], np.int64)
+    order = np.argsort(keys, kind="stable")
+    big_ref = ray.put((keys[order], qty[order]))
+
+    def _orders_join(t: pa.Table) -> pa.Table:
+        k, q = ray.get(big_ref)
+        okeys = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = np.zeros(len(okeys), bool)
+        sq = np.zeros(len(okeys), np.int64)
+        if len(k):
+            pos = np.searchsorted(k, okeys)
+            inb = pos < len(k)
+            hit[inb] = k[pos[inb]] == okeys[inb]
+            sq[hit] = q[pos[hit]]
+        # customer membership BEFORE the top-100 prune: a dangling
+        # o_custkey must not occupy a LIMIT slot the oracle's inner JOIN
+        # customer gives to the next order
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cust_ok, _ = _lookup(names_ref, ck)
+        keep = hit & cust_ok
+        return pa.table(
+            {"l_orderkey": pa.array(okeys[keep]),
+             "custkey": pa.array(ck[keep]),
+             "odate": pa.array(t["o_orderdate"].to_numpy(
+                 zero_copy_only=False).view(np.int64)[keep]),
+             "price_c": pa.array(_cents(t["o_totalprice"].to_numpy(
+                 zero_copy_only=False))[keep]),
+             "sum_qty_c": pa.array(sq[keep])}
+        )
+
+    joined = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(_orders_join, batch_format="pyarrow")
+    top = topk_rows(joined, ["price_c", "odate", "l_orderkey"],
+                    [True, False, False], 100)
+    return top.map_batches(_q18_name_fn(names_ref), batch_format="pyarrow")
+
+
 def q_tpch_q18(sf_dir: str):
     """TPC-H Q18 large-volume customers — the aggregate-then-join
     (HAVING semi-join) shape: pass 1 folds per-order quantities
     (orderkey groupby) and keeps orders over the threshold; the
-    surviving aggregate rows then meet the orders FACT in a second
-    orderkey exchange (an aggregate-driven semi join — the big-keys
-    set is a Dataset, never a driver list); customer names resolve via
-    one broadcast dim lookup at the end. Top-100 by (totalprice desc,
-    orderdate, orderkey) through the lossless per-block prune."""
+    surviving aggregates then join the orders FACT through one of two
+    lanes (the repo's broadcast-vs-exchange posture): the HAVING makes
+    the survivor set tiny (~6 orders per TPC-H SF, ~10 MB of (key, sum)
+    pairs even at SF 100k), so below ``_Q18_BCAST_MAX`` the exact pairs
+    broadcast via ``ray.put`` and the join is a vectorized searchsorted
+    inside the orders scan — ZERO further exchanges (the union-exchange
+    stage was ~2.6 s of pure all-to-all overhead on ~100 surviving
+    rows, round-5 measurement). Above the cutover the aggregate rows
+    stay a Dataset and meet orders in a Bloom-prefiltered orderkey
+    exchange. Customer names resolve via one broadcast dim lookup at
+    the end; top-100 by (totalprice desc, orderdate, orderkey) through
+    the lossless per-block prune."""
     def _qty_partial(t: pa.Table) -> pa.Table:
         qc = _cents(t["l_quantity"].to_numpy(zero_copy_only=False))
         g = pa.table(
@@ -677,30 +776,33 @@ def q_tpch_q18(sf_dir: str):
         read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                            columns=["l_orderkey", "l_quantity"])
         .map_batches(_qty_partial, batch_format="pyarrow")
-        .materialize()  # sized count -> partition width below
     )
-    from tsrollup.shuffle import default_partitions
-
-    P = max(4, min(default_partitions(), partials.count() // 50_000 + 1))
+    # width from fact bytes, not a materialized count: partials stream
+    # straight into the fold exchange with no barrier (the two key/qty
+    # columns are ~1/8 of lineitem's bytes, hence the scale-down)
+    P = max(4, _exchange_width(sf_dir, "lineitem") // 8 + 1)
     big = map_key_partitions(
         partials, ["l_orderkey"], _fold_block, num_partitions=P
-    ).materialize()  # consumed twice: Bloom build + the exchange union
+    ).materialize()  # consumed twice on the exchange lane
 
-    # HAVING makes the big-keys side tiny, so a 128 KiB Bloom bitmap of it
-    # prefilters the orders FACT before the exchange — the shuffle carries
-    # only qualifying orders plus the false-positive sliver, and the inner
-    # join against the real aggregate rows drops those FPs exactly
-    # (round-4 VERDICT next #5; plan shape proven by q_semi_join_bloom)
     import ray
-
-    from tsrollup.shuffle import bloom_build, bloom_keep
-
-    bm_ref = ray.put(bloom_build(big, "l_orderkey"))
 
     names_ref = _broadcast_column_pair(
         read_parquet_clean(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"]),
         "c_custkey", "c_name", str_vals=True)
+
+    if big.count() <= _Q18_BCAST_MAX:
+        return _q18_broadcast_tail(sf_dir, big, names_ref)
+
+    # exchange lane: HAVING makes the big-keys side tiny, so a 128 KiB
+    # Bloom bitmap of it prefilters the orders FACT before the exchange —
+    # the shuffle carries only qualifying orders plus the false-positive
+    # sliver, and the inner join against the real aggregate rows drops
+    # those FPs exactly (round-4 VERDICT next #5; q_semi_join_bloom shape)
+    from tsrollup.shuffle import bloom_build, bloom_keep
+
+    bm_ref = ray.put(bloom_build(big, "l_orderkey"))
 
     def _orders(t: pa.Table) -> pa.Table:
         t = t.filter(pa.array(bloom_keep(
@@ -762,34 +864,7 @@ def q_tpch_q18(sf_dir: str):
         num_partitions=_exchange_width(sf_dir, "orders"))
     top = topk_rows(joined, ["price_c", "odate", "l_orderkey"],
                     [True, False, False], 100)
-
-    def _name(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"c_name": pa.array([], pa.string()),
-             "o_custkey": pa.array([], pa.int64()),
-             "l_orderkey": pa.array([], pa.int64()),
-             "o_orderdate": pa.array([], pa.string()),
-             "price_c": pa.array([], pa.int64()),
-             "sum_qty_c": pa.array([], pa.int64())}
-        )
-        if t.num_rows == 0:
-            return empty
-        ck = t["custkey"].to_numpy(zero_copy_only=False)
-        ok, names = _lookup(names_ref, ck)
-        if not ok.any():   # dangling custkeys drop, like the oracle's
-            return empty   # inner JOIN customer
-        return pa.table(
-            {"c_name": pa.array(names[ok], pa.string()),
-             "o_custkey": pa.array(ck[ok]),
-             "l_orderkey": t["l_orderkey"].filter(pa.array(ok)),
-             "o_orderdate": pa.array(
-                 _fmt_date(t["odate"].to_numpy(zero_copy_only=False)[ok]),
-                 pa.string()),
-             "price_c": t["price_c"].filter(pa.array(ok)),
-             "sum_qty_c": t["sum_qty_c"].filter(pa.array(ok))}
-        )
-
-    return top.map_batches(_name, batch_format="pyarrow")
+    return top.map_batches(_q18_name_fn(names_ref), batch_format="pyarrow")
 
 
 _Q4_LO, _Q4_HI = "1995-07-01", "1995-10-01"
