@@ -199,3 +199,18 @@ def test_tpch_q18_lane_equivalence(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(bcast, exch, check_dtype=False)
     pd.testing.assert_frame_equal(
         bcast, _canon(_oracle("tpch_q18", sf)), check_dtype=False)
+
+
+def test_tpch_q10_lane_equivalence(ray_session, monkeypatch):
+    """q10's two join lanes (broadcast quarter pairs vs Bloom-prefiltered
+    union exchange) must produce identical output, like q18's."""
+    import tsrollup.pipelines.tpch as tpch
+
+    sf = "/root/testdata/sf0.001"
+    bcast = _canon(QUERIES["tpch_q10"](sf).to_pandas())
+    monkeypatch.setattr(tpch, "_Q10_BCAST_MAX", -1)
+    exch = _canon(QUERIES["tpch_q10"](sf).to_pandas())
+    assert len(bcast), "q10 lane test needs non-empty sf0.001 output"
+    pd.testing.assert_frame_equal(bcast, exch, check_dtype=False)
+    pd.testing.assert_frame_equal(
+        bcast, _canon(_oracle("tpch_q10", sf)), check_dtype=False)

@@ -961,6 +961,93 @@ _Q10_SCHEMA = pa.schema(
 )
 
 
+# broadcast-lane cutover for q10's quarter-filtered orders side: the
+# quarter is a fixed ~4% of orders, so it GROWS with the corpus (unlike
+# q18's HAVING set) — the guard is what keeps the lane honest at scale
+# (2M pairs ~= 32 MB broadcast; a 100 TB corpus takes the exchange lane).
+_Q10_BCAST_MAX = 2_000_000
+
+
+def _q10_name_fn(names_ref):
+    """Final broadcast customer-name attach shared by both q10 lanes."""
+    def _name(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "c_name": pa.array([], pa.string()),
+                             "revenue4": pa.array([], pa.int64())})
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        ok, names = _lookup(names_ref, ck)
+        return pa.table(
+            {"c_custkey": pa.array(ck[ok]),
+             "c_name": pa.array(names[ok], pa.string()),
+             "revenue4": t["revenue4"].filter(pa.array(ok))}
+        )
+
+    return _name
+
+
+def _q10_broadcast_tail(sf_dir: str, orders, names_ref, lo: int, hi: int):
+    """q10 broadcast lane: the quarter's (orderkey, custkey) pairs collect
+    once (bounded — the lane guard admits <= _Q10_BCAST_MAX rows), ship
+    via one ``ray.put``, and the returned-lineitem scan joins by
+    searchsorted and pre-folds (custkey, revenue) per batch, leaving only
+    the tiny custkey Sum — no orderkey exchange at all (the union
+    exchange spent ~3.8 s of fixed all-to-all overhead at sf0.1)."""
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    odf = orders.to_pandas()  # bounded: one quarter of orders (lane guard)
+    if len(odf):
+        okeys = odf["l_orderkey"].to_numpy().astype(np.int64)
+        ocust = odf["custkey"].to_numpy().astype(np.int64)
+    else:  # an empty Dataset yields a column-less frame
+        okeys = np.array([], np.int64)
+        ocust = np.array([], np.int64)
+    order = np.argsort(okeys, kind="stable")
+    pair_ref = ray.put((okeys[order], ocust[order]))
+
+    def _items_join(t: pa.Table) -> pa.Table:
+        k, cust = ray.get(pair_ref)
+        keep = pc.equal(t["l_returnflag"], "R").to_numpy(zero_copy_only=False)
+        lk = t["l_orderkey"].to_numpy(zero_copy_only=False)[keep].astype(
+            np.int64)
+        hit = np.zeros(len(lk), bool)
+        if len(k):
+            pos = np.searchsorted(k, lk)
+            inb = pos < len(k)
+            hit[inb] = k[pos[inb]] == lk[inb]
+        if not hit.any():
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "revenue4": pa.array([], pa.int64())})
+        ec = _cents(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep][hit])
+        dp = _cents(t["l_discount"].to_numpy(zero_copy_only=False)[keep][hit])
+        ck = cust[pos[hit]]
+        uk, inv = np.unique(ck, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, ec * (100 - dp))
+        return pa.table({"c_custkey": pa.array(uk), "revenue4": pa.array(s)})
+
+    folded = (
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                     "l_discount"],
+            filter=pc.field("l_returnflag") == "R",
+        )
+        .map_batches(_items_join, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("revenue4", alias_name="revenue4"))
+        .map_batches(
+            lambda t: pa.table({"c_custkey": t["c_custkey"].cast(pa.int64()),
+                                "revenue4": t["revenue4"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    )
+    top = topk_rows(folded, ["revenue4", "c_custkey"], [True, False], 20)
+    return top.map_batches(_q10_name_fn(names_ref), batch_format="pyarrow")
+
+
 def q_tpch_q10(sf_dir: str):
     """TPC-H Q10 returned-item reporting: top-20 customers by revenue lost
     to returns (l_returnflag = 'R') against orders of one quarter. Same
@@ -1013,11 +1100,21 @@ def q_tpch_q10(sf_dir: str):
         filter=_ts_filter("o_orderdate", lo, hi),
     ).map_batches(_orders, batch_format="pyarrow").materialize()
 
-    # the quarter's date cut makes the orders side small: Bloom-prefilter
-    # the returned-lineitem FACT before the exchange; the inner join
-    # against the real order rows drops false positives exactly
     import ray
 
+    # broadcast lane (q18 posture): the quarter's (orderkey, custkey)
+    # pairs are one date-cut fraction of orders — small enough to ship
+    # exactly below the cutover, where the returned-lineitem scan joins
+    # by searchsorted and pre-folds (custkey, revenue) per batch with
+    # ZERO exchanges before the tiny custkey Sum. Above the cutover
+    # (the quarter grows linearly with the corpus) the Bloom-prefiltered
+    # orderkey exchange below is the scale plan.
+    if orders.count() <= _Q10_BCAST_MAX:
+        return _q10_broadcast_tail(sf_dir, orders, names_ref, lo, hi)
+
+    # exchange lane: the quarter's date cut keeps the orders side small;
+    # Bloom-prefilter the returned-lineitem FACT before the exchange; the
+    # inner join against the real order rows drops false positives exactly
     from tsrollup.shuffle import bloom_build, bloom_keep
 
     bm_ref = ray.put(bloom_build(orders, "l_orderkey"))
@@ -1064,21 +1161,7 @@ def q_tpch_q10(sf_dir: str):
             batch_format="pyarrow")
     )
     top = topk_rows(folded, ["revenue4", "c_custkey"], [True, False], 20)
-
-    def _name(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"c_custkey": pa.array([], pa.int64()),
-                             "c_name": pa.array([], pa.string()),
-                             "revenue4": pa.array([], pa.int64())})
-        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
-        ok, names = _lookup(names_ref, ck)
-        return pa.table(
-            {"c_custkey": pa.array(ck[ok]),
-             "c_name": pa.array(names[ok], pa.string()),
-             "revenue4": t["revenue4"].filter(pa.array(ok))}
-        )
-
-    return top.map_batches(_name, batch_format="pyarrow")
+    return top.map_batches(_q10_name_fn(names_ref), batch_format="pyarrow")
 
 
 _Q15_LO, _Q15_HI = "1996-01-01", "1996-04-01"
