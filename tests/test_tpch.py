@@ -214,3 +214,35 @@ def test_tpch_q10_lane_equivalence(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(bcast, exch, check_dtype=False)
     pd.testing.assert_frame_equal(
         bcast, _canon(_oracle("tpch_q10", sf)), check_dtype=False)
+
+
+def test_tpch_q3_lane_equivalence(ray_session, monkeypatch):
+    """q3's two join lanes (broadcast survivor triples vs Bloom-prefiltered
+    union exchange) must produce identical output, like q18's."""
+    import tsrollup.pipelines.tpch as tpch
+
+    sf = "/root/testdata/sf0.001"
+    bcast = _canon(QUERIES["tpch_q3"](sf).to_pandas())
+    monkeypatch.setattr(tpch, "_Q3_BCAST_MAX", -1)
+    exch = _canon(QUERIES["tpch_q3"](sf).to_pandas())
+    assert len(bcast), "q3 lane test needs non-empty sf0.001 output"
+    pd.testing.assert_frame_equal(bcast, exch, check_dtype=False)
+    pd.testing.assert_frame_equal(
+        bcast, _canon(_oracle("tpch_q3", sf)), check_dtype=False)
+
+
+def test_tpch_q5_lane_equivalence(ray_session, monkeypatch):
+    """q5's two join lanes (broadcast year (orderkey, nation) pairs vs
+    Bloom-prefiltered union exchange) must produce identical output."""
+    import tsrollup.pipelines.tpch as tpch
+
+    sf = "/root/testdata/sf0.001"
+    r0 = QUERIES["tpch_q5"](sf)
+    bcast = _canon(r0 if isinstance(r0, pd.DataFrame) else r0.to_pandas())
+    monkeypatch.setattr(tpch, "_Q5_BCAST_MAX", -1)
+    r1 = QUERIES["tpch_q5"](sf)
+    exch = _canon(r1 if isinstance(r1, pd.DataFrame) else r1.to_pandas())
+    assert len(bcast), "q5 lane test needs non-empty sf0.001 output"
+    pd.testing.assert_frame_equal(bcast, exch, check_dtype=False)
+    pd.testing.assert_frame_equal(
+        bcast, _canon(_oracle("tpch_q5", sf)), check_dtype=False)

@@ -344,15 +344,96 @@ _Q3_SCHEMA = pa.schema(
 )
 
 
+_Q3_BCAST_MAX = 2_000_000
+
+
+def _q3_broadcast_tail(sf_dir: str, orders, date_us: int):
+    """q3 broadcast lane: the segment+date-surviving (orderkey, odate,
+    prio) triples collect once (bounded — the lane guard admits
+    <= _Q3_BCAST_MAX rows), ship via one ``ray.put``, and the lineitem
+    scan joins by searchsorted and pre-folds (orderkey, revenue) per
+    batch; the only exchange left is the tiny survivor-keyed Sum (the
+    q10/q18 posture — the union exchange's fixed all-to-all overhead
+    dominated this query's wall at sf0.1)."""
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    odf = orders.to_pandas()  # bounded: lane guard admits <= _Q3_BCAST_MAX
+    if len(odf):
+        okeys = odf["l_orderkey"].to_numpy().astype(np.int64)
+        odate = odf["odate"].to_numpy().astype(np.int64)
+        prio = np.asarray(odf["prio"].tolist(), dtype=object)
+    else:  # an empty Dataset yields a column-less frame
+        okeys = np.array([], np.int64)
+        odate = np.array([], np.int64)
+        prio = np.array([], dtype=object)
+    order = np.argsort(okeys, kind="stable")
+    okeys, odate, prio = okeys[order], odate[order], prio[order]
+    pair_ref = ray.put((okeys, odate, prio))
+
+    def _items_fold(t: pa.Table) -> pa.Table:
+        k, _od, _pr = ray.get(pair_ref)
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).view(np.int64)
+        keep = sd > date_us
+        lk = t["l_orderkey"].to_numpy(
+            zero_copy_only=False)[keep].astype(np.int64)
+        hit, pos = _match_sorted(k, lk)
+        if not hit.any():
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "revenue4": pa.array([], pa.int64())})
+        ec = _cents(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep][hit])
+        dp = _cents(t["l_discount"].to_numpy(zero_copy_only=False)[keep][hit])
+        uk, inv = np.unique(lk[hit], return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, ec * (100 - dp))
+        return pa.table({"l_orderkey": pa.array(uk), "revenue4": pa.array(s)})
+
+    folded = (
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"],
+            filter=_ts_filter("l_shipdate", lo_us=date_us, lo_strict=True),
+        )
+        .map_batches(_items_fold, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue4", alias_name="revenue4"))
+    )
+
+    def _attach(t: pa.Table) -> pa.Table:
+        k, od, pr = ray.get(pair_ref)
+        ck = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ck):
+            return pa.table(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "revenue4": pa.array([], pa.int64()),
+                 "o_orderdate": pa.array([], pa.string()),
+                 "o_orderpriority": pa.array([], pa.string())})
+        pos = np.searchsorted(k, ck)  # every folded key came from k
+        return pa.table(
+            {"l_orderkey": pa.array(ck),
+             "revenue4": t["revenue4"].cast(pa.int64()),
+             "o_orderdate": pa.array(_fmt_date(od[pos]), pa.string()),
+             "o_orderpriority": pa.array(pr[pos], pa.string())})
+
+    folded = folded.map_batches(_attach, batch_format="pyarrow")
+    return topk_rows(folded, ["revenue4", "l_orderkey"], [True, False], 10)
+
+
 def q_tpch_q3(sf_dir: str):
     """TPC-H Q3 shipping priority: top-10 open orders by discounted
     revenue for one market segment. Plan: the customer DIM filtered to
     the segment broadcasts as a sorted key array; orders and lineitem
     FACTS are pre-filtered per batch (segment membership via one
-    searchsorted; date cuts) and meet in ONE orderkey-keyed exchange
-    where the join + revenue fold run vectorized per partition; the
-    global top-10 uses the lossless per-block prune (rows are
-    orderkey-unique after the fold)."""
+    searchsorted; date cuts). Below ``_Q3_BCAST_MAX`` surviving orders the
+    broadcast lane ships (orderkey, odate, prio) exactly and the lineitem
+    scan pre-folds revenue with no orderkey exchange; above it the facts
+    meet in ONE orderkey-keyed exchange (lineitem Bloom-prefiltered
+    against surviving orderkeys) where the join + revenue fold run
+    vectorized per partition; the global top-10 uses the lossless
+    per-block prune (rows are orderkey-unique after the fold)."""
     cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).map_batches(
@@ -397,12 +478,31 @@ def q_tpch_q3(sf_dir: str):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
         filter=_ts_filter("o_orderdate", hi_us=date_us),
-    ).map_batches(_orders, batch_format="pyarrow")
+    ).map_batches(_orders, batch_format="pyarrow").materialize()
+
+    import ray
+
+    if orders.count() <= _Q3_BCAST_MAX:
+        return _q3_broadcast_tail(sf_dir, orders, date_us)
+
+    # exchange lane: Bloom-prefilter the lineitem FACT against surviving
+    # orderkeys before the exchange; the inner join against the real
+    # order rows drops false positives exactly (the q10/q18 shape)
+    from tsrollup.shuffle import bloom_build, bloom_keep
+
+    bm_ref = ray.put(bloom_build(orders, "l_orderkey"))
+
+    def _items_pruned(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(bloom_keep(
+            ray.get(bm_ref),
+            t["l_orderkey"].to_numpy(zero_copy_only=False))))
+        return _items(t)
+
     items = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=_ts_filter("l_shipdate", lo_us=date_us, lo_strict=True),
-    ).map_batches(_items, batch_format="pyarrow")
+    ).map_batches(_items_pruned, batch_format="pyarrow")
 
     def _join_block(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -445,6 +545,7 @@ _Q5_SCHEMA = pa.schema(
     [("l_orderkey", pa.int64()), ("nat", pa.int64()), ("rev4", pa.int64()),
      ("side", pa.int8())]
 )
+_Q5_BCAST_MAX = 2_000_000
 
 
 def q_tpch_q5(sf_dir: str):
@@ -454,7 +555,10 @@ def q_tpch_q5(sf_dir: str):
     twist that makes Q5 a join-order classic). Plan: nation/region/
     customer/supplier are DIMS — region membership resolves driver-side
     (25 nations), customer->nation and supplier->nation broadcast as
-    sorted pairs; the two FACTS meet in one orderkey exchange where the
+    sorted pairs; below ``_Q5_BCAST_MAX`` surviving orders the year's
+    (orderkey, cust-nation) pairs broadcast too and lineitem pre-folds
+    per nation with zero exchanges; above it the two FACTS meet in one
+    orderkey exchange (lineitem Bloom-prefiltered) where the
     nation-equality filter and the per-nation fold run vectorized."""
     import pyarrow.parquet as pq
 
@@ -518,37 +622,104 @@ def q_tpch_q5(sf_dir: str):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=_ts_filter("o_orderdate", lo, hi),
-    ).map_batches(_orders, batch_format="pyarrow")
-    items = read_parquet_clean(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(_items, batch_format="pyarrow")
+    ).map_batches(_orders, batch_format="pyarrow").materialize()
 
-    def _join_block(t: pa.Table) -> pa.Table:
-        empty = pa.table({"nat": pa.array([], pa.int64()),
-                          "revenue4": pa.array([], pa.int64())})
-        parts = _union_join_parts(t)
-        if parts is None:
-            return empty
-        so, om, ok, posc = parts
-        o_nat = t["nat"].to_numpy(zero_copy_only=False)[om][so]
-        l_nat = t["nat"].to_numpy(zero_copy_only=False)[~om]
-        ok &= o_nat[posc] == l_nat
-        if not ok.any():
-            return empty
-        # fold revenue by nationkey inside the partition (nations <= 25)
-        nk, inv = np.unique(l_nat[ok], return_inverse=True)
-        rev = np.zeros(len(nk), np.int64)
-        np.add.at(rev, inv, t["rev4"].to_numpy(zero_copy_only=False)[~om][ok])
-        return pa.table({"nat": pa.array(nk), "revenue4": pa.array(rev)})
+    import ray
 
-    folded = (
-        map_key_partitions(
-            orders.union(items), ["l_orderkey"], _join_block,
-            num_partitions=_exchange_width(sf_dir, "orders", "lineitem"))
-        .groupby("nat")
-        .aggregate(Sum("revenue4", alias_name="revenue4"))
-    )
+    if orders.count() <= _Q5_BCAST_MAX:
+        # broadcast lane: the year's surviving (orderkey -> cust-nation)
+        # pairs ship exactly once; the lineitem scan resolves BOTH nation
+        # lookups (order pair + supplier dim) per batch, applies the
+        # c_nationkey = s_nationkey twist, and pre-folds revenue by nation
+        # — ZERO exchanges before the <= 25-row nation Sum (q10/q18
+        # posture; the year's orders grow linearly with the corpus, so the
+        # Bloom-prefiltered exchange below remains the scale plan).
+        odf = orders.to_pandas()  # bounded: lane guard
+        if len(odf):
+            okeys = odf["l_orderkey"].to_numpy().astype(np.int64)
+            onat = odf["nat"].to_numpy().astype(np.int64)
+        else:
+            okeys = np.array([], np.int64)
+            onat = np.array([], np.int64)
+        order = np.argsort(okeys, kind="stable")
+        pair_ref = ray.put((okeys[order], onat[order]))
+
+        def _items_fold(t: pa.Table) -> pa.Table:
+            k, cn = ray.get(pair_ref)
+            ok, sn = _lookup(
+                supp_ref, t["l_suppkey"].to_numpy(zero_copy_only=False))
+            keep = ok & np.isin(sn, nat_keys)
+            lk = t["l_orderkey"].to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)
+            hit, pos = _match_sorted(k, lk)
+            hit &= (cn[pos] == sn[keep]) if len(k) else False
+            if not hit.any():
+                return pa.table({"nat": pa.array([], pa.int64()),
+                                 "revenue4": pa.array([], pa.int64())})
+            ec = _cents(t["l_extendedprice"].to_numpy(
+                zero_copy_only=False)[keep][hit])
+            dp = _cents(t["l_discount"].to_numpy(
+                zero_copy_only=False)[keep][hit])
+            nk, inv = np.unique(sn[keep][hit], return_inverse=True)
+            rev = np.zeros(len(nk), np.int64)
+            np.add.at(rev, inv, ec * (100 - dp))
+            return pa.table({"nat": pa.array(nk), "revenue4": pa.array(rev)})
+
+        folded = (
+            read_parquet_clean(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                         "l_discount"],
+            )
+            .map_batches(_items_fold, batch_format="pyarrow")
+            .groupby("nat")
+            .aggregate(Sum("revenue4", alias_name="revenue4"))
+        )
+    else:
+        # exchange lane: Bloom-prefilter lineitem against the year's
+        # surviving orderkeys; the inner join drops false positives exactly
+        from tsrollup.shuffle import bloom_build, bloom_keep
+
+        bm_ref = ray.put(bloom_build(orders, "l_orderkey"))
+
+        def _items_pruned(t: pa.Table) -> pa.Table:
+            t = t.filter(pa.array(bloom_keep(
+                ray.get(bm_ref),
+                t["l_orderkey"].to_numpy(zero_copy_only=False))))
+            return _items(t)
+
+        items = read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"],
+        ).map_batches(_items_pruned, batch_format="pyarrow")
+
+        def _join_block(t: pa.Table) -> pa.Table:
+            empty = pa.table({"nat": pa.array([], pa.int64()),
+                              "revenue4": pa.array([], pa.int64())})
+            parts = _union_join_parts(t)
+            if parts is None:
+                return empty
+            so, om, ok, posc = parts
+            o_nat = t["nat"].to_numpy(zero_copy_only=False)[om][so]
+            l_nat = t["nat"].to_numpy(zero_copy_only=False)[~om]
+            ok &= o_nat[posc] == l_nat
+            if not ok.any():
+                return empty
+            # fold revenue by nationkey inside the partition (nations <= 25)
+            nk, inv = np.unique(l_nat[ok], return_inverse=True)
+            rev = np.zeros(len(nk), np.int64)
+            np.add.at(
+                rev, inv, t["rev4"].to_numpy(zero_copy_only=False)[~om][ok])
+            return pa.table({"nat": pa.array(nk), "revenue4": pa.array(rev)})
+
+        folded = (
+            map_key_partitions(
+                orders.union(items), ["l_orderkey"], _join_block,
+                num_partitions=_exchange_width(sf_dir, "orders", "lineitem"))
+            .groupby("nat")
+            .aggregate(Sum("revenue4", alias_name="revenue4"))
+        )
 
     def _name(t: pa.Table) -> pa.Table:
         names = [nat_names[int(k)] for k in
