@@ -246,3 +246,33 @@ def test_tpch_q5_lane_equivalence(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(bcast, exch, check_dtype=False)
     pd.testing.assert_frame_equal(
         bcast, _canon(_oracle("tpch_q5", sf)), check_dtype=False)
+
+
+def test_tpch_q7_lane_equivalence(ray_session, monkeypatch):
+    """q7's two join lanes (broadcast (orderkey, nation) pairs vs
+    Bloom-prefiltered union exchange) must produce identical output."""
+    import tsrollup.pipelines.tpch as tpch
+
+    sf = "/root/testdata/sf0.001"
+    bcast = _canon(QUERIES["tpch_q7"](sf))
+    monkeypatch.setattr(tpch, "_Q7_BCAST_MAX", -1)
+    exch = _canon(QUERIES["tpch_q7"](sf))
+    assert len(bcast), "q7 lane test needs non-empty sf0.001 output"
+    pd.testing.assert_frame_equal(bcast, exch, check_dtype=False)
+    pd.testing.assert_frame_equal(
+        bcast, _canon(_oracle("tpch_q7", sf)), check_dtype=False)
+
+
+def test_tpch_q8_lane_equivalence(ray_session, monkeypatch):
+    """q8's two join lanes (broadcast (orderkey, year) pairs vs
+    Bloom-prefiltered union exchange) must produce identical output."""
+    import tsrollup.pipelines.tpch as tpch
+
+    sf = "/root/testdata/sf0.001"
+    bcast = _canon(QUERIES["tpch_q8"](sf))
+    monkeypatch.setattr(tpch, "_Q8_BCAST_MAX", -1)
+    exch = _canon(QUERIES["tpch_q8"](sf))
+    assert len(bcast), "q8 lane test needs non-empty sf0.001 output"
+    pd.testing.assert_frame_equal(bcast, exch, check_dtype=False)
+    pd.testing.assert_frame_equal(
+        bcast, _canon(_oracle("tpch_q8", sf)), check_dtype=False)

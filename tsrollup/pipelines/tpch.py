@@ -1412,6 +1412,7 @@ _Q7_SCHEMA = pa.schema(
     [("l_orderkey", pa.int64()), ("nat", pa.int64()), ("l_year", pa.int64()),
      ("rev4", pa.int64()), ("side", pa.int8())]
 )
+_Q7_BCAST_MAX = 2_000_000
 
 
 def _region_nations(sf_dir: str, region_name: str):
@@ -1501,13 +1502,86 @@ def q_tpch_q7(sf_dir: str):
 
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
-    ).map_batches(_orders, batch_format="pyarrow")
+    ).map_batches(_orders, batch_format="pyarrow").materialize()
+
+    import ray
+
+    if orders.count() <= _Q7_BCAST_MAX:
+        # broadcast lane: the region-pair customers' (orderkey, nation)
+        # pairs ship once; the lineitem scan resolves both nations, applies
+        # the direction predicate and folds (supp, cust, year) per batch —
+        # <= nations^2 x years rows per batch, so the remaining combine is
+        # the same driver-side bounded reduction the exchange lane uses.
+        odf = orders.to_pandas()  # bounded: lane guard
+        if len(odf):
+            okeys = odf["l_orderkey"].to_numpy().astype(np.int64)
+            onat = odf["nat"].to_numpy().astype(np.int64)
+        else:
+            okeys = np.array([], np.int64)
+            onat = np.array([], np.int64)
+        order = np.argsort(okeys, kind="stable")
+        pair_ref = ray.put((okeys[order], onat[order]))
+
+        def _items_fold(t: pa.Table) -> pa.Table:
+            k, cn_arr = ray.get(pair_ref)
+            sd = t["l_shipdate"].to_numpy(zero_copy_only=False).view(np.int64)
+            ok, sn = _lookup(supp_ref, t["l_suppkey"].to_numpy(
+                zero_copy_only=False))
+            keep = ok & (sd >= lo) & (sd < hi) & np.isin(sn, both)
+            lk = t["l_orderkey"].to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)
+            hit, pos = _match_sorted(k, lk)
+            if len(k):
+                supp, cust = sn[keep], cn_arr[pos]
+                hit &= ((np.isin(supp, sn_keys) & np.isin(cust, cn_keys))
+                        | (np.isin(supp, cn_keys) & np.isin(cust, sn_keys)))
+            if not hit.any():
+                return pa.table({"supp_nat": pa.array([], pa.int64()),
+                                 "cust_nat": pa.array([], pa.int64()),
+                                 "l_year": pa.array([], pa.int64()),
+                                 "revenue4": pa.array([], pa.int64())})
+            ec = _cents(t["l_extendedprice"].to_numpy(
+                zero_copy_only=False)[keep][hit])
+            dp = _cents(t["l_discount"].to_numpy(
+                zero_copy_only=False)[keep][hit])
+            g = pa.table(
+                {"supp_nat": pa.array(supp[hit]),
+                 "cust_nat": pa.array(cust[hit]),
+                 "l_year": pa.array(_year_from_us(sd[keep][hit])),
+                 "rev4": pa.array(ec * (100 - dp))}
+            ).group_by(["supp_nat", "cust_nat", "l_year"]).aggregate(
+                [("rev4", "sum")])
+            return pa.table(
+                {"supp_nat": g["supp_nat"].cast(pa.int64()),
+                 "cust_nat": g["cust_nat"].cast(pa.int64()),
+                 "l_year": g["l_year"].cast(pa.int64()),
+                 "revenue4": g["rev4_sum"].cast(pa.int64())})
+
+        parts_ds = read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                     "l_extendedprice", "l_discount"],
+            filter=_ts_filter("l_shipdate", lo, hi),
+        ).map_batches(_items_fold, batch_format="pyarrow")
+        return _q7_fold_tail(parts_ds.to_pandas(), names)
+
+    # exchange lane: Bloom-prefilter lineitem against surviving orderkeys
+    from tsrollup.shuffle import bloom_build, bloom_keep
+
+    bm_ref = ray.put(bloom_build(orders, "l_orderkey"))
+
+    def _items_pruned(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(bloom_keep(
+            ray.get(bm_ref),
+            t["l_orderkey"].to_numpy(zero_copy_only=False))))
+        return _items(t)
+
     items = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_shipdate",
                  "l_extendedprice", "l_discount"],
         filter=_ts_filter("l_shipdate", lo, hi),
-    ).map_batches(_items, batch_format="pyarrow")
+    ).map_batches(_items_pruned, batch_format="pyarrow")
 
     def _join_block(t: pa.Table) -> pa.Table:
         empty = pa.table({"supp_nat": pa.array([], pa.int64()),
@@ -1548,6 +1622,12 @@ def q_tpch_q7(sf_dir: str):
         orders.union(items), ["l_orderkey"], _join_block,
         num_partitions=_exchange_width(sf_dir, "orders", "lineitem"),
     ).to_pandas()
+    return _q7_fold_tail(parts, names)
+
+
+def _q7_fold_tail(parts: pd.DataFrame, names: dict) -> pd.DataFrame:
+    """Driver-side bounded (supp, cust, year) combine + name attach shared
+    by q7's broadcast and exchange lanes."""
     if not len(parts):
         return pd.DataFrame(
             {"supp_nation": pd.Series(dtype=object),
@@ -1574,6 +1654,7 @@ _Q8_SCHEMA = pa.schema(
     [("l_orderkey", pa.int64()), ("o_year", pa.int64()),
      ("is_target", pa.int64()), ("rev4", pa.int64()), ("side", pa.int8())]
 )
+_Q8_BCAST_MAX = 2_000_000
 
 
 def q_tpch_q8(sf_dir: str):
@@ -1642,12 +1723,78 @@ def q_tpch_q8(sf_dir: str):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=_ts_filter("o_orderdate", lo, hi),
-    ).map_batches(_orders, batch_format="pyarrow")
+    ).map_batches(_orders, batch_format="pyarrow").materialize()
+
+    import ray
+
+    if orders.count() <= _Q8_BCAST_MAX:
+        # broadcast lane: the two years' region-customer (orderkey, year)
+        # pairs ship once; the lineitem scan applies the part-type +
+        # supplier lookups, joins by searchsorted and folds the per-year
+        # (target, total) pair per batch — <= |years| rows per batch, so
+        # the remaining combine is the same driver-side bounded reduction.
+        odf = orders.to_pandas()  # bounded: lane guard
+        if len(odf):
+            okeys = odf["l_orderkey"].to_numpy().astype(np.int64)
+            oyear = odf["o_year"].to_numpy().astype(np.int64)
+        else:
+            okeys = np.array([], np.int64)
+            oyear = np.array([], np.int64)
+        order = np.argsort(okeys, kind="stable")
+        pair_ref = ray.put((okeys[order], oyear[order]))
+
+        def _items_fold(t: pa.Table) -> pa.Table:
+            k, yr_arr = ray.get(pair_ref)
+            pok, is_type = _lookup(part_ref, t["l_partkey"].to_numpy(
+                zero_copy_only=False))
+            sok, sn = _lookup(supp_ref, t["l_suppkey"].to_numpy(
+                zero_copy_only=False))
+            keep = pok & sok & (is_type == 1)
+            lk = t["l_orderkey"].to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)
+            hit, pos = _match_sorted(k, lk)
+            if not hit.any():
+                return pa.table({"o_year": pa.array([], pa.int64()),
+                                 "nation_rev4": pa.array([], pa.int64()),
+                                 "total_rev4": pa.array([], pa.int64())})
+            ec = _cents(t["l_extendedprice"].to_numpy(
+                zero_copy_only=False)[keep][hit])
+            dp = _cents(t["l_discount"].to_numpy(
+                zero_copy_only=False)[keep][hit])
+            rev = ec * (100 - dp)
+            tgt = (sn[keep][hit] == _Q8_TARGET_NATION).astype(np.int64)
+            uy, inv = np.unique(yr_arr[pos[hit]], return_inverse=True)
+            tot = np.zeros(len(uy), np.int64)
+            nat = np.zeros(len(uy), np.int64)
+            np.add.at(tot, inv, rev)
+            np.add.at(nat, inv, rev * tgt)
+            return pa.table({"o_year": pa.array(uy),
+                             "nation_rev4": pa.array(nat),
+                             "total_rev4": pa.array(tot)})
+
+        parts = read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_extendedprice", "l_discount"],
+        ).map_batches(_items_fold, batch_format="pyarrow").to_pandas()
+        return _q8_fold_tail(parts)
+
+    # exchange lane: Bloom-prefilter lineitem against surviving orderkeys
+    from tsrollup.shuffle import bloom_build, bloom_keep
+
+    bm_ref = ray.put(bloom_build(orders, "l_orderkey"))
+
+    def _items_pruned(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(bloom_keep(
+            ray.get(bm_ref),
+            t["l_orderkey"].to_numpy(zero_copy_only=False))))
+        return _items(t)
+
     items = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_partkey", "l_suppkey",
                  "l_extendedprice", "l_discount"],
-    ).map_batches(_items, batch_format="pyarrow")
+    ).map_batches(_items_pruned, batch_format="pyarrow")
 
     def _join_block(t: pa.Table) -> pa.Table:
         empty = pa.table({"o_year": pa.array([], pa.int64()),
@@ -1678,6 +1825,12 @@ def q_tpch_q8(sf_dir: str):
         orders.union(items), ["l_orderkey"], _join_block,
         num_partitions=_exchange_width(sf_dir, "orders", "lineitem"),
     ).to_pandas()
+    return _q8_fold_tail(parts)
+
+
+def _q8_fold_tail(parts: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side bounded per-year (target, total) combine + share
+    division shared by q8's broadcast and exchange lanes."""
     if len(parts):
         folded = parts.groupby("o_year", as_index=False)[
             ["nation_rev4", "total_rev4"]].sum()
