@@ -276,3 +276,35 @@ def test_tpch_q8_lane_equivalence(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(bcast, exch, check_dtype=False)
     pd.testing.assert_frame_equal(
         bcast, _canon(_oracle("tpch_q8", sf)), check_dtype=False)
+
+
+def test_tpch_q4_lane_equivalence(ray_session, monkeypatch):
+    """q4's two EXISTS lanes (broadcast quarter triples + distinct-late
+    dedup vs union exchange) must produce identical output."""
+    import tsrollup.pipelines.tpch as tpch
+
+    sf = "/root/testdata/sf0.001"
+    bcast = _canon(QUERIES["tpch_q4"](sf).to_pandas())
+    monkeypatch.setattr(tpch, "_Q4_BCAST_MAX", -1)
+    exch = _canon(QUERIES["tpch_q4"](sf).to_pandas())
+    assert len(bcast), "q4 lane test needs non-empty sf0.001 output"
+    pd.testing.assert_frame_equal(bcast, exch, check_dtype=False)
+    pd.testing.assert_frame_equal(
+        bcast, _canon(_oracle("tpch_q4", sf)), check_dtype=False)
+
+
+def test_tpch_q22_lane_equivalence(ray_session, monkeypatch):
+    """q22's two anti-join lanes (broadcast candidate custkeys vs custkey
+    exchange) must produce identical output."""
+    import tsrollup.pipelines.tpch as tpch
+
+    sf = "/root/testdata/sf0.001"
+    r0 = QUERIES["tpch_q22"](sf)
+    bcast = _canon(r0 if isinstance(r0, pd.DataFrame) else r0.to_pandas())
+    monkeypatch.setattr(tpch, "_Q22_BCAST_MAX", -1)
+    r1 = QUERIES["tpch_q22"](sf)
+    exch = _canon(r1 if isinstance(r1, pd.DataFrame) else r1.to_pandas())
+    assert len(bcast), "q22 lane test needs non-empty sf0.001 output"
+    pd.testing.assert_frame_equal(bcast, exch, check_dtype=False)
+    pd.testing.assert_frame_equal(
+        bcast, _canon(_oracle("tpch_q22", sf)), check_dtype=False)

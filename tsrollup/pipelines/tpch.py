@@ -1039,6 +1039,7 @@ def q_tpch_q18(sf_dir: str):
 
 
 _Q4_LO, _Q4_HI = "1995-07-01", "1995-10-01"
+_Q4_BCAST_MAX = 2_000_000
 _Q4_LATE_DAYS = 60  # 'late' = shipped more than this many days after order
 
 _Q4_SCHEMA = pa.schema(
@@ -1052,8 +1053,11 @@ def q_tpch_q4(sf_dir: str):
     (no commit/receipt dates, so 'problem order' = EXISTS a lineitem
     shipped more than ``_Q4_LATE_DAYS`` days after the order date — the
     same EXISTS-correlated-semi-join shape as the textbook query; the
-    oracle runs the identical adapted predicate). One orderkey exchange;
-    the EXISTS resolves vectorized per partition (match lineitems to
+    oracle runs the identical adapted predicate). Below ``_Q4_BCAST_MAX``
+    surviving orders the quarter's triples broadcast and the lineitem
+    scan emits distinct late orderkeys (one tiny survivor-keyed dedup
+    makes EXISTS exact); above it, one orderkey exchange where the
+    EXISTS resolves vectorized per partition (match lineitems to
     their order, compare ship vs order+Δ, mark seen orders once)."""
     from ray.data.aggregate import Sum
 
@@ -1088,7 +1092,67 @@ def q_tpch_q4(sf_dir: str):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
         filter=_ts_filter("o_orderdate", lo, hi),
-    ).map_batches(_orders, batch_format="pyarrow")
+    ).map_batches(_orders, batch_format="pyarrow").materialize()
+
+    import ray
+
+    if orders.count() <= _Q4_BCAST_MAX:
+        # broadcast lane: the quarter's (orderkey, odate, prio) triples
+        # ship once; the lineitem scan emits each batch's DISTINCT late
+        # orderkeys, one tiny survivor-keyed dedup makes the EXISTS exact
+        # across batches, and the priority fold reads the broadcast — no
+        # full-fact orderkey exchange.
+        odf = orders.to_pandas()  # bounded: lane guard
+        if len(odf):
+            okeys = odf["l_orderkey"].to_numpy().astype(np.int64)
+            odate = odf["odate"].to_numpy().astype(np.int64)
+            prio = np.asarray(odf["prio"].tolist(), dtype=object)
+        else:
+            okeys = np.array([], np.int64)
+            odate = np.array([], np.int64)
+            prio = np.array([], dtype=object)
+        order = np.argsort(okeys, kind="stable")
+        okeys, odate, prio = okeys[order], odate[order], prio[order]
+        pair_ref = ray.put((okeys, odate, prio))
+
+        def _late_keys(t: pa.Table) -> pa.Table:
+            k, od, _pr = ray.get(pair_ref)
+            sd = t["l_shipdate"].to_numpy(zero_copy_only=False).view(np.int64)
+            lk = t["l_orderkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            hit, pos = _match_sorted(k, lk)
+            late = hit & (sd > od[pos] + late_us) if len(k) else hit
+            return pa.table(
+                {"l_orderkey": pa.array(np.unique(lk[late]))})
+
+        def _prio_fold(t: pa.Table) -> pa.Table:
+            k, _od, pr = ray.get(pair_ref)
+            ck = t["l_orderkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if not len(ck):
+                return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                                 "n_orders": pa.array([], pa.int64())})
+            pos = np.searchsorted(k, ck)  # every deduped key came from k
+            up, inv = np.unique(pr[pos].astype(str), return_inverse=True)
+            return pa.table(
+                {"o_orderpriority": pa.array(up, pa.string()),
+                 "n_orders": pa.array(np.bincount(inv).astype(np.int64))})
+
+        lates = (
+            read_parquet_clean(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_shipdate"])
+            .map_batches(_late_keys, batch_format="pyarrow")
+            .groupby("l_orderkey")
+            .count()
+            .select_columns(["l_orderkey"])
+        )
+        return (
+            lates.map_batches(_prio_fold, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("n_orders", alias_name="n_orders"))
+        )
+
     items = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
     ).map_batches(_items, batch_format="pyarrow")
@@ -2005,6 +2069,7 @@ def q_tpch_q17(sf_dir: str):
 
 
 _Q22_CUTOFF = "2000-01-01"   # 'inactive' = no orders on/after this date
+_Q22_BCAST_MAX = 2_000_000
 
 
 def q_tpch_q22(sf_dir: str):
@@ -2012,9 +2077,12 @@ def q_tpch_q22(sf_dir: str):
     total balance of ABOVE-AVERAGE-balance customers with NO recent
     orders (the testdata lacks c_phone, so the country grouping is the
     customer's nation). Plan: the positive-balance average resolves as
-    one (sum, count) aggregate pass; the anti-join runs inside one
-    custkey exchange where recent-order custkeys mask the customer rows;
-    the spec predicate ``bal > avg`` is the exact integer cross-multiply
+    one (sum, count) aggregate pass; below ``_Q22_BCAST_MAX`` candidates
+    the anti-join broadcasts the candidate custkeys and the orders scan
+    emits distinct recent hits (driver-side bounded anti + nation fold);
+    above it the anti-join runs inside one custkey exchange where
+    recent-order custkeys mask the customer rows. The spec predicate
+    ``bal > avg`` is the exact integer cross-multiply
     ``bal_c * n > sum_c``. Only per-nation partials leave the
     exchange."""
     from ray.data.aggregate import Sum
@@ -2068,7 +2136,65 @@ def q_tpch_q22(sf_dir: str):
              "bal_c": pa.array(np.zeros(n, np.int64)),
              "side": pa.array(np.ones(n, np.int8))}, schema=schema)
 
-    cust = cust_ds.map_batches(_cust, batch_format="pyarrow")
+    cust = cust_ds.map_batches(
+        _cust, batch_format="pyarrow").materialize()
+
+    import ray
+
+    if cust.count() <= _Q22_BCAST_MAX:
+        # broadcast lane: the above-average candidates' sorted custkeys
+        # ship once; the orders scan emits each batch's DISTINCT recent
+        # candidate custkeys, one tiny candidate-keyed dedup collapses
+        # them, and the anti-join + nation fold are a driver-side bounded
+        # reduction over the candidate set (<= lane guard rows).
+        cdf = cust.to_pandas()  # bounded: lane guard
+        if len(cdf):
+            ckeys = cdf["c_custkey"].to_numpy().astype(np.int64)
+            cnat = cdf["nat"].to_numpy().astype(np.int64)
+            cbal = cdf["bal_c"].to_numpy().astype(np.int64)
+        else:
+            ckeys = np.array([], np.int64)
+            cnat = np.array([], np.int64)
+            cbal = np.array([], np.int64)
+        order = np.argsort(ckeys, kind="stable")
+        ckeys, cnat, cbal = ckeys[order], cnat[order], cbal[order]
+        key_ref = ray.put(ckeys)
+
+        def _recent_hits(t: pa.Table) -> pa.Table:
+            k = ray.get(key_ref)
+            od = t["o_orderdate"].to_numpy(
+                zero_copy_only=False).view(np.int64)
+            ck = np.unique(t["o_custkey"].to_numpy(
+                zero_copy_only=False)[od >= cutoff]).astype(np.int64)
+            hit, _ = _match_sorted(k, ck)
+            return pa.table({"c_custkey": pa.array(ck[hit])})
+
+        hits = (
+            read_parquet_clean(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_custkey", "o_orderdate"],
+                filter=_ts_filter("o_orderdate", lo_us=cutoff))
+            .map_batches(_recent_hits, batch_format="pyarrow")
+            .groupby("c_custkey").count()
+            .select_columns(["c_custkey"])
+        ).to_pandas()  # bounded: subset of the candidate set
+        recent_keys = (hits["c_custkey"].to_numpy().astype(np.int64)
+                       if len(hits) else np.array([], np.int64))
+        keep = ~np.isin(ckeys, recent_keys)
+        if not keep.any():
+            return empty_out
+        nk, inv = np.unique(cnat[keep], return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        tot = np.zeros(len(nk), np.int64)
+        np.add.at(tot, inv, cbal[keep])
+        ntab = pq.read_table(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+        names = dict(zip(ntab["n_nationkey"].to_pylist(),
+                         ntab["n_name"].to_pylist()))
+        out = pd.DataFrame({"n_name": [names[int(k)] for k in nk],
+                            "numcust": cnt, "totacctbal_c": tot})
+        return out.sort_values("n_name").reset_index(drop=True)
+
     recent = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"],
     ).map_batches(_recent, batch_format="pyarrow")
