@@ -53,6 +53,24 @@ def _derive_events(t: pa.Table) -> pa.Table:
     )
 
 
+def _ev_parts(sf_dir: str) -> int:
+    """Keyed-exchange width for events-table pipelines, sized to the source
+    bytes (~128 MiB per partition, clamped to [4, default_partitions()]) —
+    the TPC-H ``_exchange_width`` lesson applied to the events family: a
+    keyed exchange costs O(P) fixed task latency regardless of volume, so a
+    small corpus must not pay cluster-wide width, while the cap keeps large
+    corpora at the cluster's width."""
+    import os as _os
+
+    from tsrollup.shuffle import default_partitions
+
+    try:
+        sz = _os.path.getsize(_os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        return default_partitions()
+    return max(4, min(default_partitions(), int(sz) // (128 << 20) + 1))
+
+
 def _rolled_events(sf_dir: str) -> ray.data.Dataset:
     """The 1m continuous-aggregate tier every downstream analytics query
     serves from. Memoized per (corpus identity, Ray job) as a MATERIALIZED
@@ -68,7 +86,8 @@ def _rolled_events(sf_dir: str) -> ray.data.Dataset:
     def _build():
         derived = _events(sf_dir).map_batches(_derive_events, batch_format="pyarrow")
         return final_rollup(
-            derived.map_batches(partial_rollup, batch_format="pyarrow")
+            derived.map_batches(partial_rollup, batch_format="pyarrow"),
+            num_partitions=_ev_parts(sf_dir),
         )
 
     return memoized_dataset(
@@ -278,7 +297,8 @@ def q_downsample_avgpool(sf_dir: str, window: int = 10):
     pooled = final_rollup(
         _rolled_events(sf_dir)
         .map_batches(_rekey, batch_format="pyarrow")
-        .map_batches(partial_rollup, batch_format="pyarrow")
+        .map_batches(partial_rollup, batch_format="pyarrow"),
+        num_partitions=_ev_parts(sf_dir),
     )
 
     def _avg(t: pa.Table) -> pa.Table:
@@ -485,7 +505,13 @@ def q_join_broadcast(sf_dir: str):
             df = df.copy()
             df["c_mktsegment"] = df["o_custkey"].map(self.lookup)
             df["total_cents"] = np.floor(df["o_totalprice"] * 100).astype(np.int64)
-            return df[["c_mktsegment", "total_cents"]]
+            # pre-fold per batch: the segment-keyed exchange moves <=
+            # |segments| rows per block instead of the full fact
+            g = df.groupby("c_mktsegment", as_index=False).agg(
+                n_orders=("total_cents", "size"),
+                sum_total_cents=("total_cents", "sum"))
+            g["n_orders"] = g["n_orders"].astype(np.int64)
+            return g
 
     ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
@@ -493,10 +519,11 @@ def q_join_broadcast(sf_dir: str):
         JoinStage, fn_constructor_kwargs={"ref": lookup_ref}, batch_format="pandas",
         concurrency=(1, 4), **BROADCAST_ACTOR_ARGS,
     )
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     return ds.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("total_cents", alias_name="sum_total_cents")
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("sum_total_cents", alias_name="sum_total_cents"),
     )
 
 
@@ -2052,7 +2079,7 @@ def _interchange_rollup(sf_dir: str, export_path: str, write_export, reader):
     ids = tk.token_ids(tb, tx.VOCAB)
     write_export(export_path, df, tb, ids)
     derived = reader(export_path).map_batches(derive_batch, batch_format="pyarrow")
-    rolled = final_rollup(derived.map_batches(partial_rollup, batch_format="pyarrow"))
+    rolled = final_rollup(derived.map_batches(partial_rollup, batch_format="pyarrow"), num_partitions=_ev_parts(sf_dir))
     return rolled.map_batches(
         lambda t: t.select(["source", "bucket", "n_rows", "sum_tok", "min_tok", "max_tok"]),
         batch_format="pyarrow",
@@ -2391,7 +2418,7 @@ def q_asof_join(sf_dir: str, broadcast_threshold: int = _ASOF_BROADCAST_THRESHOL
         batch_format="pyarrow", concurrency=(1, 4),
         **BROADCAST_ACTOR_ARGS,
     )
-    rolled = final_rollup(joined.map_batches(partial_rollup, batch_format="pyarrow"))
+    rolled = final_rollup(joined.map_batches(partial_rollup, batch_format="pyarrow"), num_partitions=_ev_parts(sf_dir))
     return rolled.select_columns(["source", "bucket", "n_rows", "sum_tok"]).rename_columns(
         ["source", "mark_bucket", "n_events", "sum_cents"]
     )
@@ -2489,7 +2516,7 @@ def q_range_join(sf_dir: str, broadcast_threshold: int = _ASOF_BROADCAST_THRESHO
         batch_format="pyarrow", concurrency=(1, 4),
         **BROADCAST_ACTOR_ARGS,
     )
-    rolled = final_rollup(pairs.map_batches(partial_rollup, batch_format="pyarrow"))
+    rolled = final_rollup(pairs.map_batches(partial_rollup, batch_format="pyarrow"), num_partitions=_ev_parts(sf_dir))
     return rolled.select_columns(["source", "bucket", "n_rows", "sum_tok"]).rename_columns(
         ["source", "lo", "n_events", "sum_cents"]
     )
@@ -7315,11 +7342,16 @@ def q_rfm_segments(sf_dir: str, k: int = _RFM_TILES):
     the corpus' max day), Frequency (event count) and Monetary (cents
     sum); assign each an exact NTILE(k) quintile ordered (metric asc,
     user_id asc); report segment sizes over the (r_q, f_q, m_q) cube
-    (<= k^3 rows). One user-keyed aggregate builds the fold; each metric
-    pays one range-bucket exchange in the exact distributed NTILE (no
-    global sort — see _ntile_exact); a final user-keyed tagged-union
-    exchange zips the three tiles back together."""
-    from ray.data.aggregate import Count, Max, Sum
+    (<= k^3 rows). One user-keyed aggregate builds the fold; then ALL
+    THREE exact NTILEs ride ONE composite range-bucket exchange (bucket
+    key = which * NB + value-band; the _global_ordinals machinery with a
+    per-metric driver prefix) — recency never materializes r = gmax - d:
+    ordering by r asc equals ordering by -last_day asc, so the negated
+    fold column is the sort key directly and the gmax pass disappears. A
+    final user-keyed exchange zips the three tiles; the cube fold is the
+    tiny tail. Three separate _ntile_exact calls cost ~6 pipeline
+    executions of fixed overhead; this plan runs 4 total exchanges."""
+    from ray.data.aggregate import Count, Max, Min, Sum
 
     from tsrollup.shuffle import map_key_partitions
 
@@ -7339,29 +7371,99 @@ def q_rfm_segments(sf_dir: str, k: int = _RFM_TILES):
         .aggregate(Max("day", alias_name="last_day"),
                    Count(alias_name="f"),
                    Sum("cents", alias_name="m"))
-    ).materialize()  # users-bounded; consumed by max-day + three ntiles
-    if fold.count() == 0:  # no non-null users: the oracle returns 0 rows
+        .map_batches(
+            lambda t: pa.table(
+                {"user_id": t["user_id"].cast(pa.int64()),
+                 # r = gmax - last_day is a strictly decreasing transform
+                 # of last_day, so (r asc, user asc) == (-last_day asc,
+                 # user asc): negate once, never compute gmax
+                 "v0": pc.negate_checked(t["last_day"].cast(pa.int64())),
+                 "v1": t["f"].cast(pa.int64()),
+                 "v2": t["m"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    ).materialize()  # users-bounded; consumed by stats + the bucket pass
+    stats = fold.aggregate(
+        Count(), *(a for i in range(3)
+                   for a in (Min(f"v{i}"), Max(f"v{i}"))))
+    n_users = int(stats["count()"])
+    if n_users == 0:  # no non-null users: the oracle returns 0 rows
         return pd.DataFrame({"r_q": pd.Series(dtype=np.int64),
                              "f_q": pd.Series(dtype=np.int64),
                              "m_q": pd.Series(dtype=np.int64),
                              "n_users": pd.Series(dtype=np.int64)})
-    gmax = int(fold.aggregate(Max("last_day"))["max(last_day)"])
-    fold = fold.map_batches(
-        lambda t: pa.table({"user_id": t["user_id"].cast(pa.int64()),
-                            "r": pc.subtract(pa.scalar(gmax, pa.int64()),
-                                             t["last_day"].cast(pa.int64())),
-                            "f": t["f"].cast(pa.int64()),
-                            "m": t["m"].cast(pa.int64())}),
-        batch_format="pyarrow").materialize()
+    NB = 64
+    mns = np.array([int(stats[f"min(v{i})"]) for i in range(3)], np.int64)
+    widths = np.array(
+        [max(1, (int(stats[f"max(v{i})"]) - int(mns[i])) // NB + 1)
+         for i in range(3)], np.int64)
 
-    tagged = []
-    for i, col in enumerate(("r", "f", "m")):
-        tiles = _ntile_exact(fold.select_columns(["user_id", col]), col, k)
-        tagged.append(tiles.map_batches(
-            lambda t, which=i: t.append_column(
-                "which", pa.array(np.full(t.num_rows, which, np.int64))),
-            batch_format="pyarrow"))
-    union = tagged[0].union(tagged[1]).union(tagged[2])
+    def _tag3(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        outs = []
+        for i in range(3):
+            v = t[f"v{i}"].to_numpy(zero_copy_only=False)
+            outs.append(pa.table(
+                {"bkt": pa.array(i * NB + (v - mns[i]) // widths[i]),
+                 "user_id": pa.array(uid),
+                 "v": pa.array(v)}))
+        return pa.concat_tables(outs)
+
+    def _ordinals(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"bkt": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "ord": pa.array([], pa.int64())})
+        v = t["v"].to_numpy(zero_copy_only=False)
+        rid = t["user_id"].to_numpy(zero_copy_only=False)
+        bkt = t["bkt"].to_numpy(zero_copy_only=False)
+        # a hash partition holds SEVERAL range buckets: ordinals reset
+        # per bucket (same idiom as _global_ordinals)
+        order = np.lexsort((rid, v, bkt))
+        bs = bkt[order]
+        new_bkt = np.concatenate(([True], bs[1:] != bs[:-1]))
+        run_start = np.maximum.accumulate(
+            np.where(new_bkt, np.arange(len(bs)), 0))
+        ords = np.empty(len(order), np.int64)
+        ords[order] = np.arange(len(bs)) - run_start
+        return pa.table({"bkt": t["bkt"], "user_id": t["user_id"],
+                         "ord": pa.array(ords)})
+
+    ranked = map_key_partitions(
+        fold.map_batches(_tag3, batch_format="pyarrow"), ["bkt"], _ordinals,
+    ).materialize()  # consumed twice: bucket totals + the tile pass
+
+    totals = (ranked.groupby("bkt").aggregate(Count())
+              .to_pandas().sort_values("bkt"))  # <= 3 * NB rows
+    tb = totals["bkt"].to_numpy(np.int64)
+    tc = totals["count()"].to_numpy(np.int64)
+    # exclusive prefix sums restarting at each metric's bucket range
+    csum = np.r_[0, tc[:-1].cumsum()]
+    which_of = tb // NB
+    first_of_which = {int(w): int(csum[np.argmax(which_of == w)])
+                      for w in np.unique(which_of)}
+    base = {int(b): int(csum[j] - first_of_which[int(which_of[j])])
+            for j, b in enumerate(tb)}
+    big, rem = divmod(n_users, k)
+    boundary = rem * (big + 1)
+
+    def _tiles(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "which": pa.array([], pa.int64()),
+                             "tile": pa.array([], pa.int64())})
+        bkt = t["bkt"].to_numpy(zero_copy_only=False)
+        rank0 = (np.vectorize(base.__getitem__, otypes=[np.int64])(bkt)
+                 + t["ord"].to_numpy(zero_copy_only=False))
+        tile = np.where(
+            rank0 < boundary,
+            rank0 // (big + 1) + 1,
+            rem + (np.maximum(rank0 - boundary, 0) // max(big, 1)) + 1,
+        ).astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "which": pa.array(bkt // NB),
+                         "tile": pa.array(tile)})
+
+    union = ranked.map_batches(_tiles, batch_format="pyarrow")
 
     def _zip(t: pa.Table) -> pa.Table:
         empty = pa.table({f"{c}_q": pa.array([], pa.int64())
