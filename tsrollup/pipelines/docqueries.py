@@ -1712,17 +1712,6 @@ def _bigram_with_counts(sf_dir: str, min_count: int):
 
     src_file = os.path.join(sf_dir, "documents.parquet")
 
-    def _uni_build():
-        def _fold(t: pa.Table) -> pa.Table:
-            return pa.table({"token": t["token"], "c_uni": t["c"]})
-
-        return (
-            _source_token_counts(sf_dir)
-            .map_batches(_fold, batch_format="pyarrow")
-            .groupby("token")
-            .aggregate(Sum("c_uni", alias_name="c_uni"))
-        )
-
     def _bi_partial(t: pa.Table) -> pa.Table:
         tb = tk.TokenBatch(t.column("text"))
         n = tb.n_tokens
@@ -1742,7 +1731,7 @@ def _bigram_with_counts(sf_dir: str, min_count: int):
                          "c_ab": vc.field("counts").cast(pa.int64())})
 
     docs = _docs(sf_dir, ("text",))
-    uni = memoized_dataset(src_file, "unigram_counts", _uni_build)
+    uni = _unigram_counts(sf_dir)
     n_total = int(uni.sum("c_uni") or 0)
     import ray.data as _rd
 
@@ -2650,6 +2639,34 @@ def _ln_fp(x: int) -> int:
     return math.floor(math.log(float(x)) * _FP_SCALE)
 
 
+def _unigram_counts(sf_dir: str) -> ray.data.Dataset:
+    """Global (token, c_uni) fold, memoized per (corpus, session) — a
+    vocabulary-bounded re-aggregation of ``_source_token_counts`` (same
+    whitespace tokenizer, identical token universe), so every consumer
+    (the bigram-association family, unigram_logprob, source_perplexity)
+    shares ONE corpus tokenize + exchange per session."""
+    import os
+
+    from ray.data.aggregate import Sum
+
+    from tsrollup.util import memoized_dataset
+
+    def _build():
+        def _fold(t: pa.Table) -> pa.Table:
+            return pa.table({"token": t["token"], "c_uni": t["c"]})
+
+        return (
+            _source_token_counts(sf_dir)
+            .map_batches(_fold, batch_format="pyarrow")
+            .groupby("token")
+            .aggregate(Sum("c_uni", alias_name="c_uni"))
+        )
+
+    return memoized_dataset(
+        os.path.join(sf_dir, "documents.parquet"), "unigram_counts", _build
+    )
+
+
 def _source_token_counts(sf_dir: str) -> ray.data.Dataset:
     """Exact per-(source, token) counts: per-batch Arrow group partials →
     one keyed count fold (the same exchange vocab_overlap pays). Shared by
@@ -2982,45 +2999,54 @@ def q_unigram_logprob(sf_dir: str, vocab_size: int = _ULP_V):
     corpus token total and D the distinct-token count. Low scores flag
     gibberish; implausibly high scores flag boilerplate.
 
-    Two-pass broadcast (tfidf's shape): pass 1 folds per-batch token counts
-    into the global vocabulary — the only exchange, carrying (token, count)
-    rows; pass 2 broadcasts the fixed-point table via ``ray.put`` into an
-    actor pool and scores every batch with one ``index_in`` + int64
-    scatter-add. All compared numbers are exact integers in the shared
-    ``_FP_SCALE`` fixed point: logprob_fp = Σ F(c_t+1) − n_tok·F(N+D)."""
-    import ray
-
+    Two-pass broadcast (tfidf's shape): pass 1 is the SHARED memoized
+    ``_unigram_counts`` fold (one corpus tokenize + exchange per session,
+    shared with the bigram-association family); pass 2 broadcasts the
+    fixed-point table via ``ray.put`` into an actor pool and scores every
+    batch with one ``index_in`` + int64 scatter-add. The per-doc scored
+    table (3 ints per doc — docs-bounded) is itself memoized so
+    ``source_perplexity`` pays zero tokenize. All compared numbers are
+    exact integers in the shared ``_FP_SCALE`` fixed point:
+    logprob_fp = Σ F(c_t+1) − n_tok·F(N+D)."""
     from tsrollup.functions import tokens as tk
-    from tsrollup.shuffle import topk_rows
+    from tsrollup.util import memoized_dataset
 
-    def _tc_partial(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    src_file = os.path.join(sf_dir, "documents.parquet")
 
-        tb = tk.TokenBatch(t.column("text"))
-        if tb.n_tokens == 0:
-            return pa.table({"token": pa.array([], pa.string()),
-                             "c": pa.array([], pa.int64())})
-        vc = pc.value_counts(tb.token_array())
-        return pa.table({"token": vc.field("values").cast(pa.string()),
-                         "c": vc.field("counts").cast(pa.int64())})
+    def _build_scored():
+        import ray
 
-    from ray.data.aggregate import Count, Sum
+        from tsrollup.shuffle import topk_rows
 
-    docs = _docs(sf_dir, ("doc_id", "text"))
-    counts = (
-        docs.map_batches(_tc_partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("c", alias_name="c"))
-        .materialize()  # consumed twice (totals + top-V): tokenize ONCE
-    )
-    tot = counts.aggregate(Sum("c", alias_name="n"), Count(alias_name="d"))
-    n_total, d_distinct = int(tot["n"]), int(tot["d"])
-    vocab_t = topk_rows(counts, ["c", "token"], [True, False], vocab_size).to_pandas()
-    fp_map = {
-        tok: _ln_fp(int(c) + 1) for tok, c in zip(vocab_t["token"], vocab_t["c"])
-    }
-    base_fp = _ln_fp(n_total + d_distinct)
-    vocab_ref = ray.put(fp_map)
+        from ray.data.aggregate import Count, Sum
+
+        docs = _docs(sf_dir, ("doc_id", "text"))
+        counts = _unigram_counts(sf_dir)
+        tot = counts.aggregate(
+            Sum("c_uni", alias_name="n"), Count(alias_name="d"))
+        n_total, d_distinct = int(tot["n"]), int(tot["d"])
+        import ray.data as _rd
+
+        if not isinstance(counts, _rd.dataset.MaterializedDataset):
+            # memoized_dataset stayed lazy because Ray wasn't initialized
+            # at call time (the aggregate above auto-inited it); re-memoize
+            # so the top-V consumes the pinned fold, not a re-execution
+            counts = memoized_dataset(
+                src_file, "unigram_counts", lambda: counts)
+        vocab_t = topk_rows(
+            counts, ["c_uni", "token"], [True, False], vocab_size).to_pandas()
+        fp_map = {
+            tok: _ln_fp(int(c) + 1)
+            for tok, c in zip(vocab_t["token"], vocab_t["c_uni"])
+        }
+        base_fp = _ln_fp(n_total + d_distinct)
+        vocab_ref = ray.put(fp_map)
+        return docs.map_batches(
+            ScoreStage,
+            fn_constructor_kwargs={"ref": vocab_ref, "base": base_fp},
+            batch_format="pyarrow", concurrency=(1, 4),
+            **BROADCAST_ACTOR_ARGS,
+        )
 
     class ScoreStage:
         def __init__(self, ref, base):
@@ -3058,11 +3084,8 @@ def q_unigram_logprob(sf_dir: str, vocab_size: int = _ULP_V):
                  "logprob_fp": pa.array(acc[m] - n_tok[m] * self.base)}
             )
 
-    return docs.map_batches(
-        ScoreStage, fn_constructor_kwargs={"ref": vocab_ref, "base": base_fp},
-        batch_format="pyarrow", concurrency=(1, 4),
-        **BROADCAST_ACTOR_ARGS,
-    )
+    return memoized_dataset(
+        src_file, f"ulp_scored_v{vocab_size}", _build_scored)
 
 
 def q_source_perplexity(sf_dir: str, vocab_size: int = _ULP_V):
