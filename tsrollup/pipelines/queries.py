@@ -2378,46 +2378,41 @@ def q_asof_join(sf_dir: str, broadcast_threshold: int = _ASOF_BROADCAST_THRESHOL
     }
     lookup_ref = ray.put(lookup)
 
-    class AsofStage:
-        def __init__(self, ref):
-            import ray as _r
+    def _asof_probe(t: pa.Table) -> pa.Table:
+        # task pool + worker-local broadcast cache: setup-once-per-worker
+        # without per-query actor spin-up (util.worker_broadcast_get)
+        from tsrollup.util import worker_broadcast_get
 
-            self.marks = _r.get(ref)
+        marks_by_src = worker_broadcast_get(lookup_ref)
+        d = _derive_events(t)
+        src = d["source"].to_numpy(zero_copy_only=False)
+        bucket = d["bucket"].to_numpy(zero_copy_only=False)
+        cents = d["n_tok"].to_numpy(zero_copy_only=False)
+        mark = np.full(len(src), -1, dtype=np.int64)
+        from tsrollup.hashing import safe_factorize
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            d = _derive_events(t)
-            src = d["source"].to_numpy(zero_copy_only=False)
-            bucket = d["bucket"].to_numpy(zero_copy_only=False)
-            cents = d["n_tok"].to_numpy(zero_copy_only=False)
-            mark = np.full(len(src), -1, dtype=np.int64)
-            from tsrollup.hashing import safe_factorize
+        codes, uniques = safe_factorize(src)
+        for code, s in enumerate(uniques):
+            mb = marks_by_src.get(s)
+            if mb is None or not len(mb):
+                continue
+            sel = codes == code
+            idx = np.searchsorted(mb, bucket[sel], side="right") - 1
+            hit = idx >= 0
+            m = np.full(int(sel.sum()), -1, dtype=np.int64)
+            m[hit] = mb[idx[hit]]
+            mark[sel] = m
+        keep = mark >= 0
+        return pa.table(
+            {
+                "source": pa.array(src[keep]),
+                "bucket": pa.array(mark[keep]),
+                "n_tok": pa.array(cents[keep]),
+                "chk": pa.array(np.zeros(int(keep.sum()), dtype=np.int64)),
+            }
+        )
 
-            codes, uniques = safe_factorize(src)
-            for code, s in enumerate(uniques):
-                mb = self.marks.get(s)
-                if mb is None or not len(mb):
-                    continue
-                sel = codes == code
-                idx = np.searchsorted(mb, bucket[sel], side="right") - 1
-                hit = idx >= 0
-                m = np.full(int(sel.sum()), -1, dtype=np.int64)
-                m[hit] = mb[idx[hit]]
-                mark[sel] = m
-            keep = mark >= 0
-            return pa.table(
-                {
-                    "source": pa.array(src[keep]),
-                    "bucket": pa.array(mark[keep]),
-                    "n_tok": pa.array(cents[keep]),
-                    "chk": pa.array(np.zeros(int(keep.sum()), dtype=np.int64)),
-                }
-            )
-
-    joined = _events(sf_dir).map_batches(
-        AsofStage, fn_constructor_kwargs={"ref": lookup_ref},
-        batch_format="pyarrow", concurrency=(1, 4),
-        **BROADCAST_ACTOR_ARGS,
-    )
+    joined = _events(sf_dir).map_batches(_asof_probe, batch_format="pyarrow")
     rolled = final_rollup(joined.map_batches(partial_rollup, batch_format="pyarrow"), num_partitions=_ev_parts(sf_dir))
     return rolled.select_columns(["source", "bucket", "n_rows", "sum_tok"]).rename_columns(
         ["source", "mark_bucket", "n_events", "sum_cents"]
@@ -2457,65 +2452,60 @@ def q_range_join(sf_dir: str, broadcast_threshold: int = _ASOF_BROADCAST_THRESHO
     lookup_ref = ray.put(lookup)
     width = _RANGE_W_LO + _RANGE_W_HI
 
-    class RangeStage:
-        def __init__(self, ref):
-            import ray as _r
+    def _range_probe(t: pa.Table) -> pa.Table:
+        # task pool + worker-local broadcast cache: setup-once-per-worker
+        # without per-query actor spin-up (util.worker_broadcast_get)
+        from tsrollup.util import worker_broadcast_get
 
-            self.lows = _r.get(ref)
+        lows_by_src = worker_broadcast_get(lookup_ref)
+        d = _derive_events(t)
+        src = d["source"].to_numpy(zero_copy_only=False)
+        bucket = d["bucket"].to_numpy(zero_copy_only=False)
+        cents = d["n_tok"].to_numpy(zero_copy_only=False)
+        out_src, out_lo, out_cents = [], [], []
+        from tsrollup.hashing import safe_factorize
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            d = _derive_events(t)
-            src = d["source"].to_numpy(zero_copy_only=False)
-            bucket = d["bucket"].to_numpy(zero_copy_only=False)
-            cents = d["n_tok"].to_numpy(zero_copy_only=False)
-            out_src, out_lo, out_cents = [], [], []
-            from tsrollup.hashing import safe_factorize
-
-            codes, uniques = safe_factorize(src)
-            for code, s in enumerate(uniques):
-                los = self.lows.get(s)
-                if los is None or not len(los):
-                    continue
-                sel = codes == code
-                b = bucket[sel]
-                c = cents[sel]
-                left = np.searchsorted(los, b - width + 1, side="left")
-                right = np.searchsorted(los, b, side="right")
-                counts = right - left
-                total = int(counts.sum())
-                if total == 0:
-                    continue
-                # expand each event into its matched interval range
-                rep = np.repeat(np.arange(len(b)), counts)
-                offs = np.arange(total) - np.repeat(
-                    np.cumsum(counts) - counts, counts
-                )
-                ivl = los[np.repeat(left, counts) + offs]
-                out_src.append(np.repeat(np.array([s], dtype=object), total))
-                out_lo.append(ivl)
-                out_cents.append(c[rep])
-            if not out_src:
-                return pa.table(
-                    {"source": pa.array([], pa.string()),
-                     "bucket": pa.array([], pa.int64()),
-                     "n_tok": pa.array([], pa.int64()),
-                     "chk": pa.array([], pa.int64())}
-                )
-            n = sum(len(a) for a in out_lo)
-            return pa.table(
-                {
-                    "source": pa.array(np.concatenate(out_src)),
-                    "bucket": pa.array(np.concatenate(out_lo)),
-                    "n_tok": pa.array(np.concatenate(out_cents)),
-                    "chk": pa.array(np.zeros(n, dtype=np.int64)),
-                }
+        codes, uniques = safe_factorize(src)
+        for code, s in enumerate(uniques):
+            los = lows_by_src.get(s)
+            if los is None or not len(los):
+                continue
+            sel = codes == code
+            b = bucket[sel]
+            c = cents[sel]
+            left = np.searchsorted(los, b - width + 1, side="left")
+            right = np.searchsorted(los, b, side="right")
+            counts = right - left
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            # expand each event into its matched interval range
+            rep = np.repeat(np.arange(len(b)), counts)
+            offs = np.arange(total) - np.repeat(
+                np.cumsum(counts) - counts, counts
             )
+            ivl = los[np.repeat(left, counts) + offs]
+            out_src.append(np.repeat(np.array([s], dtype=object), total))
+            out_lo.append(ivl)
+            out_cents.append(c[rep])
+        if not out_src:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "bucket": pa.array([], pa.int64()),
+                 "n_tok": pa.array([], pa.int64()),
+                 "chk": pa.array([], pa.int64())}
+            )
+        n = sum(len(a) for a in out_lo)
+        return pa.table(
+            {
+                "source": pa.array(np.concatenate(out_src)),
+                "bucket": pa.array(np.concatenate(out_lo)),
+                "n_tok": pa.array(np.concatenate(out_cents)),
+                "chk": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
 
-    pairs = _events(sf_dir).map_batches(
-        RangeStage, fn_constructor_kwargs={"ref": lookup_ref},
-        batch_format="pyarrow", concurrency=(1, 4),
-        **BROADCAST_ACTOR_ARGS,
-    )
+    pairs = _events(sf_dir).map_batches(_range_probe, batch_format="pyarrow")
     rolled = final_rollup(pairs.map_batches(partial_rollup, batch_format="pyarrow"), num_partitions=_ev_parts(sf_dir))
     return rolled.select_columns(["source", "bucket", "n_rows", "sum_tok"]).rename_columns(
         ["source", "lo", "n_events", "sum_cents"]
