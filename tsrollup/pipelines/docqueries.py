@@ -1731,16 +1731,8 @@ def _bigram_with_counts(sf_dir: str, min_count: int):
                          "c_ab": vc.field("counts").cast(pa.int64())})
 
     docs = _docs(sf_dir, ("text",))
-    uni = _unigram_counts(sf_dir)
+    uni = _pinned_unigram_counts(sf_dir)
     n_total = int(uni.sum("c_uni") or 0)
-    import ray.data as _rd
-
-    if not isinstance(uni, _rd.dataset.MaterializedDataset):
-        # memoized_dataset stayed lazy because Ray wasn't initialized at
-        # call time (the sum above auto-inited it); re-memoize so the lane
-        # dispatch count() and the broadcast to_pandas() below consume the
-        # pinned fold instead of re-executing the corpus lineage
-        uni = memoized_dataset(src_file, "unigram_counts", lambda: uni)
 
     def _bi_candidates():
         bi = docs.map_batches(_bi_partial, batch_format="pyarrow").groupby(
@@ -2667,6 +2659,27 @@ def _unigram_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _pinned_unigram_counts(sf_dir: str) -> ray.data.Dataset:
+    """``_unigram_counts`` plus the lazy re-pin guard in ONE place: if the
+    memo stayed lazy (Ray uninitialized at first call — the driver contract
+    lets the first consumption auto-init), pin it NOW with exactly one
+    execution (``materialize`` auto-inits Ray Data) and re-memoize, so every
+    consumer reads the pinned fold instead of re-running the corpus tokenize
+    per consumption (a third consumer forgetting the open-coded guard would
+    silently pay a full corpus pass per downstream read)."""
+    import ray.data as _rd
+
+    from tsrollup.util import memoized_dataset
+
+    counts = _unigram_counts(sf_dir)
+    if not isinstance(counts, _rd.dataset.MaterializedDataset):
+        counts = counts.materialize()  # ONE corpus pass, auto-inits Ray Data
+        counts = memoized_dataset(
+            os.path.join(sf_dir, "documents.parquet"), "unigram_counts",
+            lambda: counts)
+    return counts
+
+
 def _source_token_counts(sf_dir: str) -> ray.data.Dataset:
     """Exact per-(source, token) counts: per-batch Arrow group partials →
     one keyed count fold (the same exchange vocab_overlap pays). Shared by
@@ -3021,18 +3034,10 @@ def q_unigram_logprob(sf_dir: str, vocab_size: int = _ULP_V):
         from ray.data.aggregate import Count, Sum
 
         docs = _docs(sf_dir, ("doc_id", "text"))
-        counts = _unigram_counts(sf_dir)
+        counts = _pinned_unigram_counts(sf_dir)
         tot = counts.aggregate(
             Sum("c_uni", alias_name="n"), Count(alias_name="d"))
         n_total, d_distinct = int(tot["n"]), int(tot["d"])
-        import ray.data as _rd
-
-        if not isinstance(counts, _rd.dataset.MaterializedDataset):
-            # memoized_dataset stayed lazy because Ray wasn't initialized
-            # at call time (the aggregate above auto-inited it); re-memoize
-            # so the top-V consumes the pinned fold, not a re-execution
-            counts = memoized_dataset(
-                src_file, "unigram_counts", lambda: counts)
         vocab_t = topk_rows(
             counts, ["c_uni", "token"], [True, False], vocab_size).to_pandas()
         fp_map = {

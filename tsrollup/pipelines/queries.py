@@ -55,20 +55,17 @@ def _derive_events(t: pa.Table) -> pa.Table:
 
 def _ev_parts(sf_dir: str) -> int:
     """Keyed-exchange width for events-table pipelines, sized to the source
-    bytes (~128 MiB per partition, clamped to [4, default_partitions()]) —
-    the TPC-H ``_exchange_width`` lesson applied to the events family: a
-    keyed exchange costs O(P) fixed task latency regardless of volume, so a
-    small corpus must not pay cluster-wide width, while the cap keeps large
-    corpora at the cluster's width."""
+    bytes — the shared ``shuffle.bytes_sized_partitions`` heuristic (the
+    TPC-H ``_exchange_width`` lesson applied to the events family)."""
     import os as _os
 
-    from tsrollup.shuffle import default_partitions
+    from tsrollup.shuffle import bytes_sized_partitions, default_partitions
 
     try:
         sz = _os.path.getsize(_os.path.join(sf_dir, "events.parquet"))
     except OSError:
         return default_partitions()
-    return max(4, min(default_partitions(), int(sz) // (128 << 20) + 1))
+    return bytes_sized_partitions(sz)
 
 
 def _rolled_events(sf_dir: str) -> ray.data.Dataset:
@@ -7183,6 +7180,34 @@ def q_kendall_tau_1h(sf_dir: str):
     return map_key_partitions(pairs, ["source_a", "source_b"], _tau_block)
 
 
+def _bucket_run_ordinals(bkt: np.ndarray, v: np.ndarray,
+                         rid: np.ndarray) -> np.ndarray:
+    """In-bucket 0-based ordinals under (v asc, rid asc) for a block that
+    may hold SEVERAL range buckets: ordinals reset at each bucket run (the
+    lexsort/run-start idiom shared by _global_ordinals and the rfm
+    composite-key pass)."""
+    order = np.lexsort((rid, v, bkt))
+    bs = bkt[order]
+    new_bkt = np.concatenate(([True], bs[1:] != bs[:-1]))
+    run_start = np.maximum.accumulate(
+        np.where(new_bkt, np.arange(len(bs)), 0))
+    ords = np.empty(len(order), np.int64)
+    ords[order] = np.arange(len(bs)) - run_start
+    return ords
+
+
+def _tile_of_rank(rank0: np.ndarray, n_total: int, k: int) -> np.ndarray:
+    """Standard NTILE(k) split of 0-based global ranks: the first
+    N mod k tiles get the extra row (shared by _ntile_exact and rfm)."""
+    big, rem = divmod(n_total, k)
+    boundary = rem * (big + 1)
+    return np.where(
+        rank0 < boundary,
+        rank0 // (big + 1) + 1,
+        rem + (np.maximum(rank0 - boundary, 0) // max(big, 1)) + 1,
+    ).astype(np.int64)
+
+
 def _global_ordinals(ds: ray.data.Dataset, value_col: str, id_col: str,
                      n_range_buckets: int = 64):
     """Exact 0-based global ordinal of every row under the total order
@@ -7221,18 +7246,10 @@ def _global_ordinals(ds: ray.data.Dataset, value_col: str, id_col: str,
                            "ord": pa.array([], pa.int64())})
         if t.num_rows == 0:
             return oempty
-        v = t["v"].to_numpy(zero_copy_only=False)
-        rid = t[id_col].to_numpy(zero_copy_only=False)
-        bkt = t["bkt"].to_numpy(zero_copy_only=False)
-        # a hash partition holds SEVERAL range buckets: ordinals must
-        # reset per bucket, so subtract each bucket-run's start position
-        order = np.lexsort((rid, v, bkt))
-        bs = bkt[order]
-        new_bkt = np.concatenate(([True], bs[1:] != bs[:-1]))
-        run_start = np.maximum.accumulate(
-            np.where(new_bkt, np.arange(len(bs)), 0))
-        ords = np.empty(len(order), np.int64)
-        ords[order] = np.arange(len(bs)) - run_start
+        ords = _bucket_run_ordinals(
+            t["bkt"].to_numpy(zero_copy_only=False),
+            t["v"].to_numpy(zero_copy_only=False),
+            t[id_col].to_numpy(zero_copy_only=False))
         return pa.table({"bkt": t["bkt"], id_col: t[id_col],
                          "ord": pa.array(ords)})
 
@@ -7270,19 +7287,12 @@ def _ntile_exact(ds: ray.data.Dataset, col: str, k: int,
         return ray.data.from_arrow(pa.table(
             {"user_id": pa.array([], pa.int64()),
              "tile": pa.array([], pa.int64())}))
-    big, rem = divmod(n_total, k)
-    boundary = rem * (big + 1)
-
     def _tiles(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"user_id": pa.array([], pa.int64()),
                              "tile": pa.array([], pa.int64())})
-        rank0 = t["rank0"].to_numpy(zero_copy_only=False)
-        tile = np.where(
-            rank0 < boundary,
-            rank0 // (big + 1) + 1,
-            rem + (np.maximum(rank0 - boundary, 0) // max(big, 1)) + 1,
-        ).astype(np.int64)
+        tile = _tile_of_rank(
+            t["rank0"].to_numpy(zero_copy_only=False), n_total, k)
         return pa.table({"user_id": t["user_id"], "tile": pa.array(tile)})
 
     return ranks.map_batches(_tiles, batch_format="pyarrow")
@@ -7403,18 +7413,10 @@ def q_rfm_segments(sf_dir: str, k: int = _RFM_TILES):
             return pa.table({"bkt": pa.array([], pa.int64()),
                              "user_id": pa.array([], pa.int64()),
                              "ord": pa.array([], pa.int64())})
-        v = t["v"].to_numpy(zero_copy_only=False)
-        rid = t["user_id"].to_numpy(zero_copy_only=False)
-        bkt = t["bkt"].to_numpy(zero_copy_only=False)
-        # a hash partition holds SEVERAL range buckets: ordinals reset
-        # per bucket (same idiom as _global_ordinals)
-        order = np.lexsort((rid, v, bkt))
-        bs = bkt[order]
-        new_bkt = np.concatenate(([True], bs[1:] != bs[:-1]))
-        run_start = np.maximum.accumulate(
-            np.where(new_bkt, np.arange(len(bs)), 0))
-        ords = np.empty(len(order), np.int64)
-        ords[order] = np.arange(len(bs)) - run_start
+        ords = _bucket_run_ordinals(
+            t["bkt"].to_numpy(zero_copy_only=False),
+            t["v"].to_numpy(zero_copy_only=False),
+            t["user_id"].to_numpy(zero_copy_only=False))
         return pa.table({"bkt": t["bkt"], "user_id": t["user_id"],
                          "ord": pa.array(ords)})
 
@@ -7433,8 +7435,6 @@ def q_rfm_segments(sf_dir: str, k: int = _RFM_TILES):
                       for w in np.unique(which_of)}
     base = {int(b): int(csum[j] - first_of_which[int(which_of[j])])
             for j, b in enumerate(tb)}
-    big, rem = divmod(n_users, k)
-    boundary = rem * (big + 1)
 
     def _tiles(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -7444,11 +7444,7 @@ def q_rfm_segments(sf_dir: str, k: int = _RFM_TILES):
         bkt = t["bkt"].to_numpy(zero_copy_only=False)
         rank0 = (np.vectorize(base.__getitem__, otypes=[np.int64])(bkt)
                  + t["ord"].to_numpy(zero_copy_only=False))
-        tile = np.where(
-            rank0 < boundary,
-            rank0 // (big + 1) + 1,
-            rem + (np.maximum(rank0 - boundary, 0) // max(big, 1)) + 1,
-        ).astype(np.int64)
+        tile = _tile_of_rank(rank0, n_users, k)
         return pa.table({"user_id": t["user_id"],
                          "which": pa.array(bkt // NB),
                          "tile": pa.array(tile)})

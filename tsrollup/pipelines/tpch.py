@@ -98,16 +98,15 @@ def _ts_filter(col: str, lo_us: int | None = None, hi_us: int | None = None,
     return e
 
 
-def _exchange_width(sf_dir: str, *tables: str) -> int:
-    """Keyed-exchange width sized to the FACT bytes feeding it (~128 MiB of
-    source parquet per partition, clamped to [4, default_partitions()]).
-    A keyed exchange costs O(P) fixed task latency regardless of volume,
-    so a small input must not pay cluster-wide width (the q18-fold lesson:
-    64 -> 12 partitions was most of that stage's wall at sf0.1), while the
-    default_partitions cap keeps large corpora at the cluster's width."""
+def _exchange_width(sf_dir: str, *tables: str, frac: int = 1) -> int:
+    """Keyed-exchange width sized to the FACT bytes feeding it (the shared
+    ``shuffle.bytes_sized_partitions`` heuristic — the q18-fold lesson:
+    64 -> 12 partitions was most of that stage's wall at sf0.1).
+    ``frac`` scales the bytes down BEFORE sizing, for exchanges fed only a
+    column subset of the source tables."""
     import os as _os
 
-    from tsrollup.shuffle import default_partitions
+    from tsrollup.shuffle import bytes_sized_partitions
 
     total = 0
     for t in tables:
@@ -118,7 +117,7 @@ def _exchange_width(sf_dir: str, *tables: str) -> int:
                 for dp, _dn, fn in _os.walk(p) for f in fn))
         except OSError:
             pass
-    return max(4, min(default_partitions(), total // (128 << 20) + 1))
+    return bytes_sized_partitions(total // max(1, frac))
 
 
 def _cents(x: np.ndarray) -> np.ndarray:
@@ -210,6 +209,43 @@ def _lookup(ref, keys: np.ndarray):
         return ok, None
     vals = v[posc] if len(k) else np.zeros(len(keys), v.dtype)
     return ok, vals
+
+
+def _bloom_pruned(bm_ref, key_col: str, fn):
+    """Shared exchange-lane prefilter: Bloom-filter a fact batch's
+    ``key_col`` against a broadcast ``bloom_build`` bitmap BEFORE the
+    per-batch transform ``fn`` — false positives survive into the exchange
+    where the inner join drops them exactly (every q3/q5/q7/q8/q10/q18
+    exchange lane shares this closure)."""
+    from tsrollup.shuffle import bloom_keep
+
+    def _pruned(t: pa.Table) -> pa.Table:
+        import ray
+
+        t = t.filter(pa.array(bloom_keep(
+            ray.get(bm_ref),
+            t[key_col].to_numpy(zero_copy_only=False))))
+        return fn(t)
+
+    return _pruned
+
+
+def _collect_sorted_cols(ds, cols, obj_cols=()):
+    """Broadcast-lane preamble shared by the survivor tails: collect a
+    lane-guard-bounded Dataset's columns into numpy arrays sorted by the
+    FIRST column (int64 unless listed in ``obj_cols``). An empty Dataset
+    yields typed empties (``to_pandas`` loses the schema at 0 rows)."""
+    df = ds.to_pandas()
+    out = []
+    for c in cols:
+        if len(df):
+            a = (np.asarray(df[c].tolist(), dtype=object) if c in obj_cols
+                 else df[c].to_numpy().astype(np.int64))
+        else:
+            a = np.array([], dtype=object if c in obj_cols else np.int64)
+        out.append(a)
+    order = np.argsort(out[0], kind="stable")
+    return tuple(a[order] for a in out)
 
 
 def q_tpch_q1(sf_dir: str):
@@ -359,17 +395,9 @@ def _q3_broadcast_tail(sf_dir: str, orders, date_us: int):
 
     import ray
 
-    odf = orders.to_pandas()  # bounded: lane guard admits <= _Q3_BCAST_MAX
-    if len(odf):
-        okeys = odf["l_orderkey"].to_numpy().astype(np.int64)
-        odate = odf["odate"].to_numpy().astype(np.int64)
-        prio = np.asarray(odf["prio"].tolist(), dtype=object)
-    else:  # an empty Dataset yields a column-less frame
-        okeys = np.array([], np.int64)
-        odate = np.array([], np.int64)
-        prio = np.array([], dtype=object)
-    order = np.argsort(okeys, kind="stable")
-    okeys, odate, prio = okeys[order], odate[order], prio[order]
+    # bounded collect: lane guard admits <= _Q3_BCAST_MAX rows
+    okeys, odate, prio = _collect_sorted_cols(
+        orders, ("l_orderkey", "odate", "prio"), obj_cols=("prio",))
     pair_ref = ray.put((okeys, odate, prio))
 
     def _items_fold(t: pa.Table) -> pa.Table:
@@ -492,11 +520,7 @@ def q_tpch_q3(sf_dir: str):
 
     bm_ref = ray.put(bloom_build(orders, "l_orderkey"))
 
-    def _items_pruned(t: pa.Table) -> pa.Table:
-        t = t.filter(pa.array(bloom_keep(
-            ray.get(bm_ref),
-            t["l_orderkey"].to_numpy(zero_copy_only=False))))
-        return _items(t)
+    _items_pruned = _bloom_pruned(bm_ref, "l_orderkey", _items)
 
     items = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
@@ -634,15 +658,9 @@ def q_tpch_q5(sf_dir: str):
         # — ZERO exchanges before the <= 25-row nation Sum (q10/q18
         # posture; the year's orders grow linearly with the corpus, so the
         # Bloom-prefiltered exchange below remains the scale plan).
-        odf = orders.to_pandas()  # bounded: lane guard
-        if len(odf):
-            okeys = odf["l_orderkey"].to_numpy().astype(np.int64)
-            onat = odf["nat"].to_numpy().astype(np.int64)
-        else:
-            okeys = np.array([], np.int64)
-            onat = np.array([], np.int64)
-        order = np.argsort(okeys, kind="stable")
-        pair_ref = ray.put((okeys[order], onat[order]))
+        okeys, onat = _collect_sorted_cols(  # bounded: lane guard
+            orders, ("l_orderkey", "nat"))
+        pair_ref = ray.put((okeys, onat))
 
         def _items_fold(t: pa.Table) -> pa.Table:
             k, cn = ray.get(pair_ref)
@@ -682,11 +700,7 @@ def q_tpch_q5(sf_dir: str):
 
         bm_ref = ray.put(bloom_build(orders, "l_orderkey"))
 
-        def _items_pruned(t: pa.Table) -> pa.Table:
-            t = t.filter(pa.array(bloom_keep(
-                ray.get(bm_ref),
-                t["l_orderkey"].to_numpy(zero_copy_only=False))))
-            return _items(t)
+        _items_pruned = _bloom_pruned(bm_ref, "l_orderkey", _items)
 
         items = read_parquet_clean(
             f"{sf_dir}/lineitem.parquet",
@@ -950,8 +964,9 @@ def q_tpch_q18(sf_dir: str):
     )
     # width from fact bytes, not a materialized count: partials stream
     # straight into the fold exchange with no barrier (the two key/qty
-    # columns are ~1/8 of lineitem's bytes, hence the scale-down)
-    P = max(4, _exchange_width(sf_dir, "lineitem") // 8 + 1)
+    # columns are ~1/8 of lineitem's bytes, hence frac=8 — applied to the
+    # BYTES before clamping, so a large corpus still gets cluster width)
+    P = _exchange_width(sf_dir, "lineitem", frac=8)
     big = map_key_partitions(
         partials, ["l_orderkey"], _fold_block, num_partitions=P
     ).materialize()  # consumed twice on the exchange lane
@@ -1102,17 +1117,8 @@ def q_tpch_q4(sf_dir: str):
         # orderkeys, one tiny survivor-keyed dedup makes the EXISTS exact
         # across batches, and the priority fold reads the broadcast — no
         # full-fact orderkey exchange.
-        odf = orders.to_pandas()  # bounded: lane guard
-        if len(odf):
-            okeys = odf["l_orderkey"].to_numpy().astype(np.int64)
-            odate = odf["odate"].to_numpy().astype(np.int64)
-            prio = np.asarray(odf["prio"].tolist(), dtype=object)
-        else:
-            okeys = np.array([], np.int64)
-            odate = np.array([], np.int64)
-            prio = np.array([], dtype=object)
-        order = np.argsort(okeys, kind="stable")
-        okeys, odate, prio = okeys[order], odate[order], prio[order]
+        okeys, odate, prio = _collect_sorted_cols(  # bounded: lane guard
+            orders, ("l_orderkey", "odate", "prio"), obj_cols=("prio",))
         pair_ref = ray.put((okeys, odate, prio))
 
         def _late_keys(t: pa.Table) -> pa.Table:
@@ -1221,7 +1227,7 @@ def _q10_name_fn(names_ref):
     return _name
 
 
-def _q10_broadcast_tail(sf_dir: str, orders, names_ref, lo: int, hi: int):
+def _q10_broadcast_tail(sf_dir: str, orders, names_ref):
     """q10 broadcast lane: the quarter's (orderkey, custkey) pairs collect
     once (bounded — the lane guard admits <= _Q10_BCAST_MAX rows), ship
     via one ``ray.put``, and the returned-lineitem scan joins by
@@ -1232,15 +1238,9 @@ def _q10_broadcast_tail(sf_dir: str, orders, names_ref, lo: int, hi: int):
 
     import ray
 
-    odf = orders.to_pandas()  # bounded: one quarter of orders (lane guard)
-    if len(odf):
-        okeys = odf["l_orderkey"].to_numpy().astype(np.int64)
-        ocust = odf["custkey"].to_numpy().astype(np.int64)
-    else:  # an empty Dataset yields a column-less frame
-        okeys = np.array([], np.int64)
-        ocust = np.array([], np.int64)
-    order = np.argsort(okeys, kind="stable")
-    pair_ref = ray.put((okeys[order], ocust[order]))
+    # bounded collect: one quarter of orders (lane guard)
+    okeys, ocust = _collect_sorted_cols(orders, ("l_orderkey", "custkey"))
+    pair_ref = ray.put((okeys, ocust))
 
     def _items_join(t: pa.Table) -> pa.Table:
         k, cust = ray.get(pair_ref)
@@ -1345,7 +1345,8 @@ def q_tpch_q10(sf_dir: str):
     # (the quarter grows linearly with the corpus) the Bloom-prefiltered
     # orderkey exchange below is the scale plan.
     if orders.count() <= _Q10_BCAST_MAX:
-        return _q10_broadcast_tail(sf_dir, orders, names_ref, lo, hi)
+        # the quarter date cut is already baked into ``orders``
+        return _q10_broadcast_tail(sf_dir, orders, names_ref)
 
     # exchange lane: the quarter's date cut keeps the orders side small;
     # Bloom-prefilter the returned-lineitem FACT before the exchange; the
@@ -1354,11 +1355,7 @@ def q_tpch_q10(sf_dir: str):
 
     bm_ref = ray.put(bloom_build(orders, "l_orderkey"))
 
-    def _items_pruned(t: pa.Table) -> pa.Table:
-        t = t.filter(pa.array(bloom_keep(
-            ray.get(bm_ref),
-            t["l_orderkey"].to_numpy(zero_copy_only=False))))
-        return _items(t)
+    _items_pruned = _bloom_pruned(bm_ref, "l_orderkey", _items)
 
     items = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
@@ -1576,15 +1573,9 @@ def q_tpch_q7(sf_dir: str):
         # the direction predicate and folds (supp, cust, year) per batch —
         # <= nations^2 x years rows per batch, so the remaining combine is
         # the same driver-side bounded reduction the exchange lane uses.
-        odf = orders.to_pandas()  # bounded: lane guard
-        if len(odf):
-            okeys = odf["l_orderkey"].to_numpy().astype(np.int64)
-            onat = odf["nat"].to_numpy().astype(np.int64)
-        else:
-            okeys = np.array([], np.int64)
-            onat = np.array([], np.int64)
-        order = np.argsort(okeys, kind="stable")
-        pair_ref = ray.put((okeys[order], onat[order]))
+        okeys, onat = _collect_sorted_cols(  # bounded: lane guard
+            orders, ("l_orderkey", "nat"))
+        pair_ref = ray.put((okeys, onat))
 
         def _items_fold(t: pa.Table) -> pa.Table:
             k, cn_arr = ray.get(pair_ref)
@@ -1634,11 +1625,7 @@ def q_tpch_q7(sf_dir: str):
 
     bm_ref = ray.put(bloom_build(orders, "l_orderkey"))
 
-    def _items_pruned(t: pa.Table) -> pa.Table:
-        t = t.filter(pa.array(bloom_keep(
-            ray.get(bm_ref),
-            t["l_orderkey"].to_numpy(zero_copy_only=False))))
-        return _items(t)
+    _items_pruned = _bloom_pruned(bm_ref, "l_orderkey", _items)
 
     items = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
@@ -1797,15 +1784,9 @@ def q_tpch_q8(sf_dir: str):
         # supplier lookups, joins by searchsorted and folds the per-year
         # (target, total) pair per batch — <= |years| rows per batch, so
         # the remaining combine is the same driver-side bounded reduction.
-        odf = orders.to_pandas()  # bounded: lane guard
-        if len(odf):
-            okeys = odf["l_orderkey"].to_numpy().astype(np.int64)
-            oyear = odf["o_year"].to_numpy().astype(np.int64)
-        else:
-            okeys = np.array([], np.int64)
-            oyear = np.array([], np.int64)
-        order = np.argsort(okeys, kind="stable")
-        pair_ref = ray.put((okeys[order], oyear[order]))
+        okeys, oyear = _collect_sorted_cols(  # bounded: lane guard
+            orders, ("l_orderkey", "o_year"))
+        pair_ref = ray.put((okeys, oyear))
 
         def _items_fold(t: pa.Table) -> pa.Table:
             k, yr_arr = ray.get(pair_ref)
@@ -1848,11 +1829,7 @@ def q_tpch_q8(sf_dir: str):
 
     bm_ref = ray.put(bloom_build(orders, "l_orderkey"))
 
-    def _items_pruned(t: pa.Table) -> pa.Table:
-        t = t.filter(pa.array(bloom_keep(
-            ray.get(bm_ref),
-            t["l_orderkey"].to_numpy(zero_copy_only=False))))
-        return _items(t)
+    _items_pruned = _bloom_pruned(bm_ref, "l_orderkey", _items)
 
     items = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
@@ -2147,17 +2124,8 @@ def q_tpch_q22(sf_dir: str):
         # candidate custkeys, one tiny candidate-keyed dedup collapses
         # them, and the anti-join + nation fold are a driver-side bounded
         # reduction over the candidate set (<= lane guard rows).
-        cdf = cust.to_pandas()  # bounded: lane guard
-        if len(cdf):
-            ckeys = cdf["c_custkey"].to_numpy().astype(np.int64)
-            cnat = cdf["nat"].to_numpy().astype(np.int64)
-            cbal = cdf["bal_c"].to_numpy().astype(np.int64)
-        else:
-            ckeys = np.array([], np.int64)
-            cnat = np.array([], np.int64)
-            cbal = np.array([], np.int64)
-        order = np.argsort(ckeys, kind="stable")
-        ckeys, cnat, cbal = ckeys[order], cnat[order], cbal[order]
+        ckeys, cnat, cbal = _collect_sorted_cols(  # bounded: lane guard
+            cust, ("c_custkey", "nat", "bal_c"))
         key_ref = ray.put(ckeys)
 
         def _recent_hits(t: pa.Table) -> pa.Table:

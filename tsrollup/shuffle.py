@@ -48,6 +48,17 @@ def default_partitions() -> int:
     return max(4, min(64, cpus * 2))
 
 
+def bytes_sized_partitions(n_bytes: int, per_partition: int = 128 << 20) -> int:
+    """Keyed-exchange width from the bytes actually ENTERING the exchange
+    (~128 MiB per partition, clamped to [4, default_partitions()]): a keyed
+    exchange costs O(P) fixed task latency regardless of volume, so a small
+    input must not pay cluster-wide width, while the cap keeps large inputs
+    at the cluster's width. Scale ``n_bytes`` down BEFORE calling when only
+    a fraction of the source columns enter the exchange — dividing the
+    clamped result instead silently caps wide-cluster parallelism."""
+    return max(4, min(default_partitions(), int(n_bytes) // per_partition + 1))
+
+
 def _part_column(t: pa.Table, keys: Sequence[str], num_partitions: int) -> pa.Table:
     """Deterministic partition id from the key columns."""
     if t.schema.metadata:  # pandas-origin metadata is unhashable and trips

@@ -30,8 +30,11 @@ def worker_broadcast_get(ref):
     if hit is None:
         import ray
 
-        if len(_WORKER_BCAST_CACHE) > 8:
-            _WORKER_BCAST_CACHE.clear()
+        while len(_WORKER_BCAST_CACHE) > 8:
+            # evict the OLDEST entry (dict preserves insertion order) —
+            # never the whole cache, so refs actively streamed by
+            # concurrent queries stay resident instead of thrashing
+            _WORKER_BCAST_CACHE.pop(next(iter(_WORKER_BCAST_CACHE)))
         hit = _WORKER_BCAST_CACHE[ref] = ray.get(ref)
     return hit
 
